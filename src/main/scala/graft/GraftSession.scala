@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference platform (CDCgov/SDP) provisions a single-node MySQL 5.6
+  * data tier (`openshift_resources/db-templates/mysql-persistent-template.json:68`);
+  * this engine replaces it with a distributed Spark SQL tier. Session
+  * defaults are chosen for oracle parity (DuckDB, ANSI, UTC, binary
+  * collation) and for scale (AQE on, CBO-friendly, partition counts sized
+  * to cores locally — on a real cluster these come from the deploy conf).
+  */
+object GraftSession {
+
+  /** Apply graft engine defaults to an existing builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // Deterministic, oracle-compatible semantics.
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "true")
+    // Adaptive execution: runtime coalescing, skew-join splitting,
+    // broadcast-join demotion/promotion — the main lever that keeps the
+    // same plan viable from sf0.001 to 100 TB.
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader has no timestamp type for; read as long and let the reader
+    // facade (Tables) convert to micros explicitly.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session used by tests and ad-hoc mains. `cores` threads, and
+    * shuffle partitions sized to cores (not the 200 default, which just
+    * makes tiny local shuffles slower).
+    */
+  def local(appName: String, cores: Int = 32): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

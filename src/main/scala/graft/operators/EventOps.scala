@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (SURVEY.md §2.3 as-of
+  * join, §2.5 sessionization, §2.9 batch-equivalents of the streaming
+  * windows — the streaming forms live in graft.streaming).
+  *
+  * Scale notes: the as-of join is the union+window pattern — one shuffle
+  * on (user_id), no range-join blowup: at 100 TB an events×orders range
+  * join would be quadratic per key, while sort-within-partition is
+  * n log n. Sessionization is the classic lag-gap → running-sum pattern,
+  * also a single shuffle on the session key.
+  */
+object EventOps {
+
+  /** As-of join core, reusable: for each left row, the latest right row
+    * with same key and rightTs <= leftTs. Implemented as union + last()
+    * over an ordered window — a single shuffle on the key.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               payload: String): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val outCols = (leftCols :+ payload :+ "_side").map(col)
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn(payload, lit(null).cast(right.schema(payload).dataType))
+    val r = leftCols.filterNot(c => c == key || c == tsCol)
+      .foldLeft(right.withColumn("_side", lit(0))) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unioned = l.select(outCols: _*).unionByName(r.select(outCols: _*))
+    // Right rows sort before left rows at equal ts (_side 0 < 1) so a
+    // same-instant right row is visible (non-strict <=).
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** For each error event: id of that user's most recent purchase at or
+    * before it. Oracle uses DuckDB's native ASOF JOIN — same semantics,
+    * with purchases pre-deduped to one row per (user, ts) (max event_id)
+    * so ties are deterministic in both engines.
+    */
+  val qAsofJoin: QuerySpec = QuerySpec(
+    "q_asof_join",
+    Some("""SELECT e.event_id, e.user_id, p.pid AS prev_purchase_id
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS pid FROM events
+                      WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+      ORDER BY event_id"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("pid"))
+      asOfJoin(errors, purchases.withColumnRenamed("pid", "prev_purchase_id"),
+               "user_id", "ts", "prev_purchase_id")
+        .select("event_id", "user_id", "prev_purchase_id")
+        .orderBy("event_id")
+    })
+
+  /** Gap-based sessionization (30-min inactivity), batch form. */
+  val qSessionize: QuerySpec = QuerySpec(
+    "q_sessionize",
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s AS (
+        SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM g)
+      SELECT user_id, session_seq, count(*) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end
+      FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""),
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum("is_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+             min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "session_seq")
+    })
+
+  /** Tumbling event-time window aggregate — batch equivalent of the
+    * streaming `groupBy(window($"ts","1 hour"))` (graft.streaming has the
+    * streaming form; results agree because tumbling windows are
+    * epoch-aligned like date_trunc).
+    */
+  val qWindowTumbling: QuerySpec = QuerySpec(
+    "q_window_tumbling",
+    Some("""SELECT date_trunc('hour', ts) AS w_start, event_type,
+      count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    })
+
+  /** Interval-range window frame (trailing 30 days per customer). */
+  val qWindowRange: QuerySpec = QuerySpec(
+    "q_window_range",
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last30
+      FROM orders ORDER BY o_custkey, o_orderkey"""),
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""SELECT o_custkey, o_orderkey,
+        count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS n_last30
+        FROM orders ORDER BY o_custkey, o_orderkey""")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qAsofJoin, qSessionize, qWindowTumbling, qWindowRange)
+}

@@ -1,0 +1,429 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.1–§2.7).
+  *
+  * The reference provisions a MySQL 5.6 relational tier
+  * (`mysql-persistent-template.json:68`); this module re-expresses that
+  * query surface on the DataFrame API so Catalyst plans it (predicate
+  * pushdown, column pruning, broadcast vs shuffle joins, partial aggs,
+  * AQE) — nothing here hand-schedules execution.
+  *
+  * Scale notes (100 TB design point):
+  *  - dimension joins (`region`, `nation`) are explicitly `broadcast()`;
+  *    fact-fact joins are left to AQE which picks SMJ + skew splitting;
+  *  - every aggregate is a `groupBy.agg` → partial (map-side) + final
+  *    HashAggregate, one shuffle on the group keys;
+  *  - top-k uses orderBy+limit → `TakeOrderedAndProject` (no global sort
+  *    materialization).
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  /** Revenue expression used by the TPC-H-ish queries. */
+  private val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // --- §2.4 aggregation: TPC-H Q1 analogue (scan → filter → hash agg) ---
+  val q1PricingSummary: QuerySpec = QuerySpec(
+    "q1_pricing_summary",
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_base_price,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      round(avg(l_quantity),4) AS avg_qty,
+      round(avg(l_extendedprice),4) AS avg_price,
+      round(avg(l_discount),4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(revenue), 2).as("sum_disc_price"),
+          round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+
+  // --- §2.3 + §2.6: join → agg → top-k (TPC-H Q3 analogue) ---
+  val q3ShippingPriority: QuerySpec = QuerySpec(
+    "q3_shipping_priority",
+    Some("""SELECT o.o_orderkey, round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue,
+      o.o_orderdate, o.o_orderpriority
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+      ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+    (spark, dir) => {
+      val cust = Tables.load(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") < ts("1999-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > ts("1999-01-01 00:00:00"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    })
+
+  // --- §2.3 multi-way star join (TPC-H Q5 analogue; the flagship) ---
+  val q5RegionRevenue: QuerySpec = QuerySpec(
+    "q5_region_revenue",
+    Some("""SELECT n.n_name, round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE r.r_name IN ('ASIA','EUROPE')
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n.n_name ORDER BY revenue DESC, n_name"""),
+    (spark, dir) => {
+      val region = Tables.load(spark, dir, "region")
+        .filter(col("r_name").isin("ASIA", "EUROPE")).select("r_regionkey")
+      val nation = Tables.load(spark, dir, "nation")
+      val cust = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                col("o_orderdate") < ts("1999-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      // Tiny dims broadcast explicitly; lineitem⋈orders is the only
+      // genuinely large join and AQE handles its strategy/skew.
+      val dim = cust
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .select("n_name", "revenue")
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+
+  // --- §2.2 filters: BETWEEN / IN / LIKE / RLIKE / null logic ---
+  val qFilterPredicates: QuerySpec = QuerySpec(
+    "q_filter_predicates",
+    Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      FROM part
+      WHERE p_size BETWEEN 10 AND 30
+        AND p_brand IN ('Brand#1','Brand#12','Brand#23','Brand#34','Brand#45')
+        AND p_type NOT LIKE '%ECONOMY%'
+        AND regexp_matches(p_type, '^(LARGE|SMALL)')
+        AND p_retailprice IS NOT NULL
+      ORDER BY p_partkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "part")
+        .filter(col("p_size").between(10, 30))
+        .filter(col("p_brand").isin("Brand#1", "Brand#12", "Brand#23", "Brand#34", "Brand#45"))
+        .filter(!col("p_type").like("%ECONOMY%"))
+        .filter(col("p_type").rlike("^(LARGE|SMALL)"))
+        .filter(col("p_retailprice").isNotNull)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    })
+
+  // --- §2.3 left outer join (orders with zero lineitems kept) ---
+  val qJoinLeft: QuerySpec = QuerySpec(
+    "q_join_left",
+    Some("""SELECT o.o_orderkey, o.o_orderstatus,
+      count(l.l_orderkey) AS n_items,
+      round(coalesce(sum(l.l_quantity), 0), 2) AS total_qty
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderstatus ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      val ord = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val li = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      ord.join(li, col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(count(col("l_orderkey")).as("n_items"),
+             round(coalesce(sum("l_quantity"), lit(0.0)), 2).as("total_qty"))
+        .orderBy("o_orderkey")
+    })
+
+  // --- §2.3 full outer join (absent in MySQL 5.6 — free in Spark) ---
+  val qJoinFull: QuerySpec = QuerySpec(
+    "q_join_full",
+    Some("""SELECT coalesce(s.nk, c.nk) AS nationkey,
+      coalesce(s.n_supp, 0) AS n_supp, coalesce(c.n_cust, 0) AS n_cust
+      FROM (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      FULL OUTER JOIN (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+      ON s.nk = c.nk ORDER BY nationkey"""),
+    (spark, dir) => {
+      val s = Tables.load(spark, dir, "supplier")
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+      val c = Tables.load(spark, dir, "customer")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      s.join(c, col("s_nationkey") === col("c_nationkey"), "full")
+        .select(coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+                coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+                coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("nationkey")
+    })
+
+  // --- §2.3 semi join (IN/EXISTS rewrite surface) ---
+  val qJoinSemi: QuerySpec = QuerySpec(
+    "q_join_semi",
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      ORDER BY c_custkey"""),
+    (spark, dir) => {
+      val cust = Tables.load(spark, dir, "customer")
+      val big = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 450000).select("o_custkey")
+      cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    })
+
+  // --- §2.3 anti join (NOT EXISTS) ---
+  val qJoinAnti: QuerySpec = QuerySpec(
+    "q_join_anti",
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      val ord = Tables.load(spark, dir, "orders")
+      val li = Tables.load(spark, dir, "lineitem").select("l_orderkey")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    })
+
+  // --- §2.3 cross join ---
+  val qJoinCross: QuerySpec = QuerySpec(
+    "q_join_cross",
+    Some("""SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b
+      ORDER BY r1, r2"""),
+    (spark, dir) => {
+      val r = Tables.load(spark, dir, "region")
+      r.select(col("r_name").as("r1"))
+        .crossJoin(r.select(col("r_name").as("r2")))
+        .orderBy("r1", "r2")
+    })
+
+  // --- §2.3 theta (non-equi) self join ---
+  val qJoinTheta: QuerySpec = QuerySpec(
+    "q_join_theta",
+    Some("""SELECT a.n_name AS n1, b.n_name AS n2, a.n_regionkey AS rkey
+      FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      ORDER BY n1, n2"""),
+    (spark, dir) => {
+      val n = Tables.load(spark, dir, "nation")
+      n.as("a").join(n.as("b"),
+          col("a.n_regionkey") === col("b.n_regionkey") &&
+          col("a.n_nationkey") < col("b.n_nationkey"))
+        .select(col("a.n_name").as("n1"), col("b.n_name").as("n2"),
+                col("a.n_regionkey").as("rkey"))
+        .orderBy("n1", "n2")
+    })
+
+  // --- §2.5 ranking windows ---
+  val qWindowRank: QuerySpec = QuerySpec(
+    "q_window_rank",
+    Some("""SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER w AS rn,
+          rank()       OVER w2 AS rk,
+          dense_rank() OVER w2 AS drk
+        FROM orders
+        WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+               w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+      ) WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+    (spark, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val w2 = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                row_number().over(w).as("rn"),
+                rank().over(w2).as("rk"),
+                dense_rank().over(w2).as("drk"),
+                col("o_orderpriority"))
+        .filter(col("rn") <= 3)
+        .drop("o_orderpriority")
+        .orderBy("o_custkey", "rn")
+    })
+
+  // --- §2.5 frames: running sum + lag/lead ---
+  val qWindowRunning: QuerySpec = QuerySpec(
+    "q_window_running",
+    Some("""SELECT o_custkey, o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+      lag(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key,
+      lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+      FROM orders ORDER BY o_custkey, o_orderkey"""),
+    (spark, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("run_total"),
+          lag("o_orderkey", 1).over(w).as("prev_key"),
+          lead("o_orderkey", 1).over(w).as("next_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
+  // --- §2.4 ROLLUP (MySQL's only grouping-set form) + grouping() ---
+  val qRollup: QuerySpec = QuerySpec(
+    "q_rollup",
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(grouping("o_orderstatus").cast("int").as("g_status"),
+             grouping("o_orderpriority").cast("int").as("g_priority"),
+             count(lit(1)).as("n"),
+             round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                col("g_status"), col("g_priority"), col("n"), col("total"))
+        .orderBy("status", "priority")
+    })
+
+  // --- §2.4 CUBE (beyond MySQL — free in Spark/DuckDB) ---
+  val qCube: QuerySpec = QuerySpec(
+    "q_cube",
+    Some("""SELECT coalesce(l_returnflag, '*') AS rflag,
+      coalesce(l_linestatus, '*') AS lstatus,
+      count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("*")).as("rflag"),
+                coalesce(col("l_linestatus"), lit("*")).as("lstatus"),
+                col("n"), col("qty"))
+        .orderBy("rflag", "lstatus")
+    })
+
+  // --- §2.4 DISTINCT aggregates ---
+  val qDistinctAgg: QuerySpec = QuerySpec(
+    "q_distinct_agg",
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_suppkey) AS n_supp,
+      count(DISTINCT l_partkey) AS n_part,
+      round(CAST(sum(DISTINCT l_quantity) AS DOUBLE), 2) AS sum_dist_qty,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+             countDistinct("l_partkey").as("n_part"),
+             round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    })
+
+  // --- §2.4 HAVING ---
+  val qHaving: QuerySpec = QuerySpec(
+    "q_having",
+    Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    })
+
+  // --- §2.7 set operations ---
+  val qUnionAll: QuerySpec = QuerySpec(
+    "q_union_all",
+    Some("""SELECT 'cust' AS src, c_nationkey AS nkey FROM customer
+      UNION ALL SELECT 'supp' AS src, s_nationkey AS nkey FROM supplier
+      ORDER BY src, nkey"""),
+    (spark, dir) => {
+      val c = Tables.load(spark, dir, "customer")
+        .select(lit("cust").as("src"), col("c_nationkey").as("nkey"))
+      val s = Tables.load(spark, dir, "supplier")
+        .select(lit("supp").as("src"), col("s_nationkey").as("nkey"))
+      c.union(s).orderBy("src", "nkey")
+    })
+
+  val qIntersect: QuerySpec = QuerySpec(
+    "q_intersect",
+    Some("""SELECT c_nationkey AS nkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier ORDER BY nkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nkey"))
+        .intersect(Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    })
+
+  val qExcept: QuerySpec = QuerySpec(
+    "q_except",
+    Some("""SELECT c_nationkey AS nkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier ORDER BY nkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nkey"))
+        .except(Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    })
+
+  // --- §2.6 top-k (TakeOrderedAndProject — no global sort at scale) ---
+  val qTopK: QuerySpec = QuerySpec(
+    "q_topk",
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    })
+
+  // --- §2.6 LIMIT/OFFSET ---
+  val qLimitOffset: QuerySpec = QuerySpec(
+    "q_limit_offset",
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_orderkey LIMIT 50 OFFSET 100"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100).limit(50)
+    })
+
+  def specs: Seq[QuerySpec] = Seq(
+    q1PricingSummary, q3ShippingPriority, q5RegionRevenue, qFilterPredicates,
+    qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
+    qWindowRank, qWindowRunning, qRollup, qCube, qDistinctAgg, qHaving,
+    qUnionAll, qIntersect, qExcept, qTopK, qLimitOffset)
+}

@@ -1,0 +1,263 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over `documents`
+  * (SURVEY.md §2.11; north-star LLM-data-pipeline surface).
+  *
+  * All tokenization is `split(trim(text), ' +')` — one definition shared
+  * by every operator so dedup/fingerprint/quality agree with each other
+  * and with the DuckDB oracle (`regexp_split_to_array`).
+  *
+  * Scale notes: everything here is per-row narrow work (no shuffle)
+  * except the group-bys on derived keys (fingerprint, LSH bands), which
+  * shuffle on a hash — uniform by construction, no skew. The MinHash
+  * candidate join is band-bucketed (self equi-join on (band, hash)), the
+  * standard LSH trick that replaces the quadratic all-pairs compare.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Shared tokenizer: distinct not applied here. */
+  private def tokens(c: Column): Column = split(trim(c), " +")
+
+  // --- exact dedup: keep-first per key (deterministic via window, not
+  //     dropDuplicates which keeps an arbitrary row) ---
+  val qDedupExact: QuerySpec = QuerySpec(
+    "q_dedup_exact",
+    Some("""SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+          row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1 ORDER BY doc_id"""),
+    (spark, dir) => {
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+                row_number().over(w).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("doc_id")
+    })
+
+  // --- full-row duplicate stats (exact content dedup) ---
+  val qDedupStats: QuerySpec = QuerySpec(
+    "q_dedup_stats",
+    Some("""SELECT count(*) AS n_rows, count(DISTINCT text) AS n_distinct_text,
+      count(DISTINCT md5(text)) AS n_distinct_fp FROM documents"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("text")).as("n_distinct_text"),
+             countDistinct(md5(col("text"))).as("n_distinct_fp"))
+    })
+
+  // --- token counting ---
+  val qTextTokens: QuerySpec = QuerySpec(
+    "q_text_tokens",
+    Some("""SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS n_tokens,
+      CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS INT) AS n_distinct,
+      round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), ' +'),
+        t -> length(t))) AS DOUBLE) / len(regexp_split_to_array(trim(text), ' +')), 4)
+        AS avg_token_len
+      FROM documents ORDER BY doc_id"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          round(
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+              size(toks), 4).as("avg_token_len"))
+        .orderBy("doc_id")
+    })
+
+  // --- quality scoring (length / stopword / alpha ratios) ---
+  val qTextQuality: QuerySpec = QuerySpec(
+    "q_text_quality",
+    Some(s"""SELECT doc_id, n_tokens, round(stop_raw, 4) AS stop_ratio,
+      round(alpha_raw, 4) AS alpha_ratio,
+      round(0.5*stop_raw + 0.3*least(n_tokens/200.0, 1.0) + 0.2*alpha_raw, 4) AS quality
+      FROM (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS n_tokens,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+          t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), ' +')) AS stop_raw,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+          / length(text) AS alpha_raw
+        FROM documents) ORDER BY doc_id"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+            size(toks)).as("stop_raw"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text"))).as("alpha_raw"))
+        // quality from the *unrounded* ratios: rounding first parks the
+        // weighted sum on .xxxx5 boundaries where the engines' double
+        // rounding diverges
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("stop_raw"), 4).as("stop_ratio"),
+          round(col("alpha_raw"), 4).as("alpha_ratio"),
+          round(lit(0.5) * col("stop_raw") +
+                lit(0.3) * least(col("n_tokens") / 200.0, lit(1.0)) +
+                lit(0.2) * col("alpha_raw"), 4).as("quality"))
+        .orderBy("doc_id")
+    })
+
+  // --- document fingerprinting (full text + bag-of-words) ---
+  val qTextFingerprint: QuerySpec = QuerySpec(
+    "q_text_fingerprint",
+    Some("""SELECT doc_id, md5(text) AS fp_text,
+      md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), ' +'))), ' '))
+        AS fp_bow
+      FROM documents ORDER BY doc_id"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("fp_text"),
+          md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp_bow"))
+        .orderBy("doc_id")
+    })
+
+  // --- heuristic language id (CJK chars → zh; stopword hits → en; …) ---
+  val qLangId: QuerySpec = QuerySpec(
+    "q_lang_id",
+    Some(s"""SELECT doc_id, lang,
+      CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+             t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS INT) >= 2
+             THEN 'en'
+           ELSE 'unknown' END AS pred_lang
+      FROM documents ORDER BY doc_id"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(col("text").rlike("[一-鿿]"), "zh")
+            .when(size(filter(toks, t => array_contains(stopArr, t))) >= 2, "en")
+            .otherwise("unknown").as("pred_lang"))
+        .orderBy("doc_id")
+    })
+
+  // --- n-gram (token-set) Jaccard near-dup pairs, exact, blocked by lang ---
+  val qNgramJaccard: QuerySpec = QuerySpec(
+    "q_ngram_jaccard",
+    Some("""WITH t AS (SELECT doc_id, lang,
+        list_distinct(regexp_split_to_array(trim(text), ' +')) AS toks FROM documents)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+      ORDER BY doc1, doc2"""),
+    (spark, dir) => jaccardPairs(spark, dir, 0.8)
+      .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc1", "doc2"))
+
+  /** Exact token-set Jaccard via inverted-index self-join (explode →
+    * join on token → count common), never materializing all pairs: only
+    * pairs sharing ≥1 token appear. Blocked by `lang`.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), array_distinct(tokens(col("text"))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val inv = docs.select(col("doc_id"), col("lang"), col("n_toks"),
+                          explode(col("toks")).as("tok"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+               col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc1", "doc2", "jaccard")
+  }
+
+  // --- MinHash + LSH banding (no SQL oracle: hash functions are
+  //     engine-specific; correctness covered by MinHashSpec's
+  //     minhash≈jaccard property test and the exact-jaccard recheck) ---
+  val numHashes = 64
+  val numBands = 16 // 16 bands × 4 rows
+
+  /** (doc_id, sig: array<long>[64]) — minhash via per-seed xxhash64 min. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val inv = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"h$i"))
+    inv.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+              array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs + estimated similarity + exact jaccard verify. */
+  val qMinhashLsh: QuerySpec = QuerySpec(
+    "q_minhash_lsh",
+    None, // engine-specific hashing; see MinHashSpec property tests
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val sigs = minhashSignatures(docs)
+      val rowsPerBand = numHashes / numBands
+      // band hash per (doc, band) → candidates = equi-join on (band, hash)
+      val bands = sigs.select(col("doc_id"), col("sig"),
+          posexplode(array((0 until numBands).map { b =>
+            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          }: _*)).as(Seq("band", "bhash")))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+                col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+        .distinct()
+      // estimated sim = fraction of agreeing signature components
+      cands.withColumn("est_sim",
+          round(size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
+            when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes, 4))
+        .select("doc1", "doc2", "est_sim")
+        .orderBy("doc1", "doc2")
+    })
+
+  // --- SimHash (64-bit) ---
+  def simhash(docs: DataFrame): DataFrame = {
+    val inv = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    inv.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  val qSimhash: QuerySpec = QuerySpec(
+    "q_simhash",
+    None, // engine-specific hashing; see SimHashSpec
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      simhash(docs).orderBy("doc_id")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(
+    qDedupExact, qDedupStats, qTextTokens, qTextQuality, qTextFingerprint,
+    qLangId, qNgramJaccard, qMinhashLsh, qSimhash)
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over `embeddings` (SURVEY.md §2.11):
+  * brute-force cosine top-k (baseline), LSH-bucketed variant (scale
+  * path), and threshold near-dup pairs.
+  *
+  * Scale notes: brute-force is O(probes × corpus) — correct baseline and
+  * fine when probes is small (it broadcasts probes and never shuffles
+  * the corpus). The scale path buckets the corpus by random-hyperplane
+  * LSH signs so each probe only compares within its bucket; recall<1 by
+  * design, measured in VectorSpec against brute force.
+  */
+object VectorOps {
+
+  /** Cosine similarity in double precision over float-array columns —
+    * element order preserved (sequential sum), so results are
+    * bit-comparable with DuckDB's list_cosine_similarity on the same
+    * doubles.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force top-k: per probe, k nearest corpus vectors by rounded
+    * cosine (rounding before ranking keeps cross-engine rank stable).
+    */
+  def topK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = broadcast(probes.select(col("vec_id").as("probe_id"),
+                                         col("embedding").as("pvec")))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
+                               col("embedding").as("cvec")))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("pvec"), col("cvec")), 6))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rk")
+  }
+
+  val qCosineTopK: QuerySpec = QuerySpec(
+    "q_cosine_topk",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+              round(list_cosine_similarity(p.v, c.v), 6) AS sim
+            FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      r AS (SELECT probe_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s)
+      SELECT probe_id, neighbor_id, sim, rk FROM r WHERE rk <= 5
+      ORDER BY probe_id, rk"""),
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy("probe_id", "rk")
+    })
+
+  /** Embedding near-dup: same-label pairs above a cosine threshold. */
+  val qEmbedNearDup: QuerySpec = QuerySpec(
+    "q_embed_neardup",
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+      ORDER BY id1, id2"""),
+    (spark, dir) => {
+      val e = Tables.load(spark, dir, "embeddings")
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("sim"))
+        .orderBy("id1", "id2")
+    })
+
+  // --- LSH (random hyperplane) bucketed ANN — the 100 TB path ---
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * a hash-derived value in [-1, 1]. No RNG state — reproducible across
+    * cluster runs.
+    */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+
+  /** Sign-bit signature: bit p = (v · plane_p) > 0. */
+  def lshSignature(v: Column, numPlanes: Int): Column = {
+    val vd = transform(v, x => x.cast("double"))
+    val bits = (0 until numPlanes).map { p =>
+      val dot = aggregate(zip_with(vd, sequence(lit(0), size(v) - 1),
+        (x, j) => x * planeComponent(p, j)), lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k restricted to same-LSH-bucket candidates (8 planes →
+    * 256 buckets). Returns the same schema as [[topK]]; recall measured
+    * against brute force in VectorSpec.
+    */
+  def topKLsh(emb: DataFrame, probeFilter: Column, k: Int, numPlanes: Int = 8): DataFrame = {
+    val sig = emb.withColumn("bucket", lshSignature(col("embedding"), numPlanes))
+    val probes = sig.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("bucket"))
+    val corpus = sig.select(col("vec_id").as("neighbor_id"),
+                            col("embedding").as("cvec"), col("bucket"))
+    val joined = probes.join(corpus, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("pvec"), col("cvec")), 6))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rk")
+  }
+
+  val qCosineTopKLsh: QuerySpec = QuerySpec(
+    "q_cosine_topk_lsh",
+    None, // approximate by design; recall vs brute force in VectorSpec
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKLsh(emb, col("vec_id") < 10, 5).orderBy("probe_id", "rk")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qCosineTopK, qEmbedNearDup, qCosineTopKLsh)
+}

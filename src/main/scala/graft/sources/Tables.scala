@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema registry + reader facade for the fixture star schema.
+  *
+  * The reference data tier is a DDL-declared relational store
+  * (`mysql-persistent-template.json:68` — MySQL 5.6); the engine mirrors
+  * that with explicit `StructType`s per table — never schema inference in
+  * production paths. Explicit schemas also let the Parquet scan prune
+  * columns and push filters (verify with `.explain`: `ReadSchema`,
+  * `PushedFilters`).
+  */
+object Tables {
+
+  val region: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nation: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val supplier: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val customer: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val part: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val orders: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitem: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** `ts` is TIMESTAMP(NANOS) in the Parquet footer; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by GraftSession)
+    * Spark surfaces it as a long of nanoseconds — declared so here, and
+    * converted to a microsecond timestamp in [[events]].
+    */
+  val eventsRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val schemas: Map[String, StructType] = Map(
+    "region" -> region, "nation" -> nation, "supplier" -> supplier,
+    "customer" -> customer, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "documents" -> documents,
+    "embeddings" -> embeddings, "events" -> eventsRaw)
+
+  /** Read a fixture table with its declared schema. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read
+      .schema(schemas(name))
+      .parquet(s"$sfDir/$name.parquet")
+    if (name == "events") withEventTs(df) else df
+  }
+
+  /** Nanos-long → microsecond TimestampType (truncating, matching what
+    * DuckDB's TIMESTAMP_NS → TIMESTAMP cast does for positive epochs).
+    * `DIV` (integer division) — `/` would go through double and lose
+    * precision at 1e18-scale nanosecond epochs.
+    */
+  private def withEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Events with `ts` as timestamp — the shape all queries see. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+
+  /** Register every fixture table as a temp view for spark.sql entry. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    schemas.keys.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming transforms (SURVEY.md §2.9) — the streaming
+  * counterpart of the reference tier's ingest path, north-star
+  * "Structured Streaming + DataFrame ETL".
+  *
+  * Each transform takes a (possibly streaming) events-shaped DataFrame
+  * (`event_id, ts timestamp, user_id, event_type, value, props`) and
+  * returns a streaming-safe plan: watermarked, append-mode-compatible
+  * aggregations. StreamingSpec drives them with MemoryStream and
+  * asserts parity with the batch equivalents in operators.EventOps.
+  *
+  * Scale notes: all state here is watermark-bounded — windows expire and
+  * dedup keys are dropped past the watermark (`dropDuplicatesWithinWatermark`,
+  * never unbounded `dropDuplicates`), so state size is O(traffic within
+  * the lateness horizon), not O(history). At 100 TB/day that's the
+  * difference between a working job and an OOM-ing one; pair with the
+  * RocksDB state store (`spark.sql.streaming.stateStore.providerClass`)
+  * in cluster conf.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregate with late-data drop. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Sliding window (length, slide) per event_type. */
+  def slidingCounts(events: DataFrame, length: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+              col("event_type"), col("n"))
+
+  /** Session windows (gap-based), per user. Streaming-native form of
+    * EventOps.qSessionize.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
+  /** Streaming dedup by event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: join the stream against a broadcast-able
+    * dimension (e.g. customer) — no streaming state at all.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+             dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+}
