@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Properties of the near-dup / similarity operators that have no SQL
+  * oracle: minhash estimates Jaccard, LSH recalls brute-force topk.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("minhash signature estimates jaccard within 0.2 on sampled pairs") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(split(trim(col("text")), " +")).as("toks"))
+    val sigs = TextOps.minhashSignatures(docs)
+    // exact jaccard for a fixed set of pairs
+    val exact = TextOps.jaccardPairs(spark, sf, 0.0)
+      .filter(col("doc1") < 10 && col("doc2") < 30)
+    val est = exact
+      .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), Seq("doc1"))
+      .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), Seq("doc2"))
+      .withColumn("est",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          .cast("double") / TextOps.numHashes)
+      .select("jaccard", "est").collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.2,
+        s"jaccard=${r.getDouble(0)} est=${r.getDouble(1)}")
+    }
+  }
+
+  test("minhash LSH candidates include every pair with jaccard >= 0.6") {
+    val strong = TextOps.jaccardPairs(spark, sf, 0.6)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = TextOps.qMinhashLsh.run(spark, sf)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 bands × 4 rows: P(miss | s=0.6) = (1-0.6^4)^16 ≈ 0.1 per pair;
+    // require 80% recall of strong pairs (deterministic given fixed data)
+    if (strong.nonEmpty) {
+      val recall = strong.count(cands.contains).toDouble / strong.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${strong.size} strong pairs")
+    }
+  }
+
+  test("simhash: identical docs get identical signatures; signature deterministic") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(split(trim(col("text")), " +")).as("toks"))
+    val s1 = TextOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = TextOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 === s2)
+    assert(s1.size === docs.count())
+  }
+
+  test("cosine: self-similarity is 1, symmetric") {
+    val e = Tables.load(spark, sf, "embeddings").limit(20)
+    val self = e.select(round(VectorOps.cosine(col("embedding"), col("embedding")), 9).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("ab"),
+        VectorOps.cosine(col("b.embedding"), col("a.embedding")).as("ba"))
+      .collect()
+    pairs.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("LSH topk: bucketing only ever removes candidates (sim ⊆ brute force universe)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = VectorOps.topK(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("probe_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = VectorOps.topKLsh(emb, col("vec_id") < 10, 5).collect()
+    // every LSH result's sim must equal the brute-force sim for that pair
+    lsh.foreach { r =>
+      val key = (r.getLong(r.fieldIndex("probe_id")), r.getLong(r.fieldIndex("neighbor_id")))
+      brute.get(key).foreach(s => assert(math.abs(s - r.getDouble(r.fieldIndex("sim"))) < 1e-9))
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("exact dedup keeps exactly one row per (lang, source)") {
+    val kept = TextOps.qDedupExact.run(spark, sf)
+    val keys = Tables.load(spark, sf, "documents").select("lang", "source").distinct().count()
+    assert(kept.count() === keys)
+  }
+}

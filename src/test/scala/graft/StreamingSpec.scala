@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.sources.Tables
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured-Streaming transforms driven by MemoryStream and checked
+  * against their batch equivalents (SURVEY.md §5.5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def fixtureEvents: Seq[Ev] = {
+    Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  private def runToMemory(name: String)(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                                        mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    stream.addData(fixtureEvents)
+    val q = build(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling counts match the batch equivalent") {
+    val got = runToMemory("t_tumbling")(Streams.tumblingCounts(_), OutputMode.Complete())
+      .select("w_start", "event_type", "n", "sum_value")
+      .orderBy("w_start", "event_type").collect()
+    val want = operators.EventOps.qWindowTumbling.run(spark, sf).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getTimestamp(0) === w.getTimestamp(0))
+      assert(g.getString(1) === w.getString(1))
+      assert(g.getLong(2) === w.getLong(2))
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("session windows cover every event exactly once") {
+    val got = runToMemory("t_session")(Streams.sessionCounts(_), OutputMode.Complete())
+    val totalEvents = got.agg(sum("n_events")).collect().head.getLong(0)
+    assert(totalEvents === Tables.load(spark, sf, "events").count())
+  }
+
+  test("dedupWithinWatermark drops an in-watermark duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    stream.addData(Seq(
+      Ev(1, t0, 1, "click", 1.0),
+      Ev(1, t0, 1, "click", 1.0), // duplicate id within watermark
+      Ev(2, t0, 1, "view", 2.0)))
+    val q = Streams.dedupWithinWatermark(stream.toDF())
+      .writeStream.format("memory").queryName("t_dedup").outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("t_dedup").count() === 2)
+  }
+
+  test("stream-static enrich joins dimension without streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    stream.addData(fixtureEvents.take(100))
+    val dim = Tables.load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    val q = Streams.enrich(stream.toDF(), dim, "user_id", "c_custkey")
+      .writeStream.format("memory").queryName("t_enrich").outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("t_enrich")
+    assert(out.count() === 100)
+    assert(out.filter(col("c_mktsegment").isNotNull).count() > 0)
+  }
+}
