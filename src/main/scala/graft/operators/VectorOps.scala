@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QuerySpec
+import graft.functions.GraftFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -36,12 +37,13 @@ object VectorOps {
     * cosine (rounding before ranking keeps cross-engine rank stable).
     */
   def topK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(probes.sparkSession)
     val joined = broadcast(probes.select(col("vec_id").as("probe_id"),
                                          col("embedding").as("pvec")))
       .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
                                col("embedding").as("cvec")))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("pvec"), col("cvec")), 6))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     joined.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -75,10 +77,11 @@ object VectorOps {
       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
       ORDER BY id1, id2"""),
     (spark, dir) => {
+      GraftFunctions.register(spark)
       val e = Tables.load(spark, dir, "embeddings")
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 6))
         .filter(col("sim") >= 0.3)
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("sim"))
         .orderBy("id1", "id2")
@@ -109,6 +112,7 @@ object VectorOps {
     * against brute force in VectorSpec.
     */
   def topKLsh(emb: DataFrame, probeFilter: Column, k: Int, numPlanes: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val sig = emb.withColumn("bucket", lshSignature(col("embedding"), numPlanes))
     val probes = sig.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("bucket"))
@@ -116,7 +120,7 @@ object VectorOps {
                             col("embedding").as("cvec"), col("bucket"))
     val joined = probes.join(corpus, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("pvec"), col("cvec")), 6))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     joined.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -34,16 +34,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("minhash LSH candidates include every pair with jaccard >= 0.6") {
-    val strong = TextOps.jaccardPairs(spark, sf, 0.6)
+  test("minhash LSH candidates recall pairs with jaccard >= 0.9") {
+    val strong = TextOps.jaccardPairs(spark, sf, 0.9)
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cands = TextOps.qMinhashLsh.run(spark, sf)
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 16 bands × 4 rows: P(miss | s=0.6) = (1-0.6^4)^16 ≈ 0.1 per pair;
-    // require 80% recall of strong pairs (deterministic given fixed data)
+    // 8 bands × 8 rows: P(candidate | s=0.9) = 1-(1-0.9^8)^8 ≈ 0.99;
+    // require 85% recall of strong pairs (deterministic given fixed data)
     if (strong.nonEmpty) {
       val recall = strong.count(cands.contains).toDouble / strong.size
-      assert(recall >= 0.8, s"LSH recall $recall over ${strong.size} strong pairs")
+      assert(recall >= 0.85, s"LSH recall $recall over ${strong.size} strong pairs")
     }
   }
 
