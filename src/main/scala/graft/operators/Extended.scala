@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Second-wave operator coverage (SURVEY.md §2.4 remaining aggregates,
+  * §2.2 collation mode, §2.8 hash/array functions, §2.10 generators).
+  */
+object Extended {
+
+  // --- GROUP_CONCAT (MySQL) ≡ ordered listagg ---
+  val qGroupConcat: QuerySpec = QuerySpec(
+    "q_group_concat",
+    Some("""SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names,
+      count(*) AS n FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(concat_ws(",", array_sort(collect_list("s_name"))).as("names"),
+             count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
+    })
+
+  // --- statistical aggregates ---
+  val qStatsAgg: QuerySpec = QuerySpec(
+    "q_stats_agg",
+    Some("""SELECT l_returnflag,
+      round(stddev_pop(l_extendedprice), 2) AS sd_pop,
+      round(stddev_samp(l_extendedprice), 2) AS sd_samp,
+      round(var_pop(l_extendedprice), 2) AS v_pop,
+      round(var_samp(l_extendedprice), 2) AS v_samp,
+      round(median(l_extendedprice), 2) AS med,
+      round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_pop(col("l_extendedprice")), 2).as("sd_pop"),
+             round(stddev_samp(col("l_extendedprice")), 2).as("sd_samp"),
+             round(var_pop(col("l_extendedprice")), 2).as("v_pop"),
+             round(var_samp(col("l_extendedprice")), 2).as("v_samp"),
+             round(median(col("l_extendedprice")), 2).as("med"),
+             round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+        .orderBy("l_returnflag")
+    })
+
+  // --- bit aggregates ---
+  val qBitAgg: QuerySpec = QuerySpec(
+    "q_bit_agg",
+    Some("""SELECT p_brand,
+      CAST(bit_and(p_size) AS BIGINT) AS b_and,
+      CAST(bit_or(p_size) AS BIGINT) AS b_or,
+      CAST(bit_xor(p_size) AS BIGINT) AS b_xor,
+      count(*) AS n
+      FROM part GROUP BY p_brand ORDER BY p_brand"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "part")
+        .groupBy("p_brand")
+        .agg(bit_and(col("p_size")).cast("bigint").as("b_and"),
+             bit_or(col("p_size")).cast("bigint").as("b_or"),
+             bit_xor(col("p_size")).cast("bigint").as("b_xor"),
+             count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    })
+
+  // --- approx distinct (HLL) — engine-specific sketch, so rows-only;
+  //     DedupSimilaritySpec asserts rsd-bounded error vs exact ---
+  val qApproxDistinct: QuerySpec = QuerySpec(
+    "q_approx_distinct",
+    None,
+    (spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    })
+
+  // --- GROUPING SETS (beyond MySQL's ROLLUP-only surface) ---
+  val qGroupingSets: QuerySpec = QuerySpec(
+    "q_grouping_sets",
+    Some("""SELECT coalesce(o_orderstatus, '*') AS status,
+      coalesce(o_orderpriority, '*') AS priority,
+      count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority"""),
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""SELECT coalesce(o_orderstatus, '*') AS status,
+        coalesce(o_orderpriority, '*') AS priority,
+        count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    })
+
+  // --- case-insensitive collation mode (the reference deploys
+  //     utf8_general_ci, mysql-persistent-template.json:238-242; engine
+  //     default stays binary, UTF8_LCASE is the opt-in compat mode) ---
+  val qCollationCi: QuerySpec = QuerySpec(
+    "q_collation_ci",
+    Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+      WHERE lower(c_mktsegment) = lower('Building')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "customer")
+        .filter(collate(col("c_mktsegment"), "UTF8_LCASE") === lit("Building"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    })
+
+  // --- generator / UDTF surface: explode to a word count ---
+  val qWordCount: QuerySpec = QuerySpec(
+    "q_word_count",
+    Some("""SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+            FROM documents)
+      GROUP BY tok ORDER BY tok"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
+        .orderBy("tok")
+    })
+
+  // --- array higher-order functions over embeddings ---
+  val qArrayFns: QuerySpec = QuerySpec(
+    "q_array_fns",
+    Some("""SELECT vec_id,
+      CAST(len(embedding) AS INT) AS dim,
+      CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
+      round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2,
+      round(list_max(CAST(embedding AS DOUBLE[])), 6) AS mx,
+      round(list_min(CAST(embedding AS DOUBLE[])), 6) AS mn
+      FROM embeddings ORDER BY vec_id"""),
+    (spark, dir) => {
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          size(filter(vd, x => x > 0)).as("n_pos"),
+          round(sqrt(aggregate(vd, lit(0.0), (a, x) => a + x * x)), 6).as("l2"),
+          round(array_max(vd), 6).as("mx"),
+          round(array_min(vd), 6).as("mn"))
+        .orderBy("vec_id")
+    })
+
+  // --- hash functions (md5/sha2 shared with DuckDB; sha1/crc32 are
+  //     Spark-side extras exercised in unit tests) ---
+  val qHashFns: QuerySpec = QuerySpec(
+    "q_hash_fns",
+    Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"))
+        .orderBy("doc_id")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(
+    qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qGroupingSets,
+    qCollationCi, qWordCount, qArrayFns, qHashFns)
+}

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink facade (SURVEY.md §2.1) beyond the native Parquet path.
+  *
+  * The reference's services ingest delimited/JSON surveillance feeds into
+  * a MySQL 5.6 tier (`mysql-persistent-template.json:68`); here the same
+  * surface is Spark readers with *declared* schemas and FAILFAST parsing
+  * (ANSI-strict — a malformed feed fails the job instead of silently
+  * nulling), plus JDBC interop for the legacy wire protocol.
+  */
+object Ingest {
+
+  // --- batch sources ---
+
+  /** Strict CSV: declared schema, header, fail on malformed rows. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** Strict JSON-lines with declared schema. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  /** JDBC read against the legacy relational tier (MySQL wire :3306).
+    * `partitionColumn`/bounds split the scan into `numPartitions`
+    * parallel range queries — the knob that makes a JDBC scan scale.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitionColumn: Option[(String, Long, Long, Int)] = None,
+               props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val withPart = partitionColumn.fold(base) { case (c, lo, hi, n) =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n)
+    }
+    props.foldLeft(withPart) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  // --- batch sinks ---
+
+  /** Parquet sink, optionally hive-partitioned by columns (the layout
+    * that enables partition pruning downstream, SURVEY.md §4).
+    */
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Append,
+                props: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table)
+    props.foldLeft(w) { case (r, (k, v)) => r.option(k, v) }.save()
+  }
+
+  // --- streaming sources / sinks ---
+
+  /** File-based streaming source (new files under `path` become
+    * micro-batches) with declared schema.
+    */
+  def readStreamFiles(spark: SparkSession, path: String, schema: StructType,
+                      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Exactly-once parquet streaming sink: checkpointed append. */
+  def streamToParquet(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** Idempotent micro-batch sink: hands (batchDF, batchId) to `write`;
+    * the batchId is what a JDBC/key-value upsert uses to dedupe replayed
+    * batches after failure (exactly-once at the sink contract).
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String)
+                      (write: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(write)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.{Ingest, Tables}
+import java.nio.file.Files
+
+/** Source/sink surface: CSV/JSON strict round-trips, partitioned parquet
+  * sink with pruning, streaming file source, idempotent foreachBatch.
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def tmp(): String = Files.createTempDirectory("graft-ingest").toString
+
+  test("CSV round-trip preserves documents") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = tmp() + "/docs_csv"
+    Ingest.writeCsv(docs, dir)
+    val back = Ingest.readCsv(spark, dir, Tables.documents)
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+  }
+
+  test("JSON round-trip preserves orders (timestamps included)") {
+    val orders = Tables.load(spark, sf, "orders")
+    val dir = tmp() + "/orders_json"
+    Ingest.writeJson(orders, dir)
+    val back = Ingest.readJson(spark, dir, Tables.orders)
+    assert(back.count() === orders.count())
+    assert(back.exceptAll(orders).count() === 0)
+  }
+
+  test("malformed CSV fails fast instead of nulling") {
+    val dir = tmp() + "/bad_csv"
+    val f = new java.io.File(dir); f.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part.csv"),
+      "doc_id,text,lang,source,n_chars\nnot_a_number,x,en,src0,12\n")
+    val ex = intercept[Exception] {
+      Ingest.readCsv(spark, dir, Tables.documents).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("partitioned parquet sink enables partition pruning") {
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("status", col("o_orderstatus"))
+    val dir = tmp() + "/orders_part"
+    Ingest.writeParquet(orders, dir, SaveMode.Overwrite, Seq("status"))
+    assert(new java.io.File(s"$dir/status=F").isDirectory)
+    val pruned = spark.read.parquet(dir).filter(col("status") === "F")
+    // physical plan must carry partition filters, not a full scan + filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), plan.take(500))
+    assert(pruned.count() ===
+      Tables.load(spark, sf, "orders").filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("streaming file source + AvailableNow parquet sink round-trip") {
+    val src = tmp() + "/stream_src"
+    val out = tmp() + "/stream_out"
+    val ck = tmp() + "/stream_ck"
+    Ingest.writeParquet(Tables.load(spark, sf, "documents"), src)
+    val stream = Ingest.readStreamFiles(spark, src, Tables.documents)
+    val q = Ingest.streamToParquet(stream, out, ck).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.schema(Tables.documents).parquet(out).count() === 500)
+  }
+
+  test("foreachBatch sink receives batch ids for idempotent upsert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ck = tmp() + "/fb_ck"
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val stream = MemoryStream[Ev]
+    stream.addData(Seq(
+      Ev(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Ev(2, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1, "view", 2.0)))
+    val q = Ingest.foreachBatchSink(stream.toDF(), ck) { (batch: DataFrame, id: Long) =>
+      seen.put(id, batch.count())
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.size() === 1 && seen.values().iterator().next() === 2L)
+  }
+}
