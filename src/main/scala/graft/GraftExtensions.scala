@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * Catalyst expressions available to ANY session created with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)            // programmatic, or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions") // by conf
+  * }}}
+  *
+  * so SQL entry (E1) can call `graft_cosine_sim(a, b)` etc. without the
+  * per-session `GraftFunctions.register` step (which remains for
+  * sessions the engine doesn't construct).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.COSINE_SIM),
+      info(GraftFunctions.COSINE_SIM,
+        "cosine similarity of two float arrays, double precision"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SORTED_INTERSECT_COUNT),
+      info(GraftFunctions.SORTED_INTERSECT_COUNT,
+        "count of common elements of two sorted distinct string arrays"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SORTED_INT_INTERSECT_COUNT),
+      info(GraftFunctions.SORTED_INT_INTERSECT_COUNT,
+        "count of common elements of two sorted distinct int arrays"),
+      (exprs: Seq[Expression]) => SortedIntIntersectCount(exprs(0), exprs(1))))
+  }
+}

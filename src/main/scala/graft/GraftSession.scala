@@ -15,6 +15,8 @@ object GraftSession {
 
   /** Apply graft engine defaults to an existing builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // custom Catalyst expressions (graft_cosine_sim, …) for SQL entry
+    .withExtensions(new GraftExtensions)
     // Deterministic, oracle-compatible semantics.
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "true")

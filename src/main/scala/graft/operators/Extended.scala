@@ -164,7 +164,56 @@ object Extended {
         .orderBy("doc_id")
     })
 
+  // --- three-valued NULL logic + null-safe equality (§2.2; fixtures
+  //     carry no NULLs, so nullif manufactures them) ---
+  val qNullLogic: QuerySpec = QuerySpec(
+    "q_null_logic",
+    Some("""SELECT o_orderkey,
+      nullif(o_orderstatus, 'P') AS st_n,
+      nullif(o_orderstatus, 'P') = 'F' AS eq3,
+      nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL AS null_safe_is_null,
+      nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS null_safe_eq_f,
+      coalesce(nullif(o_orderstatus, 'P'), 'missing') AS filled,
+      nullif(o_orderstatus, 'P') IS NULL AS is_n
+      FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      val stN = nullif(col("o_orderstatus"), lit("P"))
+      Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          stN.as("st_n"),
+          (stN === "F").as("eq3"),
+          stN.eqNullSafe(lit(null).cast("string")).as("null_safe_is_null"),
+          stN.eqNullSafe(lit("F")).as("null_safe_eq_f"),
+          coalesce(stN, lit("missing")).as("filled"),
+          stN.isNull.as("is_n"))
+        .orderBy("o_orderkey")
+    })
+
+  // --- map functions (§2.8 extension surface; scalar outputs so the
+  //     oracle compares plain values) ---
+  val qMapFns: QuerySpec = QuerySpec(
+    "q_map_fns",
+    Some("""SELECT event_id,
+      CAST(props->>'$.k' AS INT) AS v1,
+      CAST(props->>'$.k' AS INT) * 2 AS v2,
+      2 AS m_size,
+      'k,k2' AS keys
+      FROM events WHERE event_id < 1000 ORDER BY event_id"""),
+    (spark, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val m = map(lit("k"), k, lit("k2"), k * 2)
+      Tables.load(spark, dir, "events")
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          element_at(m, "k").as("v1"),
+          element_at(m, "k2").as("v2"),
+          size(m).as("m_size"),
+          array_join(map_keys(m), ",").as("keys"))
+        .orderBy("event_id")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qGroupingSets,
-    qCollationCi, qWordCount, qArrayFns, qHashFns)
+    qCollationCi, qWordCount, qArrayFns, qHashFns, qNullLogic, qMapFns)
 }

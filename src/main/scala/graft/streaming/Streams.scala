@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Output row of [[Streams.runningUserTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured-Streaming transforms (SURVEY.md §2.9) — the streaming
   * counterpart of the reference tier's ingest path, north-star
@@ -70,4 +74,27 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
              dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Arbitrary stateful op (§2.9): per-user running (count, total) via
+    * flatMapGroupsWithState — emits an updated row per user per
+    * micro-batch. State is two numbers per key; for unbounded key
+    * domains pair with a timeout (`EventTimeTimeout`) and the RocksDB
+    * state store in cluster conf.
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), UserTotals](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (c, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => c += 1; t += r._2 }
+          state.update((c, t))
+          Iterator(UserTotals(uid, c, t))
+      }
+      .toDF()
+  }
 }

@@ -73,6 +73,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_dedup").count() === 2)
   }
 
+  test("flatMapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val stream = MemoryStream[Ev]
+    val q = Streams.runningUserTotals(stream.toDF())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(Seq(Ev(1, t0, 7, "click", 1.0), Ev(2, t0, 7, "view", 2.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(3, t0, 7, "click", 4.0), Ev(4, t0, 9, "view", 10.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode: last row per user reflects accumulated state
+    val last = spark.table("t_state").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) => u -> rows.last }
+    assert(last(7L).getLong(1) === 3 && math.abs(last(7L).getDouble(2) - 7.0) < 1e-9)
+    assert(last(9L).getLong(1) === 1 && math.abs(last(9L).getDouble(2) - 10.0) < 1e-9)
+  }
+
   test("stream-static enrich joins dimension without streaming state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
