@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every implemented QuerySpec, in module order. */
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ Scalars.specs ++ EventOps.specs ++
-      TextOps.specs ++ VectorOps.specs ++ Multimodal.specs ++ Extended.specs
+      TextOps.specs ++ VectorOps.specs ++ Multimodal.specs ++
+      Extended.specs ++ Analytic.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

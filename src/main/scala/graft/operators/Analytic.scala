@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Typed UDAF geometric mean (SURVEY.md §2.10): exp of the mean log.
+  * Mergeable two-field buffer → partial aggregation works (map-side
+  * combine), unlike a naive collect-then-compute UDF.
+  */
+object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+  override def zero: (Double, Long) = (0.0, 0L)
+  override def reduce(b: (Double, Long), a: Double): (Double, Long) =
+    (b._1 + math.log(a), b._2 + 1)
+  override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+    (x._1 + y._1, x._2 + y._2)
+  override def finish(b: (Double, Long)): Double =
+    if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+  override def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** Third-wave coverage: UDAF, pivot, analytic window functions,
+  * distribution functions, sliding windows (batch form).
+  */
+object Analytic {
+
+  // --- typed Aggregator UDAF ---
+  val qUdafGeomean: QuerySpec = QuerySpec(
+    "q_udaf_geomean",
+    Some("""SELECT l_returnflag,
+      round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      val geomean = udaf(GeoMean)
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(geomean(col("l_extendedprice")), 4).as("geo_mean"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    })
+
+  // --- pivot (absent in MySQL; CASE-aggregation equivalent as oracle) ---
+  val qPivot: QuerySpec = QuerySpec(
+    "q_pivot",
+    Some("""SELECT o_orderpriority,
+      CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+      CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+      CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")
+    })
+
+  // --- analytic window functions: first/last/nth over frames ---
+  val qWindowAnalytic: QuerySpec = QuerySpec(
+    "q_window_analytic",
+    Some("""SELECT o_custkey, o_orderkey,
+      first_value(o_orderkey) OVER w AS first_key,
+      last_value(o_orderkey)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+      nth_value(o_orderkey, 2)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""),
+    (spark, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_orderkey").over(w).as("first_key"),
+          last("o_orderkey").over(full).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
+  // --- distribution functions (exact rationals — no rounding needed) ---
+  val qWindowDistribution: QuerySpec = QuerySpec(
+    "q_window_distribution",
+    Some("""SELECT o_orderkey,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd,
+      ntile(10) OVER w AS decile
+      FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(10).over(w).as("decile"))
+        .orderBy("o_orderkey")
+    })
+
+  // --- sliding event-time windows, batch form (streaming form:
+  //     graft.streaming.Streams.slidingCounts). 1 h window / 15 min
+  //     slide → each event lands in 4 windows. ---
+  val qWindowSliding: QuerySpec = QuerySpec(
+    "q_window_sliding",
+    Some("""SELECT w_start, event_type, count(*) AS n
+      FROM (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                     - to_minutes(15 * i.i) AS w_start, event_type
+            FROM events, (SELECT unnest(generate_series(0, 3)) AS i) i)
+      GROUP BY w_start, event_type ORDER BY w_start, event_type"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(
+    qUdafGeomean, qPivot, qWindowAnalytic, qWindowDistribution, qWindowSliding)
+}

@@ -75,6 +75,28 @@ object Streams {
              dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Stream-stream join (§2.9): for each error event, purchases by the
+    * same user in the preceding hour. Both sides watermarked; the time
+    * bound lets Spark expire join state — without it state grows
+    * unboundedly. Inner join + append mode.
+    */
+  def errorsWithRecentPurchases(events: DataFrame,
+                                watermark: String = "10 minutes"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+              col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    errors.join(purchases,
+      col("user_id") === col("p_user_id") &&
+      col("purchase_ts") <= col("error_ts") &&
+      col("purchase_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"))
+      .select("error_id", "user_id", "error_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Arbitrary stateful op (§2.9): per-user running (count, total) via
     * flatMapGroupsWithState — emits an updated row per user per
     * micro-batch. State is two numbers per key; for unbounded key

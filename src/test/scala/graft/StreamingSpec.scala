@@ -73,6 +73,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_dedup").count() === 2)
   }
 
+  test("stream-stream join: errors matched to purchases within the hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    stream.addData(Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 5, "purchase", 9.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:30:00"), 5, "error", 0.0),    // joins: 30 min gap
+      Ev(3, Timestamp.valueOf("2024-01-01 08:00:00"), 5, "purchase", 1.0), // 2.5 h before → excluded
+      Ev(4, Timestamp.valueOf("2024-01-01 10:20:00"), 6, "error", 0.0)))   // other user → no match
+    // MemoryStream has no props column; add it to match the events shape
+    val df = stream.toDF().withColumn("props", lit("{}"))
+    val q = Streams.errorsWithRecentPurchases(df)
+      .writeStream.format("memory").queryName("t_ssj")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("t_ssj").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(rows.head.fieldIndex("error_id")) === 2L)
+    assert(rows.head.getLong(rows.head.fieldIndex("purchase_id")) === 1L)
+  }
+
   test("flatMapGroupsWithState keeps running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
