@@ -213,7 +213,70 @@ object Extended {
         .orderBy("event_id")
     })
 
+  // --- multiset set ops (§2.7 ALL variants) ---
+  val qIntersectAll: QuerySpec = QuerySpec(
+    "q_intersect_all",
+    Some("""SELECT c_nationkey AS nkey FROM customer
+      INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nkey"))
+        .intersectAll(Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    })
+
+  val qExceptAll: QuerySpec = QuerySpec(
+    "q_except_all",
+    Some("""SELECT c_nationkey AS nkey FROM customer
+      EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nkey"))
+        .exceptAll(Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    })
+
+  // --- regexp extraction/counting (§2.8) ---
+  val qRegexp: QuerySpec = QuerySpec(
+    "q_regexp",
+    Some("""SELECT doc_id,
+      regexp_extract(text, '([a-z]+)', 1) AS first_word,
+      CAST(len(regexp_extract_all(text, 'scan')) AS INT) AS n_scan,
+      regexp_matches(text, 'join.*join') AS double_join,
+      regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled
+      FROM documents ORDER BY doc_id"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          size(expr("regexp_extract_all(text, 'scan', 0)")).as("n_scan"),
+          col("text").rlike("join.*join").as("double_join"),
+          regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "_").as("devoweled"))
+        .orderBy("doc_id")
+    })
+
+  // --- calendar arithmetic (§2.8: add_months / months_between / next_day) ---
+  val qDateArith: QuerySpec = QuerySpec(
+    "q_date_arith",
+    Some("""SELECT o_orderkey,
+      CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      CAST(datediff('month', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT) AS months_to,
+      CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+      CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      // Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0 → align
+      Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          (months_between(lit(java.sql.Timestamp.valueOf("2002-01-01 00:00:00")),
+            date_trunc("month", col("o_orderdate"))).cast("int")).as("months_to"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow_sun0"))
+        .orderBy("o_orderkey")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qGroupingSets,
-    qCollationCi, qWordCount, qArrayFns, qHashFns, qNullLogic, qMapFns)
+    qCollationCi, qWordCount, qArrayFns, qHashFns, qNullLogic, qMapFns,
+    qIntersectAll, qExceptAll, qRegexp, qDateArith)
 }
