@@ -166,6 +166,21 @@ object Relational {
         .orderBy("o_orderkey")
     })
 
+  // --- §2.3 right outer join ---
+  val qJoinRight: QuerySpec = QuerySpec(
+    "q_join_right",
+    Some("""SELECT n.n_nationkey, n.n_name, CAST(count(s.s_suppkey) AS BIGINT) AS n_supp
+      FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_nationkey, n.n_name ORDER BY n_nationkey"""),
+    (spark, dir) => {
+      val s = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = Tables.load(spark, dir, "nation")
+      s.join(n, col("s_nationkey") === col("n_nationkey"), "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(count(col("s_suppkey")).as("n_supp"))
+        .orderBy("n_nationkey")
+    })
+
   // --- §2.3 full outer join (absent in MySQL 5.6 — free in Spark) ---
   val qJoinFull: QuerySpec = QuerySpec(
     "q_join_full",
@@ -423,7 +438,7 @@ object Relational {
 
   def specs: Seq[QuerySpec] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, qFilterPredicates,
-    qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
+    qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
     qWindowRank, qWindowRunning, qRollup, qCube, qDistinctAgg, qHaving,
     qUnionAll, qIntersect, qExcept, qTopK, qLimitOffset)
 }

@@ -207,7 +207,32 @@ object Scalars {
         ORDER BY o_orderkey""")
     })
 
+  // --- CAST/CONVERT surface (§2.8; ANSI mode on — overflow errors
+  //     instead of silently nulling, matching the DuckDB oracle) ---
+  val qCasts: QuerySpec = QuerySpec(
+    "q_casts",
+    Some("""SELECT o_orderkey,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+      CAST(trunc(o_totalprice) AS INT) AS price_int,
+      CAST(o_orderkey AS VARCHAR) AS key_str,
+      CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+      CAST(o_orderdate AS DATE) AS order_date,
+      CAST(o_orderstatus = 'F' AS INT) AS is_final
+      FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          col("o_totalprice").cast("int").as("price_int"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderkey").cast("string").cast("bigint").as("key_roundtrip"),
+          col("o_orderdate").cast("date").as("order_date"),
+          (col("o_orderstatus") === "F").cast("int").as("is_final"))
+        .orderBy("o_orderkey")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     qScalarString, qScalarMath, qScalarDate, qCaseWhen, qCondAgg,
-    qJsonExtract, qSubqueryIn, qSubqueryScalar)
+    qJsonExtract, qSubqueryIn, qSubqueryScalar, qCasts)
 }

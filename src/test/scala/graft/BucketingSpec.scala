@@ -18,6 +18,20 @@ class BucketingSpec extends AnyFunSuite {
     val ord = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     spark.sql("DROP TABLE IF EXISTS li_bkt")
     spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists — clear stale locations from previous runs
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("li_bkt", "ord_bkt").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bkt")
     ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
