@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftFunctions.SORTED_INT_INTERSECT_COUNT,
         "count of common elements of two sorted distinct int arrays"),
       (exprs: Seq[Expression]) => SortedIntIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.ARRAY_EQ_COUNT),
+      info(GraftFunctions.ARRAY_EQ_COUNT,
+        "count of positions where two long arrays agree"),
+      (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))))
   }
 }

@@ -71,6 +71,7 @@ object GraftFunctions {
   val COSINE_SIM = "graft_cosine_sim"
   val SORTED_INTERSECT_COUNT = "graft_sorted_intersect_count"
   val SORTED_INT_INTERSECT_COUNT = "graft_sorted_int_intersect_count"
+  val ARRAY_EQ_COUNT = "graft_array_eq_count"
 
   /** Idempotent; must run once per session before using the columns. */
   def register(spark: SparkSession): Unit = {
@@ -83,6 +84,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       SORTED_INT_INTERSECT_COUNT,
       exprs => SortedIntIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      ARRAY_EQ_COUNT, exprs => ArrayEqCount(exprs(0), exprs(1)), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function(COSINE_SIM, a, b)
@@ -92,4 +95,7 @@ object GraftFunctions {
 
   def sortedIntIntersectCount(a: Column, b: Column): Column =
     call_function(SORTED_INT_INTERSECT_COUNT, a, b)
+
+  def arrayEqCount(a: Column, b: Column): Column =
+    call_function(ARRAY_EQ_COUNT, a, b)
 }

