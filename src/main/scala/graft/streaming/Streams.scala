@@ -1,11 +1,36 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Output row of [[Streams.runningUserTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+/** Output row of [[Streams.typedEventCounts]]. */
+case class TypedCount(user_id: Long, event_type: String, n: Long)
+
+/** transformWithState processor (Spark 4 stateful API): running count
+  * per (user, event_type). ValueState lives in the configured state
+  * store — RocksDB in production — and supports TTL (`TTLConfig`)
+  * for bounded state without watermark gymnastics.
+  */
+class EventTypeCounter
+    extends StatefulProcessor[(Long, String), (Long, String), TypedCount] {
+  @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, String),
+                               rows: Iterator[(Long, String)],
+                               timerValues: TimerValues): Iterator[TypedCount] = {
+    val c = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(c)
+    Iterator(TypedCount(key._1, key._2, c))
+  }
+}
 
 /** Structured-Streaming transforms (SURVEY.md §2.9) — the streaming
   * counterpart of the reference tier's ingest path, north-star
@@ -95,6 +120,23 @@ object Streams {
       col("purchase_ts") <= col("error_ts") &&
       col("purchase_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"))
       .select("error_id", "user_id", "error_ts", "purchase_id", "purchase_ts")
+  }
+
+  /** Spark-4-native stateful op (§2.9): transformWithState with typed
+    * ValueState per (user, event_type). Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — set it on the session
+    * before starting the query.
+    */
+  def typedEventCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(identity)
+      .transformWithState(new EventTypeCounter,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
   }
 
   /** Arbitrary stateful op (§2.9): per-user running (count, total) via

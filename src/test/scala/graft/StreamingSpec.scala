@@ -115,6 +115,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(9L).getLong(1) === 1 && math.abs(last(9L).getDouble(2) - 10.0) < 1e-9)
   }
 
+  test("transformWithState counts per (user, type) on RocksDB state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val stream = MemoryStream[Ev]
+      val q = Streams.typedEventCounts(stream.toDF())
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        stream.addData(Seq(Ev(1, t0, 3, "click", 0), Ev(2, t0, 3, "click", 0),
+                           Ev(3, t0, 3, "view", 0)))
+        q.processAllAvailable()
+        stream.addData(Seq(Ev(4, t0, 3, "click", 0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("t_tws").collect()
+        .groupBy(r => (r.getLong(0), r.getString(1)))
+        .map { case (k, rows) => k -> rows.map(_.getLong(2)).max }
+      assert(last((3L, "click")) === 3) // 2 in batch 1, +1 in batch 2
+      assert(last((3L, "view")) === 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-static enrich joins dimension without streaming state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
