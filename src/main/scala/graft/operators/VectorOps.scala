@@ -135,5 +135,25 @@ object VectorOps {
       topKLsh(emb, col("vec_id") < 10, 5).orderBy("probe_id", "rk")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qCosineTopK, qEmbedNearDup, qCosineTopKLsh)
+  /** Unblocked near-dup via LSH buckets (the no-metadata scale path:
+    * no label/blocking column needed). Rows-only check; recall vs the
+    * exact pairs measured in DedupSimilaritySpec.
+    */
+  val qEmbedNearDupLsh: QuerySpec = QuerySpec(
+    "q_embed_neardup_lsh",
+    None,
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val e = Tables.load(spark, dir, "embeddings")
+        .withColumn("bucket", lshSignature(col("embedding"), 8))
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("sim"))
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qCosineTopK, qEmbedNearDup, qCosineTopKLsh, qEmbedNearDupLsh)
 }
