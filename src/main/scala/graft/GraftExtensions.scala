@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftFunctions.ARRAY_EQ_COUNT,
         "count of positions where two long arrays agree"),
       (exprs: Seq[Expression]) => ArrayEqCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SIMHASH64),
+      info(GraftFunctions.SIMHASH64, "64-bit simhash of a token array"),
+      (exprs: Seq[Expression]) => Simhash64(exprs.head)))
   }
 }

@@ -72,6 +72,7 @@ object GraftFunctions {
   val SORTED_INTERSECT_COUNT = "graft_sorted_intersect_count"
   val SORTED_INT_INTERSECT_COUNT = "graft_sorted_int_intersect_count"
   val ARRAY_EQ_COUNT = "graft_array_eq_count"
+  val SIMHASH64 = "graft_simhash64"
 
   /** Idempotent; must run once per session before using the columns. */
   def register(spark: SparkSession): Unit = {
@@ -86,6 +87,8 @@ object GraftFunctions {
       exprs => SortedIntIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       ARRAY_EQ_COUNT, exprs => ArrayEqCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      SIMHASH64, exprs => Simhash64(exprs.head), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function(COSINE_SIM, a, b)
@@ -98,4 +101,6 @@ object GraftFunctions {
 
   def arrayEqCount(a: Column, b: Column): Column =
     call_function(ARRAY_EQ_COUNT, a, b)
+
+  def simhash64(tokens: Column): Column = call_function(SIMHASH64, tokens)
 }

@@ -275,24 +275,15 @@ object TextOps {
       // and a global sort of the candidate set is pure overhead
     })
 
-  // --- SimHash (64-bit) ---
+  // --- SimHash (64-bit) — one codegen'd expression per row, no shuffle ---
   def simhash(docs: DataFrame): DataFrame = {
-    val inv = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    inv.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map { i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-        }.reduce(_ + _).as("simhash"))
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), GraftFunctions.simhash64(col("toks")).as("simhash"))
   }
 
   val qSimhash: QuerySpec = QuerySpec(
     "q_simhash",
-    None, // engine-specific hashing; see SimHashSpec
+    None, // engine-specific hashing; see DedupSimilaritySpec
     (spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
