@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.SIMHASH64),
       info(GraftFunctions.SIMHASH64, "64-bit simhash of a token array"),
       (exprs: Seq[Expression]) => Simhash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.MINHASH_SIG),
+      info(GraftFunctions.MINHASH_SIG, "64-hash minhash signature of a token array"),
+      (exprs: Seq[Expression]) => MinhashSignature(exprs.head, 64)))
   }
 }

@@ -73,6 +73,7 @@ object GraftFunctions {
   val SORTED_INT_INTERSECT_COUNT = "graft_sorted_int_intersect_count"
   val ARRAY_EQ_COUNT = "graft_array_eq_count"
   val SIMHASH64 = "graft_simhash64"
+  val MINHASH_SIG = "graft_minhash_signature"
 
   /** Idempotent; must run once per session before using the columns. */
   def register(spark: SparkSession): Unit = {
@@ -89,6 +90,8 @@ object GraftFunctions {
       ARRAY_EQ_COUNT, exprs => ArrayEqCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       SIMHASH64, exprs => Simhash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      MINHASH_SIG, exprs => MinhashSignature(exprs.head, 64), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function(COSINE_SIM, a, b)
@@ -103,4 +106,7 @@ object GraftFunctions {
     call_function(ARRAY_EQ_COUNT, a, b)
 
   def simhash64(tokens: Column): Column = call_function(SIMHASH64, tokens)
+
+  /** 64-hash minhash signature (array<long>). */
+  def minhashSignature(tokens: Column): Column = call_function(MINHASH_SIG, tokens)
 }

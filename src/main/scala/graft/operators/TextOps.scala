@@ -223,14 +223,12 @@ object TextOps {
   val numHashes = 64
   val numBands = 8 // 8 bands x 8 rows: candidate threshold ~(1/8)^(1/8)=0.77
 
-  /** (doc_id, sig: array<long>[64]) — minhash via per-seed xxhash64 min. */
+  /** (doc_id, sig: array<long>[64]) — one codegen'd per-row expression,
+    * no explode/shuffle (graft.functions.MinhashSignature).
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val inv = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"h$i"))
-    inv.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-              array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), GraftFunctions.minhashSignature(col("toks")).as("sig"))
   }
 
   /** LSH candidate pairs + minhash-estimated similarity.
