@@ -30,8 +30,8 @@ object Extended {
       round(stddev_samp(l_extendedprice), 2) AS sd_samp,
       round(var_pop(l_extendedprice), 2) AS v_pop,
       round(var_samp(l_extendedprice), 2) AS v_samp,
-      round(median(l_extendedprice), 2) AS med,
-      round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+      round(median(l_extendedprice), 4) AS med,
+      round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (spark, dir) => {
       Tables.load(spark, dir, "lineitem")
@@ -40,8 +40,11 @@ object Extended {
              round(stddev_samp(col("l_extendedprice")), 2).as("sd_samp"),
              round(var_pop(col("l_extendedprice")), 2).as("v_pop"),
              round(var_samp(col("l_extendedprice")), 2).as("v_samp"),
-             round(median(col("l_extendedprice")), 2).as("med"),
-             round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+             // 4dp, not 2: quantiles of 2-decimal data are midpoints with a
+             // third decimal of exactly 5 — the round(…,2) cross-engine
+             // boundary. At 4dp no true digit sits at the boundary.
+             round(median(col("l_extendedprice")), 4).as("med"),
+             round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
         .orderBy("l_returnflag")
     })
 
