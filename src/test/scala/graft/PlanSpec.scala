@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, VectorOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Plan-quality regression guards (SURVEY.md §4): the optimizations the
+  * engine depends on must be visible in the physical plan, not assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan(Relational.q1PricingSummary.run(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(600))
+  }
+
+  test("q5: tiny dims broadcast; region IN-filter pushed") {
+    val p = plan(Relational.q5RegionRevenue.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("In(r_name, [ASIA,EUROPE])"), p.take(600))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.qTopK.run(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("scan reads only referenced columns (column pruning)") {
+    val df = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p.take(400))
+  }
+
+  test("cosine expression participates in codegen (no fallback marker)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = VectorOps.topK(emb.filter(col("vec_id") < 2), emb, 3)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("cosine_sim"))
+    // the property that matters: none of our custom expressions fall
+    // back to interpreted eval (CodegenFallback)
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val nl = Literal(null)
+    Seq(
+      CosineSimilarity(nl, nl),
+      SortedIntersectCount(nl, nl),
+      SortedIntIntersectCount(nl, nl),
+      ArrayEqCount(nl, nl),
+      Simhash64(nl),
+      MinhashSignature(nl, 64)
+    ).foreach(e => assert(!e.isInstanceOf[CodegenFallback], e.prettyName))
+  }
+}

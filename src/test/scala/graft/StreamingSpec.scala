@@ -58,6 +58,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(totalEvents === Tables.load(spark, sf, "events").count())
   }
 
+  test("streaming session windows equal the batch lag-gap sessionization") {
+    val streaming = runToMemory("t_session_parity")(
+      Streams.sessionCounts(_), OutputMode.Complete())
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // batch qSessionize: session_start = min(ts), same 30-min gap rule
+    val batch = operators.EventOps.qSessionize.run(spark, sf)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streaming === batch)
+  }
+
   test("dedupWithinWatermark drops an in-watermark duplicate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
