@@ -63,6 +63,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-sampling output schema (what a video frame-sampler emits). */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** STUB frame sampler: treats the payload as fixed-size frames and
+    * emits every `stride`-th one — the video-pipeline shape (decode →
+    * frame-sample) with a byte-chunking stand-in for the codec. One row
+    * in, many rows out, per-partition streaming: the same
+    * `mapPartitions` batching as [[decodeStub]], but a flatMap.
+    */
+  def sampleFramesStub(media: DataFrame, frameBytes: Int = 64,
+                       stride: Int = 4): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = math.max(1, bytes.length / frameBytes)
+        (0 until nFrames by stride).iterator.map { i =>
+          val from = i * frameBytes
+          val until = math.min(bytes.length, from + frameBytes)
+          Row(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }(enc)
+  }
+
   /** SQL-checkable metadata surface over the binary payloads. */
   val qMultimodalMeta: QuerySpec = QuerySpec(
     "q_multimodal_meta",

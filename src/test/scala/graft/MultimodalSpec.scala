@@ -19,6 +19,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Map[String, String]]("meta").contains("source"))
   }
 
+  test("frame sampler emits every stride-th fixed-size chunk") {
+    val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
+    val frames = Multimodal.sampleFramesStub(media, frameBytes = 32, stride = 2)
+    assert(frames.schema === Multimodal.frameSchema)
+    val byDoc = frames.collect().groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rows =>
+      val idxs = rows.map(_.getInt(1)).sorted
+      assert(idxs.head === 0)
+      assert(idxs.zip(idxs.tail).forall { case (a, b) => b - a == 2 }) // stride
+      rows.foreach(r => assert(r.getAs[Array[Byte]](2).length <= 32))
+    }
+  }
+
   test("decode stub: distributed batch shape, deterministic features") {
     val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
       .repartition(4) // prove per-partition processing works
