@@ -278,8 +278,63 @@ object Extended {
         .orderBy("o_orderkey")
     })
 
+  // --- second string-function wave (§2.8: translate/ascii/chr/repeat/
+  //     char-trims; initcap deliberately absent — no DuckDB analog) ---
+  val qStringMore: QuerySpec = QuerySpec(
+    "q_string_more",
+    Some("""SELECT doc_id,
+      translate(source, 'rs', 'xy') AS tr,
+      CAST(ascii(lang) AS INT) AS asc_l,
+      chr(ascii(lang) + 1) AS next_ch,
+      repeat(lang, 3) AS rep3,
+      trim(source, 's') AS trim_s,
+      ltrim(source, 's') AS ltrim_s,
+      rtrim(source, '0123456789') AS rtrim_d
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          translate(col("source"), "rs", "xy").as("tr"),
+          ascii(col("lang")).as("asc_l"),
+          expr("char(ascii(lang) + 1)").as("next_ch"),
+          repeat(col("lang"), 3).as("rep3"),
+          expr("trim(BOTH 's' FROM source)").as("trim_s"),
+          expr("trim(LEADING 's' FROM source)").as("ltrim_s"),
+          expr("trim(TRAILING '0123456789' FROM source)").as("rtrim_d"))
+        .orderBy("doc_id")
+    })
+
+  // --- second array wave (§2.8: sequence/flatten/slice/reverse/
+  //     position/exists) ---
+  val qArrayMore: QuerySpec = QuerySpec(
+    "q_array_more",
+    Some("""SELECT vec_id,
+      generate_series(1, 5) AS seq5,
+      generate_series(0, CAST(label AS BIGINT), 2) AS evens,
+      flatten([[label], [label + 1]]) AS flat,
+      embedding[1:4] AS head4,
+      list_reverse(embedding[1:4]) AS head4_rev,
+      CAST(list_position(embedding, embedding[2]) AS BIGINT) AS pos2,
+      len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.2)) > 0 AS any_big
+      FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          sequence(lit(1L), lit(5L)).as("seq5"),
+          sequence(lit(0L), col("label").cast("long"), lit(2L)).as("evens"),
+          flatten(array(array(col("label")), array(col("label") + 1))).as("flat"),
+          slice(col("embedding"), 1, 4).as("head4"),
+          reverse(slice(col("embedding"), 1, 4)).as("head4_rev"),
+          array_position(col("embedding"), element_at(col("embedding"), 2)).as("pos2"),
+          exists(transform(col("embedding"), x => x.cast("double")), x => x > 0.2)
+            .as("any_big"))
+        .orderBy("vec_id")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qGroupingSets,
     qCollationCi, qWordCount, qArrayFns, qHashFns, qNullLogic, qMapFns,
-    qIntersectAll, qExceptAll, qRegexp, qDateArith)
+    qIntersectAll, qExceptAll, qRegexp, qDateArith, qStringMore, qArrayMore)
 }
