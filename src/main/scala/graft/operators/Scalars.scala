@@ -232,7 +232,30 @@ object Scalars {
         .orderBy("o_orderkey")
     })
 
+  /** NOT IN vs NOT EXISTS under NULLs (§2.2): a NULL in the NOT IN
+    * subquery makes every row's predicate UNKNOWN → zero rows, while
+    * NOT EXISTS is unaffected. Both engines implement the standard;
+    * the query pins the semantics so a future rewrite can't regress it.
+    */
+  val qNotInNull: QuerySpec = QuerySpec(
+    "q_not_in_null",
+    Some("""SELECT
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT nullif(c_custkey, 0) FROM customer)) AS n_not_in,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE nullif(c.c_custkey, 0) = o.o_custkey)) AS n_not_exists"""),
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""SELECT
+        (SELECT count(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT nullif(c_custkey, 0) FROM customer)) AS n_not_in,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE nullif(c.c_custkey, 0) = o.o_custkey)) AS n_not_exists""")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     qScalarString, qScalarMath, qScalarDate, qCaseWhen, qCondAgg,
-    qJsonExtract, qSubqueryIn, qSubqueryScalar, qCasts)
+    qJsonExtract, qSubqueryIn, qSubqueryScalar, qCasts, qNotInNull)
 }
