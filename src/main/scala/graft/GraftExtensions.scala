@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.SimplifySelfCosine)
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.COSINE_SIM),
       info(GraftFunctions.COSINE_SIM,

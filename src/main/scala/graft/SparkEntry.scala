@@ -15,7 +15,7 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ Scalars.specs ++ EventOps.specs ++
       TextOps.specs ++ VectorOps.specs ++ Multimodal.specs ++
-      Extended.specs ++ Analytic.specs ++ Ivf.specs
+      Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Splits.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -58,4 +58,16 @@ class PlanSpec extends AnyFunSuite {
       MinhashSignature(nl, 64)
     ).foreach(e => assert(!e.isInstanceOf[CodegenFallback], e.prettyName))
   }
+
+  test("SimplifySelfCosine folds the self-similarity diagonal to a literal") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = emb.select(
+      GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("self"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosine_sim"), optimized.take(400))
+    val vals = df.limit(5).collect().map(_.getDouble(0))
+    assert(vals.forall(_ == 1.0))
+  }
 }
