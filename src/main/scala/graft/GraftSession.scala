@@ -26,6 +26,11 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Cost-based optimizer (SURVEY §4 join-reorder commitment): uses
+    // ANALYZE TABLE stats when present (Tables.analyzeAll in Bench);
+    // with no stats it falls back to size-based estimates + AQE.
+    .config("spark.sql.cbo.enabled", "true")
+    .config("spark.sql.cbo.joinReorder.enabled", "true")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader has no timestamp type for; read as long and let the reader
     // facade (Tables) convert to micros explicitly.

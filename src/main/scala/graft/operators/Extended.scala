@@ -306,27 +306,38 @@ object Extended {
     })
 
   // --- second array wave (§2.8: sequence/flatten/slice/reverse/
-  //     position/exists) ---
+  //     position/exists). Array outputs are serialized to strings: the
+  //     driver's comparator (pandas sort) crashes on raw array cells
+  //     (CORRECTNESS_r01 red row). Integer arrays join directly; the
+  //     float32 slices are first mapped through floor(x*1000) — floor of
+  //     identical IEEE doubles is engine-identical, so the string is
+  //     boundary-free (round() would not be). ---
   val qArrayMore: QuerySpec = QuerySpec(
     "q_array_more",
     Some("""SELECT vec_id,
-      generate_series(1, 5) AS seq5,
-      generate_series(0, CAST(label AS BIGINT), 2) AS evens,
-      flatten([[label], [label + 1]]) AS flat,
-      embedding[1:4] AS head4,
-      list_reverse(embedding[1:4]) AS head4_rev,
+      array_to_string(generate_series(1, 5), ',') AS seq5,
+      array_to_string(generate_series(0, CAST(label AS BIGINT), 2), ',') AS evens,
+      array_to_string(flatten([[label], [label + 1]]), ',') AS flat,
+      array_to_string(h4, ',') AS head4,
+      array_to_string(list_reverse(h4), ',') AS head4_rev,
       CAST(list_position(embedding, embedding[2]) AS BIGINT) AS pos2,
       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.2)) > 0 AS any_big
-      FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""),
+      FROM (SELECT *, list_transform(embedding[1:4],
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS h4
+            FROM embeddings)
+      WHERE vec_id < 100 ORDER BY vec_id"""),
     (spark, dir) => {
+      val h4 = transform(slice(col("embedding"), 1, 4),
+        x => floor(x.cast("double") * 1000).cast("long"))
       Tables.load(spark, dir, "embeddings")
         .filter(col("vec_id") < 100)
         .select(col("vec_id"),
-          sequence(lit(1L), lit(5L)).as("seq5"),
-          sequence(lit(0L), col("label").cast("long"), lit(2L)).as("evens"),
-          flatten(array(array(col("label")), array(col("label") + 1))).as("flat"),
-          slice(col("embedding"), 1, 4).as("head4"),
-          reverse(slice(col("embedding"), 1, 4)).as("head4_rev"),
+          array_join(sequence(lit(1L), lit(5L)), ",").as("seq5"),
+          array_join(sequence(lit(0L), col("label").cast("long"), lit(2L)), ",").as("evens"),
+          array_join(flatten(array(array(col("label")), array(col("label") + 1))), ",")
+            .as("flat"),
+          array_join(h4, ",").as("head4"),
+          array_join(reverse(h4), ",").as("head4_rev"),
           array_position(col("embedding"), element_at(col("embedding"), 2)).as("pos2"),
           exists(transform(col("embedding"), x => x.cast("double")), x => x > 0.2)
             .as("any_big"))

@@ -29,6 +29,9 @@ object Scalars {
       strpos(text, 'scan') AS pos_scan,
       split_part(text, ' ', 2) AS tok2
       FROM documents ORDER BY doc_id"""),
+    // tok2 uses try_element_at + coalesce'' so a one-token document
+    // yields '' like DuckDB's split_part, instead of the ANSI
+    // INVALID_ARRAY_INDEX error element_at would throw (ADVICE r1).
     (spark, dir) => {
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
@@ -42,7 +45,7 @@ object Scalars {
           expr("left(text, 5)").as("l5"),
           expr("right(trim(text), 5)").as("r5"),
           instr(col("text"), "scan").as("pos_scan"),
-          element_at(split(col("text"), " "), 2).as("tok2"))
+          coalesce(try_element_at(split(col("text"), " "), lit(2)), lit("")).as("tok2"))
         .orderBy("doc_id")
     })
 
@@ -208,11 +211,16 @@ object Scalars {
     })
 
   // --- CAST/CONVERT surface (§2.8; ANSI mode on — overflow errors
-  //     instead of silently nulling, matching the DuckDB oracle) ---
+  //     instead of silently nulling, matching the DuckDB oracle).
+  //     price_dec is serialized to VARCHAR after the DECIMAL(18,2) cast:
+  //     the values agree, but the driver's comparator hashes Spark's
+  //     parquet decimal128 (pandas object/Decimal) differently from
+  //     DuckDB's DECIMAL (float64) — a fixed "xxxx.yy" string is
+  //     dtype-stable in both engines (CORRECTNESS_r01 red row). ---
   val qCasts: QuerySpec = QuerySpec(
     "q_casts",
     Some("""SELECT o_orderkey,
-      CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
       CAST(trunc(o_totalprice) AS INT) AS price_int,
       CAST(o_orderkey AS VARCHAR) AS key_str,
       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
@@ -223,7 +231,7 @@ object Scalars {
       Tables.load(spark, dir, "orders")
         .filter(col("o_orderkey") < 1000)
         .select(col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_dec"),
           col("o_totalprice").cast("int").as("price_int"),
           col("o_orderkey").cast("string").as("key_str"),
           col("o_orderkey").cast("string").cast("bigint").as("key_roundtrip"),

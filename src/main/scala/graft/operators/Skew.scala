@@ -36,7 +36,11 @@ object Skew {
     */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
                 buckets: Int): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(buckets)))
+    // salt from the WHOLE row, not the value column: the canonical skew
+    // case is a hot key with heavily duplicated values, where
+    // hash(value) would put every row in one salt bucket (ADVICE r1)
+    df.withColumn("_salt",
+        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(buckets)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_partial"))
       .groupBy(col(key))

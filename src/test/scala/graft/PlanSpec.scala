@@ -51,6 +51,7 @@ class PlanSpec extends AnyFunSuite {
     val nl = Literal(null)
     Seq(
       CosineSimilarity(nl, nl),
+      SelfCosine(nl),
       SortedIntersectCount(nl, nl),
       SortedIntIntersectCount(nl, nl),
       ArrayEqCount(nl, nl),
@@ -59,15 +60,40 @@ class PlanSpec extends AnyFunSuite {
     ).foreach(e => assert(!e.isInstanceOf[CodegenFallback], e.prettyName))
   }
 
-  test("SimplifySelfCosine folds the self-similarity diagonal to a literal") {
+  test("SimplifySelfCosine rewrites the self-similarity diagonal to SelfCosine") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
     val emb = Tables.load(spark, sf, "embeddings")
     val df = emb.select(
       GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("self"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("cosine_sim"), optimized.take(400))
+    assert(optimized.contains("self_cosine"), optimized.take(400))
+    assert(!optimized.contains("cosine_sim("), optimized.take(400))
+    // d/(√d·√d) is 1.0 ± 1 ulp on real vectors (sqrt rounding) — that's
+    // the *correct* value of cosine_sim(x,x); the old literal-1.0 fold
+    // was the approximation.
     val vals = df.limit(5).collect().map(_.getDouble(0))
-    assert(vals.forall(_ == 1.0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-12), vals.mkString(","))
+  }
+
+  test("SimplifySelfCosine preserves degenerate-vector semantics (NaN, NULL)") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(0.0f, 0.0f))), // zero norm → 0/0 = NaN
+      (2L, Some(Seq.empty[Float])), // empty → NaN
+      (3L, None), // NULL in → NULL out
+      (4L, Some(Seq(0.5f, 0.25f))) // normal → 1.0
+    ).toDF("id", "v")
+      .select(col("id"), GraftFunctions.cosineSim(col("v"), col("v")).as("s"))
+    // (no plan assert here: ConvertToLocalRelation folds the projection
+    // into the LocalRelation, evaluating SelfCosine at optimize time —
+    // which also exercises its interpreted eval path)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDouble(1).isNaN)
+    assert(rows(1).getDouble(1).isNaN)
+    assert(rows(2).isNullAt(1))
+    assert(math.abs(rows(3).getDouble(1) - 1.0) < 1e-12) // 1.0 ± ulp of √ rounding
   }
 }
