@@ -14,7 +14,7 @@ object SparkEntry {
   /** Every implemented QuerySpec, in module order. */
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ Scalars.specs ++ EventOps.specs ++
-      TextOps.specs ++ VectorOps.specs ++ Multimodal.specs ++
+      TextOps.specs ++ Dedup.specs ++ VectorOps.specs ++ Multimodal.specs ++
       Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Splits.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -108,6 +108,70 @@ object Analytic {
         .orderBy("o_orderkey")
     })
 
+  // --- two-pass distribution functions: the scale-safe twin of
+  //     q_window_distribution. The global no-partition window above is a
+  //     one-task plan at 100 TB; this form range-partitions on the sort
+  //     key, ranks locally per shard, and corrects with prefix-summed
+  //     shard counts. The only global window runs over ONE ROW PER SHARD
+  //     (metadata-sized), and the result is provably identical to the
+  //     global window when the sort key is unique — enforced here by the
+  //     (o_totalprice, o_orderkey) tiebreak, and proven by sharing the
+  //     global-window oracle SQL. ---
+  val qWindowDistTwoPass: QuerySpec = QuerySpec(
+    "q_window_dist_twopass",
+    Some("""SELECT o_orderkey,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd,
+      ntile(10) OVER w AS decile
+      FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      val ranked = twoPassRank(
+        Tables.load(spark, dir, "orders"), Seq("o_totalprice", "o_orderkey"))
+      // with a unique total order: percent_rank=(rn-1)/(N-1), cume_dist
+      // = rn/N — exact integer-valued doubles, division is IEEE-identical
+      // across engines. ntile(k): first N%k buckets get one extra row.
+      val k = 10
+      val q = floor(col("_n") / k) // Spark `/` on longs is double division
+      val r = col("_n") % k
+      val cut = r * (q + 1)
+      ranked.select(col("o_orderkey"),
+          ((col("_rn") - 1).cast("double") / (col("_n") - 1).cast("double")).as("pr"),
+          (col("_rn").cast("double") / col("_n").cast("double")).as("cd"),
+          when(col("_rn") <= cut, ceil(col("_rn").cast("double") / (q + 1)))
+            .otherwise(r + ceil((col("_rn") - cut).cast("double") / q))
+            .cast("int").as("decile"))
+        .orderBy("o_orderkey")
+    })
+
+  /** Global row number + total count without a global window: range
+    * partition on the (unique) sort key, rank within shards, then add
+    * prefix-summed shard offsets. Adds `_rn` (1-based global rank) and
+    * `_n` (total rows). The `orderCols` MUST be a unique key — ties
+    * would make shard-local ranks order-dependent.
+    */
+  def twoPassRank(df: org.apache.spark.sql.DataFrame,
+                  orderCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val oc = orderCols.map(col)
+    val parted = df.repartitionByRange(oc: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = parted.withColumn("_lrn",
+      row_number().over(Window.partitionBy("_pid").orderBy(oc: _*)))
+    // one row per shard; the unpartitioned windows below are over
+    // #shards rows — metadata, not data
+    val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val offs = counts
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum("_cnt").over(
+        Window.orderBy("_pid").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("_pid", "_off", "_n")
+    local.join(broadcast(offs), "_pid")
+      .withColumn("_rn", col("_lrn") + col("_off"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
   // --- sliding event-time windows, batch form (streaming form:
   //     graft.streaming.Streams.slidingCounts). 1 h window / 15 min
   //     slide → each event lands in 4 windows. ---
@@ -127,5 +191,6 @@ object Analytic {
     })
 
   def specs: Seq[QuerySpec] = Seq(
-    qUdafGeomean, qPivot, qWindowAnalytic, qWindowDistribution, qWindowSliding)
+    qUdafGeomean, qPivot, qWindowAnalytic, qWindowDistribution,
+    qWindowDistTwoPass, qWindowSliding)
 }

@@ -97,12 +97,56 @@ object Tables {
     "lineitem" -> lineitem, "documents" -> documents,
     "embeddings" -> embeddings, "events" -> eventsRaw)
 
-  /** Read a fixture table with its declared schema. */
+  /** Read a fixture table with its declared schema. Resolves through the
+    * session catalog when [[analyzeAll]] has registered a stats-backed
+    * table for this dir (CBO row counts + column NDVs feed join
+    * reordering); falls back to a plain path read otherwise.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read
-      .schema(schemas(name))
-      .parquet(s"$sfDir/$name.parquet")
+    val tbl = s"${statsDb(sfDir)}.$name"
+    val df =
+      if (analyzedDbs.contains(statsDb(sfDir)) && spark.catalog.tableExists(tbl))
+        spark.table(tbl)
+      else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events") withEventTs(df) else df
+  }
+
+  /** Dirs analyzed in this JVM — guards the per-load catalog lookup so
+    * sessions that never call analyzeAll pay zero metastore round-trips.
+    */
+  private val analyzedDbs = scala.collection.mutable.Set.empty[String]
+
+  private def statsDb(sfDir: String): String =
+    "graft_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Register every fixture table as an EXTERNAL catalog table over its
+    * parquet location and compute CBO statistics (row counts + column
+    * stats for scalar columns). This is the production shape — tables
+    * live in a catalog with ANALYZE'd stats, and the optimizer reorders
+    * joins from them (SURVEY §4) — reproduced locally on the in-memory
+    * catalog. No data is copied or written.
+    */
+  def analyzeAll(spark: SparkSession, sfDir: String): Unit = {
+    val db = statsDb(sfDir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    schemas.foreach { case (name, schema) =>
+      val tbl = s"$db.$name"
+      if (!spark.catalog.tableExists(tbl)) {
+        spark.sql(s"CREATE TABLE $tbl (${schema.toDDL}) USING parquet " +
+          s"LOCATION '$sfDir/$name.parquet'")
+      }
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+      val scalarCols = schema.fields.collect {
+        case f if !f.dataType.isInstanceOf[ArrayType] &&
+          !f.dataType.isInstanceOf[MapType] &&
+          !f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (scalarCols.nonEmpty) {
+        spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS " +
+          scalarCols.mkString(", "))
+      }
+    }
+    analyzedDbs += db
   }
 
   /** Nanos-long → microsecond TimestampType (truncating, matching what

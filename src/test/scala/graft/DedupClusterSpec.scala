@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Connected-components cluster collapse: known-graph results,
+  * idempotence of keepRepresentative, and pipeline invariants on the
+  * fixture near-dup graph.
+  */
+class DedupClusterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def pairsDf(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("doc1", "doc2")
+  }
+
+  test("components of path, triangle, and disjoint edges") {
+    // path 1-2-3-4, triangle 10-11-12 (as edges), isolated edge 20-21
+    val pairs = pairsDf((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges (pointer jumping beats O(diameter))") {
+    // a 64-node path needs 64 rounds under plain propagation; pointer
+    // jumping must close it within the default maxIters=25 (~log2)
+    val pairs = pairsDf((0L until 63L).map(i => (i, i + 1)): _*)
+    val comps = Dedup.connectedComponents(pairs).collect()
+    assert(comps.length === 64)
+    assert(comps.forall(_.getLong(1) == 0L))
+  }
+
+  test("keepRepresentative keeps min-id per cluster plus all singletons") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val pairs = pairsDf((2L, 3L), (3L, 5L), (7L, 8L))
+    val kept = Dedup.keepRepresentative(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    // clusters {2,3,5}→keep 2, {7,8}→keep 7; singletons 1,4,6 survive
+    assert(kept === Array(1L, 2L, 4L, 6L, 7L))
+  }
+
+  test("keepRepresentative is idempotent on the fixture near-dup graph") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "lang")
+    val pairs = TextOps.jaccardPairs(spark, sf, 0.9).select("doc1", "doc2")
+      .localCheckpoint()
+    val kept = Dedup.keepRepresentative(docs, pairs).localCheckpoint()
+    // every surviving pair would need both endpoints kept — but each
+    // cluster keeps exactly one endpoint, so the restricted graph is empty
+    val keptIds = kept.select(col("doc_id").as("k"))
+    val survivingPairs = pairs
+      .join(keptIds, pairs("doc1") === col("k")).drop("k")
+      .join(keptIds, pairs("doc2") === col("k"))
+    assert(survivingPairs.isEmpty)
+    // second application with the (empty) restricted pair graph = no-op
+    val again = Dedup.keepRepresentative(kept, survivingPairs.select("doc1", "doc2"))
+    assert(again.count() === kept.count())
+    // and cluster count + singletons = kept count
+    val comps = Dedup.connectedComponents(pairs)
+    val nClusters = comps.select("comp").distinct().count()
+    val nInPairs = comps.count()
+    val nDocs = docs.count()
+    assert(kept.count() === nDocs - nInPairs + nClusters)
+  }
+}
