@@ -182,6 +182,33 @@ object Scalars {
         .orderBy("event_type")
     })
 
+  // --- schemaless JSON via VariantType (§2.8 parse_json mapping): the
+  //     open-content path — parse once to a binary variant, extract
+  //     typed values by path with no declared schema. variant_get
+  //     casts inside the variant reader; try-semantics on missing paths
+  //     return NULL, matching DuckDB's ->> on absent keys. ---
+  val qVariantJson: QuerySpec = QuerySpec(
+    "q_variant_json",
+    Some("""SELECT event_id,
+      CAST(props->>'$.k' AS INT) AS k_int,
+      props->>'$.k' AS k_str,
+      CAST(props->>'$.k' AS DOUBLE) AS k_dbl,
+      props->>'$.missing' AS absent,
+      CAST(props->>'$.k' AS INT) % 10 AS k_mod
+      FROM events WHERE event_id < 2000 ORDER BY event_id"""),
+    (spark, dir) => {
+      val v = parse_json(col("props"))
+      Tables.load(spark, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          variant_get(v, "$.k", "int").as("k_int"),
+          variant_get(v, "$.k", "string").as("k_str"),
+          variant_get(v, "$.k", "double").as("k_dbl"),
+          variant_get(v, "$.missing", "string").as("absent"),
+          (variant_get(v, "$.k", "int") % 10).as("k_mod"))
+        .orderBy("event_id")
+    })
+
   // --- SQL entry (E1) with subqueries: Catalyst rewrites IN → semi join,
   //     correlated EXISTS → semi join, scalar subquery → scalar ---
   val qSubqueryIn: QuerySpec = QuerySpec(
@@ -265,5 +292,6 @@ object Scalars {
 
   def specs: Seq[QuerySpec] = Seq(
     qScalarString, qScalarMath, qScalarDate, qCaseWhen, qCondAgg,
-    qJsonExtract, qSubqueryIn, qSubqueryScalar, qCasts, qNotInNull)
+    qJsonExtract, qVariantJson, qSubqueryIn, qSubqueryScalar, qCasts,
+    qNotInNull)
 }

@@ -136,10 +136,15 @@ object Tables {
           s"LOCATION '$sfDir/$name.parquet'")
       }
       spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+      // skip complex types (unsupported) and free-text payload columns —
+      // NDV over megabyte strings costs real scan time and the optimizer
+      // never filters/joins on them
+      val skip = Set("text", "props")
       val scalarCols = schema.fields.collect {
         case f if !f.dataType.isInstanceOf[ArrayType] &&
           !f.dataType.isInstanceOf[MapType] &&
-          !f.dataType.isInstanceOf[StructType] => f.name
+          !f.dataType.isInstanceOf[StructType] &&
+          !skip.contains(f.name) => f.name
       }
       if (scalarCols.nonEmpty) {
         spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS " +
