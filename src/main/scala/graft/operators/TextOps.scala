@@ -177,8 +177,23 @@ object TextOps {
     * quadratic and a near-linear shuffle at 100 TB. Verification is
     * exact (array_intersect on the candidate pair), so the result is
     * identical to brute force.
+    *
+    * Results memoize per (session, dir, threshold): candidate
+    * generation + verification is the expensive half of the dedup
+    * pipeline, and the pair query and the cluster-collapse queries
+    * consume the identical result — derive once, reuse from a
+    * checkpointed frame.
     */
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    pairsMemo.getOrElseUpdate((spark, dir, threshold),
+      jaccardPairsUncached(spark, dir, threshold).localCheckpoint())
+
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Double), DataFrame]
+
+  private def jaccardPairsUncached(spark: SparkSession, dir: String,
+                                   threshold: Double): DataFrame = {
     GraftFunctions.register(spark)
     val docs0 = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), array_distinct(tokens(col("text"))).as("toks"))
