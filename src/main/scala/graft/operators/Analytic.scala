@@ -149,14 +149,29 @@ object Analytic {
     * prefix-summed shard offsets. Adds `_rn` (1-based global rank) and
     * `_n` (total rows). The `orderCols` MUST be a unique key — ties
     * would make shard-local ranks order-dependent.
+    *
+    * The local rank is a `mapPartitionsWithIndex` counter over the
+    * already-range-sorted partitions — the documented per-partition-
+    * imperative case — because a `Window.partitionBy(_pid)` here would
+    * HASH-reshuffle data that is already range-placed (Catalyst can't
+    * see RangePartitioning satisfies a pid-window): one data shuffle
+    * total instead of two.
     */
   def twoPassRank(df: org.apache.spark.sql.DataFrame,
                   orderCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val oc = orderCols.map(col)
-    val parted = df.repartitionByRange(oc: _*)
-      .withColumn("_pid", spark_partition_id())
-    val local = parted.withColumn("_lrn",
-      row_number().over(Window.partitionBy("_pid").orderBy(oc: _*)))
+    val parted = df.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
+    val schema2 = parted.schema
+      .add("_pid", org.apache.spark.sql.types.IntegerType)
+      .add("_lrn", org.apache.spark.sql.types.LongType)
+    val rdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = 0L
+      it.map { r =>
+        i += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ i)
+      }
+    }
+    val local = parted.sparkSession.createDataFrame(rdd, schema2)
     // one row per shard; the unpartitioned windows below are over
     // #shards rows — metadata, not data
     val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))

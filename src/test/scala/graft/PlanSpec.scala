@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite {
     ).foreach(e => assert(!e.isInstanceOf[CodegenFallback], e.prettyName))
   }
 
+  test("IVF search prunes cell partitions dynamically (DPP fires)") {
+    import graft.operators.Ivf
+    val path = Ivf.ensureIndex(spark, sf)
+    val probes = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 3)
+    val df = Ivf.searchIndex(spark, path, probes, 3)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the corpus (cells) scan must carry a dynamic pruning expression on
+    // cid — a probe reads only its nProbe cells from disk
+    assert(formatted.contains("dynamicpruning"), formatted.take(1200))
+  }
+
   test("SimplifySelfCosine rewrites the self-similarity diagonal to SelfCosine") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
