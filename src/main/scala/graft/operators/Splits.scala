@@ -37,5 +37,82 @@ object Splits {
         .orderBy("split")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qTrainTestSplit)
+  /** Engine-PORTABLE bucket in [0, 100): md5 is identical everywhere, so
+    * unlike [[splitBucket]] (xxhash64 — Spark-specific, faster) this
+    * split can be reproduced byte-for-byte by any other engine a
+    * pipeline hands data to — and it is oracle-checkable.
+    */
+  def portableBucket(key: Column, salt: String = "graft-sample-v1"): Column =
+    (conv(substring(md5(concat_ws("|", lit(salt), key)), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  /** Deterministic 10% sample of lineitem, reproduced exactly by the
+    * DuckDB oracle — proof the sample is a pure function of the data.
+    */
+  val qSampleHash: QuerySpec = QuerySpec(
+    "q_sample_hash",
+    Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE CAST(('0x' || substr(md5('graft-sample-v1' || '|' ||
+        CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < 10
+      ORDER BY l_orderkey, l_linenumber"""),
+    (spark, dir) => {
+      val key = (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")
+      Tables.load(spark, dir, "lineitem")
+        .filter(portableBucket(key) < 10)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+
+  /** Stratified deterministic sampling: per-stratum rates (downsample
+    * the dominant language, keep the rest) — the shape every
+    * training-mix rebalance uses. Same portable hash, so the exact
+    * member set is oracle-checked, not just the counts.
+    */
+  val qSampleStratified: QuerySpec = QuerySpec(
+    "q_sample_stratified",
+    Some("""SELECT lang, count(*) AS n_sampled,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM (SELECT lang, doc_id FROM documents
+        WHERE CAST(('0x' || substr(md5('graft-sample-v1' || '|' ||
+          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 <
+          CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 60 ELSE 100 END)
+      GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      val rate = when(col("lang") === "en", 25)
+        .when(col("lang") === "de", 60).otherwise(100)
+      Tables.load(spark, dir, "documents")
+        .filter(portableBucket(col("doc_id").cast("string")) < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    })
+
+  /** K-fold assignment for cross-validation: fold = portable hash % k,
+    * stable across runs and engines; oracle checks the exact fold of
+    * every row via per-fold counts and extremes.
+    */
+  val qKfold: QuerySpec = QuerySpec(
+    "q_kfold",
+    Some("""SELECT fold, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc,
+        CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM (SELECT doc_id,
+        CAST(CAST(('0x' || substr(md5('graft-sample-v1' || '|' ||
+          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INT) AS fold
+        FROM documents)
+      GROUP BY fold ORDER BY fold"""),
+    (spark, dir) => {
+      val fold = (conv(substring(md5(concat_ws("|", lit("graft-sample-v1"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 5).cast("int")
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), fold.as("fold"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("fold")
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qTrainTestSplit, qSampleHash, qSampleStratified, qKfold)
 }
