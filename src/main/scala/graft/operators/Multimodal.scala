@@ -10,12 +10,22 @@ import org.apache.spark.sql.types._
   * payloads travel as opaque `binary` columns + a typed metadata struct;
   * Parquet stores both natively, so partitioning/pruning work unchanged.
   *
-  * The actual media decode is STUBBED (no codec libs in this
-  * environment): [[decodeStub]] emits deterministic fake features with
-  * the real distributed shape — per-partition batched processing via
-  * `mapPartitions`, the Scala analogue of `mapInPandas` batch UDFs. The
-  * Spark-side contract (schema, batching, partition parallelism) is real
-  * and tested in MultimodalSpec.
+  * Decode comes in two tiers:
+  *   - REAL decoders for uncompressed container formats, pure byte
+  *     parsing with no codec dependency: RIFF/WAV PCM-16 audio
+  *     ([[decodeWav]] — chunk walking, fmt validation, sample
+  *     extraction, RMS/ZCR/peak features) and PPM P6 images
+  *     ([[decodePpm]] — header parse, per-channel means, luma
+  *     histogram; [[resizePpm]] — nearest-neighbour resize that
+  *     re-encodes valid P6). Malformed payloads yield null feature
+  *     rows, not task failures.
+  *   - STUBS for codec-gated formats (JPEG/MP4 need native libs absent
+  *     here): [[decodeStub]]/[[sampleFramesStub]] keep the real
+  *     distributed shape — per-partition batched processing via
+  *     `mapPartitions`, the Scala analogue of `mapInPandas` batch UDFs
+  *     — with a byte-level stand-in body.
+  * The Spark-side contract (schema, batching, partition parallelism,
+  * exact encode→decode roundtrips) is tested in MultimodalSpec.
   */
 object Multimodal {
 
@@ -92,6 +102,300 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // REAL decoders: RIFF/WAV (PCM-16) and PPM (P6) — no codec libs
+  // needed, just byte parsing. Payload synthesis is deterministic from
+  // the media id, so encode→decode roundtrips are exactly checkable.
+  // ------------------------------------------------------------------
+
+  /** Build a valid RIFF/WAVE PCM-16 mono payload: a sine tone whose
+    * frequency derives from the id. Real WAV bytes — any audio tool can
+    * play them.
+    */
+  def syntheticWav(id: Long, nSamples: Int = 800, sampleRate: Int = 8000): Array[Byte] = {
+    val freq = 200.0 + (id % 16) * 50.0
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val v = math.sin(2.0 * math.Pi * freq * i / sampleRate) * 0.5
+      bb.putShort((v * 32767.0).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** WAV media table: one synthetic tone per document id. */
+  def wavMedia(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType))))
+    Tables.load(spark, dir, "documents").select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticWav(id), "audio/wav")
+      }
+    }(enc)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("rms", DoubleType),
+    StructField("zero_crossings", IntegerType),
+    StructField("peak", DoubleType)))
+
+  /** REAL RIFF/WAV decoder: validates the RIFF/WAVE magic, walks the
+    * chunk list to `fmt ` and `data`, extracts PCM-16 samples, and
+    * computes audio features (RMS energy, zero-crossing count, peak).
+    * A payload that is not a valid PCM-16 WAV yields a null-feature row
+    * (id preserved) so corrupt media is filterable, never job-fatal.
+    */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        parseWav(bytes) match {
+          case Some((rate, channels, samples)) =>
+            var sumSq = 0.0; var peak = 0.0; var zc = 0; var i = 0
+            while (i < samples.length) {
+              val v = samples(i) / 32768.0
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && (samples(i - 1) < 0) != (samples(i) < 0)) zc += 1
+              i += 1
+            }
+            val rms = if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length)
+            Row(id, rate, channels, samples.length, rms, zc, peak)
+          case None => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** (sampleRate, channels, samples) or None if not a valid PCM-16 WAV. */
+  private def parseWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+    if (tag() != "RIFF") return None
+    bb.getInt // riff size (trust actual length instead)
+    if (tag() != "WAVE") return None
+    var rate = -1; var channels = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = tag()
+      val size = bb.getInt
+      if (size < 0 || size > bb.remaining()) return None
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          val audioFormat = bb.getShort
+          channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort
+          if (audioFormat != 1) return None // only raw PCM
+          bb.position(fmtEnd)
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort; i += 1 }
+        case _ => bb.position(bb.position() + size) // skip unknown chunk
+      }
+    }
+    if (rate > 0 && channels > 0 && bits == 16 && samples != null)
+      Some((rate, channels, samples))
+    else None
+  }
+
+  /** Build a valid PPM P6 payload: a deterministic RGB gradient. */
+  def syntheticPpm(id: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val pixels = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        pixels(o) = ((x * 255) / math.max(1, w - 1)).toByte
+        pixels(o + 1) = ((y * 255) / math.max(1, h - 1)).toByte
+        pixels(o + 2) = (id % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    header ++ pixels
+  }
+
+  /** PPM media table: one synthetic gradient per document id. */
+  def ppmMedia(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType))))
+    Tables.load(spark, dir, "documents").select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticPpm(id), "image/x-portable-pixmap")
+      }
+    }(enc)
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("luma_hist", StringType))) // 4 buckets, comma-joined
+
+  /** REAL PPM P6 decoder: parses the ASCII header (magic, dimensions,
+    * maxval, comment lines), reads the RGB raster, computes per-channel
+    * means and a 4-bucket luminance histogram. Invalid payloads yield
+    * null-feature rows.
+    */
+  def decodePpm(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        parsePpm(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, px)) =>
+            var sr = 0.0; var sg = 0.0; var sb = 0.0
+            val hist = new Array[Int](4)
+            var i = 0
+            val n = w * h
+            while (i < n) {
+              val rr = px(i * 3) & 0xff
+              val gg = px(i * 3 + 1) & 0xff
+              val bb2 = px(i * 3 + 2) & 0xff
+              sr += rr; sg += gg; sb += bb2
+              // integer Rec.601 luma — deterministic, no float rounding
+              val luma = (299 * rr + 587 * gg + 114 * bb2) / 1000
+              hist(math.min(3, luma / 64)) += 1
+              i += 1
+            }
+            Row(id, w, h, sr / n, sg / n, sb / n, hist.mkString(","))
+          case None => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** (width, height, rgbBytes) or None if not a valid P6. */
+  private def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 11) return None
+    var pos = 0
+    def token(): Option[String] = {
+      // skip whitespace and '#' comment lines, then read a token
+      while (pos < bytes.length &&
+        (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      if (pos > start) Some(new String(bytes, start, pos - start, "US-ASCII"))
+      else None
+    }
+    try {
+      if (!token().contains("P6")) return None
+      val w = token().map(_.toInt).getOrElse(return None)
+      val h = token().map(_.toInt).getOrElse(return None)
+      val maxval = token().map(_.toInt).getOrElse(return None)
+      if (w <= 0 || h <= 0 || maxval != 255) return None
+      pos += 1 // single whitespace after maxval
+      if (bytes.length - pos < w * h * 3) return None
+      Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** REAL image resize: nearest-neighbour downsample, re-encoded as a
+    * valid P6 payload — the output of this operator decodes with
+    * [[decodePpm]] (or any PPM reader). One decoder/encoder pass per
+    * row inside the same `mapPartitions` batching.
+    */
+  def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        parsePpm(r.getAs[Array[Byte]](1)).map { case (w, h, px) =>
+          val out = new Array[Byte](outW * outH * 3)
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * w / outW
+              val so = (sy * w + sx) * 3
+              val o = (y * outW + x) * 3
+              out(o) = px(so); out(o + 1) = px(so + 1); out(o + 2) = px(so + 2)
+              x += 1
+            }
+            y += 1
+          }
+          val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+          Row(id, header ++ out, "image/x-portable-pixmap")
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio pipeline surface: synthesize → REAL decode → features.
+    * Rows-only (binary formats have no SQL oracle); exact encode→decode
+    * roundtrips are asserted in MultimodalSpec.
+    */
+  val qAudioFeatures: QuerySpec = QuerySpec(
+    "q_audio_features",
+    None,
+    (spark, dir) => {
+      decodeWav(wavMedia(spark, dir))
+        .select(col("media_id"), col("sample_rate"), col("n_channels"),
+          col("n_samples"), round(col("rms"), 6).as("rms"),
+          col("zero_crossings"), round(col("peak"), 6).as("peak"))
+        .orderBy("media_id")
+    })
+
+  /** Image pipeline surface: synthesize → resize 8×8 → REAL decode of
+    * the re-encoded thumbnail. Rows-only; roundtrip-tested.
+    */
+  val qImageFeatures: QuerySpec = QuerySpec(
+    "q_image_features",
+    None,
+    (spark, dir) => {
+      decodePpm(resizePpm(ppmMedia(spark, dir), 8, 8))
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          col("luma_hist"))
+        .orderBy("media_id")
+    })
+
   /** SQL-checkable metadata surface over the binary payloads. */
   val qMultimodalMeta: QuerySpec = QuerySpec(
     "q_multimodal_meta",
@@ -109,5 +413,6 @@ object Multimodal {
         .orderBy("media_id")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qMultimodalMeta)
+  def specs: Seq[QuerySpec] =
+    Seq(qMultimodalMeta, qAudioFeatures, qImageFeatures)
 }

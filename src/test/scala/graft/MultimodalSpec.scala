@@ -33,6 +33,52 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV roundtrip: real RIFF decode recovers exactly what was encoded") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 7L)
+    val media = Multimodal.wavMedia(spark, sf)
+      .filter(col("media_id").isin(ids: _*))
+    val feats = Multimodal.decodeWav(media).orderBy("media_id").collect()
+    assert(feats.length === ids.length)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8000) // sample rate from the fmt chunk
+      assert(r.getInt(2) === 1) // mono
+      assert(r.getInt(3) === 800) // samples from the data chunk
+      // recompute ground truth directly from the generator's samples
+      val freq = 200.0 + (id % 16) * 50.0
+      val samples = (0 until 800).map(i =>
+        (math.sin(2.0 * math.Pi * freq * i / 8000) * 0.5 * 32767.0).toShort)
+      val rms = math.sqrt(samples.map(s => math.pow(s / 32768.0, 2)).sum / 800)
+      val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(math.abs(r.getDouble(4) - rms) < 1e-12, s"rms id=$id")
+      assert(r.getInt(5) === zc, s"zcr id=$id")
+    }
+    // corrupt payload → null features, id preserved, no task failure
+    val bad = Seq((99L, "not a wav".getBytes, "audio/wav"))
+      .toDF("media_id", "payload", "mime")
+    val badRow = Multimodal.decodeWav(bad).first()
+    assert(badRow.getLong(0) === 99L && badRow.isNullAt(1) && badRow.isNullAt(4))
+  }
+
+  test("PPM roundtrip: decode recovers the gradient; resize re-encodes valid P6") {
+    val media = Multimodal.ppmMedia(spark, sf).filter(col("media_id") === 5L)
+    val f = Multimodal.decodePpm(media).first()
+    assert(f.getInt(1) === 16 && f.getInt(2) === 12)
+    // ground truth for the generator's gradient: mean over x of x*255/(w-1)
+    val meanR = (0 until 16).map(x => x * 255 / 15).sum / 16.0
+    val meanG = (0 until 12).map(y => y * 255 / 11).sum / 12.0
+    assert(f.getDouble(3) === meanR)
+    assert(f.getDouble(4) === meanG)
+    assert(f.getDouble(5) === 5.0) // blue channel = id % 256 everywhere
+    // resized payload is ITSELF a valid P6 the decoder accepts
+    val thumb = Multimodal.decodePpm(Multimodal.resizePpm(media, 8, 8)).first()
+    assert(thumb.getInt(1) === 8 && thumb.getInt(2) === 8)
+    assert(thumb.getDouble(5) === 5.0) // nearest-neighbour preserves channel
+    // luma histogram buckets sum to the pixel count
+    assert(f.getString(6).split(",").map(_.toInt).sum === 16 * 12)
+  }
+
   test("decode stub: distributed batch shape, deterministic features") {
     val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
       .repartition(4) // prove per-partition processing works
