@@ -76,11 +76,14 @@ object Dedup {
         jumped = j.filter(col("c2") =!= col("c")).isEmpty
         c = j.select(col("x"), col("c2").as("c"))
       }
-      // fold into node labels: comp := c(comp) where defined
+      // fold into node labels: comp := c(comp) where defined. No
+      // checkpoint here: labels is consumed once per round and once at
+      // the end, and its lineage stays shallow (one join per round over
+      // already-checkpointed inputs) — checkpointing it only added a
+      // materialization job per round.
       labels = labels
         .join(c.withColumnRenamed("x", "comp"), Seq("comp"), "left")
         .select(col("id"), coalesce(col("c"), col("comp")).as("comp"))
-        .localCheckpoint()
       // contract the graph through the merge map: the edge set shrinks
       // every round (cliques vanish immediately, local-minima count at
       // least halves), which is what keeps round cost falling
