@@ -189,5 +189,27 @@ object Dedup {
         .orderBy("doc_id")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qDedupCluster, qDedupKeepRep)
+  /** The 100 TB dedup path end-to-end: MinHash signatures → LSH banding
+    * → candidate pairs (est_sim ≥ 0.9) → connected components → keep
+    * min-id representative. Rows-only (minhash is engine-specific
+    * hashing); the oracle-checked q_dedup_keep_rep proves the identical
+    * collapse logic on the exact-jaccard graph, and DedupSimilaritySpec
+    * ties minhash estimates to true jaccard.
+    */
+  val qMinhashDedup: QuerySpec = QuerySpec(
+    "q_minhash_dedup",
+    None,
+    (spark, dir) => {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang")
+      val pairs = TextOps.minhashPairs(spark, dir)
+        .filter(col("est_sim") >= 0.9)
+        .select("doc1", "doc2")
+      keepRepresentative(docs, pairs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qDedupCluster, qDedupKeepRep, qMinhashDedup)
 }

@@ -267,6 +267,37 @@ object Scalars {
         .orderBy("o_orderkey")
     })
 
+  // --- try_* error-handling surface (§2.8 adjunct): under ANSI mode a
+  //     bad cast / div-by-zero / overflow is an ERROR; the try_ variants
+  //     give the explicit NULL-on-failure escape. Parity notes: DuckDB's
+  //     x/0 is NULL (matches try_divide); its TRY_CAST('3.9' AS INT)
+  //     ROUNDS where Spark nulls — deliberately not exercised; overflow
+  //     try_add is oracle'd with an explicit CASE (DuckDB has no TRY()
+  //     wrapper in this version). ---
+  val qTryFns: QuerySpec = QuerySpec(
+    "q_try_fns",
+    Some("""SELECT o_orderkey,
+      TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INT) AS tc_ok,
+      TRY_CAST(o_orderstatus AS INT) AS tc_bad,
+      o_totalprice / (o_orderkey % 3) AS td,
+      CASE WHEN o_orderkey > 7 THEN NULL
+           ELSE o_orderkey + 9223372036854775800 END AS ta,
+      TRY_CAST('2001-' || CAST(o_orderkey % 20 AS VARCHAR) || '-01'
+        AS TIMESTAMP) AS tts
+      FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          expr("try_cast(cast(o_orderkey AS string) AS int)").as("tc_ok"),
+          expr("try_cast(o_orderstatus AS int)").as("tc_bad"),
+          try_divide(col("o_totalprice"), col("o_orderkey") % 3).as("td"),
+          try_add(col("o_orderkey"), lit(9223372036854775800L)).as("ta"),
+          expr("try_cast(concat('2001-', cast(o_orderkey % 20 AS string), '-01') AS timestamp)")
+            .as("tts"))
+        .orderBy("o_orderkey")
+    })
+
   /** NOT IN vs NOT EXISTS under NULLs (§2.2): a NULL in the NOT IN
     * subquery makes every row's predicate UNKNOWN → zero rows, while
     * NOT EXISTS is unaffected. Both engines implement the standard;
@@ -293,5 +324,5 @@ object Scalars {
   def specs: Seq[QuerySpec] = Seq(
     qScalarString, qScalarMath, qScalarDate, qCaseWhen, qCondAgg,
     qJsonExtract, qVariantJson, qSubqueryIn, qSubqueryScalar, qCasts,
-    qNotInNull)
+    qTryFns, qNotInNull)
 }

@@ -279,10 +279,12 @@ object TextOps {
     * happens on bare id pairs, and nothing corpus-sized is ever
     * broadcast.
     */
-  val qMinhashLsh: QuerySpec = QuerySpec(
-    "q_minhash_lsh",
-    None, // engine-specific hashing; see DedupSimilaritySpec properties
-    (spark, dir) => {
+  /** LSH candidate pairs with minhash-estimated similarity — memoized
+    * per (session, dir) because both the pair query and the dedup
+    * pipeline consume it.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashMemo.getOrElseUpdate((spark, dir), {
       GraftFunctions.register(spark) // idempotent; covers sessions without GraftExtensions
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
@@ -309,9 +311,19 @@ object TextOps {
           round(GraftFunctions.arrayEqCount(col("sig1"), col("sig2"))
             .cast("double") / numHashes, 4))
         .select("doc1", "doc2", "est_sim")
+        .localCheckpoint()
+    })
+
+  private val minhashMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  val qMinhashLsh: QuerySpec = QuerySpec(
+    "q_minhash_lsh",
+    None, // engine-specific hashing; see DedupSimilaritySpec properties
+    (spark, dir) => minhashPairs(spark, dir)
       // no ORDER BY: this operator has no SQL oracle (rows-only check),
       // and a global sort of the candidate set is pure overhead
-    })
+    )
 
   // --- SimHash (64-bit) — one codegen'd expression per row, no shuffle ---
   def simhash(docs: DataFrame): DataFrame = {
