@@ -45,10 +45,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, src: String = "doc1",
                           dst: String = "doc2", maxIters: Int = 25): DataFrame = {
-    var edges = pairs.select(col(src).as("u"), col(dst).as("v"))
-      .union(pairs.select(col(dst).as("u"), col(src).as("v")))
+    // normalize to u<v BEFORE deduping (half the distinct volume), then
+    // double — the two directions are disjoint by construction, so the
+    // doubled set needs no second distinct
+    val norm = pairs.select(
+        least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    var edges = norm
+      .union(norm.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint() // on a cluster: checkpoint() to durable storage
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
