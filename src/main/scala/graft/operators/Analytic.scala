@@ -108,6 +108,36 @@ object Analytic {
         .orderBy("o_orderkey")
     })
 
+  // --- NULL-aware analytic variants (§2.5 depth): lag with an explicit
+  //     default, IGNORE NULLS last_value, and a 2-step lead — over a
+  //     value column with deterministic synthesized NULLs. Raw doubles,
+  //     no rounding: pure elementwise passthrough is IEEE-identical. ---
+  val qWindowNulls: QuerySpec = QuerySpec(
+    "q_window_nulls",
+    Some("""SELECT o_custkey, o_orderkey, v,
+      lag(v, 1, -1.0) OVER w AS lag_def,
+      last_value(v IGNORE NULLS)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nn,
+      lead(v, 2) OVER w AS lead2
+      FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+              CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS v
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""),
+    (spark, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val upToHere = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "orders")
+        .withColumn("v",
+          when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"), col("v"),
+          lag(col("v"), 1, -1.0).over(w).as("lag_def"),
+          last(col("v"), ignoreNulls = true).over(upToHere).as("last_nn"),
+          lead(col("v"), 2).over(w).as("lead2"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
   // --- two-pass distribution functions: the scale-safe twin of
   //     q_window_distribution. The global no-partition window above is a
   //     one-task plan at 100 TB; this form range-partitions on the sort
@@ -206,6 +236,6 @@ object Analytic {
     })
 
   def specs: Seq[QuerySpec] = Seq(
-    qUdafGeomean, qPivot, qWindowAnalytic, qWindowDistribution,
+    qUdafGeomean, qPivot, qWindowAnalytic, qWindowNulls, qWindowDistribution,
     qWindowDistTwoPass, qWindowSliding)
 }

@@ -325,6 +325,25 @@ object TextOps {
       // and a global sort of the candidate set is pure overhead
     )
 
+  // --- edit-distance near-dup (§2.11 adjunct): exact levenshtein over
+  //     the distinct source-label vocabulary — the fuzzy-key-matching
+  //     shape (entity resolution on short strings). Vocabulary-sized
+  //     self-join, not corpus-sized. ---
+  val qEditDistance: QuerySpec = QuerySpec(
+    "q_edit_distance",
+    Some("""SELECT a.source AS s1, b.source AS s2,
+      CAST(levenshtein(a.source, b.source) AS INT) AS dist
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+      ORDER BY s1, s2"""),
+    (spark, dir) => {
+      val srcs = Tables.load(spark, dir, "documents").select("source").distinct()
+      srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("s1"), col("b.source").as("s2"),
+          levenshtein(col("a.source"), col("b.source")).as("dist"))
+        .orderBy("s1", "s2")
+    })
+
   // --- SimHash (64-bit) — one codegen'd expression per row, no shuffle ---
   def simhash(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -342,5 +361,5 @@ object TextOps {
 
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextQuality, qTextFingerprint,
-    qLangId, qNgramJaccard, qMinhashLsh, qSimhash)
+    qLangId, qNgramJaccard, qEditDistance, qMinhashLsh, qSimhash)
 }
