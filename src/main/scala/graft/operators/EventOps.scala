@@ -44,6 +44,32 @@ object EventOps {
       .drop("_side")
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * same key and rightTs >= leftTs — the mirror of [[asOfJoin]] (same
+    * union + single-shuffle window shape, frame reversed).
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      tsCol: String, payload: String): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val outCols = (leftCols :+ payload :+ "_side").map(col)
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn(payload, lit(null).cast(right.schema(payload).dataType))
+    val r = leftCols.filterNot(c => c == key || c == tsCol)
+      .foldLeft(right.withColumn("_side", lit(2))) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unioned = l.select(outCols: _*).unionByName(r.select(outCols: _*))
+    // Right rows sort after left rows at equal ts (_side 2 > 1) so a
+    // same-instant right row is inside the forward frame (non-strict >=).
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn(payload, first(col(payload), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
   /** For each error event: id of that user's most recent purchase at or
     * before it. Oracle uses DuckDB's native ASOF JOIN — same semantics,
     * with purchases pre-deduped to one row per (user, ts) (max event_id)
@@ -66,6 +92,28 @@ object EventOps {
       asOfJoin(errors, purchases.withColumnRenamed("pid", "prev_purchase_id"),
                "user_id", "ts", "prev_purchase_id")
         .select("event_id", "user_id", "prev_purchase_id")
+        .orderBy("event_id")
+    })
+
+  /** Forward twin of q_asof_join: next purchase at or after each error. */
+  val qAsofForward: QuerySpec = QuerySpec(
+    "q_asof_forward",
+    Some("""SELECT e.event_id, e.user_id, p.pid AS next_purchase_id
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS pid FROM events
+                      WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+      ON e.user_id = p.user_id AND p.ts >= e.ts
+      ORDER BY event_id"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("pid"))
+      asOfJoinForward(errors,
+          purchases.withColumnRenamed("pid", "next_purchase_id"),
+          "user_id", "ts", "next_purchase_id")
+        .select("event_id", "user_id", "next_purchase_id")
         .orderBy("event_id")
     })
 
@@ -134,5 +182,6 @@ object EventOps {
         FROM orders ORDER BY o_custkey, o_orderkey""")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qAsofJoin, qSessionize, qWindowTumbling, qWindowRange)
+  def specs: Seq[QuerySpec] =
+    Seq(qAsofJoin, qAsofForward, qSessionize, qWindowTumbling, qWindowRange)
 }
