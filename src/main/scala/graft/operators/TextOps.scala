@@ -78,6 +78,33 @@ object TextOps {
         .orderBy("doc_id")
     })
 
+  // --- BPE-style subword pre-tokenization: the GPT-2-family regex
+  //     (contraction suffixes | space-prefixed letter runs | digit runs
+  //     | punctuation runs | whitespace), restricted to RE2-safe
+  //     constructs (no lookahead) so the DuckDB oracle runs the
+  //     IDENTICAL pattern. This is the pre-tokenizer stage every BPE
+  //     tokenizer applies before merges — the right granularity for
+  //     token-budget accounting on raw corpora. ---
+  private val bpePattern =
+    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  val qTextTokensBpe: QuerySpec = QuerySpec(
+    "q_text_tokens_bpe",
+    Some(s"""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '${bpePattern.replace("'", "''")}')) AS INT)
+        AS n_bpe,
+      CAST(len(list_distinct(regexp_extract_all(text,
+        '${bpePattern.replace("'", "''")}'))) AS INT) AS n_bpe_distinct
+      FROM documents ORDER BY doc_id"""),
+    (spark, dir) => {
+      val toks = regexp_extract_all(col("text"), lit(bpePattern), lit(0))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_bpe"),
+          size(array_distinct(toks)).as("n_bpe_distinct"))
+        .orderBy("doc_id")
+    })
+
   // --- quality scoring (length / stopword / alpha ratios) ---
   val qTextQuality: QuerySpec = QuerySpec(
     "q_text_quality",
@@ -360,6 +387,7 @@ object TextOps {
     })
 
   def specs: Seq[QuerySpec] = Seq(
-    qDedupExact, qDedupStats, qTextTokens, qTextQuality, qTextFingerprint,
-    qLangId, qNgramJaccard, qEditDistance, qMinhashLsh, qSimhash)
+    qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
+    qTextFingerprint, qLangId, qNgramJaccard, qEditDistance, qMinhashLsh,
+    qSimhash)
 }
