@@ -71,6 +71,25 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.schema(Tables.documents).parquet(out).count() === 500)
   }
 
+  test("schema evolution: mergeSchema reads a corpus written in waves") {
+    // 100 TB corpora are written over months; later waves add columns.
+    // mergeSchema must surface the union schema with NULLs for rows
+    // predating the column — no rewrite of the old files.
+    import spark.implicits._
+    val dir = tmp() + "/evolving"
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.parquet(dir + "/wave=1")
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(dir + "/wave=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang", "wave"))
+    val rows = merged.orderBy("doc_id").collect()
+    assert(rows(0).getAs[String]("lang") == null) // pre-evolution row
+    assert(rows(1).getAs[String]("lang") === "en")
+    // and the old column still filters/pushes down across both waves
+    assert(merged.filter(org.apache.spark.sql.functions.col("doc_id") > 0).count() === 2)
+  }
+
   test("foreachBatch sink receives batch ids for idempotent upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
