@@ -115,6 +115,33 @@ object Extended {
         .orderBy("c_mktsegment")
     })
 
+  // --- bivariate statistics (§2.4 depth): correlation, covariance,
+  //     least-squares regression over price vs quantity per return
+  //     flag. Aggregates of doubles → rounded (summation order varies
+  //     across partitionings). ---
+  val qCorrRegr: QuerySpec = QuerySpec(
+    "q_corr_regr",
+    Some("""SELECT l_returnflag,
+      round(corr(l_extendedprice, l_quantity), 8) AS price_qty_corr,
+      round(covar_pop(l_extendedprice, l_quantity), 4) AS cv_pop,
+      round(covar_samp(l_extendedprice, l_quantity), 4) AS cv_samp,
+      round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 8).as("price_qty_corr"),
+          round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("cv_pop"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cv_samp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")
+    })
+
   // --- generator / UDTF surface: explode to a word count ---
   val qWordCount: QuerySpec = QuerySpec(
     "q_word_count",
@@ -346,6 +373,7 @@ object Extended {
 
   def specs: Seq[QuerySpec] = Seq(
     qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qGroupingSets,
-    qCollationCi, qWordCount, qArrayFns, qHashFns, qNullLogic, qMapFns,
-    qIntersectAll, qExceptAll, qRegexp, qDateArith, qStringMore, qArrayMore)
+    qCollationCi, qCorrRegr, qWordCount, qArrayFns, qHashFns, qNullLogic,
+    qMapFns, qIntersectAll, qExceptAll, qRegexp, qDateArith, qStringMore,
+    qArrayMore)
 }
