@@ -29,6 +29,18 @@ object Skew {
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Salt for two-phase aggregation: row POSITION, not row content.
+    * The canonical skew case is a hot key whose rows are heavily
+    * duplicated — identical rows hash identically no matter which
+    * columns feed the hash (the r1 value-hash AND a whole-row hash both
+    * fail it), so only a position-derived salt guarantees spread. The
+    * salt never reaches the result (it is aggregated away), so its
+    * partitioning-dependence costs nothing: the engine's determinism
+    * contract is about results, and the reassembled sum is exact.
+    */
+  def aggSalt(buckets: Int): org.apache.spark.sql.Column =
+    pmod(monotonically_increasing_id(), lit(buckets.toLong))
+
   /** Two-phase skewed aggregation: partial-aggregate on (key, salt),
     * then final-aggregate on key. For algebraic aggregates this is
     * exactly groupBy(key).agg(sum) but the first shuffle spreads a hot
@@ -36,11 +48,7 @@ object Skew {
     */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
                 buckets: Int): DataFrame =
-    // salt from the WHOLE row, not the value column: the canonical skew
-    // case is a hot key with heavily duplicated values, where
-    // hash(value) would put every row in one salt bucket (ADVICE r1)
-    df.withColumn("_salt",
-        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(buckets)))
+    df.withColumn("_salt", aggSalt(buckets))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_partial"))
       .groupBy(col(key))

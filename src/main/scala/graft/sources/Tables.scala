@@ -119,6 +119,21 @@ object Tables {
   private def statsDb(sfDir: String): String =
     "graft_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Join-key + filter/group columns per table (what CBO consumes). */
+  private val statCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "part" -> Seq("p_partkey", "p_brand", "p_type", "p_size"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+      "o_orderpriority", "o_totalprice"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate",
+      "l_returnflag", "l_linestatus"),
+    "events" -> Seq("event_id", "user_id", "event_type", "ts"),
+    "documents" -> Seq("doc_id", "lang", "source"),
+    "embeddings" -> Seq("vec_id", "label"))
+
   /** Register every fixture table as an EXTERNAL catalog table over its
     * parquet location and compute CBO statistics (row counts + column
     * stats for scalar columns). This is the production shape — tables
@@ -127,30 +142,33 @@ object Tables {
     * catalog. No data is copied or written.
     */
   def analyzeAll(spark: SparkSession, sfDir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val db = statsDb(sfDir)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    schemas.foreach { case (name, schema) =>
-      val tbl = s"$db.$name"
-      if (!spark.catalog.tableExists(tbl)) {
-        spark.sql(s"CREATE TABLE $tbl (${schema.toDDL}) USING parquet " +
-          s"LOCATION '$sfDir/$name.parquet'")
-      }
-      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
-      // skip complex types (unsupported) and free-text payload columns —
-      // NDV over megabyte strings costs real scan time and the optimizer
-      // never filters/joins on them
-      val skip = Set("text", "props")
-      val scalarCols = schema.fields.collect {
-        case f if !f.dataType.isInstanceOf[ArrayType] &&
-          !f.dataType.isInstanceOf[MapType] &&
-          !f.dataType.isInstanceOf[StructType] &&
-          !skip.contains(f.name) => f.name
-      }
-      if (scalarCols.nonEmpty) {
-        spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS " +
-          scalarCols.mkString(", "))
+    // per-table ANALYZE jobs are independent — submit them concurrently
+    // (Spark schedules concurrent jobs from one session fine); the
+    // wall-clock is then the largest table, not the sum of ten
+    val work = schemas.toSeq.map { case (name, schema) =>
+      Future {
+        val tbl = s"$db.$name"
+        if (!spark.catalog.tableExists(tbl)) {
+          spark.sql(s"CREATE TABLE $tbl (${schema.toDDL}) USING parquet " +
+            s"LOCATION '$sfDir/$name.parquet'")
+        }
+        spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+        // column stats only where the optimizer can use them — join keys
+        // and filter/group columns. NDV over value/payload columns (the
+        // doubles, free text, JSON) costs a second full scan per table
+        // and never informs a plan.
+        statCols.get(name).filter(_.nonEmpty).foreach { cols =>
+          spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS " +
+            cols.mkString(", "))
+        }
       }
     }
+    Await.result(Future.sequence(work), Duration.Inf)
     analyzedDbs += db
   }
 

@@ -31,4 +31,24 @@ class SkewSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(salted === plain)
   }
+
+  test("salted sum actually spreads a hot key with IDENTICAL rows") {
+    // regression for the r1 salt-from-value bug: a hot key whose rows
+    // are exact duplicates hashes to ONE salt bucket under any
+    // content-derived salt, so the first phase didn't spread at all
+    // (ADVICE r1) — the position-derived salt must fan it out
+    import spark.implicits._
+    val hot = (1 to 10000).map(_ => ("hot", 1.0)) ++ Seq(("cold", 2.0))
+    val df = hot.toDF("k", "v").repartition(8)
+    // result still exact
+    val s = Skew.saltedSum(df, "k", "v", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s === Map("hot" -> 10000.0, "cold" -> 2.0))
+    // and the first phase genuinely fans the hot key over many buckets
+    val firstPhase = df
+      .withColumn("_salt", Skew.aggSalt(8))
+      .filter(col("k") === "hot")
+      .select("_salt").distinct().count()
+    assert(firstPhase >= 4, s"hot key only used $firstPhase salt buckets")
+  }
 }
