@@ -19,13 +19,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove any previous run's output so a failure can never be
-        // compared as if it were this run's result (stale-parquet trap)
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete())
-          dir.delete()
+        // remove any previous/partial output so a failure can never be
+        // compared as if it were this run's result (stale-parquet trap).
+        // Recursive: an execution-time failure leaves nested _temporary/
+        // dirs that a flat delete would silently skip.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
         }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -201,7 +201,11 @@ object Analytic {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ i)
       }
     }
+    // persisted: `local` feeds BOTH the counts aggregation and the final
+    // join — without it the sort + row-conversion pass runs twice over
+    // the full data (the shuffle files are reused, the narrow work not)
     val local = parted.sparkSession.createDataFrame(rdd, schema2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per shard; the unpartitioned windows below are over
     // #shards rows — metadata, not data
     val counts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))

@@ -110,12 +110,18 @@ object Dedup {
     * untouched. Output schema = input schema.
     */
   def keepRepresentative(df: DataFrame, pairs: DataFrame,
-                         idCol: String = "doc_id"): DataFrame = {
-    val comps = connectedComponents(pairs).withColumnRenamed("id", idCol)
-    df.join(comps, Seq(idCol), "left")
+                         idCol: String = "doc_id"): DataFrame =
+    keepRepresentativeWith(df, connectedComponents(pairs), idCol)
+
+  /** Collapse with a precomputed (id, comp) cluster map — the shared
+    * implementation behind every keep-one path (so the representative
+    * rule lives in exactly one place).
+    */
+  def keepRepresentativeWith(df: DataFrame, comps: DataFrame,
+                             idCol: String = "doc_id"): DataFrame =
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
-  }
 
   // DuckDB oracle twin: undirected transitive closure by recursive CTE,
   // over the same exact-jaccard >= 0.9 pair graph as q_ngram_jaccard.
@@ -186,11 +192,7 @@ object Dedup {
     (spark, dir) => {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
         .select("doc_id", "lang", "source")
-      val comps = jaccardClusters(spark, dir, 0.9)
-        .withColumnRenamed("id", "doc_id")
-      docs.join(comps, Seq("doc_id"), "left")
-        .filter(col("comp").isNull || col("comp") === col("doc_id"))
-        .drop("comp")
+      keepRepresentativeWith(docs, jaccardClusters(spark, dir, 0.9))
         .orderBy("doc_id")
     })
 

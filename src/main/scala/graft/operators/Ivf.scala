@@ -110,14 +110,24 @@ object Ivf {
   def ensureIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                   numCells: Int = 16, iters: Int = 2): String = {
     val path = indexPath(sfDir)
-    val done = new java.io.File(s"$path/cells/_SUCCESS")
-    if (!done.exists()) {
+    // a persisted index is only trustworthy for the EXACT source data it
+    // was built from: fingerprint the source parquet (length + mtime)
+    // and rebuild when it changes — otherwise a regenerated fixture
+    // silently serves ANN results from the stale corpus
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val fingerprint = s"${src.length()}:${src.lastModified()}:$numCells:$iters"
+    val marker = new java.io.File(s"$path/source.fingerprint")
+    val current = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath).trim == fingerprint &&
+      new java.io.File(s"$path/cells/_SUCCESS").exists()
+    if (!current) {
       val emb = Tables.load(spark, sfDir, "embeddings")
       val centroids = buildCentroids(emb, numCells, iters)
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
       assign(emb, spark.read.parquet(s"$path/centroids"))
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"), col("cid"))
         .write.partitionBy("cid").mode("overwrite").parquet(s"$path/cells")
+      java.nio.file.Files.writeString(marker.toPath, fingerprint)
     }
     path
   }

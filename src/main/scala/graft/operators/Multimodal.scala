@@ -189,8 +189,11 @@ object Multimodal {
     }(enc)
   }
 
-  /** (sampleRate, channels, samples) or None if not a valid PCM-16 WAV. */
-  private def parseWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+  /** (sampleRate, channels, samples) or None if not a valid PCM-16 WAV.
+    * Total: any malformed byte stream returns None (the outer try guards
+    * remaining underflow paths) — decode must never fail a task.
+    */
+  private def parseWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = try {
     if (bytes == null || bytes.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
@@ -205,6 +208,7 @@ object Multimodal {
       if (size < 0 || size > bb.remaining()) return None
       id match {
         case "fmt " =>
+          if (size < 16) return None // truncated fmt chunk
           val fmtEnd = bb.position() + size
           val audioFormat = bb.getShort
           channels = bb.getShort
@@ -218,13 +222,17 @@ object Multimodal {
           samples = new Array[Short](n)
           var i = 0
           while (i < n) { samples(i) = bb.getShort; i += 1 }
-        case _ => bb.position(bb.position() + size) // skip unknown chunk
+          bb.position(bb.position() + (size & 1)) // word-align (RIFF pad)
+        case _ =>
+          // skip unknown chunk; odd-sized chunks carry a pad byte that is
+          // NOT counted in the size field (RIFF word alignment)
+          bb.position(math.min(bb.limit(), bb.position() + size + (size & 1)))
       }
     }
     if (rate > 0 && channels > 0 && bits == 16 && samples != null)
       Some((rate, channels, samples))
     else None
-  }
+  } catch { case _: RuntimeException => None }
 
   /** Build a valid PPM P6 payload: a deterministic RGB gradient. */
   def syntheticPpm(id: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
@@ -325,9 +333,12 @@ object Multimodal {
       val maxval = token().map(_.toInt).getOrElse(return None)
       if (w <= 0 || h <= 0 || maxval != 255) return None
       pos += 1 // single whitespace after maxval
-      if (bytes.length - pos < w * h * 3) return None
-      Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)))
-    } catch { case _: NumberFormatException => None }
+      // bound-check in Long: a malicious 30000x30000 header makes
+      // w*h*3 wrap negative in Int and bypass the length guard
+      val need = w.toLong * h.toLong * 3L
+      if (need > bytes.length.toLong - pos) return None
+      Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)))
+    } catch { case _: RuntimeException => None }
   }
 
   /** REAL image resize: nearest-neighbour downsample, re-encoded as a
@@ -341,25 +352,29 @@ object Multimodal {
       StructField("payload", BinaryType),
       StructField("mime", StringType))))
     media.select("media_id", "payload").mapPartitions { rows =>
-      rows.flatMap { r =>
+      rows.map { r =>
         val id = r.getLong(0)
-        parsePpm(r.getAs[Array[Byte]](1)).map { case (w, h, px) =>
-          val out = new Array[Byte](outW * outH * 3)
-          var y = 0
-          while (y < outH) {
-            val sy = y * h / outH
-            var x = 0
-            while (x < outW) {
-              val sx = x * w / outW
-              val so = (sy * w + sx) * 3
-              val o = (y * outW + x) * 3
-              out(o) = px(so); out(o + 1) = px(so + 1); out(o + 2) = px(so + 2)
-              x += 1
+        parsePpm(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, px)) =>
+            val out = new Array[Byte](outW * outH * 3)
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * w / outW
+                val so = (sy * w + sx) * 3
+                val o = (y * outW + x) * 3
+                out(o) = px(so); out(o + 1) = px(so + 1); out(o + 2) = px(so + 2)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
-          Row(id, header ++ out, "image/x-portable-pixmap")
+            val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+            Row(id, header ++ out, "image/x-portable-pixmap")
+          // keep the id with a null payload (module convention: corrupt
+          // media stays filterable, output cardinality = input)
+          case None => Row(id, null, "image/x-portable-pixmap")
         }
       }
     }(enc)

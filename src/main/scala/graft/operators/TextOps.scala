@@ -215,6 +215,9 @@ object TextOps {
     pairsMemo.getOrElseUpdate((spark, dir, threshold),
       jaccardPairsUncached(spark, dir, threshold).localCheckpoint())
 
+  // JVM-lifetime scope by design: one entry per (session, dir,
+  // threshold), sized for this engine's one-job-per-JVM process model.
+  // A long-lived multi-tenant server would add eviction/unpersist here.
   private val pairsMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Double), DataFrame]
