@@ -218,5 +218,41 @@ object Dedup {
         .orderBy("lang")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qDedupCluster, qDedupKeepRep, qMinhashDedup)
+  /** The LLM-data-curation pipeline end to end, composed from the
+    * engine's own operators: alpha-ratio quality gate → near-dup
+    * cluster collapse (keep min-id representative) → 80% deterministic
+    * portable-hash sample → per-language counts. Every stage is
+    * individually oracle-checked elsewhere; this query proves the
+    * COMPOSITION matches the oracle too.
+    */
+  val qPipelineCurate: QuerySpec = QuerySpec(
+    "q_pipeline_curate",
+    Some(s"""WITH RECURSIVE $jaccardPairsCte
+      SELECT lang, count(*) AS n_curated,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM (
+        SELECT d.doc_id, d.lang FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.doc_id
+        WHERE (c.comp IS NULL OR c.comp = d.doc_id)
+          AND CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+              / length(d.text) >= 0.7
+          AND CAST(('0x' || substr(md5('graft-sample-v1' || '|' ||
+              CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80)
+      GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+      val qualityOk = docs.filter(
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")) >= 0.7)
+      val deduped = keepRepresentativeWith(
+        qualityOk.select("doc_id", "lang"), jaccardClusters(spark, dir, 0.9))
+      deduped
+        .filter(Splits.portableBucket(col("doc_id").cast("string")) < 80)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_curated"), min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qDedupCluster, qDedupKeepRep, qMinhashDedup, qPipelineCurate)
 }
