@@ -117,6 +117,34 @@ object EventOps {
         .orderBy("event_id")
     })
 
+  /** Calendar densification (gap filling): generate the full day range
+    * spanned by the data, left-join daily counts, zero-fill the gaps —
+    * the shape every activity/retention dashboard needs, and the dual
+    * of aggregation (rows that DON'T exist become visible). The day
+    * spine is sequence+explode over the self-derived [min, max] — a
+    * one-row aggregate crossed with the counts, no driver-side range.
+    */
+  val qDateDensify: QuerySpec = QuerySpec(
+    "q_date_densify",
+    Some("""WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS mn,
+                CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS mx FROM events),
+      days AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM b),
+      c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+            FROM events GROUP BY 1)
+      SELECT d.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM days d LEFT JOIN c ON d.day = c.day ORDER BY d.day"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+      val spine = ev.agg(min("day").as("mn"), max("day").as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 day")))
+          .as("day"))
+      val counts = ev.groupBy("day").agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day")
+    })
+
   /** Gap-based sessionization (30-min inactivity), batch form. */
   val qSessionize: QuerySpec = QuerySpec(
     "q_sessionize",
@@ -183,5 +211,6 @@ object EventOps {
     })
 
   def specs: Seq[QuerySpec] =
-    Seq(qAsofJoin, qAsofForward, qSessionize, qWindowTumbling, qWindowRange)
+    Seq(qAsofJoin, qAsofForward, qSessionize, qDateDensify,
+      qWindowTumbling, qWindowRange)
 }
