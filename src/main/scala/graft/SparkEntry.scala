@@ -15,7 +15,8 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ Scalars.specs ++ EventOps.specs ++
       TextOps.specs ++ Dedup.specs ++ VectorOps.specs ++ Multimodal.specs ++
-      Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Splits.specs
+      Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Splits.specs ++
+      SqlEntry.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

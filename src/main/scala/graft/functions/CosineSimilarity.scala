@@ -74,6 +74,7 @@ object GraftFunctions {
   val ARRAY_EQ_COUNT = "graft_array_eq_count"
   val SIMHASH64 = "graft_simhash64"
   val MINHASH_SIG = "graft_minhash_signature"
+  val LSH_SIG = "graft_lsh_signature"
 
   /** Idempotent; must run once per session before using the columns. */
   def register(spark: SparkSession): Unit = {
@@ -92,6 +93,8 @@ object GraftFunctions {
       SIMHASH64, exprs => Simhash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       MINHASH_SIG, exprs => MinhashSignature(exprs.head, 64), "built-in")
+    reg.createOrReplaceTempFunction(
+      LSH_SIG, exprs => LshSignature(exprs.head, 8), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function(COSINE_SIM, a, b)
@@ -109,4 +112,7 @@ object GraftFunctions {
 
   /** 64-hash minhash signature (array<long>). */
   def minhashSignature(tokens: Column): Column = call_function(MINHASH_SIG, tokens)
+
+  /** 8-plane random-hyperplane LSH bucket (long). */
+  def lshSignature(vec: Column): Column = call_function(LSH_SIG, vec)
 }

@@ -9,15 +9,15 @@ import org.apache.spark.sql.functions._
   * qMinhashLsh) is only half a dedup pipeline — this module turns the
   * pair graph into clusters and keeps one representative per cluster.
   *
-  * Algorithm: star contraction with pointer jumping — the DataFrame
-  * rendition of the log-round connected-components map-reduce family
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond").
-  * Each round is shuffle joins + one aggregation over a monotonically
+  * Algorithm: star contraction with bounded pointer jumping — the
+  * log-round connected-components map-reduce family (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond"), run at the RDD
+  * layer with a pinned HashPartitioner (the GraphX/Pregel pattern; see
+  * [[connectedComponents]] for why not DataFrames). Each round is a
+  * narrow reduceByKey + co-partitioned joins over a monotonically
   * SHRINKING edge set — no driver-side graph state, no `collect`; the
-  * only per-round action is an `isEmpty` on a checkpointed frame.
-  * Lineage is cut with `localCheckpoint` per round (on a cluster:
-  * `checkpoint` to durable storage) so the plan doesn't grow with
-  * iteration count.
+  * only per-round ACTION is the contracted-edge count, which doubles as
+  * the termination probe.
   *
   * Determinism: the fixpoint labels every node with the MINIMUM id in
   * its component — engine-independent, so the result is oracle-checkable
@@ -33,8 +33,8 @@ object Dedup {
     * near-clique dedup cluster collapses to zero edges in one round, a
     * path halves per round — so the expensive per-round join runs over
     * a vanishing graph, unlike fixed-edge-set label propagation which
-    * pays full edge volume every round. Termination is `edges.isEmpty`
-    * on a checkpointed frame (a metadata action, not a scan).
+    * pays full edge volume every round. Termination is the contracted
+    * edge count carried out of the round's one materializing job.
     *
     * The surviving super-node of a component is its minimum id (the min
     * never merges outward), so labels are engine-deterministic.
@@ -44,65 +44,115 @@ object Dedup {
     *         comp = min node id of the component
     */
   def connectedComponents(pairs: DataFrame, src: String = "doc1",
-                          dst: String = "doc2", maxIters: Int = 25): DataFrame = {
+                          dst: String = "doc2", maxIters: Int = 25,
+                          jumpsPerRound: Int = 2): DataFrame = {
+    // The iterative fixpoint runs at the RDD layer, NOT on DataFrames —
+    // a deliberate exception to the DataFrame-first rule, for the same
+    // reason GraphX is RDD-based: Catalyst re-analyzes, re-optimizes and
+    // re-estimates statistics on EVERY iteration's checkpoint/action
+    // (measured r3: a 64-node path graph spent >13 min of driver CPU in
+    // BasicStatsPlanVisitor before any executor work), and DataFrames
+    // cannot pin a partitioner across iterations. With a HashPartitioner
+    // reused for edges and merge maps, the per-round reduceByKey and the
+    // edge⋈merge-map join are NARROW; each round costs exactly ONE job
+    // (the contracted-edge count, which doubles as the termination
+    // probe), and there is no planner in the loop.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
+    val persisted = scala.collection.mutable.ListBuffer.empty[RDD[_]]
+    def keep[T](r: RDD[T]): RDD[T] = {
+      persisted += r.persist(StorageLevel.MEMORY_AND_DISK); r
+    }
     // normalize to u<v BEFORE deduping (half the distinct volume), then
     // double — the two directions are disjoint by construction, so the
     // doubled set needs no second distinct
-    val norm = pairs.select(
-        least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
-      .filter(col("u") =!= col("v"))
+    val norm = pairs
+      .select(col(src).cast("long"), col(dst).cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }
       .distinct()
-    var edges = norm
-      .union(norm.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint() // on a cluster: checkpoint() to durable storage
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var edges = keep(norm
+      .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      .partitionBy(part))
+    var labels: RDD[(Long, Long)] = edges.keys.distinct().map(x => (x, x))
     var iter = 0
-    var done = edges.isEmpty
-    while (!done && iter < maxIters) {
-      // merge map over current super-nodes: x → least(x, min neighbour).
-      // c(x) < x or c(x) = x, so chains strictly decrease — acyclic.
-      val c1 = edges.groupBy(col("u").as("x")).agg(min("v").as("m"))
-        .select(col("x"), least(col("x"), col("m")).as("c"))
-        .localCheckpoint()
-      // full pointer-jump closure c := c(c) until fixpoint: a merge
-      // CHAIN (x→x-1→…→root, the shape a path graph produces) collapses
-      // to its root within log(chain) tiny self-joins, so the expensive
-      // outer round count stays O(log n) on every graph shape. Inner
-      // joins run over the supernode-sized merge map, not the edges.
-      var c = c1
-      var jumped = false
-      while (!jumped) {
-        val j = c.as("a")
-          .join(c.select(col("x").as("c"), col("c").as("cc")).as("b"), Seq("c"), "left")
-          .select(col("x"), col("c"), coalesce(col("cc"), col("c")).as("c2"))
-          .localCheckpoint()
-        jumped = j.filter(col("c2") =!= col("c")).isEmpty
-        c = j.select(col("x"), col("c2").as("c"))
+    var edgeCount = edges.count()
+    while (edgeCount > 0L && iter < maxIters) {
+      // merge map over current super-nodes: x → min(x, min neighbour).
+      // c(x) <= x, so merge chains strictly decrease — acyclic. Narrow:
+      // edges are already hash-partitioned by u.
+      var c = keep(edges
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .mapPartitions(_.map { case (x, m) => (x, math.min(x, m)) },
+          preservesPartitioning = true))
+      // BOUNDED pointer jumping c := c(c) — `jumpsPerRound` lazy passes,
+      // no per-jump action (vs r2's adaptive loop at one localCheckpoint
+      // + isEmpty job per jump). Partial closure is safe: contraction
+      // through a partially-jumped map still strictly shrinks the edge
+      // set, later rounds finish the merges, and the final resolution
+      // pass below chases any stale intermediate pointers to the
+      // component minimum.
+      for (_ <- 0 until jumpsPerRound) {
+        val lookup = c
+        c = keep(c
+          .map { case (x, cx) => (cx, x) }
+          .join(lookup, part) // right side co-partitioned: narrow
+          .map { case (_, (x, ccx)) => (x, ccx) }
+          .partitionBy(part))
       }
-      // fold into node labels: comp := c(comp) where defined. No
-      // checkpoint here: labels is consumed once per round and once at
-      // the end, and its lineage stays shallow (one join per round over
-      // already-checkpointed inputs) — checkpointing it only added a
-      // materialization job per round.
+      // fold into node labels: comp := c(comp) where defined. Lazy — the
+      // chain is narrow maps + joins over persisted merge maps, computed
+      // once by the resolution pass at the end.
+      val cc = c
       labels = labels
-        .join(c.withColumnRenamed("x", "comp"), Seq("comp"), "left")
-        .select(col("id"), coalesce(col("c"), col("comp")).as("comp"))
+        .map { case (id, comp) => (comp, id) }
+        .leftOuterJoin(cc, part)
+        .map { case (comp, (id, cOpt)) => (id, cOpt.getOrElse(comp)) }
       // contract the graph through the merge map: the edge set shrinks
       // every round (cliques vanish immediately, local-minima count at
-      // least halves), which is what keeps round cost falling
-      edges = edges
-        .join(c.select(col("x").as("u"), col("c").as("cu")), Seq("u"))
-        .join(c.select(col("x").as("v"), col("c").as("cv")), Seq("v"))
-        .select(col("cu").as("u"), col("cv").as("v"))
-        .filter(col("u") =!= col("v"))
+      // least halves), which is what keeps round cost falling. Both
+      // directions of the doubled edge set contract in one pass.
+      edges = keep(edges
+        .join(cc, part) // narrow: both sides partitioned by `part`
+        .map { case (_, (v, cu)) => (v, cu) }
+        .join(cc, part)
+        .map { case (_, (cu, cv)) => (cu, cv) }
+        .filter { case (a, b) => a != b }
         .distinct()
-        .localCheckpoint()
-      done = edges.isEmpty
+        .partitionBy(part))
+      // ONE action per round; on a cluster, checkpoint `edges` to
+      // durable storage every few rounds instead of relying on cache.
+      edgeCount = edges.count()
       iter += 1
     }
-    labels
+    // Final resolution: pointer-jump the labels over themselves until
+    // fixpoint. Every comp value is itself a node id with a labels row,
+    // and chasing strictly decreases toward the component minimum (which
+    // is its own fixpoint), so this terminates in O(log depth) rounds —
+    // typically 1–2 because the per-round jumps above did most of the
+    // work. One job per resolution round, only at the very end.
+    var resolved = labels
+    var moving = 1L
+    var rIter = 0
+    while (moving > 0L && rIter < maxIters) {
+      val base = keep(resolved.partitionBy(part))
+      val j = keep(base
+        .map { case (id, comp) => (comp, (id, comp)) }
+        .leftOuterJoin(base, part)
+        .map { case (_, ((id, old), ccOpt)) => (id, old, ccOpt.getOrElse(old)) })
+      moving = j.filter(t => t._2 != t._3).count()
+      resolved = j.map(t => (t._1, t._3))
+      rIter += 1
+    }
+    val out = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before dropping the intermediates below
+    persisted.foreach(_.unpersist(blocking = false))
+    out.toDF("id", "comp")
   }
 
   /** Collapse a near-dup pair graph to one kept row per cluster: the
@@ -164,6 +214,24 @@ object Dedup {
       connectedComponents(pairs).localCheckpoint()
     })
 
+  private val minhashClusterMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]
+
+  /** (id, comp) for the MinHash+LSH near-dup graph of `dir` at estimated
+    * similarity ≥ `minSim` — memoized like [[jaccardClusters]]: the
+    * cluster map is a derive-once index artifact consumed by the dedup
+    * query and the bench setup alike.
+    */
+  def minhashClusters(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      minSim: Double): DataFrame =
+    minhashClusterMemo.getOrElseUpdate((spark, dir, minSim), {
+      val pairs = TextOps.minhashPairs(spark, dir)
+        .filter(col("est_sim") >= minSim)
+        .select("doc1", "doc2")
+      connectedComponents(pairs).localCheckpoint()
+    })
+
   /** Cluster ids over the exact-jaccard near-dup graph. */
   val qDedupCluster: QuerySpec = QuerySpec(
     "q_dedup_cluster",
@@ -209,10 +277,7 @@ object Dedup {
     (spark, dir) => {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
         .select("doc_id", "lang")
-      val pairs = TextOps.minhashPairs(spark, dir)
-        .filter(col("est_sim") >= 0.9)
-        .select("doc1", "doc2")
-      keepRepresentative(docs, pairs)
+      keepRepresentativeWith(docs, minhashClusters(spark, dir, 0.9))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")

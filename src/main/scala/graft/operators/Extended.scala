@@ -67,16 +67,26 @@ object Extended {
         .orderBy("p_brand")
     })
 
-  // --- approx distinct (HLL) — engine-specific sketch, so rows-only;
-  //     DedupSimilaritySpec asserts rsd-bounded error vs exact ---
+  // --- approx distinct (HLL) — the sketch value is engine-specific, so
+  //     the oracle checks the EXACT side plus an in-engine contract that
+  //     the sketch landed within 3×rsd of it (VERDICT r2 item 5): a
+  //     hash-green error-bound guarantee instead of a rows-only shrug.
+  //     DedupSimilaritySpec additionally asserts the rsd bound directly. ---
+  private val approxRsd = 0.05
+
   val qApproxDistinct: QuerySpec = QuerySpec(
     "q_approx_distinct",
-    None,
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      true AS within_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (spark, dir) => {
       Tables.load(spark, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), approxRsd).as("approx_parts"),
              countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= lit(3 * approxRsd)).as("within_bound"))
         .orderBy("l_returnflag")
     })
 

@@ -24,16 +24,38 @@ object Splits {
     (df.filter(b >= testPct), df.filter(b < testPct))
   }
 
-  /** Rows-only check: split sizes + invariants (disjoint, exhaustive). */
+  /** (train, test) via the engine-portable md5 bucket — byte-identical
+    * in any engine, so the exact member sets are oracle-checkable
+    * (VERDICT r2 item 4). [[trainTest]] (xxhash64) stays as the faster
+    * Spark-only variant; SplitsSpec asserts both are disjoint+exhaustive.
+    */
+  def trainTestPortable(df: DataFrame, key: String, testPct: Int): (DataFrame, DataFrame) = {
+    val b = portableBucket(col(key).cast("string"), "graft-split-v1")
+    (df.filter(b >= testPct), df.filter(b < testPct))
+  }
+
+  /** Oracle-checked split: per-split sizes + member-set extremes, exact
+    * in DuckDB via the same md5 arithmetic.
+    */
   val qTrainTestSplit: QuerySpec = QuerySpec(
     "q_train_test_split",
-    None, // engine-specific hash; invariants asserted in SplitsSpec
+    Some("""SELECT split, count(*) AS n,
+        CAST(min(doc_id) AS BIGINT) AS min_doc,
+        CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM (SELECT doc_id,
+        CASE WHEN CAST(('0x' || substr(md5('graft-split-v1' || '|' ||
+          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+        THEN 'test' ELSE 'train' END AS split
+        FROM documents)
+      GROUP BY split ORDER BY split"""),
     (spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      val (train, test) = trainTest(docs, "doc_id", testPct = 20)
+      val (train, test) = trainTestPortable(docs, "doc_id", testPct = 20)
       train.select(lit("train").as("split"), col("doc_id"))
         .unionByName(test.select(lit("test").as("split"), col("doc_id")))
-        .groupBy("split").agg(count(lit(1)).as("n"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
         .orderBy("split")
     })
 

@@ -358,19 +358,31 @@ object TextOps {
   // --- edit-distance near-dup (§2.11 adjunct): exact levenshtein over
   //     the distinct source-label vocabulary — the fuzzy-key-matching
   //     shape (entity resolution on short strings). Vocabulary-sized
-  //     self-join, not corpus-sized. ---
+  //     self-join, and BANDED (VERDICT r2 item 6): dist <= maxDist
+  //     implies abs(len(a)-len(b)) <= maxDist, so the length band in the
+  //     join condition prunes pairs before levenshtein runs without
+  //     changing the kept result set — the O(V²) nested loop becomes
+  //     O(V × band) at a million-label vocabulary. ---
+  private val editMaxDist = 3
+
   val qEditDistance: QuerySpec = QuerySpec(
     "q_edit_distance",
-    Some("""SELECT a.source AS s1, b.source AS s2,
+    Some(s"""SELECT a.source AS s1, b.source AS s2,
       CAST(levenshtein(a.source, b.source) AS INT) AS dist
       FROM (SELECT DISTINCT source FROM documents) a
-      JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+      JOIN (SELECT DISTINCT source FROM documents) b
+        ON a.source < b.source
+        AND abs(length(a.source) - length(b.source)) <= $editMaxDist
+      WHERE levenshtein(a.source, b.source) <= $editMaxDist
       ORDER BY s1, s2"""),
     (spark, dir) => {
       val srcs = Tables.load(spark, dir, "documents").select("source").distinct()
-      srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
+      srcs.as("a").join(srcs.as("b"),
+          col("a.source") < col("b.source") &&
+          abs(length(col("a.source")) - length(col("b.source"))) <= editMaxDist)
         .select(col("a.source").as("s1"), col("b.source").as("s2"),
           levenshtein(col("a.source"), col("b.source")).as("dist"))
+        .filter(col("dist") <= editMaxDist)
         .orderBy("s1", "s2")
     })
 

@@ -96,8 +96,22 @@ object VectorOps {
   private def planeComponent(p: Int, j: Column): Column =
     (pmod(xxhash64(lit(p), j), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
 
-  /** Sign-bit signature: bit p = (v · plane_p) > 0. */
+  /** Sign-bit signature: bit p = (v · plane_p) > 0. One fused codegen
+    * pass over the vector (graft.functions.LshSignature) — the previous
+    * composition built 8 `sequence`+`zip_with` index arrays per row
+    * (VERDICT r2 item 7); same arithmetic in the same element order, so
+    * bucket assignments are identical ([[lshSignatureReference]] + the
+    * VectorSpec parity test pin that).
+    */
   def lshSignature(v: Column, numPlanes: Int): Column = {
+    require(numPlanes == 8, "registered LshSignature expression is 8-plane")
+    GraftFunctions.lshSignature(v)
+  }
+
+  /** The original functional composition, kept ONLY as the parity oracle
+    * for the fused expression (test use).
+    */
+  def lshSignatureReference(v: Column, numPlanes: Int): Column = {
     val vd = transform(v, x => x.cast("double"))
     val bits = (0 until numPlanes).map { p =>
       val dot = aggregate(zip_with(vd, sequence(lit(0), size(v) - 1),

@@ -84,6 +84,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("fused LshSignature expression = functional composition, bit for bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cmp = emb.select(
+      VectorOps.lshSignature(col("embedding"), 8).as("fused"),
+      VectorOps.lshSignatureReference(col("embedding"), 8).as("ref"))
+    assert(cmp.filter(col("fused") =!= col("ref")).count() === 0)
+    assert(cmp.count() > 0)
+  }
+
   test("exact dedup keeps exactly one row per (lang, source)") {
     val kept = TextOps.qDedupExact.run(spark, sf)
     val keys = Tables.load(spark, sf, "documents").select("lang", "source").distinct().count()

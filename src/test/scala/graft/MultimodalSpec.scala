@@ -79,6 +79,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.getString(6).split(",").map(_.toInt).sum === 16 * 12)
   }
 
+  test("JPEG roundtrip: stock-JDK ImageIO decode recovers the gradient") {
+    import spark.implicits._
+    val media = Multimodal.jpegMedia(spark, sf).filter(col("media_id") === 5L)
+    val f = Multimodal.decodeImage(media).first()
+    // dimensions survive the codec exactly
+    assert(f.getInt(1) === 16 && f.getInt(2) === 12)
+    // channel means: JPEG is lossy, so compare against the analytic
+    // gradient means within a quantization tolerance
+    val meanR = (0 until 16).map(x => x * 255 / 15).sum / 16.0
+    val meanG = (0 until 12).map(y => y * 255 / 11).sum / 12.0
+    assert(math.abs(f.getDouble(3) - meanR) < 10.0, s"mean_r=${f.getDouble(3)}")
+    assert(math.abs(f.getDouble(4) - meanG) < 10.0, s"mean_g=${f.getDouble(4)}")
+    assert(math.abs(f.getDouble(5) - 5.0) < 10.0, s"mean_b=${f.getDouble(5)}")
+    // luma histogram buckets sum to the pixel count
+    assert(f.getString(6).split(",").map(_.toInt).sum === 16 * 12)
+    // resized payload is ITSELF a valid JPEG the decoder accepts
+    val thumb = Multimodal.decodeImage(Multimodal.resizeJpeg(media, 8, 8)).first()
+    assert(thumb.getInt(1) === 8 && thumb.getInt(2) === 8)
+    assert(thumb.getString(6).split(",").map(_.toInt).sum === 64)
+    // decode is deterministic (same codec, same bytes)
+    val a = Multimodal.decodeImage(Multimodal.jpegMedia(spark, sf))
+      .orderBy("media_id").collect()
+    val b = Multimodal.decodeImage(Multimodal.jpegMedia(spark, sf))
+      .orderBy("media_id").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // corrupt payload → null features, id preserved, no task failure
+    val bad = Seq((99L, "not a jpeg".getBytes, "image/jpeg"))
+      .toDF("media_id", "payload", "mime")
+    val badRow = Multimodal.decodeImage(bad).first()
+    assert(badRow.getLong(0) === 99L && badRow.isNullAt(1) && badRow.isNullAt(3))
+  }
+
   test("decode stub: distributed batch shape, deterministic features") {
     val media = Multimodal.fromDocuments(Tables.load(spark, sf, "documents"))
       .repartition(4) // prove per-partition processing works
