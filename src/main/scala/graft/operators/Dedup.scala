@@ -62,7 +62,6 @@ object Dedup {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
-    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
     val persisted = scala.collection.mutable.ListBuffer.empty[RDD[_]]
     def keep[T](r: RDD[T]): RDD[T] = {
       persisted += r.persist(StorageLevel.MEMORY_AND_DISK); r
@@ -76,12 +75,21 @@ object Dedup {
       .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
       .filter { case (a, b) => a != b }
       .distinct()
-    var edges = keep(norm
+    val normK = keep(norm)
+    var edgeCount = 2L * normK.count()
+    // size the pinned round partitioner from the measured edge count
+    // (~100k edges per partition): a fixture-scale graph runs 4-task
+    // stages instead of defaultParallelism-wide ones (scheduling, not
+    // data, dominates tiny iterations), while a 100 TB pair graph still
+    // fans out to the cluster's full width
+    val part = new HashPartitioner(
+      math.max(4, math.min(spark.sparkContext.defaultParallelism,
+        (edgeCount / 100000L).toInt + 4)))
+    var edges = keep(normK
       .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
       .partitionBy(part))
     var labels: RDD[(Long, Long)] = edges.keys.distinct().map(x => (x, x))
     var iter = 0
-    var edgeCount = edges.count()
     while (edgeCount > 0L && iter < maxIters) {
       // merge map over current super-nodes: x → min(x, min neighbour).
       // c(x) <= x, so merge chains strictly decrease — acyclic. Narrow:
