@@ -151,5 +151,21 @@ object Ivf {
       searchIndex(spark, path, probes, 5).orderBy("probe_id", "rk")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qCosineTopKIvf)
+  /** Exactness contract: probing ALL cells makes IVF exhaustive, so the
+    * result must equal brute force bit-for-bit — it shares
+    * q_cosine_topk's oracle SQL. A hash-green row here pins the index's
+    * COMPLETENESS (no vector lost in build / cell partitioning / search
+    * plumbing); the approximate default path then only differs by which
+    * cells are pruned.
+    */
+  val qCosineTopKIvfExact: QuerySpec = QuerySpec(
+    "q_cosine_topk_ivf_exact",
+    VectorOps.qCosineTopK.oracle,
+    (spark, dir) => {
+      val path = ensureIndex(spark, dir)
+      val probes = Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 10)
+      searchIndex(spark, path, probes, 5, nProbe = 16).orderBy("probe_id", "rk")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qCosineTopKIvf, qCosineTopKIvfExact)
 }

@@ -72,6 +72,25 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted.contains("dynamicpruning"), formatted.take(1200))
   }
 
+  test("edit-distance band predicate lands in the join, not a post-filter") {
+    val p = plan(graft.operators.TextOps.qEditDistance.run(spark, sf))
+    // the length band must prune INSIDE the nested-loop join condition
+    // (O(V×band)), not after levenshtein ran over the full V² cross
+    val joinLine = p.linesIterator.find(_.contains("NestedLoopJoin")).getOrElse("")
+    assert(joinLine.contains("abs(") && joinLine.contains("length("), p.take(800))
+  }
+
+  test("LshSignature participates in codegen; SQL entry plans like the DSL") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!graft.functions.LshSignature(Literal(null), 8)
+      .isInstanceOf[CodegenFallback])
+    // SQL-text q5 gets the same physical shape as the DSL flagship:
+    // broadcast joins for the dims, pushed region filter
+    val p = plan(graft.operators.SqlEntry.q5Sql.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("SimplifySelfCosine rewrites the self-similarity diagonal to SelfCosine") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
