@@ -20,6 +20,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // One warm-up pass on the flagship BEFORE any timing so
+    // JIT/classloading lands in neither the setup entries nor the first
+    // measured query. (analyzeAll hasn't run yet, so this goes through
+    // the plain path-read fallback — same operators, warm JVM.)
+    try SparkEntry.queries("q5_region_revenue")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // Setup, timed separately from queries: ANALYZE feeds CBO stats
     // (production tables carry stats; queries shouldn't pay for them);
     // the IVF index and the memoized dedup artifacts (pair graphs +
@@ -39,10 +45,6 @@ object Bench {
       "minhash_cc_build" ->
         (() => { graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count(); () })
     ).map { case (name, f) => name -> time(f()) }
-    // One warm-up pass on the flagship so JIT/classloading doesn't land
-    // in the first measured query.
-    try SparkEntry.queries("q5_region_revenue")(spark, sfDir).count()
-    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
         time(try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () })

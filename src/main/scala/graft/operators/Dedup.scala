@@ -291,6 +291,50 @@ object Dedup {
         .orderBy("lang")
     })
 
+  /** Embedding-space dedup end-to-end: cosine near-dup pairs (the
+    * oracle-green q_embed_neardup graph) → connected components → keep
+    * min-id representative. A SECOND independently-oracle-checked
+    * consumer of the CC engine, on a graph with completely different
+    * shape/density than the token-jaccard one.
+    */
+  val qEmbedDedup: QuerySpec = QuerySpec(
+    "q_embed_dedup",
+    Some("""WITH RECURSIVE e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.6),
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      comp AS (
+        SELECT src AS vec_id, least(src, min(dst)) AS comp
+        FROM reach GROUP BY src)
+      SELECT em.label, count(*) AS n_kept,
+        CAST(min(em.vec_id) AS BIGINT) AS first_vec
+      FROM e em LEFT JOIN comp c ON em.vec_id = c.vec_id
+      WHERE c.comp IS NULL OR c.comp = em.vec_id
+      GROUP BY em.label ORDER BY em.label"""),
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim", round(graft.functions.GraftFunctions.cosineSim(
+          col("a.embedding"), col("b.embedding")), 6))
+        .filter(col("sim") >= 0.6)
+        .select(col("a.vec_id").as("doc1"), col("b.vec_id").as("doc2"))
+      keepRepresentative(e.select("vec_id", "label"), pairs, idCol = "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_vec"))
+        .orderBy("label")
+    })
+
   /** The LLM-data-curation pipeline end to end, composed from the
     * engine's own operators: alpha-ratio quality gate → near-dup
     * cluster collapse (keep min-id representative) → 80% deterministic
@@ -327,5 +371,6 @@ object Dedup {
     })
 
   def specs: Seq[QuerySpec] =
-    Seq(qDedupCluster, qDedupKeepRep, qMinhashDedup, qPipelineCurate)
+    Seq(qDedupCluster, qDedupKeepRep, qMinhashDedup, qEmbedDedup,
+        qPipelineCurate)
 }

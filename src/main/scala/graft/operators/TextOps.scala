@@ -309,6 +309,38 @@ object TextOps {
     * happens on bare id pairs, and nothing corpus-sized is ever
     * broadcast.
     */
+  /** The LSH banding pipeline over any (doc_id, toks) frame: signatures
+    * → band hashes → bucket self-join → shuffle-join signature re-attach
+    * → estimated similarity. Shared by the token-set and shingle
+    * variants.
+    */
+  def minhashPairsOver(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sigs = minhashSignatures(docs)
+    val rowsPerBand = numHashes / numBands
+    val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until numBands).map { b =>
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)).as(Seq("band", "bhash")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    // estimated sim = fraction of agreeing signature components;
+    // signatures re-attach via plain shuffle joins on the id-keyed,
+    // deduped pairs — NOT broadcast: the signature table is
+    // corpus-sized (one 64-long array per document), so broadcasting
+    // it is an OOM at 100 TB (VERDICT r1 scale-killer)
+    val s1 = sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2"))
+    cands.join(s1, Seq("doc1")).join(s2, Seq("doc2"))
+      .withColumn("est_sim",
+        round(GraftFunctions.arrayEqCount(col("sig1"), col("sig2"))
+          .cast("double") / numHashes, 4))
+      .select("doc1", "doc2", "est_sim")
+  }
+
   /** LSH candidate pairs with minhash-estimated similarity — memoized
     * per (session, dir) because both the pair query and the dedup
     * pipeline consume it.
@@ -318,30 +350,32 @@ object TextOps {
       GraftFunctions.register(spark) // idempotent; covers sessions without GraftExtensions
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      val sigs = minhashSignatures(docs)
-      val rowsPerBand = numHashes / numBands
-      val bands = sigs.select(col("doc_id"),
-          posexplode(array((0 until numBands).map { b =>
-            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-          }: _*)).as(Seq("band", "bhash")))
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .distinct()
-      // estimated sim = fraction of agreeing signature components;
-      // signatures re-attach via plain shuffle joins on the id-keyed,
-      // deduped pairs — NOT broadcast: the signature table is
-      // corpus-sized (one 64-long array per document), so broadcasting
-      // it is an OOM at 100 TB (VERDICT r1 scale-killer)
-      val s1 = sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1"))
-      val s2 = sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2"))
-      cands.join(s1, Seq("doc1")).join(s2, Seq("doc2"))
-        .withColumn("est_sim",
-          round(GraftFunctions.arrayEqCount(col("sig1"), col("sig2"))
-            .cast("double") / numHashes, 4))
-        .select("doc1", "doc2", "est_sim")
-        .localCheckpoint()
+      minhashPairsOver(docs).localCheckpoint()
+    })
+
+  /** Overlapping w-token shingles, space-joined — the ORDER-SENSITIVE
+    * dedup unit: token-set minhash treats permutations of the same
+    * vocabulary as identical (jaccard 1.0), shingles do not. Documents
+    * shorter than w collapse to a single whole-document shingle.
+    */
+  def shingles(toks: Column, w: Int = 3): Column =
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
+
+  /** Shingle→minhash→band→bucket-join near-dup pairs (rows-only:
+    * engine-specific hashing; order sensitivity pinned in
+    * DedupSimilaritySpec). Same banding pipeline, stricter dedup
+    * semantics — the variant a copy-paste-with-edits corpus needs.
+    */
+  val qMinhashShingle: QuerySpec = QuerySpec(
+    "q_minhash_lsh_shingle",
+    None,
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")))).as("toks"))
+      minhashPairsOver(docs).filter(col("est_sim") >= 0.9)
     })
 
   private val minhashMemo =
@@ -404,5 +438,5 @@ object TextOps {
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qEditDistance, qMinhashLsh,
-    qSimhash)
+    qMinhashShingle, qSimhash)
 }

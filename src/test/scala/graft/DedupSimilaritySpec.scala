@@ -84,6 +84,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("shingles are order-sensitive where token sets are not") {
+    import spark.implicits._
+    // same token multiset, different order: set jaccard = 1, shingle
+    // jaccard < 1 — the property that makes shingle minhash the right
+    // unit for copy-paste-with-edits corpora
+    val df = Seq((1L, "a b c d e f"), (2L, "f e d c b a")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_distinct(split(trim(col("text")), " +")).as("toks"))
+    val sh = df.select(col("doc_id"),
+      array_distinct(TextOps.shingles(col("toks"))).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L).intersect(sh(2L)).isEmpty) // reversed order: no common 3-shingle
+    // short doc (< w tokens) yields one whole-document shingle, not empty
+    val short = Seq((3L, "x y")).toDF("doc_id", "text")
+      .select(array_distinct(TextOps.shingles(
+        split(trim(col("text")), " +"))).as("sh")).first().getSeq[String](0)
+    assert(short === Seq("x y"))
+  }
+
   test("fused LshSignature expression = functional composition, bit for bit") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, sf, "embeddings")
