@@ -414,9 +414,13 @@ object TextOps {
       srcs.as("a").join(srcs.as("b"),
           col("a.source") < col("b.source") &&
           abs(length(col("a.source")) - length(col("b.source"))) <= editMaxDist)
+        // thresholded levenshtein short-circuits the DP at maxDist
+        // (returns -1 above it) — O(maxDist·len) per pair instead of
+        // O(len²); kept distances are exact, so the oracle (plain
+        // levenshtein + WHERE <= maxDist) sees the identical result
         .select(col("a.source").as("s1"), col("b.source").as("s2"),
-          levenshtein(col("a.source"), col("b.source")).as("dist"))
-        .filter(col("dist") <= editMaxDist)
+          levenshtein(col("a.source"), col("b.source"), editMaxDist).as("dist"))
+        .filter(col("dist").between(0, editMaxDist))
         .orderBy("s1", "s2")
     })
 
