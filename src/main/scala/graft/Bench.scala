@@ -42,6 +42,8 @@ object Bench {
         (() => { graft.operators.Dedup.jaccardClusters(spark, sfDir, 0.9).count(); () }),
       "minhash_pairs_build" ->
         (() => { graft.operators.TextOps.minhashPairs(spark, sfDir).count(); () }),
+      "minhash_shingle_pairs_build" ->
+        (() => { graft.operators.TextOps.minhashShinglePairs(spark, sfDir).count(); () }),
       "minhash_cc_build" ->
         (() => { graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count(); () })
     ).map { case (name, f) => name -> time(f()) }

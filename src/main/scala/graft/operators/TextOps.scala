@@ -346,10 +346,24 @@ object TextOps {
     * pipeline consume it.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashMemo.getOrElseUpdate((spark, dir), {
+    minhashMemo.getOrElseUpdate((spark, dir, "tokens"), {
       GraftFunctions.register(spark) // idempotent; covers sessions without GraftExtensions
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      minhashPairsOver(docs).localCheckpoint()
+    })
+
+  /** Shingle-variant candidate pairs — memoized as a derive-once
+    * artifact like [[minhashPairs]] (signature hashing over every
+    * 3-token shingle is the expensive half; the pair query consumes the
+    * checkpointed result).
+    */
+  def minhashShinglePairs(spark: SparkSession, dir: String): DataFrame =
+    minhashMemo.getOrElseUpdate((spark, dir, "shingles"), {
+      GraftFunctions.register(spark)
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")))).as("toks"))
       minhashPairsOver(docs).localCheckpoint()
     })
 
@@ -371,15 +385,11 @@ object TextOps {
   val qMinhashShingle: QuerySpec = QuerySpec(
     "q_minhash_lsh_shingle",
     None,
-    (spark, dir) => {
-      val docs = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")))).as("toks"))
-      minhashPairsOver(docs).filter(col("est_sim") >= 0.9)
-    })
+    (spark, dir) => minhashShinglePairs(spark, dir).filter(col("est_sim") >= 0.9))
 
   private val minhashMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
 
   val qMinhashLsh: QuerySpec = QuerySpec(
     "q_minhash_lsh",
