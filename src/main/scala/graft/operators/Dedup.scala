@@ -43,9 +43,15 @@ object Dedup {
     * @return (id, comp) for every node that appears in a pair, where
     *         comp = min node id of the component
     */
+  /** @param pairsDistinct callers whose pair list is already
+    *   normalized (u &lt; v) and deduplicated — true for every LSH/PPJoin
+    *   pair artifact in this engine — can skip the defensive distinct,
+    *   saving one full shuffle of the edge volume
+    */
   def connectedComponents(pairs: DataFrame, src: String = "doc1",
                           dst: String = "doc2", maxIters: Int = 25,
-                          jumpsPerRound: Int = 2): DataFrame = {
+                          jumpsPerRound: Int = 2,
+                          pairsDistinct: Boolean = false): DataFrame = {
     // The iterative fixpoint runs at the RDD layer, NOT on DataFrames —
     // a deliberate exception to the DataFrame-first rule, for the same
     // reason GraphX is RDD-based: Catalyst re-analyzes, re-optimizes and
@@ -69,13 +75,12 @@ object Dedup {
     // normalize to u<v BEFORE deduping (half the distinct volume), then
     // double — the two directions are disjoint by construction, so the
     // doubled set needs no second distinct
-    val norm = pairs
+    val norm0 = pairs
       .select(col(src).cast("long"), col(dst).cast("long")).rdd
       .map(r => (r.getLong(0), r.getLong(1)))
       .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
       .filter { case (a, b) => a != b }
-      .distinct()
-    val normK = keep(norm)
+    val normK = keep(if (pairsDistinct) norm0 else norm0.distinct())
     var edgeCount = 2L * normK.count()
     // size the pinned round partitioner from the measured edge count
     // (~100k edges per partition): a fixture-scale graph runs 4-task
@@ -219,7 +224,8 @@ object Dedup {
     clusterMemo.getOrElseUpdate((spark, dir, threshold), {
       val pairs = TextOps.jaccardPairs(spark, dir, threshold)
         .select("doc1", "doc2")
-      connectedComponents(pairs).localCheckpoint()
+      // PPJoin pairs are doc1<doc2 and deduplicated by construction
+      connectedComponents(pairs, pairsDistinct = true).localCheckpoint()
     })
 
   private val minhashClusterMemo =
@@ -237,7 +243,8 @@ object Dedup {
       val pairs = TextOps.minhashPairs(spark, dir)
         .filter(col("est_sim") >= minSim)
         .select("doc1", "doc2")
-      connectedComponents(pairs).localCheckpoint()
+      // LSH candidate pairs are doc1<doc2 and deduplicated by construction
+      connectedComponents(pairs, pairsDistinct = true).localCheckpoint()
     })
 
   /** Cluster ids over the exact-jaccard near-dup graph. */
