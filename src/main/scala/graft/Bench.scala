@@ -47,9 +47,11 @@ object Bench {
       "minhash_cc_build" ->
         (() => { graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count(); () })
     ).map { case (name, f) => name -> time(f()) }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
-        time(try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () })
+        time(try { fn(spark, sfDir).count(); () }
+             catch { case _: Throwable => failed += name; () })
       }
       name -> median(ts)
     }
@@ -57,9 +59,10 @@ object Bench {
       .mkString("{", ",", "}")
     val st = setup.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""setup":$st,"reps":$reps,"sf":"$sfDir"}""")
+      s""""setup":$st,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

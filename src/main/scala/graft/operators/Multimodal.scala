@@ -422,19 +422,27 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** JPEG media table: one synthetic gradient per document id. */
-  def jpegMedia(spark: SparkSession, dir: String): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("payload", BinaryType),
-      StructField("mime", StringType))))
-    Tables.load(spark, dir, "documents").select("doc_id").mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        Row(id, syntheticJpeg(id), "image/jpeg")
-      }
-    }(enc)
-  }
+  /** JPEG media table: one synthetic gradient per document id. Memoized
+    * per (session, dir): payload synthesis + encoding is fixture
+    * CREATION (in production the JPEG bytes are the input), so the
+    * decode-path queries shouldn't re-pay it every invocation.
+    */
+  def jpegMedia(spark: SparkSession, dir: String): DataFrame =
+    jpegMemo.getOrElseUpdate((spark, dir), {
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("payload", BinaryType),
+        StructField("mime", StringType))))
+      Tables.load(spark, dir, "documents").select("doc_id").mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, syntheticJpeg(id), "image/jpeg")
+        }
+      }(enc).localCheckpoint()
+    })
+
+  private val jpegMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** REAL image decoder for any ImageIO-supported container (JPEG, PNG,
     * BMP, GIF): same feature surface as [[decodePpm]] — dimensions,
