@@ -53,14 +53,16 @@ object Bench {
         time(try { fn(spark, sfDir).count(); () }
              catch { case _: Throwable => failed += name; () })
       }
-      name -> median(ts)
+      // a failed query's fail-fast elapsed time is not a measurement:
+      // record the -1 sentinel and keep it out of the total
+      name -> (if (failed.contains(name)) -1.0 else median(ts))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val st = setup.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""setup":$st,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

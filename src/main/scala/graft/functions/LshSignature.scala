@@ -27,9 +27,13 @@ case class LshSignature(child: Expression, numPlanes: Int)
   private val seed = 42L
   private val mod = 2000001L
 
+  // per-plane base hashes depend only on (numPlanes, seed): computed
+  // once, not per row — and embedded as literals in the generated code
+  @transient private lazy val bases: Array[Long] =
+    Array.tabulate(numPlanes)(p => XXH64.hashInt(p, seed))
+
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val bases = Array.tabulate(numPlanes)(p => XXH64.hashInt(p, seed))
     val dots = new Array[Double](numPlanes)
     var j = 0
     while (j < v.numElements()) {
@@ -53,25 +57,25 @@ case class LshSignature(child: Expression, numPlanes: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val bases = ctx.freshName("bases")
       val dots = ctx.freshName("dots")
       val j = ctx.freshName("j")
       val p = ctx.freshName("p")
       val xj = ctx.freshName("xj")
       val m = ctx.freshName("m")
       val sig = ctx.freshName("sig")
+      // plane bases are compile-time constants: one shared field per
+      // generated class, initialized once (not per row)
+      val basesInit = bases.map(b => s"${b}L").mkString("{", ", ", "}")
+      val basesRef = ctx.addMutableState("long[]", "lshBases",
+        v => s"$v = new long[] $basesInit;", forceInline = false,
+        useFreshName = true)
       s"""
-        |long[] $bases = new long[$numPlanes];
         |double[] $dots = new double[$numPlanes];
-        |for (int $p = 0; $p < $numPlanes; $p++) {
-        |  $bases[$p] = org.apache.spark.sql.catalyst.expressions.XXH64
-        |    .hashInt($p, ${seed}L);
-        |}
         |for (int $j = 0; $j < $a.numElements(); $j++) {
         |  double $xj = (double) $a.getFloat($j);
         |  for (int $p = 0; $p < $numPlanes; $p++) {
         |    long $m = ((org.apache.spark.sql.catalyst.expressions.XXH64
-        |      .hashInt($j, $bases[$p]) % ${mod}L) + ${mod}L) % ${mod}L;
+        |      .hashInt($j, $basesRef[$p]) % ${mod}L) + ${mod}L) % ${mod}L;
         |    $dots[$p] += $xj * (((double) ($m - 1000000L)) / 1000000.0);
         |  }
         |}

@@ -68,6 +68,16 @@ object Dedup {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
+    // contract: endpoints are non-null integral ids (the long fast path
+    // is what keeps round shuffles 16 bytes/row). Checked at plan time —
+    // a string-id caller gets this error, not an executor NPE mid-job.
+    Seq(src, dst).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents: column '$c' must be an integral id type, " +
+          s"got ${dt.simpleString}")
+    }
     val persisted = scala.collection.mutable.ListBuffer.empty[RDD[_]]
     def keep[T](r: RDD[T]): RDD[T] = {
       persisted += r.persist(StorageLevel.MEMORY_AND_DISK); r
@@ -162,10 +172,13 @@ object Dedup {
       resolved = j.map(t => (t._1, t._3))
       rIter += 1
     }
-    val out = resolved.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize before dropping the intermediates below
+    // one eager checkpoint of the (small) result — a single shallow
+    // Catalyst plan, NOT in the loop — makes the returned frame
+    // self-contained so every intermediate RDD can be dropped (no cache
+    // leak per invocation)
+    val outDf = resolved.toDF("id", "comp").localCheckpoint()
     persisted.foreach(_.unpersist(blocking = false))
-    out.toDF("id", "comp")
+    outDf
   }
 
   /** Collapse a near-dup pair graph to one kept row per cluster: the
@@ -173,8 +186,10 @@ object Dedup {
     * untouched. Output schema = input schema.
     */
   def keepRepresentative(df: DataFrame, pairs: DataFrame,
-                         idCol: String = "doc_id"): DataFrame =
-    keepRepresentativeWith(df, connectedComponents(pairs), idCol)
+                         idCol: String = "doc_id",
+                         pairsDistinct: Boolean = false): DataFrame =
+    keepRepresentativeWith(df,
+      connectedComponents(pairs, pairsDistinct = pairsDistinct), idCol)
 
   /** Collapse with a precomputed (id, comp) cluster map — the shared
     * implementation behind every keep-one path (so the representative
@@ -224,8 +239,9 @@ object Dedup {
     clusterMemo.getOrElseUpdate((spark, dir, threshold), {
       val pairs = TextOps.jaccardPairs(spark, dir, threshold)
         .select("doc1", "doc2")
-      // PPJoin pairs are doc1<doc2 and deduplicated by construction
-      connectedComponents(pairs, pairsDistinct = true).localCheckpoint()
+      // PPJoin pairs are doc1<doc2 and deduplicated by construction;
+      // the result frame is already checkpointed by connectedComponents
+      connectedComponents(pairs, pairsDistinct = true)
     })
 
   private val minhashClusterMemo =
@@ -243,8 +259,9 @@ object Dedup {
       val pairs = TextOps.minhashPairs(spark, dir)
         .filter(col("est_sim") >= minSim)
         .select("doc1", "doc2")
-      // LSH candidate pairs are doc1<doc2 and deduplicated by construction
-      connectedComponents(pairs, pairsDistinct = true).localCheckpoint()
+      // LSH candidate pairs are doc1<doc2 and deduplicated by
+      // construction; result frame checkpointed by connectedComponents
+      connectedComponents(pairs, pairsDistinct = true)
     })
 
   /** Cluster ids over the exact-jaccard near-dup graph. */
@@ -336,7 +353,9 @@ object Dedup {
           col("a.embedding"), col("b.embedding")), 6))
         .filter(col("sim") >= 0.6)
         .select(col("a.vec_id").as("doc1"), col("b.vec_id").as("doc2"))
-      keepRepresentative(e.select("vec_id", "label"), pairs, idCol = "vec_id")
+      // a.vec_id < b.vec_id over distinct rows → pairs unique by construction
+      keepRepresentative(e.select("vec_id", "label"), pairs, idCol = "vec_id",
+        pairsDistinct = true)
         .groupBy("label")
         .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_vec"))
         .orderBy("label")

@@ -24,42 +24,20 @@ object SqlEntry {
       spark.sql(sql)
     })
 
-  /** TPC-H Q5-analogue flagship through the SQL parser (same oracle as
-    * q5_region_revenue).
+  /** TPC-H Q5-analogue flagship through the SQL parser — the SQL text IS
+    * the DSL twin's oracle string (referenced, not copied, so the two
+    * entries can never drift apart).
     */
   val q5Sql: QuerySpec = viaSql(
-    "q5_region_revenue_sql",
-    """SELECT n.n_name, round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
-      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
-      JOIN customer c ON c.c_nationkey = n.n_nationkey
-      JOIN orders o ON o.o_custkey = c.c_custkey
-      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-      WHERE r.r_name IN ('ASIA','EUROPE')
-        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
-      GROUP BY n.n_name ORDER BY revenue DESC, n_name""")
+    "q5_region_revenue_sql", Relational.q5RegionRevenue.oracle.get)
 
-  /** Ranking windows via the SQL WINDOW clause (same oracle as
-    * q_window_rank).
-    */
+  /** Ranking windows via the SQL WINDOW clause (q_window_rank's oracle). */
   val qWindowRankSql: QuerySpec = viaSql(
-    "q_window_rank_sql",
-    """SELECT * FROM (
-        SELECT o_custkey, o_orderkey, o_totalprice,
-          row_number() OVER w AS rn,
-          rank()       OVER w2 AS rk,
-          dense_rank() OVER w2 AS drk
-        FROM orders
-        WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
-               w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
-      ) WHERE rn <= 3 ORDER BY o_custkey, rn""")
+    "q_window_rank_sql", Relational.qWindowRank.oracle.get)
 
-  /** Set operation through the SQL path (same oracle as q_union_all). */
+  /** Set operation through the SQL path (q_union_all's oracle). */
   val qUnionAllSql: QuerySpec = viaSql(
-    "q_union_all_sql",
-    """SELECT 'cust' AS src, c_nationkey AS nkey FROM customer
-      UNION ALL SELECT 'supp' AS src, s_nationkey AS nkey FROM supplier
-      ORDER BY src, nkey""")
+    "q_union_all_sql", Relational.qUnionAll.oracle.get)
 
   def specs: Seq[QuerySpec] = Seq(q5Sql, qWindowRankSql, qUnionAllSql)
 }

@@ -20,4 +20,15 @@ class SplitsSpec extends AnyFunSuite {
     val (train2, _) = Splits.trainTest(docs, "doc_id", testPct = 20)
     assert(train2.select("doc_id").exceptAll(train.select("doc_id")).count() === 0)
   }
+
+  test("portable split is disjoint, exhaustive, stable, and ~80/20") {
+    val docs = Tables.load(spark, sf, "documents")
+    val (train, test) = Splits.trainTestPortable(docs, "doc_id", testPct = 20)
+    val nTrain = train.count(); val nTest = test.count()
+    assert(nTrain + nTest === docs.count())
+    assert(train.select("doc_id").intersect(test.select("doc_id")).count() === 0)
+    assert(nTest > 50 && nTest < 150, s"test size $nTest")
+    val (train2, _) = Splits.trainTestPortable(docs, "doc_id", testPct = 20)
+    assert(train2.select("doc_id").exceptAll(train.select("doc_id")).count() === 0)
+  }
 }
