@@ -213,7 +213,7 @@ object TextOps {
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     pairsMemo.getOrElseUpdate((spark, dir, threshold),
-      jaccardPairsUncached(spark, dir, threshold).localCheckpoint())
+      jaccardPairsUncached(spark, dir, threshold)) // already checkpointed
 
   // JVM-lifetime scope by design: one entry per (session, dir,
   // threshold), sized for this engine's one-job-per-JVM process model.
@@ -227,7 +227,12 @@ object TextOps {
     GraftFunctions.register(spark)
     val docs0 = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), array_distinct(tokens(col("text"))).as("toks"))
-    val inv0 = docs0.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+    // the inverted list feeds two consumers (df counts for the
+    // dictionary, the id re-join): cache for the build, drop after the
+    // checkpointed result below is materialized
+    val inv0 = docs0
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .cache()
     // dictionary-encode tokens as ints, id order = (df asc, token): a
     // doc's sorted id array is then simultaneously rarest-first (for the
     // prefix) and canonically sorted (for merge-intersect verification).
@@ -252,13 +257,17 @@ object TextOps {
         org.apache.spark.sql.types.StructField("tid",
           org.apache.spark.sql.types.IntegerType))))
     // plain shuffle join, not an explicit vocab broadcast: AQE promotes
-    // it to a broadcast join when the dictionary is actually small
+    // it to a broadcast join when the dictionary is actually small.
+    // Cached: three consumers (prefix explode + both verification
+    // sides), and the plan embeds the zipWithIndex dictionary — without
+    // the cache each consumer re-runs the dictionary sort + re-join.
     val docs = inv0.join(ids, "tok")
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .withColumn("n_toks", size(col("tids")))
       .withColumn("plen",
         (col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1).cast("int"))
+      .cache()
     val prefix = docs.select(col("doc_id"), col("lang"), col("n_toks"),
       explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))
     // length-ratio pruning in the candidate join: jaccard >= t forces
@@ -275,12 +284,18 @@ object TextOps {
                          col("n_toks").as("n1"))
     val t2 = docs.select(col("doc_id").as("doc2"), col("tids").as("tids2"),
                          col("n_toks").as("n2"))
-    cands.join(t1, "doc1").join(t2, "doc2")
-      .withColumn("common", GraftFunctions.sortedIntIntersectCount(col("tids1"), col("tids2")))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc1", "doc2", "jaccard")
+    try {
+      cands.join(t1, "doc1").join(t2, "doc2")
+        .withColumn("common", GraftFunctions.sortedIntIntersectCount(col("tids1"), col("tids2")))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+        .localCheckpoint() // materializes while inv0/docs are cached
+    } finally {
+      inv0.unpersist(blocking = false)
+      docs.unpersist(blocking = false)
+    }
   }
 
   // --- MinHash + LSH banding (no SQL oracle: hash functions are
@@ -312,33 +327,39 @@ object TextOps {
   /** The LSH banding pipeline over any (doc_id, toks) frame: signatures
     * → band hashes → bucket self-join → shuffle-join signature re-attach
     * → estimated similarity. Shared by the token-set and shingle
-    * variants.
+    * variants. EAGER: the signature table feeds three consumers (bands
+    * + both re-attach sides), so it is cached for the build and dropped
+    * once the checkpointed result is materialized — without this the
+    * corpus is re-tokenized and re-hashed three times per build.
     */
   def minhashPairsOver(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val sigs = minhashSignatures(docs)
-    val rowsPerBand = numHashes / numBands
-    val bands = sigs.select(col("doc_id"),
-        posexplode(array((0 until numBands).map { b =>
-          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-        }: _*)).as(Seq("band", "bhash")))
-    val cands = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-    // estimated sim = fraction of agreeing signature components;
-    // signatures re-attach via plain shuffle joins on the id-keyed,
-    // deduped pairs — NOT broadcast: the signature table is
-    // corpus-sized (one 64-long array per document), so broadcasting
-    // it is an OOM at 100 TB (VERDICT r1 scale-killer)
-    val s1 = sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1"))
-    val s2 = sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2"))
-    cands.join(s1, Seq("doc1")).join(s2, Seq("doc2"))
-      .withColumn("est_sim",
-        round(GraftFunctions.arrayEqCount(col("sig1"), col("sig2"))
-          .cast("double") / numHashes, 4))
-      .select("doc1", "doc2", "est_sim")
+    val sigs = minhashSignatures(docs).cache()
+    try {
+      val rowsPerBand = numHashes / numBands
+      val bands = sigs.select(col("doc_id"),
+          posexplode(array((0 until numBands).map { b =>
+            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          }: _*)).as(Seq("band", "bhash")))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      // estimated sim = fraction of agreeing signature components;
+      // signatures re-attach via plain shuffle joins on the id-keyed,
+      // deduped pairs — NOT broadcast: the signature table is
+      // corpus-sized (one 64-long array per document), so broadcasting
+      // it is an OOM at 100 TB (VERDICT r1 scale-killer)
+      val s1 = sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1"))
+      val s2 = sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2"))
+      cands.join(s1, Seq("doc1")).join(s2, Seq("doc2"))
+        .withColumn("est_sim",
+          round(GraftFunctions.arrayEqCount(col("sig1"), col("sig2"))
+            .cast("double") / numHashes, 4))
+        .select("doc1", "doc2", "est_sim")
+        .localCheckpoint() // materializes while sigs is cached
+    } finally sigs.unpersist(blocking = false)
   }
 
   /** LSH candidate pairs with minhash-estimated similarity — memoized
@@ -350,7 +371,7 @@ object TextOps {
       GraftFunctions.register(spark) // idempotent; covers sessions without GraftExtensions
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      minhashPairsOver(docs).localCheckpoint()
+      minhashPairsOver(docs) // already checkpointed
     })
 
   /** Shingle-variant candidate pairs — memoized as a derive-once
@@ -364,7 +385,7 @@ object TextOps {
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
           array_distinct(shingles(tokens(col("text")))).as("toks"))
-      minhashPairsOver(docs).localCheckpoint()
+      minhashPairsOver(docs) // already checkpointed
     })
 
   /** Overlapping w-token shingles, space-joined — the ORDER-SENSITIVE
