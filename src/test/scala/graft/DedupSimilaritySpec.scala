@@ -103,6 +103,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(short === Seq("x y"))
   }
 
+  test("shingle minhash estimates exact shingle jaccard within 0.2") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(
+          split(trim(col("text")), " +"))).as("sh"))
+    val sigs = TextOps.minhashSignatures(docs.withColumnRenamed("sh", "toks"))
+    // exact shingle jaccard for a small fixed pair set, computed from
+    // the same shingle arrays the signatures hash
+    val a = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val b = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("doc2"), col("sh").as("sh2"))
+    val exact = a.join(b, col("doc1") < col("doc2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+    val est = exact
+      .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), Seq("doc1"))
+      .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), Seq("doc2"))
+      .withColumn("est",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / TextOps.numHashes)
+      .select("jac", "est").collect()
+    assert(est.nonEmpty)
+    est.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.2,
+        s"jac=${r.getDouble(0)} est=${r.getDouble(1)}"))
+  }
+
   test("fused LshSignature expression = functional composition, bit for bit") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, sf, "embeddings")
