@@ -90,6 +90,32 @@ object Extended {
         .orderBy("l_returnflag")
     })
 
+  // --- approx percentile (t-digest-style sketch) — same hash-green
+  //     error-bound pattern as q_approx_distinct: the sketch value is
+  //     engine-specific, so the oracle checks the EXACT quantiles plus
+  //     an in-engine contract that the approximation landed between the
+  //     exact p±0.01 quantiles (accuracy 10000 → rank error 1e-4,
+  //     comfortably inside the band). ---
+  val qApproxPercentile: QuerySpec = QuerySpec(
+    "q_approx_percentile",
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.49), 4) AS med_lo,
+      round(quantile_cont(l_extendedprice, 0.51), 4) AS med_hi,
+      true AS within_bound
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"),
+             expr("percentile(l_extendedprice, 0.49)").as("lo"),
+             expr("percentile(l_extendedprice, 0.51)").as("hi"))
+        .select(col("l_returnflag"),
+          round(col("lo"), 4).as("med_lo"),
+          round(col("hi"), 4).as("med_hi"),
+          col("ap").between(col("lo"), col("hi")).as("within_bound"))
+        .orderBy("l_returnflag")
+    })
+
   // --- GROUPING SETS (beyond MySQL's ROLLUP-only surface) ---
   val qGroupingSets: QuerySpec = QuerySpec(
     "q_grouping_sets",
@@ -382,7 +408,8 @@ object Extended {
     })
 
   def specs: Seq[QuerySpec] = Seq(
-    qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qGroupingSets,
+    qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qApproxPercentile,
+    qGroupingSets,
     qCollationCi, qCorrRegr, qWordCount, qArrayFns, qHashFns, qNullLogic,
     qMapFns, qIntersectAll, qExceptAll, qRegexp, qDateArith, qStringMore,
     qArrayMore)
