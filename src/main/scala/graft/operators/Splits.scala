@@ -135,6 +135,36 @@ object Splits {
         .orderBy("fold")
     })
 
+  /** Deterministic WEIGHTED sampling: keep-probability proportional to a
+    * per-row quality weight (the training-mix shape: upsample clean
+    * text, downsample boilerplate) — still a pure function of the data
+    * via the portable hash, so the exact member set is oracle-checked
+    * like the uniform variants.
+    */
+  val qSampleWeighted: QuerySpec = QuerySpec(
+    "q_sample_weighted",
+    Some("""SELECT lang, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM (SELECT lang, doc_id FROM documents
+        WHERE CAST(('0x' || substr(md5('graft-sample-v1' || '|' ||
+          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 <
+          CAST(least(100, ceil(100.0 *
+            CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+            / length(text))) AS BIGINT))
+      GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      // weight = alpha ratio (same quality signal as q_text_quality):
+      // keep-rate percentage = ceil(100 * alpha), capped at 100
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+        length(col("text"))
+      val rate = least(lit(100), ceil(lit(100.0) * alpha)).cast("long")
+      Tables.load(spark, dir, "documents")
+        .filter(portableBucket(col("doc_id").cast("string")) < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qTrainTestSplit, qSampleHash, qSampleStratified, qKfold)
+    Seq(qTrainTestSplit, qSampleHash, qSampleStratified, qSampleWeighted,
+        qKfold)
 }

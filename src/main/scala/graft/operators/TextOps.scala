@@ -455,6 +455,35 @@ object TextOps {
         .orderBy("s1", "s2")
     })
 
+  // --- token-budget packing: fill a per-language token budget in a
+  //     deterministic order (the "assemble a training mix of N tokens
+  //     per language" shape) — a running-sum window + filter, so the
+  //     kept set is exact and oracle-checked. One shuffle on the
+  //     partition key; at 100 TB the order key would be a quality score
+  //     instead of doc_id, same plan. ---
+  val qTokenBudget: QuerySpec = QuerySpec(
+    "q_token_budget",
+    Some("""SELECT lang, count(*) AS n_docs,
+      CAST(max(cum) AS BIGINT) AS tokens_used,
+      CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM (SELECT lang, doc_id,
+        sum(len(regexp_split_to_array(trim(text), ' +')))
+          OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        FROM documents)
+      WHERE cum <= 20000
+      GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.load(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          sum(size(tokens(col("text"))).cast("long")).over(w).as("cum"))
+        .filter(col("cum") <= 20000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), max("cum").as("tokens_used"),
+          max("doc_id").as("last_doc"))
+        .orderBy("lang")
+    })
+
   // --- SimHash (64-bit) — one codegen'd expression per row, no shuffle ---
   def simhash(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -473,5 +502,5 @@ object TextOps {
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qEditDistance, qMinhashLsh,
-    qMinhashShingle, qSimhash)
+    qMinhashShingle, qSimhash, qTokenBudget)
 }
