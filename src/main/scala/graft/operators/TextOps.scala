@@ -499,8 +499,46 @@ object TextOps {
       simhash(docs).orderBy("doc_id")
     })
 
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, banded
+    * by 16-bit chunks: a pair within Hamming 3 differs in at most 3 of
+    * the 4 chunks, so BY PIGEONHOLE it agrees on at least one — the
+    * candidate join is an equi-join on (chunk index, chunk value), never
+    * an all-pairs compare, and recall is exactly 1 (proved in
+    * DedupSimilaritySpec against a brute-force sample). Verification is
+    * exact `bit_count(xor)`.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs) // (doc_id, simhash)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("chunk", "cval")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc1", "doc2", "hamming")
+  }
+
+  /** The simhash dedup surface: near-dup pairs at Hamming ≤ 3.
+    * Rows-only (engine-specific hashing); exact-recall property in
+    * DedupSimilaritySpec.
+    */
+  val qSimhashPairs: QuerySpec = QuerySpec(
+    "q_simhash_pairs",
+    None,
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      simhashPairs(docs).orderBy("doc1", "doc2")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qEditDistance, qMinhashLsh,
-    qMinhashShingle, qSimhash, qTokenBudget)
+    qMinhashShingle, qSimhash, qSimhashPairs, qTokenBudget)
 }

@@ -143,6 +143,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cmp.count() > 0)
   }
 
+  test("banded simhash pairs = brute-force hamming pairs (recall exactly 1)") {
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), array_distinct(split(trim(col("text")), " +")).as("toks"))
+    val sh = TextOps.simhash(docs)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"), col("hamming"))
+    val banded = TextOps.simhashPairs(docs)
+    // pigeonhole: hamming<=3 over 4 chunks forces >=1 equal chunk, so the
+    // banded candidate set loses NOTHING vs brute force — exact equality
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+    assert(brute.count() === banded.count())
+  }
+
   test("exact dedup keeps exactly one row per (lang, source)") {
     val kept = TextOps.qDedupExact.run(spark, sf)
     val keys = Tables.load(spark, sf, "documents").select("lang", "source").distinct().count()
