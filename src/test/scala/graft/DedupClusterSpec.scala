@@ -37,6 +37,34 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(comps.forall(_.getLong(1) == 0L))
   }
 
+  test("CC job count stays bounded (no per-iteration job storm)") {
+    // the r2 implementation issued ~5 materializing actions per round
+    // plus per-jump probes (a job storm that was ~1/3 of bench time);
+    // the rewrite's contract is ONE job per round + setup/resolution.
+    // Guard it with a listener so a regression fails loudly.
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 32-node path: adversarial chain shape, ~log rounds
+      val pairs = pairsDf((0L until 31L).map(i => (i, i + 1)): _*)
+      val comps = Dedup.connectedComponents(pairs)
+      assert(comps.count() === 32)
+      // listener events are async; a short drain keeps the count stable
+      Thread.sleep(500)
+      // budget: 1 initial count + <=rounds counts + resolution rounds +
+      // final checkpoint + the consuming count; a path of 32 closes in
+      // ~4 rounds with 2 jumps/round, so 20 is generous — the r2 storm
+      // was 35+ on this shape
+      assert(counter.get() <= 20, s"jobs=${counter.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("keepRepresentative keeps min-id per cluster plus all singletons") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
