@@ -43,13 +43,22 @@ class DedupClusterSpec extends AnyFunSuite {
     // the rewrite's contract is ONE job per round + setup/resolution.
     // Guard it with a listener so a regression fails loudly.
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val group = "cc-job-count-guard"
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        counter.incrementAndGet(); ()
+        // scope to this test's job group: sbt may run other suites
+        // concurrently on the shared session, and their jobs must not
+        // inflate the count
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) {
+          counter.incrementAndGet()
+        }
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "cc job-count guard")
     try {
       // 32-node path: adversarial chain shape, ~log rounds
       val pairs = pairsDf((0L until 31L).map(i => (i, i + 1)): _*)
@@ -62,7 +71,10 @@ class DedupClusterSpec extends AnyFunSuite {
       // ~4 rounds with 2 jumps/round, so 20 is generous — the r2 storm
       // was 35+ on this shape
       assert(counter.get() <= 20, s"jobs=${counter.get()}")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("keepRepresentative keeps min-id per cluster plus all singletons") {
