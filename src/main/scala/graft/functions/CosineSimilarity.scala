@@ -93,8 +93,17 @@ object GraftFunctions {
       SIMHASH64, exprs => Simhash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       MINHASH_SIG, exprs => MinhashSignature(exprs.head, 64), "built-in")
+    // optional second arg = plane count (foldable int literal); the
+    // expression is general, so the registration is too (ADVICE r3) —
+    // default 8 preserves the existing one-arg SQL surface
     reg.createOrReplaceTempFunction(
-      LSH_SIG, exprs => LshSignature(exprs.head, 8), "built-in")
+      LSH_SIG, exprs => LshSignature(exprs.head,
+        if (exprs.length > 1) exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"$LSH_SIG: plane count must be an integer literal, got $other")
+        } else 8), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function(COSINE_SIM, a, b)
@@ -113,6 +122,7 @@ object GraftFunctions {
   /** 64-hash minhash signature (array<long>). */
   def minhashSignature(tokens: Column): Column = call_function(MINHASH_SIG, tokens)
 
-  /** 8-plane random-hyperplane LSH bucket (long). */
-  def lshSignature(vec: Column): Column = call_function(LSH_SIG, vec)
+  /** Random-hyperplane LSH bucket (long), `numPlanes` sign bits. */
+  def lshSignature(vec: Column, numPlanes: Int = 8): Column =
+    call_function(LSH_SIG, vec, org.apache.spark.sql.functions.lit(numPlanes))
 }

@@ -48,10 +48,19 @@ object Dedup {
     *   pair artifact in this engine — can skip the defensive distinct,
     *   saving one full shuffle of the edge volume
     */
+  /** @param checkpointEvery &gt; 0 → truncate the edge RDD's lineage to
+    *   durable storage every N rounds via `RDD.checkpoint()` (requires
+    *   `sparkContext.setCheckpointDir`, set here from `checkpointDir` if
+    *   given). On a cluster this is what bounds recovery cost: without
+    *   it, losing a cached partition in round k replays all k rounds
+    *   of contraction. 0 (default) = cache-only, fine for short jobs.
+    */
   def connectedComponents(pairs: DataFrame, src: String = "doc1",
                           dst: String = "doc2", maxIters: Int = 25,
                           jumpsPerRound: Int = 2,
-                          pairsDistinct: Boolean = false): DataFrame = {
+                          pairsDistinct: Boolean = false,
+                          checkpointEvery: Int = 0,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // The iterative fixpoint runs at the RDD layer, NOT on DataFrames —
     // a deliberate exception to the DataFrame-first rule, for the same
     // reason GraphX is RDD-based: Catalyst re-analyzes, re-optimizes and
@@ -68,9 +77,12 @@ object Dedup {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
-    // contract: endpoints are non-null integral ids (the long fast path
-    // is what keeps round shuffles 16 bytes/row). Checked at plan time —
-    // a string-id caller gets this error, not an executor NPE mid-job.
+    // contract: endpoints are integral ids (the long fast path is what
+    // keeps round shuffles 16 bytes/row). The TYPE is checked at plan
+    // time — a string-id caller gets this error, not an executor error
+    // mid-job; NULL endpoints are row-level and filtered below (a null
+    // id cannot join anything, so dropping the edge is the only
+    // semantics that makes sense — and it keeps getLong NPE-free).
     Seq(src, dst).foreach { c =>
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val dt = pairs.schema(c).dataType
@@ -78,6 +90,11 @@ object Dedup {
         s"connectedComponents: column '$c' must be an integral id type, " +
           s"got ${dt.simpleString}")
     }
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val doCheckpoint = checkpointEvery > 0
+    require(!doCheckpoint || spark.sparkContext.getCheckpointDir.nonEmpty,
+      "connectedComponents: checkpointEvery > 0 needs a checkpoint dir " +
+        "(pass checkpointDir or call sparkContext.setCheckpointDir)")
     val persisted = scala.collection.mutable.ListBuffer.empty[RDD[_]]
     def keep[T](r: RDD[T]): RDD[T] = {
       persisted += r.persist(StorageLevel.MEMORY_AND_DISK); r
@@ -87,6 +104,7 @@ object Dedup {
     // doubled set needs no second distinct
     val norm0 = pairs
       .select(col(src).cast("long"), col(dst).cast("long")).rdd
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.getLong(0), r.getLong(1)))
       .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
       .filter { case (a, b) => a != b }
@@ -148,8 +166,13 @@ object Dedup {
         .filter { case (a, b) => a != b }
         .distinct()
         .partitionBy(part))
-      // ONE action per round; on a cluster, checkpoint `edges` to
-      // durable storage every few rounds instead of relying on cache.
+      // durable checkpoint every N rounds (opt-in): marked BEFORE the
+      // round's action so the checkpoint job that follows it reads the
+      // just-cached partitions (no recompute of the round), truncating
+      // lineage so losing an executor late in the fixpoint replays at
+      // most `checkpointEvery` rounds, not all of them
+      if (doCheckpoint && (iter + 1) % checkpointEvery == 0) edges.checkpoint()
+      // ONE action per round — the contracted-edge count / termination probe
       edgeCount = edges.count()
       iter += 1
     }

@@ -103,10 +103,8 @@ object VectorOps {
     * bucket assignments are identical ([[lshSignatureReference]] + the
     * VectorSpec parity test pin that).
     */
-  def lshSignature(v: Column, numPlanes: Int): Column = {
-    require(numPlanes == 8, "registered LshSignature expression is 8-plane")
-    GraftFunctions.lshSignature(v)
-  }
+  def lshSignature(v: Column, numPlanes: Int): Column =
+    GraftFunctions.lshSignature(v, numPlanes)
 
   /** The original functional composition, kept ONLY as the parity oracle
     * for the fused expression (test use).

@@ -64,8 +64,10 @@ class DedupClusterSpec extends AnyFunSuite {
       val pairs = pairsDf((0L until 31L).map(i => (i, i + 1)): _*)
       val comps = Dedup.connectedComponents(pairs)
       assert(comps.count() === 32)
-      // listener events are async; a short drain keeps the count stable
-      Thread.sleep(500)
+      // listener events are async; drain the bus deterministically
+      // (fixed sleeps both undercount under load and add latency)
+      org.apache.spark.GraftTestAccess.waitUntilListenerBusEmpty(
+        spark.sparkContext, 30000)
       // budget: 1 initial count + <=rounds counts + resolution rounds +
       // final checkpoint + the consuming count; a path of 32 closes in
       // ~4 rounds with 2 jumps/round, so 20 is generous — the r2 storm
@@ -75,6 +77,45 @@ class DedupClusterSpec extends AnyFunSuite {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  test("durable checkpointing changes nothing but the lineage") {
+    // the cluster posture (SCALE.md): checkpoint edges every few rounds
+    // so executor loss late in the fixpoint replays a bounded number of
+    // rounds. The knob must be a pure performance/durability choice —
+    // identical labels with it on, on an adversarial (deep) graph that
+    // actually crosses several checkpoint boundaries.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    try {
+      val pairs = pairsDf(((0L until 63L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (101L, 102L))): _*)
+      val plain = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ckpt = Dedup.connectedComponents(pairs,
+          checkpointEvery = 2, checkpointDir = Some(dir.getAbsolutePath))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ckpt === plain)
+      // and the checkpoint actually wrote something durable
+      def anyFiles(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(anyFiles))
+      assert(anyFiles(dir), "checkpointEvery=2 wrote no checkpoint data")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("null-endpoint pairs are dropped, not an executor NPE") {
+    import spark.implicits._
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None),
+      (Some(4L), Some(5L))).toDF("doc1", "doc2")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 appears only in a null edge → not in the graph at all
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
   test("keepRepresentative keeps min-id per cluster plus all singletons") {
