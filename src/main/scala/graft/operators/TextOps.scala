@@ -412,6 +412,71 @@ object TextOps {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
+  /** MinHash-LSH containment contract, oracle-checked (VERDICT r3 item 1
+    * — the `q_cosine_topk_ivf_exact` move applied to LSH): the oracle is
+    * the EXACT pair set at jaccard ≥ 0.95 (well above the 8×8 banding
+    * threshold ~0.77, where candidate probability is ≥ 1-(1-0.95⁸)⁸ ≈
+    * 0.9998 per pair), and the Spark side emits exactly those of the
+    * exact pairs that the LSH banding surfaced as candidates (semi-join
+    * against the RAW candidate set, no est_sim filter — estimation noise
+    * must not mask a banding miss). Hash-green therefore MACHINE-CHECKS
+    * recall: any high-similarity pair the banding lost goes missing from
+    * the Spark result and fails the row/hash compare. The exact side
+    * reuses the memoized PPJoin artifact; candidates reuse the memoized
+    * LSH artifact — the query itself is one semi-join over two
+    * derive-once frames.
+    */
+  val qMinhashContain: QuerySpec = QuerySpec(
+    "q_minhash_contain",
+    Some("""WITH t AS (SELECT doc_id, lang,
+        list_distinct(regexp_split_to_array(trim(text), ' +')) AS toks FROM documents)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95
+      ORDER BY doc1, doc2"""),
+    (spark, dir) => {
+      val exact = jaccardPairs(spark, dir, 0.9).filter(col("jaccard") >= 0.95)
+      val cands = minhashPairs(spark, dir).select("doc1", "doc2")
+      exact.join(cands, Seq("doc1", "doc2"), "left_semi")
+        .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc1", "doc2")
+    })
+
+  /** SimHash containment contract, oracle-checked: documents with the
+    * IDENTICAL distinct-token set (equal bag-of-words fingerprint — the
+    * same fp_bow the oracle-green q_text_fingerprint pins) have equal
+    * simhash, i.e. Hamming distance 0, so the banded Hamming ≤ 3 pair
+    * set MUST contain every such pair — deterministically, by the chunk
+    * pigeonhole. The oracle computes the fp_bow-duplicate pairs in
+    * DuckDB; the Spark side semi-joins them against the banded simhash
+    * pairs. A bug anywhere in the chunking / bucket join / dedup
+    * plumbing loses rows and turns the hash red — recall-1 is now a
+    * CORRECTNESS row, not only a sampled spec claim.
+    */
+  val qSimhashContain: QuerySpec = QuerySpec(
+    "q_simhash_contain",
+    Some("""WITH f AS (SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), ' +'))), ' ')) AS fp
+      FROM documents)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      ORDER BY doc1, doc2"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val fp = docs.select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(col("toks")))).as("fp"))
+      val exact = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      exact.join(simhashPairs(docs).select("doc1", "doc2"),
+          Seq("doc1", "doc2"), "left_semi")
+        .orderBy("doc1", "doc2")
+    })
+
   val qMinhashLsh: QuerySpec = QuerySpec(
     "q_minhash_lsh",
     None, // engine-specific hashing; see DedupSimilaritySpec properties
@@ -484,6 +549,52 @@ object TextOps {
         .orderBy("lang")
     })
 
+  // --- token-budget packing, QUALITY-ordered (VERDICT r3 item 7): the
+  //     production shape — fill each language's budget with the
+  //     highest-quality documents first. Order key is the ROUNDED
+  //     quality score (the exact expression q_text_quality hash-checks
+  //     cross-engine; rounding first keeps the sort key bit-identical in
+  //     both engines) with doc_id as the deterministic tiebreak. Same
+  //     one-shuffle running-sum plan as q_token_budget. ---
+  val qTokenBudgetQuality: QuerySpec = QuerySpec(
+    "q_token_budget_quality",
+    Some(s"""WITH q AS (SELECT doc_id, lang,
+        CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens,
+        round(0.5*(CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+            t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), ' +')))
+          + 0.3*least(len(regexp_split_to_array(trim(text), ' +'))/200.0, 1.0)
+          + 0.2*(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+            / length(text)), 4) AS quality
+        FROM documents),
+      c AS (SELECT lang, doc_id, quality,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS cum
+        FROM q)
+      SELECT lang, count(*) AS n_docs, CAST(max(cum) AS BIGINT) AS tokens_used,
+        round(min(quality), 4) AS min_quality
+      FROM c WHERE cum <= 20000
+      GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      val stopArr = array(stopwords.map(lit): _*)
+      val scored = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          round(lit(0.5) * (size(filter(toks, t => array_contains(stopArr, t)))
+              .cast("double") / size(toks)) +
+            lit(0.3) * least(size(toks) / 200.0, lit(1.0)) +
+            lit(0.2) * (length(regexp_replace(col("text"), "[^a-z]", ""))
+              .cast("double") / length(col("text"))), 4).as("quality"))
+      val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      scored
+        .withColumn("cum", sum("n_tokens").over(w))
+        .filter(col("cum") <= 20000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), max("cum").as("tokens_used"),
+          round(min("quality"), 4).as("min_quality"))
+        .orderBy("lang")
+    })
+
   // --- SimHash (64-bit) — one codegen'd expression per row, no shuffle ---
   def simhash(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -540,5 +651,6 @@ object TextOps {
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qEditDistance, qMinhashLsh,
-    qMinhashShingle, qSimhash, qSimhashPairs, qTokenBudget)
+    qMinhashShingle, qMinhashContain, qSimhash, qSimhashPairs,
+    qSimhashContain, qTokenBudget, qTokenBudgetQuality)
 }
