@@ -436,9 +436,71 @@ object Relational {
         .offset(100).limit(50)
     })
 
+  /** TPC-H Q21-shaped CBO stress (VERDICT r3 item 6): suppliers who were
+    * the SOLE late supplier on a multi-supplier finished order — adapted
+    * to this fixture's columns ("late" = shipped &gt; 60 days after the
+    * order date; classic Q21 uses receipt vs commit dates the fixture
+    * lacks). Six logical relations: lineitem three times (base + the
+    * EXISTS other-supplier probe + the NOT EXISTS other-late-supplier
+    * probe, both as explicit semi/anti joins on l_orderkey), orders
+    * (selective status filter), supplier, nation. The optimizer has real
+    * decisions to make — which lineitem join runs first, what broadcasts
+    * — and PlanSpec guards the shape (dims broadcast, self-joins keyed on
+    * l_orderkey, no cartesian); correctness is DuckDB's EXISTS/NOT
+    * EXISTS evaluation of the same predicate.
+    */
+  val qJoinWaiting: QuerySpec = QuerySpec(
+    "q_join_waiting",
+    Some("""SELECT s.s_name, count(*) AS numwait
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s_name LIMIT 20"""),
+    (spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      // base: this supplier's late lineitems on finished orders (the
+      // o_orderdate column rides along so both probes below can reuse it)
+      val l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.load(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+      // someone ELSE supplied the same order (semi), and nobody else was
+      // late on it (anti — the condition correlates l3 against the outer
+      // row's o_orderdate, exactly the SQL NOT EXISTS)
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("ship3"))
+      l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3")
+          && col("ship3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .join(Tables.load(spark, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(spark, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, qFilterPredicates,
     qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
+    qJoinWaiting,
     qWindowRank, qWindowRunning, qRollup, qCube, qDistinctAgg, qHaving,
     qUnionAll, qIntersect, qExcept, qTopK, qLimitOffset)
 }

@@ -26,6 +26,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("In(r_name, [ASIA,EUROPE])"), p.take(600))
   }
 
+  test("q_join_waiting: dims broadcast, keyed semi/anti self-joins, no nested-loop") {
+    // the Q21-shaped 6-relation query is the CBO stress case: the guard
+    // pins the properties that keep it alive at 100 TB — small dims go
+    // broadcast, the lineitem self-probes stay EQUI-keyed on l_orderkey
+    // (semi + anti with the lateness predicate as a join filter, never a
+    // per-row subquery or nested loop), and nothing plans cartesian.
+    val p = plan(Relational.qJoinWaiting.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.qTopK.run(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
