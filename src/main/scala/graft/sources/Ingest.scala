@@ -74,11 +74,17 @@ object Ingest {
   // --- streaming sources / sinks ---
 
   /** File-based streaming source (new files under `path` become
-    * micro-batches) with declared schema.
+    * micro-batches) with declared schema. `path` may be a glob; when it
+    * does not itself name a directory (e.g. a single-file fixture),
+    * pass the enclosing directory as `basePath` — the source requires a
+    * directory there for partition discovery.
     */
   def readStreamFiles(spark: SparkSession, path: String, schema: StructType,
-                      format: String = "parquet"): DataFrame =
-    spark.readStream.schema(schema).format(format).load(path)
+                      format: String = "parquet",
+                      basePath: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema).format(format)
+    basePath.fold(r)(b => r.option("basePath", b)).load(path)
+  }
 
   /** Exactly-once parquet streaming sink: checkpointed append. */
   def streamToParquet(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -177,7 +177,7 @@ object Tables {
     * `DIV` (integer division) — `/` would go through double and lose
     * precision at 1e18-scale nanosecond epochs.
     */
-  private def withEventTs(df: DataFrame): DataFrame =
+  def withEventTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** Events with `ts` as timestamp — the shape all queries see. */
