@@ -147,6 +147,119 @@ object VectorOps {
       topKLsh(emb, col("vec_id") < 10, 5).orderBy("probe_id", "rk")
     })
 
+  // --- EXACT near-dup pairs without the label-wide self-join (VERDICT
+  //     r3 item 2): LSH cells + triangle-inequality cell-pair pruning.
+  //
+  //     Angular distance θ(a,b) = acos(cos_sim(a,b)) is a metric on the
+  //     unit sphere, so for members a∈A, b∈B of cells with centroids
+  //     c_A, c_B and angular radii r_A, r_B:
+  //       θ(a,b) ≥ θ(c_A,c_B) − r_A − r_B
+  //     ⇒ a cell pair can only contain a pair at θ ≤ θ_t if
+  //       θ(c_A,c_B) ≤ r_A + r_B + θ_t      (the ball-cover bound)
+  //     Every surviving candidate is exact-verified with the same
+  //     cosine expression the oracle checks, so the result set is
+  //     IDENTICAL to the all-pairs join — pruning is a pure plan
+  //     property, never a semantics one. Cells come from the
+  //     deterministic LSH sign signature (directionally coherent by
+  //     construction → small radii → real pruning).
+
+  /** Per-cell stats over (label, bucket): unit-mean centroid + maximum
+    * member angle (radius). Centroid is elementwise mean via
+    * posexplode/groupBy — one shuffle at build, reused for every probe
+    * threshold.
+    */
+  def embedCells(emb: DataFrame, numPlanes: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val unit = {
+      val n = sqrt(aggregate(transform(col("embedding"), x => x.cast("double")),
+        lit(0.0), (acc, x) => acc + x * x))
+      transform(col("embedding"), x => (x.cast("double") / n).cast("float"))
+    }
+    val m = emb.select(col("label"), col("vec_id"),
+      GraftFunctions.lshSignature(col("embedding"), numPlanes).as("bucket"),
+      unit.as("u"))
+    val sums = m.select(col("label"), col("bucket"), posexplode(col("u")))
+      .groupBy("label", "bucket", "pos")
+      .agg(sum("col").as("s"))
+      .groupBy("label", "bucket")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        p => p.getField("s").cast("float")).as("centroid"))
+    // radius from the SAME float-cast arithmetic the verify step uses;
+    // the prune bound adds a generous epsilon so float/double slop can
+    // only ever keep an extra cell pair, never drop a true one
+    // nanvl → -1 (angle π): a degenerate centroid (exactly cancelling
+    // members) must widen the radius to "always qualify", never NaN-poison
+    // the max into silently pruning true pairs
+    m.join(sums, Seq("label", "bucket"))
+      .withColumn("theta", acos(least(greatest(
+        nanvl(GraftFunctions.cosineSim(col("u"), col("centroid")), lit(-1.0)),
+        lit(-1.0)), lit(1.0))))
+      .groupBy("label", "bucket")
+      .agg(first("centroid").as("centroid"), max("theta").as("radius"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /** Cell pairs (b1 ≤ b2, same label) that can possibly hold a pair at
+    * cosine ≥ `threshold` — the ball-cover bound above, with 0.01 rad
+    * slack for float rounding. The inputs are CELL STATS (≤ 2^planes
+    * rows per label), so this self-join is broadcast-sized however big
+    * the corpus is.
+    */
+  def embedCellPairs(cells: DataFrame, threshold: Double): DataFrame = {
+    // round(sim,6) >= t keeps sim >= t - 5e-7; prune at that angle
+    val thetaT = math.acos(math.max(-1.0, threshold - 5e-7))
+    cells.as("a").join(cells.as("b"),
+        col("a.label") === col("b.label") && col("a.bucket") <= col("b.bucket") &&
+        // nanvl → 1 (angle 0): an uninformative centroid distance keeps
+        // the cell pair — pruning must only ever drop provably-far cells
+        acos(least(greatest(
+            nanvl(GraftFunctions.cosineSim(col("a.centroid"), col("b.centroid")),
+              lit(1.0)),
+            lit(-1.0)), lit(1.0))) <=
+          col("a.radius") + col("b.radius") + lit(thetaT + 0.01))
+      .select(col("a.label").as("label"),
+        col("a.bucket").as("b1"), col("b.bucket").as("b2"))
+  }
+
+  /** Exact same-label near-dup pairs — identical result set to
+    * [[qEmbedNearDup]]'s all-pairs join, but the member join is keyed on
+    * (label, bucket) through the pruned cell-pair list: no label-wide
+    * self-join anywhere in the plan.
+    */
+  def embedNearDupBanded(emb: DataFrame, threshold: Double,
+                         numPlanes: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val withBucket = emb.select(col("label"), col("vec_id"), col("embedding"),
+      GraftFunctions.lshSignature(col("embedding"), numPlanes).as("bucket"))
+    val pairs = embedCellPairs(embedCells(emb, numPlanes), threshold)
+    val m1 = withBucket.select(col("label"), col("bucket").as("b1"),
+      col("vec_id").as("v1"), col("embedding").as("e1"))
+    val m2 = withBucket.select(col("label"), col("bucket").as("b2"),
+      col("vec_id").as("v2"), col("embedding").as("e2"))
+    // cells partition the corpus, so a cross-cell unordered pair appears
+    // exactly once (b1 < b2) and same-cell pairs once via v1 < v2 —
+    // no distinct needed
+    pairs.join(m1, Seq("label", "b1"))
+      .join(m2, Seq("label", "b2"))
+      .filter(col("b1") < col("b2") || col("v1") < col("v2"))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("e1"), col("e2")), 6))
+      .filter(col("sim") >= threshold)
+      .select(least(col("v1"), col("v2")).as("id1"),
+        greatest(col("v1"), col("v2")).as("id2"), col("sim"))
+  }
+
+  /** The banded exact path, sharing [[qEmbedNearDup]]'s oracle verbatim:
+    * hash-green means the pruned, bucket-keyed plan returns the
+    * IDENTICAL pair set as the quadratic baseline.
+    */
+  val qEmbedNearDupBanded: QuerySpec = QuerySpec(
+    "q_embed_neardup_banded",
+    qEmbedNearDup.oracle,
+    (spark, dir) => {
+      val e = Tables.load(spark, dir, "embeddings")
+      embedNearDupBanded(e, 0.3).orderBy("id1", "id2")
+    })
+
   /** Unblocked near-dup via LSH buckets (the no-metadata scale path:
     * no label/blocking column needed). Rows-only check; recall vs the
     * exact pairs measured in DedupSimilaritySpec.
@@ -167,5 +280,6 @@ object VectorOps {
     })
 
   def specs: Seq[QuerySpec] =
-    Seq(qCosineTopK, qEmbedNearDup, qCosineTopKLsh, qEmbedNearDupLsh)
+    Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qCosineTopKLsh,
+      qEmbedNearDupLsh)
 }

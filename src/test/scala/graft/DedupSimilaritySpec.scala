@@ -160,6 +160,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(brute.count() === banded.count())
   }
 
+  test("banded exact cosine pairs = all-pairs baseline, and pruning prunes") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    // identity of the RESULT SET with the quadratic baseline, in-engine
+    // (the oracle checks it too, but at one threshold — pin a second,
+    // tighter one here so the contract isn't fixture-threshold-specific)
+    for (t <- Seq(0.3, 0.6)) {
+      val banded = VectorOps.embedNearDupBanded(emb, t)
+        .select("id1", "id2", "sim")
+      val brute = {
+        val e = emb
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("sim", round(graft.functions.GraftFunctions.cosineSim(
+            col("a.embedding"), col("b.embedding")), 6))
+          .filter(col("sim") >= t)
+          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("sim"))
+      }
+      assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+        s"banded != brute at threshold $t")
+    }
+    // the ball-cover bound must actually cut cell pairs, not just
+    // reshuffle the same quadratic work behind bucket keys
+    val cells = VectorOps.embedCells(emb).cache()
+    try {
+      val perLabel = cells.groupBy("label").agg(count(lit(1)).as("k"))
+        .agg(sum(col("k") * (col("k") + 1) / 2)).collect()(0)
+        .getDouble(0).toLong
+      val kept = VectorOps.embedCellPairs(cells, 0.6).count()
+      assert(kept < perLabel,
+        s"pruning kept all $kept of $perLabel same-label cell pairs")
+    } finally { cells.unpersist(); () }
+  }
+
   test("exact dedup keeps exactly one row per (lang, source)") {
     val kept = TextOps.qDedupExact.run(spark, sf)
     val keys = Tables.load(spark, sf, "documents").select("lang", "source").distinct().count()
