@@ -45,7 +45,9 @@ object Bench {
       "minhash_shingle_pairs_build" ->
         (() => { graft.operators.TextOps.minhashShinglePairs(spark, sfDir).count(); () }),
       "minhash_cc_build" ->
-        (() => { graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count(); () })
+        (() => { graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count(); () }),
+      "embed_cells_build" ->
+        (() => { graft.operators.VectorOps.embedCellsFor(spark, sfDir).count(); () })
     ).map { case (name, f) => name -> time(f()) }
     // failures tracked PER REP: one transient bad rep must not erase a
     // measurable query (ADVICE r3) — median of the successful reps is the

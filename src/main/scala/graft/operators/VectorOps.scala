@@ -221,17 +221,38 @@ object VectorOps {
         col("a.bucket").as("b1"), col("b.bucket").as("b2"))
   }
 
+  /** Cell stats as a derive-once artifact (memoized + checkpointed per
+    * (session, dir, planes), like the IVF index and the pair graphs):
+    * the centroid build is one posexplode shuffle over the corpus, and
+    * every probe threshold / consumer reuses the same ≤2^planes-per-label
+    * stats frame.
+    */
+  def embedCellsFor(spark: SparkSession, dir: String,
+                    numPlanes: Int = 8): DataFrame =
+    cellsMemo.getOrElseUpdate((spark, dir, numPlanes),
+      embedCells(Tables.load(spark, dir, "embeddings"), numPlanes)
+        .localCheckpoint())
+
+  private val cellsMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), DataFrame]
+
   /** Exact same-label near-dup pairs — identical result set to
     * [[qEmbedNearDup]]'s all-pairs join, but the member join is keyed on
     * (label, bucket) through the pruned cell-pair list: no label-wide
     * self-join anywhere in the plan.
+    *
+    * @param cells precomputed [[embedCells]] stats (e.g.
+    *   [[embedCellsFor]]); derived inline when absent
     */
   def embedNearDupBanded(emb: DataFrame, threshold: Double,
-                         numPlanes: Int = 8): DataFrame = {
+                         numPlanes: Int = 8,
+                         cells: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val withBucket = emb.select(col("label"), col("vec_id"), col("embedding"),
       GraftFunctions.lshSignature(col("embedding"), numPlanes).as("bucket"))
-    val pairs = embedCellPairs(embedCells(emb, numPlanes), threshold)
+    val pairs = embedCellPairs(cells.getOrElse(embedCells(emb, numPlanes)),
+      threshold)
     val m1 = withBucket.select(col("label"), col("bucket").as("b1"),
       col("vec_id").as("v1"), col("embedding").as("e1"))
     val m2 = withBucket.select(col("label"), col("bucket").as("b2"),
@@ -257,7 +278,8 @@ object VectorOps {
     qEmbedNearDup.oracle,
     (spark, dir) => {
       val e = Tables.load(spark, dir, "embeddings")
-      embedNearDupBanded(e, 0.3).orderBy("id1", "id2")
+      embedNearDupBanded(e, 0.3, cells = Some(embedCellsFor(spark, dir)))
+        .orderBy("id1", "id2")
     })
 
   /** Unblocked near-dup via LSH buckets (the no-metadata scale path:
