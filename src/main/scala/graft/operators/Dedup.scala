@@ -384,6 +384,31 @@ object Dedup {
         .orderBy("label")
     })
 
+  /** The embedding dedup composed over the SUBQUADRATIC pair path:
+    * identical semantics to [[qEmbedDedup]] (it shares that oracle), but
+    * pair generation goes through the triangle-inequality-pruned LSH
+    * cell join (`VectorOps.embedNearDupBanded`) instead of the
+    * within-label all-pairs join — proving the scale path composes with
+    * connected components to the same collapse, hash-for-hash. The
+    * quadratic variant stays as the verification baseline; this row is
+    * the plan a 100 TB corpus would run.
+    */
+  val qEmbedDedupBanded: QuerySpec = QuerySpec(
+    "q_embed_dedup_banded",
+    qEmbedDedup.oracle,
+    (spark, dir) => {
+      val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      val pairs = VectorOps.embedNearDupBanded(e, 0.6,
+          cells = Some(VectorOps.embedCellsFor(spark, dir)))
+        .select(col("id1").as("doc1"), col("id2").as("doc2"))
+      // banded pairs are id1<id2 and appear exactly once by construction
+      keepRepresentative(e.select("vec_id", "label"), pairs, idCol = "vec_id",
+        pairsDistinct = true)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_vec"))
+        .orderBy("label")
+    })
+
   /** The LLM-data-curation pipeline end to end, composed from the
     * engine's own operators: alpha-ratio quality gate → near-dup
     * cluster collapse (keep min-id representative) → 80% deterministic
@@ -421,5 +446,5 @@ object Dedup {
 
   def specs: Seq[QuerySpec] =
     Seq(qDedupCluster, qDedupKeepRep, qMinhashDedup, qEmbedDedup,
-        qPipelineCurate)
+        qEmbedDedupBanded, qPipelineCurate)
 }

@@ -220,23 +220,48 @@ object EventOps {
     "q_stream_tumbling",
     qWindowTumbling.oracle, // shared verbatim — streaming must equal batch
     (spark, dir) => {
-      // the path must be a GLOB: for a non-glob path the file stream
-      // source force-sets basePath to the path itself, which fails for a
-      // single-file fixture ("Option 'basePath' must be a directory")
-      val raw = graft.sources.Ingest.readStreamFiles(
-        spark, s"$dir/events.*", Tables.eventsRaw)
       val agg = graft.streaming.Streams.tumblingCounts(
-        Tables.withEventTs(raw), watermark = "3650 days")
-      // unique per invocation: reps in the same session must not collide
-      // on an active query name or serve a stale memory table
-      val name = "graft_stream_tumbling_" + streamSeq.incrementAndGet()
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name).orderBy("w_start", "event_type")
+        streamedEvents(spark, dir), watermark = "3650 days")
+      runStreamToTable(agg).orderBy("w_start", "event_type")
     })
+
+  /** Sliding-window counterpart: the streaming engine's overlapping
+    * window expansion + state, hash-checked against the batch twin's
+    * oracle ([[graft.operators.Analytic.qWindowSliding]]).
+    */
+  val qStreamSliding: QuerySpec = QuerySpec(
+    "q_stream_sliding",
+    Analytic.qWindowSliding.oracle,
+    (spark, dir) => {
+      val agg = graft.streaming.Streams.slidingCounts(
+          streamedEvents(spark, dir), watermark = "3650 days")
+        .select("w_start", "event_type", "n") // oracle carries no w_end
+      runStreamToTable(agg).orderBy("w_start", "event_type")
+    })
+
+  /** Events fixture as a file STREAMING source. The path must be a
+    * GLOB: for a non-glob path the file stream source force-sets
+    * basePath to the path itself, which fails for a single-file fixture
+    * ("Option 'basePath' must be a directory").
+    */
+  private def streamedEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.withEventTs(graft.sources.Ingest.readStreamFiles(
+      spark, s"$dir/events.*", Tables.eventsRaw))
+
+  /** Drain a streaming aggregate into a complete-mode memory sink via
+    * `Trigger.AvailableNow` and return the sink table. Query names are
+    * unique per invocation: reps in the same session must not collide on
+    * an active query name or serve a stale memory table.
+    */
+  private def runStreamToTable(agg: DataFrame): DataFrame = {
+    val name = "graft_stream_" + streamSeq.incrementAndGet()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    agg.sparkSession.table(name)
+  }
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -257,5 +282,5 @@ object EventOps {
 
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qSessionize, qDateDensify,
-      qWindowTumbling, qStreamTumbling, qWindowRange)
+      qWindowTumbling, qStreamTumbling, qStreamSliding, qWindowRange)
 }
