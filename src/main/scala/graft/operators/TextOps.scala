@@ -225,8 +225,16 @@ object TextOps {
   private def jaccardPairsUncached(spark: SparkSession, dir: String,
                                    threshold: Double): DataFrame = {
     GraftFunctions.register(spark)
-    val docs0 = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), array_distinct(tokens(col("text"))).as("toks"))
+    jaccardPairsOver(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        array_distinct(tokens(col("text"))).as("toks")), threshold)
+  }
+
+  /** The PPJoin pipeline over any (doc_id, lang, toks) frame — token
+    * sets and shingle sets run through the identical machinery.
+    */
+  def jaccardPairsOver(docs0: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(docs0.sparkSession)
     // the inverted list feeds two consumers (df counts for the
     // dictionary, the id re-join): cache for the build, drop after the
     // checkpointed result below is materialized
@@ -411,6 +419,51 @@ object TextOps {
   private val minhashMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
+
+  /** Exact shingle-set jaccard pairs (same-lang, PPJoin machinery) —
+    * memoized like [[jaccardPairs]]; the exact side of the shingle
+    * containment contract.
+    */
+  def shingleJaccardPairs(spark: SparkSession, dir: String,
+                          threshold: Double): DataFrame =
+    pairsMemo.getOrElseUpdate((spark, "shingle:" + dir, threshold), {
+      GraftFunctions.register(spark)
+      jaccardPairsOver(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          array_distinct(shingles(tokens(col("text")))).as("toks")), threshold)
+    })
+
+  /** Shingle-LSH containment contract: like [[qMinhashContain]] but on
+    * the ORDER-SENSITIVE shingle pipeline — the oracle builds 3-token
+    * shingle sets in SQL (list comprehension over the raw token
+    * sequence, whole-doc shingle under 3 tokens, mirroring
+    * [[shingles]]) and keeps exact shingle-jaccard ≥ 0.95 same-lang
+    * pairs; the Spark side emits those of them the shingle banding
+    * surfaced. Hash-green = shingle-LSH recall machine-checked.
+    */
+  val qMinhashShingleContain: QuerySpec = QuerySpec(
+    "q_minhash_shingle_contain",
+    Some("""WITH t AS (SELECT doc_id, lang,
+        regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+      s AS (SELECT doc_id, lang,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 FOR i IN range(1, len(toks)-1)]) END AS sh
+        FROM t)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.95
+      ORDER BY doc1, doc2"""),
+    (spark, dir) => {
+      val exact = shingleJaccardPairs(spark, dir, 0.95)
+      val cands = minhashShinglePairs(spark, dir).select("doc1", "doc2")
+      exact.join(cands, Seq("doc1", "doc2"), "left_semi")
+        .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc1", "doc2")
+    })
 
   /** MinHash-LSH containment contract, oracle-checked (VERDICT r3 item 1
     * — the `q_cosine_topk_ivf_exact` move applied to LSH): the oracle is
@@ -651,6 +704,6 @@ object TextOps {
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qEditDistance, qMinhashLsh,
-    qMinhashShingle, qMinhashContain, qSimhash, qSimhashPairs,
-    qSimhashContain, qTokenBudget, qTokenBudgetQuality)
+    qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
+    qSimhashPairs, qSimhashContain, qTokenBudget, qTokenBudgetQuality)
 }
