@@ -46,6 +46,8 @@ object Bench {
         (() => { graft.operators.TextOps.minhashShinglePairs(spark, sfDir).count(); () }),
       "shingle_jaccard_pairs_build" ->
         (() => { graft.operators.TextOps.shingleJaccardPairs(spark, sfDir, 0.95).count(); () }),
+      "simhash_pairs_build" ->
+        (() => { graft.operators.TextOps.simhashPairsFor(spark, sfDir).count(); () }),
       "minhash_cc_build" ->
         (() => { graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count(); () }),
       "embed_cells_build" ->

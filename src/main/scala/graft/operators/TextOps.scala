@@ -525,7 +525,7 @@ object TextOps {
       val exact = fp.as("a").join(fp.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      exact.join(simhashPairs(docs).select("doc1", "doc2"),
+      exact.join(simhashPairsFor(spark, dir).select("doc1", "doc2"),
           Seq("doc1", "doc2"), "left_semi")
         .orderBy("doc1", "doc2")
     })
@@ -688,6 +688,20 @@ object TextOps {
       .select("doc1", "doc2", "hamming")
   }
 
+  /** Banded simhash pairs over the fixture, memoized per (session, dir)
+    * — consumed by both the pair query and the containment contract, so
+    * derive once like the other pair artifacts.
+    */
+  def simhashPairsFor(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsMemo.getOrElseUpdate((spark, dir), {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      simhashPairs(docs).localCheckpoint()
+    })
+
+  private val simhashPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** The simhash dedup surface: near-dup pairs at Hamming ≤ 3.
     * Rows-only (engine-specific hashing); exact-recall property in
     * DedupSimilaritySpec.
@@ -695,11 +709,7 @@ object TextOps {
   val qSimhashPairs: QuerySpec = QuerySpec(
     "q_simhash_pairs",
     None,
-    (spark, dir) => {
-      val docs = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      simhashPairs(docs).orderBy("doc1", "doc2")
-    })
+    (spark, dir) => simhashPairsFor(spark, dir).orderBy("doc1", "doc2"))
 
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
