@@ -239,6 +239,37 @@ object EventOps {
       runStreamToTable(agg).orderBy("w_start", "event_type")
     })
 
+  /** Session windows through the streaming engine: `session_window`
+    * state (merging windows!) drained the same way, hash-checked against
+    * a DuckDB islands-CTE twin that reproduces session_window semantics
+    * exactly — new session when the gap STRICTLY exceeds 30 minutes,
+    * session_end = last event + gap (unlike [[qSessionize]]'s
+    * session_end = last event, hence the separate oracle).
+    */
+  val qStreamSession: QuerySpec = QuerySpec(
+    "q_stream_session",
+    Some("""WITH g AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s AS (
+        SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM g)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+      FROM s GROUP BY user_id, seq
+      ORDER BY user_id, session_start"""),
+    (spark, dir) => {
+      val agg = graft.streaming.Streams.sessionCounts(
+        streamedEvents(spark, dir), gap = "30 minutes", watermark = "3650 days")
+      runStreamToTable(agg)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    })
+
   /** Events fixture as a file STREAMING source. The path must be a
     * GLOB: for a non-glob path the file stream source force-sets
     * basePath to the path itself, which fails for a single-file fixture
@@ -282,5 +313,6 @@ object EventOps {
 
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qSessionize, qDateDensify,
-      qWindowTumbling, qStreamTumbling, qStreamSliding, qWindowRange)
+      qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
+      qWindowRange)
 }
