@@ -264,8 +264,19 @@ object Dedup {
         .select("doc1", "doc2")
       // PPJoin pairs are doc1<doc2 and deduplicated by construction;
       // the result frame is already checkpointed by connectedComponents
-      connectedComponents(pairs, pairsDistinct = true)
+      connectedComponents(pairs, pairsDistinct = true,
+        checkpointEvery = defaultCheckpointEvery(spark))
     })
+
+  /** Production posture: when the context has a durable checkpoint dir
+    * configured (cluster deploys set one), the CC fixpoints in the
+    * dedup pipelines checkpoint their edge set every 5 rounds — replay
+    * after executor loss is bounded without any per-call opt-in. No
+    * checkpoint dir (local runs) → cache-only, as before.
+    */
+  private def defaultCheckpointEvery(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    if (spark.sparkContext.getCheckpointDir.nonEmpty) 5 else 0
 
   private val minhashClusterMemo =
     scala.collection.concurrent.TrieMap
@@ -284,7 +295,8 @@ object Dedup {
         .select("doc1", "doc2")
       // LSH candidate pairs are doc1<doc2 and deduplicated by
       // construction; result frame checkpointed by connectedComponents
-      connectedComponents(pairs, pairsDistinct = true)
+      connectedComponents(pairs, pairsDistinct = true,
+        checkpointEvery = defaultCheckpointEvery(spark))
     })
 
   /** Cluster ids over the exact-jaccard near-dup graph. */

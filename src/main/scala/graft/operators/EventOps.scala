@@ -270,6 +270,34 @@ object EventOps {
         .orderBy("user_id", "session_start")
     })
 
+  /** Arbitrary stateful processing through the streaming engine:
+    * [[graft.streaming.Streams.runningUserTotals]] (flatMapGroupsWithState,
+    * update mode) emits a running (count, total) per user per
+    * micro-batch; the FINAL update per user — the row with that user's
+    * maximum n_events, which strictly increases per update — must equal
+    * the batch aggregate, which is the DuckDB oracle. This converts the
+    * §2.9 "arbitrary stateful" row from spec-only to hash-checked.
+    */
+  val qStreamStateful: QuerySpec = QuerySpec(
+    "q_stream_stateful",
+    Some("""SELECT user_id, count(*) AS n_events,
+        round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    (spark, dir) => {
+      val upd = graft.streaming.Streams.runningUserTotals(
+        streamedEvents(spark, dir))
+      val sunk = runStreamToTable(upd, mode = "update")
+      // update mode appends one row per (user, micro-batch): keep each
+      // user's final state (max n_events — strictly increasing), then
+      // round the double total for cross-engine stability
+      val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+      sunk.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id")
+    })
+
   /** Events fixture as a file STREAMING source. The path must be a
     * GLOB: for a non-glob path the file stream source force-sets
     * basePath to the path itself, which fails for a single-file fixture
@@ -284,10 +312,11 @@ object EventOps {
     * unique per invocation: reps in the same session must not collide on
     * an active query name or serve a stale memory table.
     */
-  private def runStreamToTable(agg: DataFrame): DataFrame = {
+  private def runStreamToTable(agg: DataFrame,
+                               mode: String = "complete"): DataFrame = {
     val name = "graft_stream_" + streamSeq.incrementAndGet()
     val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -314,5 +343,5 @@ object EventOps {
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qSessionize, qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
-      qWindowRange)
+      qStreamStateful, qWindowRange)
 }
