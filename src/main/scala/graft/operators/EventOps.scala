@@ -298,6 +298,48 @@ object EventOps {
         .orderBy("user_id")
     })
 
+  /** Stream-stream join through the streaming engine: for each error
+    * event, purchases by the same user in the preceding hour
+    * ([[graft.streaming.Streams.errorsWithRecentPurchases]] — a
+    * time-bounded self-join of the stream, append mode, real join
+    * state). The batch twin is a plain SQL theta join, so the oracle
+    * hash-checks the streaming join's full result set.
+    */
+  val qStreamJoin: QuerySpec = QuerySpec(
+    "q_stream_join",
+    Some("""SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+        p.event_id AS purchase_id, p.ts AS purchase_ts
+      FROM events e JOIN events p
+        ON e.event_type = 'error' AND p.event_type = 'purchase'
+        AND p.user_id = e.user_id
+        AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+      ORDER BY error_id, purchase_id"""),
+    (spark, dir) => {
+      val joined = graft.streaming.Streams.errorsWithRecentPurchases(
+        streamedEvents(spark, dir), watermark = "3650 days")
+      runStreamToTable(joined, mode = "append")
+        .orderBy("error_id", "purchase_id")
+    })
+
+  /** Streaming dedup state against an oracle: dedup on a deliberately
+    * non-unique key (user, event_type — event_id is unique, which would
+    * make the check vacuous), then project the key: the surviving key
+    * set is exactly SELECT DISTINCT, whatever representative rows the
+    * dedup state kept.
+    */
+  val qStreamDedup: QuerySpec = QuerySpec(
+    "q_stream_dedup",
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""),
+    (spark, dir) => {
+      val deduped = graft.streaming.Streams.dedupWithinWatermark(
+          streamedEvents(spark, dir), watermark = "3650 days",
+          keys = Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+      runStreamToTable(deduped, mode = "append")
+        .orderBy("user_id", "event_type")
+    })
+
   /** Events fixture as a file STREAMING source. The path must be a
     * GLOB: for a non-glob path the file stream source force-sets
     * basePath to the path itself, which fails for a single-file fixture
@@ -343,5 +385,5 @@ object EventOps {
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qSessionize, qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
-      qStreamStateful, qWindowRange)
+      qStreamStateful, qStreamJoin, qStreamDedup, qWindowRange)
 }

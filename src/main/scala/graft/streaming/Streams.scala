@@ -86,12 +86,15 @@ object Streams {
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"))
 
-  /** Streaming dedup by event_id, state bounded by the watermark. */
+  /** Streaming dedup by key (default event_id), state bounded by the
+    * watermark.
+    */
   def dedupWithinWatermark(events: DataFrame,
-                           watermark: String = "10 minutes"): DataFrame =
+                           watermark: String = "10 minutes",
+                           keys: Seq[String] = Seq("event_id")): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Stream-static enrichment: join the stream against a broadcast-able
     * dimension (e.g. customer) — no streaming state at all.
