@@ -340,6 +340,37 @@ object EventOps {
         .orderBy("user_id", "event_type")
     })
 
+  /** Spark-4 typed stateful processing (`transformWithState` on the
+    * RocksDB state store) against an oracle: running count per (user,
+    * event_type), final update per key = the batch GROUP BY count. The
+    * RocksDB provider is set for the run and restored after —
+    * transformWithState requires it, and it is the production state
+    * store anyway.
+    */
+  val qStreamTyped: QuerySpec = QuerySpec(
+    "q_stream_typed",
+    Some("""SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""),
+    (spark, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val upd = graft.streaming.Streams.typedEventCounts(
+          streamedEvents(spark, dir))
+        val sunk = runStreamToTable(upd, mode = "update")
+        // n strictly increases per update per key → final state = max
+        sunk.groupBy("user_id", "event_type")
+          .agg(max("n").as("n"))
+          .orderBy("user_id", "event_type")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    })
+
   /** Events fixture as a file STREAMING source. The path must be a
     * GLOB: for a non-glob path the file stream source force-sets
     * basePath to the path itself, which fails for a single-file fixture
@@ -385,5 +416,6 @@ object EventOps {
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qSessionize, qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
-      qStreamStateful, qStreamJoin, qStreamDedup, qWindowRange)
+      qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
+      qWindowRange)
 }
