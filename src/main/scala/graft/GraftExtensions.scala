@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.MINHASH_SIG),
       info(GraftFunctions.MINHASH_SIG, "64-hash minhash signature of a token array"),
       (exprs: Seq[Expression]) => MinhashSignature(exprs.head, 64)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.LSH_SIG),
+      info(GraftFunctions.LSH_SIG,
+        "random-hyperplane LSH bucket of a float array; optional plane count (default 8)"),
+      GraftFunctions.lshSignatureBuilder))
   }
 }

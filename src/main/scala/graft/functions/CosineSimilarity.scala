@@ -93,18 +93,24 @@ object GraftFunctions {
       SIMHASH64, exprs => Simhash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       MINHASH_SIG, exprs => MinhashSignature(exprs.head, 64), "built-in")
-    // optional second arg = plane count (foldable int literal); the
-    // expression is general, so the registration is too (ADVICE r3) —
-    // default 8 preserves the existing one-arg SQL surface
-    reg.createOrReplaceTempFunction(
-      LSH_SIG, exprs => LshSignature(exprs.head,
-        if (exprs.length > 1) exprs(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"$LSH_SIG: plane count must be an integer literal, got $other")
-        } else 8), "built-in")
+    reg.createOrReplaceTempFunction(LSH_SIG, lshSignatureBuilder, "built-in")
   }
+
+  /** Builder shared by [[register]] and `GraftExtensions`: optional
+    * second arg = plane count (foldable int literal); the expression is
+    * general, so the registration is too (ADVICE r3) — default 8
+    * preserves the existing one-arg SQL surface.
+    */
+  private[graft] def lshSignatureBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    LshSignature(exprs.head,
+      if (exprs.length > 1) exprs(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$LSH_SIG: plane count must be an integer literal, got $other")
+      } else 8)
 
   def cosineSim(a: Column, b: Column): Column = call_function(COSINE_SIM, a, b)
 

@@ -163,10 +163,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("banded exact cosine pairs = all-pairs baseline, and pruning prunes") {
     val emb = Tables.load(spark, sf, "embeddings")
     // identity of the RESULT SET with the quadratic baseline, in-engine
-    // (the oracle checks it too, but at one threshold — pin a second,
-    // tighter one here so the contract isn't fixture-threshold-specific)
-    for (t <- Seq(0.3, 0.6)) {
-      val banded = VectorOps.embedNearDupBanded(emb, t)
+    // (the oracle checks it too, but at one threshold/planing — pin a
+    // second threshold AND a different plane count so the contract is
+    // neither fixture-threshold- nor cell-granularity-specific; planes=4
+    // also drives the generalized LshSignature plane-count argument
+    // through the whole pipeline)
+    for ((t, planes) <- Seq((0.3, 8), (0.6, 8), (0.6, 4))) {
+      val banded = VectorOps.embedNearDupBanded(emb, t, numPlanes = planes)
         .select("id1", "id2", "sim")
       val brute = {
         val e = emb
@@ -178,7 +181,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
           .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("sim"))
       }
       assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
-        s"banded != brute at threshold $t")
+        s"banded != brute at threshold $t, planes $planes")
     }
     // the ball-cover bound must actually cut cell pairs, not just
     // reshuffle the same quadratic work behind bucket keys

@@ -21,6 +21,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(2) === 1)
   }
 
+  test("lsh signature callable from SQL with and without plane count") {
+    val row = spark.sql(
+      """SELECT graft_lsh_signature(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT))) AS d8,
+        |       graft_lsh_signature(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT)), 8) AS e8,
+        |       graft_lsh_signature(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT)), 16) AS p16
+        |""".stripMargin).collect().head
+    assert(row.getLong(0) === row.getLong(1)) // default = explicit 8
+    assert(row.getLong(2) >= 0 && row.getLong(2) < (1L << 16))
+    // the 16-plane signature's low 8 bits = the 8-plane signature
+    // (plane p's hyperplane depends only on p, not the plane count)
+    assert((row.getLong(2) & 0xffL) === row.getLong(0))
+  }
+
   test("expressions handle nulls and empty arrays") {
     val rows = spark.sql(
       """SELECT graft_cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS null_in,
