@@ -39,5 +39,15 @@ object SqlEntry {
   val qUnionAllSql: QuerySpec = viaSql(
     "q_union_all_sql", Relational.qUnionAll.oracle.get)
 
-  def specs: Seq[QuerySpec] = Seq(q5Sql, qWindowRankSql, qUnionAllSql)
+  /** The Q21-shaped CBO stress query as SQL TEXT: correlated EXISTS and
+    * NOT EXISTS subqueries go through Spark's decorrelation rewrite to
+    * the same semi/anti joins the DSL twin builds explicitly — the
+    * hardest parser→optimizer path in the suite, one string, two
+    * engines.
+    */
+  val qJoinWaitingSql: QuerySpec = viaSql(
+    "q_join_waiting_sql", Relational.qJoinWaiting.oracle.get)
+
+  def specs: Seq[QuerySpec] =
+    Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql)
 }
