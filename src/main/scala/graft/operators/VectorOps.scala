@@ -301,7 +301,48 @@ object VectorOps {
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("sim"))
     })
 
+  /** Symmetric int8 quantization of a float-vector column: per-vector
+    * scale = max|x|/127, components rounded to [-127, 127]. The 4×
+    * storage cut is what a 100 TB embedding corpus actually ships;
+    * cosine is scale-invariant, so similarity search runs on the int8
+    * vectors directly (cast back to float for the shared expression).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val vd = transform(v, x => x.cast("double"))
+    val s = array_max(transform(vd, x => abs(x))) / 127.0
+    transform(vd, x =>
+      when(s === 0.0, lit(0.0f)) // all-zero vector stays zero, no 0/0
+        .otherwise(round(x / s, 0).cast("float")))
+  }
+
+  /** Quantization fidelity as an ERROR-BOUND CONTRACT (the
+    * q_approx_distinct pattern): the oracle is the exact near-dup pair
+    * set; the Spark side recomputes each pair's similarity from the
+    * int8-quantized vectors and emits the EXACT row only when
+    * |quantized − exact| ≤ 0.02 — a quantization scheme that drifts
+    * loses rows and turns the hash red. Exact pairs come from the
+    * banded (bucket-keyed) path, so the whole plan is the one a 100 TB
+    * corpus would run.
+    */
+  val qEmbedQuantized: QuerySpec = QuerySpec(
+    "q_embed_quantized",
+    qEmbedNearDup.oracle,
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val e = Tables.load(spark, dir, "embeddings")
+      val exact = embedNearDupBanded(e, 0.3,
+        cells = Some(embedCellsFor(spark, dir)))
+      val q = e.select(col("vec_id"), quantizeInt8(col("embedding")).as("qv"))
+      exact
+        .join(q.select(col("vec_id").as("id1"), col("qv").as("q1")), Seq("id1"))
+        .join(q.select(col("vec_id").as("id2"), col("qv").as("q2")), Seq("id2"))
+        .withColumn("qsim", round(GraftFunctions.cosineSim(col("q1"), col("q2")), 6))
+        .filter(abs(col("qsim") - col("sim")) <= 0.02)
+        .select("id1", "id2", "sim")
+        .orderBy("id1", "id2")
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qCosineTopKLsh,
-      qEmbedNearDupLsh)
+    Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qEmbedQuantized,
+      qCosineTopKLsh, qEmbedNearDupLsh)
 }
