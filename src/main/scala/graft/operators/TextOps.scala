@@ -648,6 +648,72 @@ object TextOps {
         .orderBy("lang")
     })
 
+  // --- context-window chunking: split each document into fixed-size
+  //     token chunks (the unit a training/RAG pipeline actually feeds a
+  //     model). Pure per-row explode — no shuffle; chunk text is
+  //     fingerprinted so downstream chunk-level dedup composes with the
+  //     existing dedup operators. ---
+  private val chunkTokens = 128
+
+  val qTextChunks: QuerySpec = QuerySpec(
+    "q_text_chunks",
+    Some(s"""WITH t AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), ' +') AS toks FROM documents)
+      SELECT doc_id, i AS chunk_idx,
+        CAST(least((i+1)*$chunkTokens, len(toks)) - i*$chunkTokens AS INT)
+          AS chunk_tokens,
+        md5(array_to_string(
+          toks[i*$chunkTokens+1 : least((i+1)*$chunkTokens, len(toks))], ' '))
+          AS chunk_fp
+      FROM t, (SELECT unnest(generate_series(0, 999)) AS i) ix
+      WHERE i*$chunkTokens < len(toks)
+      ORDER BY doc_id, chunk_idx"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            ceil(size(col("toks")) / lit(chunkTokens.toDouble)).cast("int") - 1))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (least((col("chunk_idx") + 1) * chunkTokens, size(col("toks"))) -
+            col("chunk_idx") * chunkTokens).cast("int").as("chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("chunk_idx") * chunkTokens + 1,
+              lit(chunkTokens)))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    })
+
+  // --- n-gram repetition ratio (Gopher-style quality rule): the
+  //     fraction of duplicate bigrams — high values flag boilerplate /
+  //     looping text that length and stopword ratios miss. Narrow
+  //     per-row work; shares the shingle definition with the dedup
+  //     operators. ---
+  val qTextRepetition: QuerySpec = QuerySpec(
+    "q_text_repetition",
+    Some("""WITH t AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+      b AS (SELECT doc_id,
+        CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i:i+1], ' ')
+                   FOR i IN range(1, len(toks))] END AS bigrams
+        FROM t)
+      SELECT doc_id, CAST(len(bigrams) AS INT) AS n_bigrams,
+        round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 4)
+          AS dup_ratio
+      FROM b ORDER BY doc_id"""),
+    (spark, dir) => {
+      val bigrams = shingles(tokens(col("text")), 2)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), bigrams.as("bigrams"))
+        .select(col("doc_id"),
+          size(col("bigrams")).as("n_bigrams"),
+          round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+            size(col("bigrams")), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    })
+
   // --- SimHash (64-bit) — one codegen'd expression per row, no shuffle ---
   def simhash(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -715,5 +781,6 @@ object TextOps {
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qEditDistance, qMinhashLsh,
     qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
-    qSimhashPairs, qSimhashContain, qTokenBudget, qTokenBudgetQuality)
+    qSimhashPairs, qSimhashContain, qTokenBudget, qTokenBudgetQuality,
+    qTextChunks, qTextRepetition)
 }
