@@ -103,14 +103,28 @@ object GraftFunctions {
     */
   private[graft] def lshSignatureBuilder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : org.apache.spark.sql.catalyst.expressions.Expression =
-    LshSignature(exprs.head,
-      if (exprs.length > 1) exprs(1).eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"$LSH_SIG: plane count must be an integer literal, got $other")
-      } else 8)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val planes =
+      if (exprs.length <= 1) 8
+      else {
+        val e = exprs(1)
+        // foldable check BEFORE eval: a column argument must produce the
+        // advertised error, not eval()'s internal UnsupportedOperation
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"$LSH_SIG: plane count must be an integer literal, got ${e.sql}")
+        e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"$LSH_SIG: plane count must be an integer literal, got $other")
+        }
+      }
+    // the signature is one long: >64 planes would silently alias
+    // (1L << p wraps mod 64) and <=0 is meaningless — fail fast
+    if (planes < 1 || planes > 64) throw new IllegalArgumentException(
+      s"$LSH_SIG: plane count must be in [1, 64], got $planes")
+    LshSignature(exprs.head, planes)
+  }
 
   def cosineSim(a: Column, b: Column): Column = call_function(COSINE_SIM, a, b)
 

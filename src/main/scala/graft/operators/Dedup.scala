@@ -96,6 +96,7 @@ object Dedup {
       "connectedComponents: checkpointEvery > 0 needs a checkpoint dir " +
         "(pass checkpointDir or call sparkContext.setCheckpointDir)")
     val persisted = scala.collection.mutable.ListBuffer.empty[RDD[_]]
+    val checkpointed = scala.collection.mutable.ListBuffer.empty[RDD[_]]
     def keep[T](r: RDD[T]): RDD[T] = {
       persisted += r.persist(StorageLevel.MEMORY_AND_DISK); r
     }
@@ -171,7 +172,9 @@ object Dedup {
       // just-cached partitions (no recompute of the round), truncating
       // lineage so losing an executor late in the fixpoint replays at
       // most `checkpointEvery` rounds, not all of them
-      if (doCheckpoint && (iter + 1) % checkpointEvery == 0) edges.checkpoint()
+      if (doCheckpoint && (iter + 1) % checkpointEvery == 0) {
+        edges.checkpoint(); checkpointed += edges
+      }
       // ONE action per round — the contracted-edge count / termination probe
       edgeCount = edges.count()
       iter += 1
@@ -201,6 +204,17 @@ object Dedup {
     // leak per invocation)
     val outDf = resolved.toDF("id", "comp").localCheckpoint()
     persisted.foreach(_.unpersist(blocking = false))
+    // the result above is self-contained, so this run's durable edge
+    // snapshots are dead weight: delete them (Spark only auto-cleans
+    // checkpoint files when cleanCheckpoints is on AND the RDD is GC'd
+    // — repeated dedup builds would otherwise grow storage unboundedly)
+    checkpointed.foreach { r =>
+      r.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
     outDf
   }
 
@@ -268,15 +282,18 @@ object Dedup {
         checkpointEvery = defaultCheckpointEvery(spark))
     })
 
-  /** Production posture: when the context has a durable checkpoint dir
-    * configured (cluster deploys set one), the CC fixpoints in the
-    * dedup pipelines checkpoint their edge set every 5 rounds — replay
-    * after executor loss is bounded without any per-call opt-in. No
-    * checkpoint dir (local runs) → cache-only, as before.
+  /** Production posture: cluster deploys set
+    * `spark.graft.dedup.checkpointEvery` (plus a context checkpoint dir)
+    * and the CC fixpoints in the dedup pipelines checkpoint their edge
+    * set every N rounds — replay after executor loss is bounded without
+    * any per-call opt-in. Gated on an EXPLICIT session conf, not on
+    * `getCheckpointDir` being set: the checkpoint dir is hidden global
+    * state that tests and unrelated libraries may touch, and silently
+    * changing job structure off it would make behavior order-dependent.
     */
   private def defaultCheckpointEvery(
       spark: org.apache.spark.sql.SparkSession): Int =
-    if (spark.sparkContext.getCheckpointDir.nonEmpty) 5 else 0
+    spark.conf.get("spark.graft.dedup.checkpointEvery", "0").toInt
 
   private val minhashClusterMemo =
     scala.collection.concurrent.TrieMap

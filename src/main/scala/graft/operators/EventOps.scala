@@ -249,12 +249,12 @@ object EventOps {
   val qStreamSession: QuerySpec = QuerySpec(
     "q_stream_session",
     Some("""WITH g AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
           CASE WHEN lag(ts) OVER w IS NULL
                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), s AS (
-        SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
         FROM g)
       SELECT user_id, min(ts) AS session_start,
@@ -393,7 +393,14 @@ object EventOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    agg.sparkSession.table(name)
+    val spark = agg.sparkSession
+    // eager copy, then drop the sink's temp view: repeated invocations
+    // (bench reps) must not pin every run's full result in the driver
+    // forever — the localCheckpoint blocks are context-cleaned once the
+    // returned frame is unreferenced, a dropped view never is
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)

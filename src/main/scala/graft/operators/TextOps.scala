@@ -665,8 +665,8 @@ object TextOps {
         md5(array_to_string(
           toks[i*$chunkTokens+1 : least((i+1)*$chunkTokens, len(toks))], ' '))
           AS chunk_fp
-      FROM t, (SELECT unnest(generate_series(0, 999)) AS i) ix
-      WHERE i*$chunkTokens < len(toks)
+      FROM t, UNNEST(generate_series(0,
+        CAST(ceil(len(toks)/$chunkTokens.0) AS INT) - 1)) AS ix(i)
       ORDER BY doc_id, chunk_idx"""),
     (spark, dir) => {
       val toks = tokens(col("text"))

@@ -170,14 +170,17 @@ object VectorOps {
     */
   def embedCells(emb: DataFrame, numPlanes: Int = 8): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val unit = {
-      val n = sqrt(aggregate(transform(col("embedding"), x => x.cast("double")),
-        lit(0.0), (acc, x) => acc + x * x))
-      transform(col("embedding"), x => (x.cast("double") / n).cast("float"))
-    }
-    val m = emb.select(col("label"), col("vec_id"),
-      GraftFunctions.lshSignature(col("embedding"), numPlanes).as("bucket"),
-      unit.as("u"))
+    // norm hoisted into its own projection: embedded in the transform
+    // lambda it would re-evaluate per ELEMENT — O(d²) per row on the
+    // path advertised as the scale plan
+    val m = emb
+      .withColumn("_norm", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double")),
+        lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("label"), col("vec_id"),
+        GraftFunctions.lshSignature(col("embedding"), numPlanes).as("bucket"),
+        transform(col("embedding"),
+          x => (x.cast("double") / col("_norm")).cast("float")).as("u"))
     val sums = m.select(col("label"), col("bucket"), posexplode(col("u")))
       .groupBy("label", "bucket", "pos")
       .agg(sum("col").as("s"))
@@ -190,6 +193,11 @@ object VectorOps {
     // nanvl → -1 (angle π): a degenerate centroid (exactly cancelling
     // members) must widen the radius to "always qualify", never NaN-poison
     // the max into silently pruning true pairs
+    // the plane count rides in the bucket column's metadata so a
+    // consumer bucketing with a DIFFERENT plane count fails fast
+    // instead of silently joining disjoint bucket spaces
+    val planesMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("planes", numPlanes.toLong).build()
     m.join(sums, Seq("label", "bucket"))
       .withColumn("theta", acos(least(greatest(
         nanvl(GraftFunctions.cosineSim(col("u"), col("centroid")), lit(-1.0)),
@@ -197,6 +205,7 @@ object VectorOps {
       .groupBy("label", "bucket")
       .agg(first("centroid").as("centroid"), max("theta").as("radius"),
         count(lit(1)).as("n_members"))
+      .withColumn("bucket", col("bucket").as("bucket", planesMd))
   }
 
   /** Cell pairs (b1 ≤ b2, same label) that can possibly hold a pair at
@@ -249,6 +258,13 @@ object VectorOps {
                          numPlanes: Int = 8,
                          cells: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    cells.foreach { c =>
+      val md = c.schema("bucket").metadata
+      require(!md.contains("planes") || md.getLong("planes") == numPlanes.toLong,
+        s"embedNearDupBanded: cells were built with ${md.getLong("planes")} " +
+          s"planes but members are bucketed with $numPlanes — the joins " +
+          "would silently drop pairs")
+    }
     val withBucket = emb.select(col("label"), col("vec_id"), col("embedding"),
       GraftFunctions.lshSignature(col("embedding"), numPlanes).as("bucket"))
     val pairs = embedCellPairs(cells.getOrElse(embedCells(emb, numPlanes)),
@@ -301,19 +317,21 @@ object VectorOps {
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("sim"))
     })
 
-  /** Symmetric int8 quantization of a float-vector column: per-vector
-    * scale = max|x|/127, components rounded to [-127, 127]. The 4×
-    * storage cut is what a 100 TB embedding corpus actually ships;
-    * cosine is scale-invariant, so similarity search runs on the int8
-    * vectors directly (cast back to float for the shared expression).
+  /** Symmetric int8 quantization of a float-vector column (`in` →
+    * `out`): per-vector scale = max|x|/127, components rounded to
+    * [-127, 127]. The 4× storage cut is what a 100 TB embedding corpus
+    * actually ships; cosine is scale-invariant, so similarity search
+    * runs on the int8 vectors directly (carried as float for the shared
+    * expression).
     */
-  def quantizeInt8(v: Column): Column = {
-    val vd = transform(v, x => x.cast("double"))
-    val s = array_max(transform(vd, x => abs(x))) / 127.0
-    transform(vd, x =>
-      when(s === 0.0, lit(0.0f)) // all-zero vector stays zero, no 0/0
-        .otherwise(round(x / s, 0).cast("float")))
-  }
+  def quantizeInt8(df: DataFrame, in: String, out: String): DataFrame =
+    // scale in its own projection (same O(d²)-avoidance as embedCells)
+    df.withColumn("_qscale",
+        array_max(transform(col(in), x => abs(x.cast("double")))) / 127.0)
+      .withColumn(out, transform(col(in), x =>
+        when(col("_qscale") === 0.0, lit(0.0f)) // all-zero stays zero, no 0/0
+          .otherwise(round(x.cast("double") / col("_qscale"), 0).cast("float"))))
+      .drop("_qscale")
 
   /** Quantization fidelity as an ERROR-BOUND CONTRACT (the
     * q_approx_distinct pattern): the oracle is the exact near-dup pair
@@ -332,7 +350,7 @@ object VectorOps {
       val e = Tables.load(spark, dir, "embeddings")
       val exact = embedNearDupBanded(e, 0.3,
         cells = Some(embedCellsFor(spark, dir)))
-      val q = e.select(col("vec_id"), quantizeInt8(col("embedding")).as("qv"))
+      val q = quantizeInt8(e, "embedding", "qv").select("vec_id", "qv")
       exact
         .join(q.select(col("vec_id").as("id1"), col("qv").as("q1")), Seq("id1"))
         .join(q.select(col("vec_id").as("id2"), col("qv").as("q2")), Seq("id2"))

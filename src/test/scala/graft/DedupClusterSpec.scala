@@ -95,10 +95,15 @@ class DedupClusterSpec extends AnyFunSuite {
           checkpointEvery = 2, checkpointDir = Some(dir.getAbsolutePath))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(ckpt === plain)
-      // and the checkpoint actually wrote something durable
+      // the checkpoint ran (the context created its run dir under ours)
+      // and the run's edge snapshots were deleted once the result
+      // materialized — durable storage must not grow per dedup build
       def anyFiles(f: java.io.File): Boolean =
         f.isFile || Option(f.listFiles()).exists(_.exists(anyFiles))
-      assert(anyFiles(dir), "checkpointEvery=2 wrote no checkpoint data")
+      assert(Option(dir.listFiles()).exists(_.nonEmpty),
+        "checkpointEvery=2 never initialized a checkpoint dir")
+      assert(!anyFiles(dir),
+        "checkpoint snapshots were not cleaned up after the fixpoint")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
