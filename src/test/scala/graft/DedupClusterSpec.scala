@@ -123,6 +123,36 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("CC matches a union-find reference on randomized graphs") {
+    // fixed-graph tests pin known shapes; this pins the general
+    // contract on 20 seeded-random graphs (deterministic seeds — no
+    // flaky reruns) against an in-memory union-find ground truth
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = 2 + rng.nextInt(60)
+      val nEdges = rng.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // union-find with min-id labels
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).toMap
+        val got = Dedup.connectedComponents(pairsDf(edges: _*))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"trial $trial: n=$n edges=$edges")
+      }
+    }
+  }
+
   test("keepRepresentative keeps min-id per cluster plus all singletons") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
