@@ -196,6 +196,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally { cells.unpersist(); () }
   }
 
+  test("int8 quantization: zero vector stays zero, sims within bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),          // degenerate: must not 0/0
+      (2L, Array(0.5f, -0.25f, 0.125f)),
+      (3L, Array(1e-4f, 2e-4f, -3e-4f))        // tiny magnitudes still scale
+    ).toDF("vec_id", "embedding")
+    val q = VectorOps.quantizeInt8(df, "embedding", "qv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(q(1L).forall(_ == 0.0f))
+    assert(q(2L) === Seq(127.0f, -64.0f, 32.0f)) // exact powers of two
+    // per-vector scaling: max |component| always hits ±127
+    assert(q(3L).map(math.abs).max === 127.0f)
+  }
+
   test("exact dedup keeps exactly one row per (lang, source)") {
     val kept = TextOps.qDedupExact.run(spark, sf)
     val keys = Tables.load(spark, sf, "documents").select("lang", "source").distinct().count()

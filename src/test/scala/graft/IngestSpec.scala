@@ -71,6 +71,21 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.schema(Tables.documents).parquet(out).count() === 500)
   }
 
+  test("file stream source reads a file glob with explicit basePath") {
+    // the non-glob/single-file trap: the source force-sets basePath to
+    // the path itself; the explicit basePath option is the directory-
+    // layout escape hatch — pin that it works with a part-file glob
+    val src = tmp() + "/stream_glob_src"
+    val ck = tmp() + "/stream_glob_ck"
+    val out = tmp() + "/stream_glob_out"
+    Ingest.writeParquet(Tables.load(spark, sf, "documents"), src)
+    val stream = Ingest.readStreamFiles(spark, src + "/part-*",
+      Tables.documents, basePath = Some(src))
+    val q = Ingest.streamToParquet(stream, out, ck).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.schema(Tables.documents).parquet(out).count() === 500)
+  }
+
   test("schema evolution: mergeSchema reads a corpus written in waves") {
     // 100 TB corpora are written over months; later waves add columns.
     // mergeSchema must surface the union schema with NULLs for rows
