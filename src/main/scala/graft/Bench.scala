@@ -48,6 +48,8 @@ object Bench {
         (() => { graft.operators.TextOps.shingleJaccardPairs(spark, sfDir, 0.95).count(); () }),
       "simhash_pairs_build" ->
         (() => { graft.operators.TextOps.simhashPairsFor(spark, sfDir).count(); () }),
+      "global_jaccard_pairs_build" ->
+        (() => { graft.operators.TextOps.globalJaccardPairs(spark, sfDir, 0.9).count(); () }),
       "minhash_cc_build" ->
         (() => { graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count(); () }),
       "embed_cells_build" ->

@@ -420,6 +420,41 @@ object TextOps {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
+  /** UNBLOCKED exact near-dup pairs — the no-metadata corpus case
+    * (blocking on lang is an optimization available only when such a
+    * column exists): the same PPJoin machinery with a constant blocking
+    * key, so candidate pruning comes entirely from the rarest-token
+    * prefix index + length-ratio bound. Cross-lang duplicates that the
+    * blocked q_ngram_jaccard structurally cannot see are in scope here.
+    */
+  val qNgramJaccardGlobal: QuerySpec = QuerySpec(
+    "q_ngram_jaccard_global",
+    Some("""WITH t AS (SELECT doc_id,
+        list_distinct(regexp_split_to_array(trim(text), ' +')) AS toks FROM documents)
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+      ORDER BY doc1, doc2"""),
+    (spark, dir) =>
+      globalJaccardPairs(spark, dir, 0.9)
+        .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc1", "doc2"))
+
+  /** Unblocked pair artifact behind [[qNgramJaccardGlobal]] — memoized
+    * like the blocked variant (and timed as a named bench setup entry).
+    */
+  def globalJaccardPairs(spark: SparkSession, dir: String,
+                         threshold: Double): DataFrame =
+    pairsMemo.getOrElseUpdate((spark, "global:" + dir, threshold), {
+      GraftFunctions.register(spark)
+      jaccardPairsOver(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), lit("").as("lang"),
+          array_distinct(tokens(col("text"))).as("toks")), threshold)
+    })
+
   /** Exact shingle-set jaccard pairs (same-lang, PPJoin machinery) —
     * memoized like [[jaccardPairs]]; the exact side of the shingle
     * containment contract.
@@ -779,7 +814,8 @@ object TextOps {
 
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
-    qTextFingerprint, qLangId, qNgramJaccard, qEditDistance, qMinhashLsh,
+    qTextFingerprint, qLangId, qNgramJaccard, qNgramJaccardGlobal,
+    qEditDistance, qMinhashLsh,
     qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
     qSimhashPairs, qSimhashContain, qTokenBudget, qTokenBudgetQuality,
     qTextChunks, qTextRepetition)
