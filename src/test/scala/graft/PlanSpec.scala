@@ -40,6 +40,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("runtime bloom-filter pruning injects on a selective fact join") {
+    // §4 runtime row-level filtering: a selective filter on one join
+    // side should induce a bloom filter applied to the other side's
+    // scan, cutting shuffled fact rows before the join. Default
+    // thresholds target cluster-scale tables (application side > 10 GB),
+    // so they are lowered to fixture scale for the guard — the capability
+    // and plan shape are what's pinned, production keeps the defaults.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // bloom injection targets SHUFFLE joins (a broadcastable creation
+      // side already prunes via the broadcast); fixture dims always
+      // broadcast, so force the shuffle-join shape the rule serves
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf, "lineitem")
+      val sel = Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000.0) // highly selective
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p.take(1000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.qTopK.run(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
