@@ -95,6 +95,37 @@ object EventOps {
         .orderBy("event_id")
     })
 
+  /** Tolerance-bounded as-of join (the `merge_asof(tolerance=...)`
+    * feature-engineering shape): the nearest preceding purchase counts
+    * only if it happened within the last hour — stale matches become
+    * NULL, not silently-old features. The payload rides as a struct so
+    * the matched row's OWN timestamp survives the window for the
+    * tolerance test; same single-shuffle union+window plan.
+    */
+  val qAsofTolerance: QuerySpec = QuerySpec(
+    "q_asof_tolerance",
+    Some("""SELECT e.event_id, e.user_id,
+      CASE WHEN p.ts >= e.ts - INTERVAL 1 HOUR THEN p.pid END AS prev_purchase_id_1h
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS pid FROM events
+                      WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+      ORDER BY event_id"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("pid"))
+        .select(col("user_id"), col("ts"),
+          struct(col("ts").as("pts"), col("pid")).as("pv"))
+      asOfJoin(errors, purchases, "user_id", "ts", "pv")
+        .select(col("event_id"), col("user_id"),
+          when(col("pv.pts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+            col("pv.pid")).as("prev_purchase_id_1h"))
+        .orderBy("event_id")
+    })
+
   /** Forward twin of q_asof_join: next purchase at or after each error. */
   val qAsofForward: QuerySpec = QuerySpec(
     "q_asof_forward",
@@ -421,7 +452,7 @@ object EventOps {
     })
 
   def specs: Seq[QuerySpec] =
-    Seq(qAsofJoin, qAsofForward, qSessionize, qDateDensify,
+    Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
       qWindowRange)
