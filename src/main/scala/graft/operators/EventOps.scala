@@ -226,6 +226,54 @@ object EventOps {
         .orderBy("w_start", "event_type")
     })
 
+  /** BANDED point-in-interval join: how many sessions (any user) were
+    * in progress when each error fired. A naive `ts BETWEEN start AND
+    * end` theta join plans as a nested loop — O(points × intervals)
+    * compares, the classic OSS-Spark range-join trap. Banding makes it
+    * an EQUI-join: intervals explode into the 1-hour time bins they
+    * cover, points carry their single bin, the join keys on the bin,
+    * and the exact BETWEEN filter verifies — identical result (each
+    * point has one bin and an interval covers distinct bins, so a
+    * matching pair joins exactly once; no dedup needed), near-linear
+    * shuffle. The oracle is DuckDB's naive theta join over the same
+    * lag-gap sessions.
+    */
+  val qIntervalJoin: QuerySpec = QuerySpec(
+    "q_interval_join",
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s AS (
+        SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM g
+      ), sess AS (
+        SELECT user_id, seq, min(ts) AS st, max(ts) AS en
+        FROM s GROUP BY user_id, seq)
+      SELECT e.event_id, count(*) AS n_concurrent
+      FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+      JOIN sess ON e.ts BETWEEN sess.st AND sess.en
+      GROUP BY e.event_id ORDER BY event_id"""),
+    (spark, dir) => {
+      val binSeconds = 3600L
+      def bin(c: org.apache.spark.sql.Column) =
+        (unix_micros(c) / lit(binSeconds * 1000000L)).cast("long")
+      val sess = qSessionize.run(spark, dir)
+        .select(col("session_start").as("st"), col("session_end").as("en"))
+      val sessBins = sess.withColumn("bin",
+        explode(sequence(bin(col("st")), bin(col("en")))))
+      Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), bin(col("ts")).as("bin"))
+        .join(sessBins, Seq("bin"))
+        .filter(col("ts").between(col("st"), col("en")))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_concurrent"))
+        .orderBy("event_id")
+    })
+
   /** Streaming = batch, machine-checked (VERDICT r3 item 3): the SAME
     * tumbling aggregation as [[qWindowTumbling]], but executed by the
     * Structured Streaming engine end-to-end — file streaming source over
@@ -452,7 +500,8 @@ object EventOps {
     })
 
   def specs: Seq[QuerySpec] =
-    Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qDateDensify,
+    Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
+      qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
       qWindowRange)

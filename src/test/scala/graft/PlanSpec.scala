@@ -71,6 +71,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("banded interval join stays equi-keyed — no nested loop") {
+    // the whole point of banding a point-in-interval join: the plan
+    // must key on the time bin, never fall back to the O(n×m) nested
+    // loop a raw BETWEEN theta join plans as
+    val p = plan(graft.operators.EventOps.qIntervalJoin.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.qTopK.run(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
