@@ -70,10 +70,22 @@ object EventOps {
       .drop("_side")
   }
 
+  /** The as-of fixtures shared by all three as-of queries — errors as
+    * the probe side, purchases deduped to one row per (user, ts) (max
+    * event_id) so ties are deterministic in both engines. ONE
+    * definition: the tie-break/projection contract must hold across the
+    * backward, forward, and tolerance variants identically.
+    */
+  private def asOfSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.load(spark, dir, "events")
+    (ev.filter(col("event_type") === "error")
+       .select("event_id", "user_id", "ts"),
+     ev.filter(col("event_type") === "purchase")
+       .groupBy("user_id", "ts").agg(max("event_id").as("pid")))
+  }
+
   /** For each error event: id of that user's most recent purchase at or
-    * before it. Oracle uses DuckDB's native ASOF JOIN — same semantics,
-    * with purchases pre-deduped to one row per (user, ts) (max event_id)
-    * so ties are deterministic in both engines.
+    * before it. Oracle uses DuckDB's native ASOF JOIN — same semantics.
     */
   val qAsofJoin: QuerySpec = QuerySpec(
     "q_asof_join",
@@ -84,11 +96,7 @@ object EventOps {
       ON e.user_id = p.user_id AND p.ts <= e.ts
       ORDER BY event_id"""),
     (spark, dir) => {
-      val ev = Tables.load(spark, dir, "events")
-      val errors = ev.filter(col("event_type") === "error")
-        .select("event_id", "user_id", "ts")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "ts").agg(max("event_id").as("pid"))
+      val (errors, purchases) = asOfSides(spark, dir)
       asOfJoin(errors, purchases.withColumnRenamed("pid", "prev_purchase_id"),
                "user_id", "ts", "prev_purchase_id")
         .select("event_id", "user_id", "prev_purchase_id")
@@ -112,13 +120,9 @@ object EventOps {
       ON e.user_id = p.user_id AND p.ts <= e.ts
       ORDER BY event_id"""),
     (spark, dir) => {
-      val ev = Tables.load(spark, dir, "events")
-      val errors = ev.filter(col("event_type") === "error")
-        .select("event_id", "user_id", "ts")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "ts").agg(max("event_id").as("pid"))
-        .select(col("user_id"), col("ts"),
-          struct(col("ts").as("pts"), col("pid")).as("pv"))
+      val (errors, purchases0) = asOfSides(spark, dir)
+      val purchases = purchases0.select(col("user_id"), col("ts"),
+        struct(col("ts").as("pts"), col("pid")).as("pv"))
       asOfJoin(errors, purchases, "user_id", "ts", "pv")
         .select(col("event_id"), col("user_id"),
           when(col("pv.pts") >= col("ts") - expr("INTERVAL 1 HOUR"),
@@ -136,11 +140,7 @@ object EventOps {
       ON e.user_id = p.user_id AND p.ts >= e.ts
       ORDER BY event_id"""),
     (spark, dir) => {
-      val ev = Tables.load(spark, dir, "events")
-      val errors = ev.filter(col("event_type") === "error")
-        .select("event_id", "user_id", "ts")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "ts").agg(max("event_id").as("pid"))
+      val (errors, purchases) = asOfSides(spark, dir)
       asOfJoinForward(errors,
           purchases.withColumnRenamed("pid", "next_purchase_id"),
           "user_id", "ts", "next_purchase_id")

@@ -222,13 +222,22 @@ object TextOps {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Double), DataFrame]
 
-  private def jaccardPairsUncached(spark: SparkSession, dir: String,
-                                   threshold: Double): DataFrame = {
+  /** One definition of "documents as (doc_id, blocking-key, token set)"
+    * shared by every PPJoin variant — the blocked, global, and shingle
+    * builders must never drift apart in tokenization or projection
+    * (the cross-variant containment contracts depend on it).
+    */
+  private def docsForPairs(spark: SparkSession, dir: String,
+                           blockKey: Column, toks: Column): DataFrame = {
     GraftFunctions.register(spark)
-    jaccardPairsOver(Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        array_distinct(tokens(col("text"))).as("toks")), threshold)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), blockKey.as("lang"), array_distinct(toks).as("toks"))
   }
+
+  private def jaccardPairsUncached(spark: SparkSession, dir: String,
+                                   threshold: Double): DataFrame =
+    jaccardPairsOver(
+      docsForPairs(spark, dir, col("lang"), tokens(col("text"))), threshold)
 
   /** The PPJoin pipeline over any (doc_id, lang, toks) frame — token
     * sets and shingle sets run through the identical machinery.
@@ -448,12 +457,9 @@ object TextOps {
     */
   def globalJaccardPairs(spark: SparkSession, dir: String,
                          threshold: Double): DataFrame =
-    pairsMemo.getOrElseUpdate((spark, "global:" + dir, threshold), {
-      GraftFunctions.register(spark)
-      jaccardPairsOver(Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), lit("").as("lang"),
-          array_distinct(tokens(col("text"))).as("toks")), threshold)
-    })
+    pairsMemo.getOrElseUpdate((spark, "global:" + dir, threshold),
+      jaccardPairsOver(
+        docsForPairs(spark, dir, lit(""), tokens(col("text"))), threshold))
 
   /** Exact shingle-set jaccard pairs (same-lang, PPJoin machinery) —
     * memoized like [[jaccardPairs]]; the exact side of the shingle
@@ -461,12 +467,10 @@ object TextOps {
     */
   def shingleJaccardPairs(spark: SparkSession, dir: String,
                           threshold: Double): DataFrame =
-    pairsMemo.getOrElseUpdate((spark, "shingle:" + dir, threshold), {
-      GraftFunctions.register(spark)
-      jaccardPairsOver(Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          array_distinct(shingles(tokens(col("text")))).as("toks")), threshold)
-    })
+    pairsMemo.getOrElseUpdate((spark, "shingle:" + dir, threshold),
+      jaccardPairsOver(
+        docsForPairs(spark, dir, col("lang"), shingles(tokens(col("text")))),
+        threshold))
 
   /** Shingle-LSH containment contract: like [[qMinhashContain]] but on
     * the ORDER-SENSITIVE shingle pipeline — the oracle builds 3-token
