@@ -19,6 +19,31 @@ class IvfSpec extends AnyFunSuite {
     assert(assigned.select("vec_id").distinct().count() === emb.count())
   }
 
+  test("recall is monotonically non-decreasing in nProbe, reaching 1 at all cells") {
+    // the operational contract of an IVF index: nProbe is a pure
+    // recall/cost dial. More probed cells can only ADD candidates, so
+    // recall must never decrease, and probing all cells must be
+    // exhaustive (recall exactly 1 — the q_cosine_topk_ivf_exact
+    // contract, pinned here across the whole dial).
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = VectorOps.topK(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val path = Ivf.ensureIndex(spark, sf)
+    val probes = emb.filter(col("vec_id") < 10)
+    val recalls = Seq(1, 2, 4, 8, 16).map { nProbe =>
+      val got = Ivf.searchIndex(spark, path, probes, 5, nProbe)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      nProbe -> brute.count(got.contains).toDouble / brute.size
+    }
+    info(recalls.map { case (n, r) => s"nProbe=$n: $r" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, s"recall dropped from $r1 (nProbe=$n1) to $r2 (nProbe=$n2)")
+    }
+    assert(recalls.last._2 === 1.0, "all-cells probe must be exhaustive")
+  }
+
   test("IVF top-k recall vs brute force is measured and sane") {
     val emb = Tables.load(spark, sf, "embeddings")
     val brute = VectorOps.topK(emb.filter(col("vec_id") < 10), emb, 5)
