@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftFunctions.LSH_SIG,
         "random-hyperplane LSH bucket of a float array; optional plane count (default 8)"),
       GraftFunctions.lshSignatureBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.JARO_WINKLER),
+      info(GraftFunctions.JARO_WINKLER,
+        "Jaro-Winkler similarity of two strings (0.7-threshold prefix boost)"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
   }
 }

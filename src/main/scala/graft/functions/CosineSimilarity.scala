@@ -75,6 +75,7 @@ object GraftFunctions {
   val SIMHASH64 = "graft_simhash64"
   val MINHASH_SIG = "graft_minhash_signature"
   val LSH_SIG = "graft_lsh_signature"
+  val JARO_WINKLER = "graft_jaro_winkler"
 
   /** Idempotent; must run once per session before using the columns. */
   def register(spark: SparkSession): Unit = {
@@ -94,6 +95,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       MINHASH_SIG, exprs => MinhashSignature(exprs.head, 64), "built-in")
     reg.createOrReplaceTempFunction(LSH_SIG, lshSignatureBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      JARO_WINKLER, exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
   }
 
   /** Builder shared by [[register]] and `GraftExtensions`: optional
@@ -145,4 +148,8 @@ object GraftFunctions {
   /** Random-hyperplane LSH bucket (long), `numPlanes` sign bits. */
   def lshSignature(vec: Column, numPlanes: Int = 8): Column =
     call_function(LSH_SIG, vec, org.apache.spark.sql.functions.lit(numPlanes))
+
+  /** Jaro-Winkler similarity of two strings (double in [0, 1]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(JARO_WINKLER, a, b)
 }

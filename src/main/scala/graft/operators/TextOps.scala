@@ -612,6 +612,32 @@ object TextOps {
         .orderBy("s1", "s2")
     })
 
+  // --- Jaro-Winkler fuzzy matching (§2.11 adjunct, the second string
+  //     metric beside levenshtein — rewards shared prefixes, the right
+  //     bias for source/entity labels): the codegen'd JaroWinkler
+  //     expression implements the SAME 0.7-boost-threshold convention
+  //     as DuckDB's jaro_winkler_similarity, so every pair's score is
+  //     hash-checked cross-engine at 4dp, not just spec-sampled.
+  //     Vocabulary-sized self-join like q_edit_distance; at a
+  //     million-label vocabulary the blocking would come from the LSH /
+  //     fingerprint operators, not from this exact metric. ---
+  val qJaroWinkler: QuerySpec = QuerySpec(
+    "q_jaro_winkler",
+    Some("""SELECT a.source AS s1, b.source AS s2,
+      round(jaro_winkler_similarity(a.source, b.source), 4) AS jw
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+      ORDER BY s1, s2"""),
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val srcs = Tables.load(spark, dir, "documents").select("source").distinct()
+      srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("s1"), col("b.source").as("s2"),
+          round(GraftFunctions.jaroWinkler(col("a.source"), col("b.source")), 4)
+            .as("jw"))
+        .orderBy("s1", "s2")
+    })
+
   // --- token-budget packing: fill a per-language token budget in a
   //     deterministic order (the "assemble a training mix of N tokens
   //     per language" shape) — a running-sum window + filter, so the
@@ -819,7 +845,7 @@ object TextOps {
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qNgramJaccardGlobal,
-    qEditDistance, qMinhashLsh,
+    qEditDistance, qJaroWinkler, qMinhashLsh,
     qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
     qSimhashPairs, qSimhashContain, qTokenBudget, qTokenBudgetQuality,
     qTextChunks, qTextRepetition)

@@ -21,6 +21,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(2) === 1)
   }
 
+  test("jaro-winkler matches the textbook values and conventions") {
+    val rows = spark.sql(
+      """SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS a,
+        |       graft_jaro_winkler('DIXON', 'DICKSONX') AS b,
+        |       graft_jaro_winkler('JELLYFISH', 'SMELLYFISH') AS c,
+        |       graft_jaro_winkler('aaxxxxxx', 'aayyyyyy') AS d,
+        |       graft_jaro_winkler('', '') AS e,
+        |       graft_jaro_winkler('abc', '') AS f
+        |""".stripMargin).collect().head
+    assert(math.abs(rows.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(rows.getDouble(1) - 0.8133333333333332) < 1e-12)
+    assert(math.abs(rows.getDouble(2) - 0.8962962962962964) < 1e-12)
+    // boost threshold: jaro 0.5 with a 2-char prefix stays UNboosted
+    assert(rows.getDouble(3) === 0.5)
+    assert(rows.getDouble(4) === 1.0 && rows.getDouble(5) === 0.0)
+  }
+
   test("lsh signature callable from SQL with and without plane count") {
     val row = spark.sql(
       """SELECT graft_lsh_signature(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT))) AS d8,

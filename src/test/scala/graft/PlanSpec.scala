@@ -110,7 +110,8 @@ class PlanSpec extends AnyFunSuite {
       SortedIntIntersectCount(nl, nl),
       ArrayEqCount(nl, nl),
       Simhash64(nl),
-      MinhashSignature(nl, 64)
+      MinhashSignature(nl, 64),
+      JaroWinkler(nl, nl)
     ).foreach(e => assert(!e.isInstanceOf[CodegenFallback], e.prettyName))
   }
 
