@@ -450,6 +450,26 @@ object EventOps {
       }
     })
 
+  /** Stream-static enrichment through the streaming engine: the event
+    * stream left-joins the broadcast customer dimension per micro-batch
+    * (no streaming state at all — the production "attach dimensions at
+    * ingest" shape), hash-checked against the plain batch join oracle.
+    */
+  val qStreamEnrich: QuerySpec = QuerySpec(
+    "q_stream_enrich",
+    Some("""SELECT e.event_id, e.user_id, c.c_mktsegment
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY event_id"""),
+    (spark, dir) => {
+      val dim = Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+      val enriched = graft.streaming.Streams.enrich(
+          streamedEvents(spark, dir), dim, "user_id", "c_custkey")
+        .select("event_id", "user_id", "c_mktsegment")
+      runStreamToTable(enriched, mode = "append")
+        .orderBy("event_id")
+    })
+
   /** Events fixture as a file STREAMING source. The path must be a
     * GLOB: for a non-glob path the file stream source force-sets
     * basePath to the path itself, which fails for a single-file fixture
@@ -504,5 +524,5 @@ object EventOps {
       qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
-      qWindowRange)
+      qStreamEnrich, qWindowRange)
 }
