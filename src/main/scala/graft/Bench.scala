@@ -78,15 +78,38 @@ object Bench {
     val errs = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partial = partialFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val setupTotal = setup.map(_._2).sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""setup":$st,"reps":$reps,"errors":$errs,"partial_failures":$partial,"sf":"$sfDir"}"""
-    println(json)
-    // self-record: the driver's log capture keeps only the stdout tail and
-    // truncated r3's record (VERDICT r3 item 4) — the file copy makes the
-    // measurement independent of log capture
+    // self-record FIRST: the full per-query record lives in a file — the
+    // driver's log capture keeps only the LAST 2000 chars of stdout
+    // (BENCH_r03 and r04 both came back parsed:null because the
+    // full-precision 126-query line is ~4 KB and lost its head)
     new java.io.File("target").mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench.json"), json + "\n")
+      java.nio.file.Paths.get("target/bench.json"), full + "\n")
+    // stdout gets a COMPACT line (~1 KB: 3-decimal rounding, headline
+    // query subset) so the tail capture always contains one complete,
+    // parseable JSON object
+    def r3(d: Double): String = f"$d%.3f"
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+      "q_join_waiting", "q_window_rank", "q_window_dist_twopass",
+      "q_pivot", "q_rollup", "q_sessionize", "q_asof_join",
+      "q_dedup_exact", "q_ngram_jaccard", "q_minhash_dedup",
+      "q_simhash_pairs", "q_embed_neardup_banded", "q_cosine_topk",
+      "q_cosine_topk_ivf", "q_sample_hash", "q_token_budget_quality",
+      "q_pipeline_curate", "q_text_quality",
+      "q_stream_tumbling", "q_stream_join")
+    val byName = results.toMap
+    val hq = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,""" +
+      s""""queries_measured":${results.size},"setup_total":${r3(setupTotal)},""" +
+      s""""reps":$reps,"errors":$errs,"partial_failures":$partial,""" +
+      s""""sf":"$sfDir","detail":"target/bench.json"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -315,6 +315,65 @@ object TextOps {
     }
   }
 
+  /** PPJoin with a HASH-ordered prefix instead of the df-ordered
+    * dictionary. The prefix-filter theorem needs only that both sides
+    * take their first ⌊(1-t)·n⌋+1 elements under ONE global total
+    * order — ANY order is correct; df-ascending merely minimizes
+    * candidates by pushing high-df tokens out of prefixes. When the
+    * element-frequency distribution is flat — shingles: a 3-token
+    * shingle is shared essentially only by near-duplicates — that
+    * pruning buys nothing, and the dictionary's cost (vocabulary
+    * groupBy + range-sort + zipWithIndex + a corpus-sized re-join of
+    * the inverted list, all over long shingle strings — the ~21 s
+    * dominating the r4 shingle build) is pure overhead. Here the order
+    * is (xxhash64(tok), tok); the hash is ONLY an ordering key:
+    * candidates still join on the exact element string (a collision
+    * can perturb prefix order, never equate two different shingles),
+    * and verification is an exact codegen merge-intersect over
+    * lexicographically sorted string arrays — value-identical output
+    * to [[jaccardPairsOver]], pinned by PpjoinSpec.
+    */
+  def jaccardPairsHashOrdered(docs0: DataFrame, threshold: Double): DataFrame = {
+    GraftFunctions.register(docs0.sparkSession)
+    val docs = docs0
+      .select(col("doc_id"), col("lang"),
+        sort_array(col("toks")).as("toks"), // exact-verify order (binary, = UTF8String.compareTo)
+        transform(
+          array_sort(transform(col("toks"),
+            t => struct(xxhash64(t).as("h"), t.as("tok")))),
+          s => s.getField("tok")).as("htoks")) // prefix order
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("plen",
+        (col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1).cast("int"))
+      .cache()
+    val prefix = docs.select(col("doc_id"), col("lang"), col("n_toks"),
+      explode(slice(col("htoks"), lit(1), col("plen"))).as("tok"))
+    // same length-ratio pruning as the dictionary path
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n_toks") >= ceil(lit(threshold) * col("b.n_toks")) &&
+        col("b.n_toks") >= ceil(lit(threshold) * col("a.n_toks")))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val t1 = docs.select(col("doc_id").as("doc1"), col("toks").as("toks1"),
+                         col("n_toks").as("n1"))
+    val t2 = docs.select(col("doc_id").as("doc2"), col("toks").as("toks2"),
+                         col("n_toks").as("n2"))
+    try {
+      cands.join(t1, "doc1").join(t2, "doc2")
+        .withColumn("common",
+          GraftFunctions.sortedIntersectCount(col("toks1"), col("toks2")))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+        .localCheckpoint() // materializes while docs is cached
+    } finally {
+      docs.unpersist(blocking = false)
+    }
+  }
+
   // --- MinHash + LSH banding (no SQL oracle: hash functions are
   //     engine-specific; correctness covered by MinHashSpec's
   //     minhash≈jaccard property test and the exact-jaccard recheck) ---
@@ -461,14 +520,18 @@ object TextOps {
       jaccardPairsOver(
         docsForPairs(spark, dir, lit(""), tokens(col("text"))), threshold))
 
-  /** Exact shingle-set jaccard pairs (same-lang, PPJoin machinery) —
-    * memoized like [[jaccardPairs]]; the exact side of the shingle
-    * containment contract.
+  /** Exact shingle-set jaccard pairs (same-lang) — memoized like
+    * [[jaccardPairs]]; the exact side of the shingle containment
+    * contract. Uses the HASH-ordered PPJoin ([[jaccardPairsHashOrdered]]):
+    * shingle document-frequency is flat, so the df dictionary bought
+    * nothing and cost 21 s of the r4 bench setup; output is
+    * value-identical (PpjoinSpec pins hash-ordered ≡ dictionary-ordered
+    * on this very frame).
     */
   def shingleJaccardPairs(spark: SparkSession, dir: String,
                           threshold: Double): DataFrame =
     pairsMemo.getOrElseUpdate((spark, "shingle:" + dir, threshold),
-      jaccardPairsOver(
+      jaccardPairsHashOrdered(
         docsForPairs(spark, dir, col("lang"), shingles(tokens(col("text")))),
         threshold))
 
