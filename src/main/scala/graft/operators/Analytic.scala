@@ -221,6 +221,51 @@ object Analytic {
       .drop("_pid", "_lrn", "_off")
   }
 
+  /** Global inclusive running sum of `valueCol` (LongType) in
+    * `orderCols` order without a global window — the [[twoPassRank]]
+    * machinery with a sum instead of a count: range partition on the
+    * (unique) order key, per-partition local running sums, shard TOTALS
+    * prefix-summed on the driver-side-tiny shard frame and broadcast
+    * back. Adds `_cum`. One data shuffle total; the unpartitioned
+    * window below runs over #shards rows (metadata, not data) — this is
+    * the scale path for any "global cumulative" shape (token-offset
+    * assignment, sequence packing) that a naive
+    * `Window.orderBy(...)` would serialize through one task.
+    */
+  def twoPassPrefixSum(df: org.apache.spark.sql.DataFrame,
+                       orderCols: Seq[String],
+                       valueCol: String): org.apache.spark.sql.DataFrame = {
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"twoPassPrefixSum: '$valueCol' must be LongType, " +
+        s"got ${df.schema(valueCol).dataType.simpleString}")
+    val oc = orderCols.map(col)
+    val parted = df.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
+    val vi = parted.schema.fieldIndex(valueCol)
+    val schema2 = parted.schema
+      .add("_pid", org.apache.spark.sql.types.IntegerType)
+      .add("_lcum", org.apache.spark.sql.types.LongType)
+    val rdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.map { r =>
+        s += r.getLong(vi)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ s)
+      }
+    }
+    // persisted for the same reason as twoPassRank: two consumers
+    // (shard totals + final join) must not re-run the sort pass
+    val local = parted.sparkSession.createDataFrame(rdd, schema2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = local.groupBy("_pid").agg(sum(valueCol).as("_tot"))
+      .withColumn("_off", coalesce(sum("_tot").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offs), "_pid")
+      .withColumn("_cum", col("_lcum") + col("_off"))
+      .drop("_pid", "_lcum")
+  }
+
   // --- sliding event-time windows, batch form (streaming form:
   //     graft.streaming.Streams.slidingCounts). 1 h window / 15 min
   //     slide → each event lands in 4 windows. ---

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus: BM25 scoring (the Lucene-style
+  * `ln((N - df + 0.5)/(df + 0.5) + 1)` idf variant, k1=1.2, b=0.75) for
+  * a fixed query-term set, plus top-k. Training pipelines use this
+  * shape for targeted corpus slicing ("all docs about X") and as the
+  * lexical side of hybrid retrieval next to the ANN operators.
+  *
+  * Scale shape: tf is a per-row explode filtered to the query terms
+  * BEFORE any shuffle (the filter reaches the scan side, so the shuffle
+  * carries only matching (doc, term) rows — query terms are few, the
+  * corpus is not); df and the corpus stats (N, avgdl) are term-count- /
+  * single-row-sized and broadcast. No global window, no all-pairs; the
+  * one aggregation shuffles on doc_id. The arithmetic mirrors the
+  * DuckDB oracle's expression tree shape exactly so the doubles agree
+  * bit-for-bit before the final round(4).
+  */
+object Search {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 scores for `terms` over (doc_id, toks). Emits one row per doc
+    * containing at least one term: (doc_id, n_terms, bm25).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val withDl = docs.withColumn("dl", size(col("toks")).cast("double"))
+    val stats = withDl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val tf = withDl.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfT), "t").crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)) *
+          (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) *
+            (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum("s"), 4).as("bm25"))
+  }
+
+  /** Top-k retrieval: same scores, `TakeOrderedAndProject` plan (no
+    * global sort materialization) — guarded in PlanSpec.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25(docs, terms).orderBy(col("bm25").desc, col("doc_id")).limit(k)
+
+  private def docsFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+
+  /** Oracle-checked on SCORES for every matching doc (ordered by
+    * doc_id, no limit): a top-k cut in a cross-engine hash compare
+    * would turn a last-ulp score difference at the boundary into a
+    * different row SET; scoring every match checks strictly more while
+    * staying deterministic. The top-k surface is [[bm25TopK]]
+    * (spec + plan guard).
+    */
+  val qBm25: QuerySpec = QuerySpec(
+    "q_bm25",
+    Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+      e AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS t
+        FROM d),
+      tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf FROM e
+        WHERE t IN ('spark', 'vector', 'stream') GROUP BY doc_id, dl, t),
+      dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t)
+      SELECT doc_id, count(*) AS n_terms,
+        round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+          * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4)
+          AS bm25
+      FROM tf JOIN dfq USING (t), st
+      GROUP BY doc_id ORDER BY doc_id"""),
+    (spark, dir) =>
+      bm25(docsFrame(spark, dir), Seq("spark", "vector", "stream"))
+        .orderBy("doc_id"))
+
+  def specs: Seq[QuerySpec] = Seq(qBm25)
+}

@@ -776,6 +776,41 @@ object TextOps {
         .orderBy("lang")
     })
 
+  // --- concat-and-chunk sequence packing: the standard LLM pre-training
+  //     shape — concatenate all documents in a deterministic global
+  //     order and cut the token stream into fixed 2048-token context
+  //     windows. Each doc's global token offset is an exclusive prefix
+  //     sum of token counts, which a naive Window.orderBy(doc_id) would
+  //     serialize through ONE task over the whole corpus; the scale path
+  //     is Analytic.twoPassPrefixSum (range shuffle + per-shard running
+  //     sums + broadcast shard offsets — same machinery the global-rank
+  //     query uses). Output: where each doc lands (first/last context
+  //     bin), exact and oracle-checked against DuckDB's single-window
+  //     prefix sum. ---
+  val qPackSequences: QuerySpec = QuerySpec(
+    "q_pack_sequences",
+    Some("""SELECT doc_id,
+        CAST(cum - n AS BIGINT) AS tok_start,
+        CAST((cum - n) // 2048 AS BIGINT) AS bin_first,
+        CAST((cum - 1) // 2048 AS BIGINT) AS bin_last
+      FROM (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n,
+        sum(CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT))
+          OVER (ORDER BY doc_id) AS cum
+        FROM documents)
+      ORDER BY doc_id"""),
+    (spark, dir) => {
+      val base = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      Analytic.twoPassPrefixSum(base, Seq("doc_id"), "n_tokens")
+        .select(col("doc_id"),
+          (col("_cum") - col("n_tokens")).as("tok_start"),
+          expr("(_cum - n_tokens) div 2048").as("bin_first"),
+          expr("(_cum - 1) div 2048").as("bin_last"))
+        .orderBy("doc_id")
+    })
+
   // --- context-window chunking: split each document into fixed-size
   //     token chunks (the unit a training/RAG pipeline actually feeds a
   //     model). Pure per-row explode — no shuffle; chunk text is
@@ -911,5 +946,5 @@ object TextOps {
     qEditDistance, qJaroWinkler, qMinhashLsh,
     qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
     qSimhashPairs, qSimhashContain, qTokenBudget, qTokenBudgetQuality,
-    qTextChunks, qTextRepetition)
+    qPackSequences, qTextChunks, qTextRepetition)
 }

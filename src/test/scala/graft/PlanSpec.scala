@@ -182,4 +182,24 @@ class PlanSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
     assert(math.abs(rows(3).getDouble(1) - 1.0) < 1e-12) // 1.0 ± ulp of √ rounding
   }
+
+  test("bm25 top-k plans as TakeOrderedAndProject; no cartesian blowup") {
+    import graft.operators.Search
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
+    val p = plan(Search.bm25TopK(docs, Seq("spark", "vector", "stream"), 10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    // the only nested-loop join allowed is the single-row corpus-stats
+    // broadcast; a CartesianProduct would mean the stats or df frame
+    // joined without its key
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("decontamination membership is an equi semi-join, never nested-loop") {
+    import graft.operators.Contamination
+    val p = plan(Contamination.qDecontaminate.run(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(600))
+  }
 }
