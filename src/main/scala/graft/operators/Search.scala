@@ -85,5 +85,35 @@ object Search {
       bm25(docsFrame(spark, dir), Seq("spark", "vector", "stream"))
         .orderBy("doc_id"))
 
-  def specs: Seq[QuerySpec] = Seq(qBm25)
+  /** Inverted-index build: one row per term with document frequency and
+    * the head of its doc_id-sorted posting list. In production the
+    * exploded (term, doc_id) frame — bucketed by term — IS the index
+    * (this is how [[bm25]] consumes it: the posting data stays
+    * distributed and is equi-joined, never aggregated into driver-sized
+    * arrays); the per-term aggregate here is the index-statistics view,
+    * with postings capped at 20 ids so no row grows with corpus size.
+    * Oracle-checked exactly, postings serialized (the cross-engine
+    * comparator hashes scalar columns).
+    */
+  val qInvertedIndex: QuerySpec = QuerySpec(
+    "q_inverted_index",
+    Some("""WITH e AS (SELECT DISTINCT t, doc_id FROM
+        (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS t, doc_id
+         FROM documents))
+      SELECT t AS term, count(*) AS df,
+        array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',') AS postings_head
+      FROM e GROUP BY t ORDER BY term"""),
+    (spark, dir) => {
+      val e = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), " +")).as("term"))
+        .distinct()
+      e.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+            _.cast("string")), ",").as("postings_head"))
+        .orderBy("term")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qBm25, qInvertedIndex)
 }

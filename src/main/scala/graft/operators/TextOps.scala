@@ -811,6 +811,40 @@ object TextOps {
         .orderBy("doc_id")
     })
 
+  // --- shuffle-then-pack: the production pre-training order. Packing
+  //     in doc_id order would train on the corpus's storage order;
+  //     the real pipeline first applies a DETERMINISTIC global shuffle
+  //     (portable md5 of the doc id — the same salt-hash family the
+  //     oracle-checked samplers use, so the permutation is a pure
+  //     function of the data, reproducible across engines and runs)
+  //     and packs in that order. Same two-pass prefix-sum plan; the
+  //     range shuffle now partitions on the hash key, which is uniform
+  //     by construction — no skewed shards. ---
+  val qShufflePack: QuerySpec = QuerySpec(
+    "q_shuffle_pack",
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n,
+        md5('graft-shuffle-v1' || '|' || CAST(doc_id AS VARCHAR)) AS sk
+        FROM documents),
+      c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY sk, doc_id) AS cum FROM d)
+      SELECT doc_id, CAST(cum - n AS BIGINT) AS tok_start,
+        CAST((cum - n) // 2048 AS BIGINT) AS bin_first,
+        CAST((cum - 1) // 2048 AS BIGINT) AS bin_last
+      FROM c ORDER BY doc_id"""),
+    (spark, dir) => {
+      val base = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(concat_ws("|", lit("graft-shuffle-v1"),
+            col("doc_id").cast("string"))).as("sk"))
+      Analytic.twoPassPrefixSum(base, Seq("sk", "doc_id"), "n_tokens")
+        .select(col("doc_id"),
+          (col("_cum") - col("n_tokens")).as("tok_start"),
+          expr("(_cum - n_tokens) div 2048").as("bin_first"),
+          expr("(_cum - 1) div 2048").as("bin_last"))
+        .orderBy("doc_id")
+    })
+
   // --- context-window chunking: split each document into fixed-size
   //     token chunks (the unit a training/RAG pipeline actually feeds a
   //     model). Pure per-row explode — no shuffle; chunk text is
@@ -946,5 +980,5 @@ object TextOps {
     qEditDistance, qJaroWinkler, qMinhashLsh,
     qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
     qSimhashPairs, qSimhashContain, qTokenBudget, qTokenBudgetQuality,
-    qPackSequences, qTextChunks, qTextRepetition)
+    qPackSequences, qShufflePack, qTextChunks, qTextRepetition)
 }
