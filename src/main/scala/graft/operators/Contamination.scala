@@ -49,14 +49,24 @@ object Contamination {
       val sh = Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(tokens(col("text")))).as("sh"))
-      val benchGrams = sh.filter(col("doc_id") % 50 === 0)
-        .select(explode(col("sh")).as("g")).distinct()
-      val cand = sh.filter(col("doc_id") % 50 =!= 0)
-      val hits = cand.select(col("doc_id"), explode(col("sh")).as("g"))
-        .join(benchGrams, Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      cand.select(col("doc_id"), size(col("sh")).cast("long").as("n_ngrams"))
-        .join(hits, Seq("doc_id")) // inner: only contaminated docs surface
+      // explicit broadcast: the benchmark dictionary is eval-set-sized
+      // by nature (here the 2% slice's distinct shingles), so the
+      // corpus-sized exploded frame must never shuffle for this join
+      val benchGrams = broadcast(
+        sh.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("sh")).as("g")).distinct()
+          .withColumn("hit", lit(1)))
+      // ONE pass over the candidate shingles: left-join marks benchmark
+      // membership, a single aggregation yields both the per-doc total
+      // and the hit count — the corpus is scanned (and shingled) once,
+      // not three times, and the only shuffle is the per-doc aggregate
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(benchGrams, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .filter(col("n_hit") > 0) // only contaminated docs surface
         .withColumn("contamination",
           round(col("n_hit").cast("double") / col("n_ngrams"), 4))
         .orderBy("doc_id")

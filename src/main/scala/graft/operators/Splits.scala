@@ -110,6 +110,45 @@ object Splits {
         .orderBy("lang")
     })
 
+  /** Domain-mixture resampling (the "rebalance the training mix to
+    * target shares" shape): per-language keep rates are DERIVED from
+    * the corpus — rate = min(100%, uniform-target-share / actual-share)
+    * — so over-represented languages are downsampled toward the target
+    * and the rest kept whole (downsample-only, the standard approach;
+    * upsampling is a repeat factor, a different operator). All rate
+    * arithmetic is INTEGER (percent, floor division) so both engines
+    * compute identical thresholds, and membership is the same portable
+    * md5 bucket as the other samplers — the kept set is a pure function
+    * of the data, oracle-checked to the exact member set.
+    *
+    * Scale: two metadata-sized aggregates (per-language counts, one
+    * totals row), a broadcast of #languages rate rows, and a narrow
+    * filter — no data shuffle at all beyond the aggregates' partials.
+    */
+  val qMixResample: QuerySpec = QuerySpec(
+    "q_mix_resample",
+    Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      t AS (SELECT count(*) AS nlang, sum(cnt) AS n FROM c),
+      r AS (SELECT lang, least(100, (100 * n) // (nlang * cnt)) AS rate
+        FROM c, t)
+      SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      WHERE CAST(('0x' || substr(md5('graft-sample-v1' || '|' ||
+        CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < rate
+      ORDER BY d.doc_id"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents").select("doc_id", "lang")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val totals = counts.agg(count(lit(1)).as("nlang"), sum("cnt").as("n"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .withColumn("rate",
+          least(lit(100L), expr("(100 * n) div (nlang * cnt)")))
+        .select("lang", "rate")
+      docs.join(broadcast(rates), "lang")
+        .filter(portableBucket(col("doc_id").cast("string")) < col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    })
+
   /** K-fold assignment for cross-validation: fold = portable hash % k,
     * stable across runs and engines; oracle checks the exact fold of
     * every row via per-fold counts and extremes.
@@ -166,5 +205,5 @@ object Splits {
 
   def specs: Seq[QuerySpec] =
     Seq(qTrainTestSplit, qSampleHash, qSampleStratified, qSampleWeighted,
-        qKfold)
+        qMixResample, qKfold)
 }

@@ -226,18 +226,28 @@ object TextOps {
     * shared by every PPJoin variant — the blocked, global, and shingle
     * builders must never drift apart in tokenization or projection
     * (the cross-variant containment contracts depend on it).
+    *
+    * `unit` maps the token column to the dedup unit (identity for token
+    * sets, [[shingles]] for shingle sets). NOTE the two-step projection
+    * is cosmetic only — `CollapseProject` re-inlines `_toks` into the
+    * consumer — so `unit` MUST be per-element-safe when handed a
+    * complex expression (see the [[shingles]] implementation note on
+    * lambda capture).
     */
   private def docsForPairs(spark: SparkSession, dir: String,
-                           blockKey: Column, toks: Column): DataFrame = {
+                           blockKey: Column,
+                           unit: Column => Column = identity): DataFrame = {
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), blockKey.as("lang"), array_distinct(toks).as("toks"))
+      .select(col("doc_id"), blockKey.as("lang"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("lang"),
+        array_distinct(unit(col("_toks"))).as("toks"))
   }
 
   private def jaccardPairsUncached(spark: SparkSession, dir: String,
                                    threshold: Double): DataFrame =
     jaccardPairsOver(
-      docsForPairs(spark, dir, col("lang"), tokens(col("text"))), threshold)
+      docsForPairs(spark, dir, col("lang")), threshold)
 
   /** The PPJoin pipeline over any (doc_id, lang, toks) frame — token
     * sets and shingle sets run through the identical machinery.
@@ -469,10 +479,23 @@ object TextOps {
     * vocabulary as identical (jaccard 1.0), shingles do not. Documents
     * shorter than w collapse to a single whole-document shingle.
     */
-  def shingles(toks: Column, w: Int = 3): Column =
-    when(size(toks) < w, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
+  /** Implementation note: built from `zip_with` over w aligned slices,
+    * NOT `transform(sequence(...), i => slice(toks, i, w))`. A lambda
+    * that captures `toks` re-evaluates the captured expression PER
+    * ELEMENT — and since callers pass `split(trim(text))` (and
+    * `CollapseProject` re-inlines it even when a caller projects the
+    * tokens first), the transform form re-tokenized every document
+    * O(n²) times: two thirds of the r5 decontamination/shingle-build
+    * runtime. `zip_with` evaluates its array INPUTS once per row; its
+    * lambda touches only element variables.
+    */
+  def shingles(toks: Column, w: Int = 3): Column = {
+    val m = size(toks) - (w - 1) // shingle count when size >= w
+    val joined = (0 until w)
+      .map(j => slice(toks, lit(j + 1), m))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    when(size(toks) < w, array(concat_ws(" ", toks))).otherwise(joined)
+  }
 
   /** Shingle→minhash→band→bucket-join near-dup pairs (rows-only:
     * engine-specific hashing; order sensitivity pinned in
@@ -518,7 +541,7 @@ object TextOps {
                          threshold: Double): DataFrame =
     pairsMemo.getOrElseUpdate((spark, "global:" + dir, threshold),
       jaccardPairsOver(
-        docsForPairs(spark, dir, lit(""), tokens(col("text"))), threshold))
+        docsForPairs(spark, dir, lit("")), threshold))
 
   /** Exact shingle-set jaccard pairs (same-lang) — memoized like
     * [[jaccardPairs]]; the exact side of the shingle containment
@@ -532,7 +555,7 @@ object TextOps {
                           threshold: Double): DataFrame =
     pairsMemo.getOrElseUpdate((spark, "shingle:" + dir, threshold),
       jaccardPairsHashOrdered(
-        docsForPairs(spark, dir, col("lang"), shingles(tokens(col("text")))),
+        docsForPairs(spark, dir, col("lang"), shingles(_)),
         threshold))
 
   /** Shingle-LSH containment contract: like [[qMinhashContain]] but on
@@ -901,9 +924,9 @@ object TextOps {
           AS dup_ratio
       FROM b ORDER BY doc_id"""),
     (spark, dir) => {
-      val bigrams = shingles(tokens(col("text")), 2)
       Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), bigrams.as("bigrams"))
+        .select(col("doc_id"), tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), shingles(col("_toks"), 2).as("bigrams"))
         .select(col("doc_id"),
           size(col("bigrams")).as("n_bigrams"),
           round(lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /

@@ -195,10 +195,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
-  test("decontamination membership is an equi semi-join, never nested-loop") {
+  test("decontamination membership broadcasts the benchmark dictionary") {
     import graft.operators.Contamination
     val p = plan(Contamination.qDecontaminate.run(spark, sf))
-    assert(p.contains("LeftSemi"), p.take(600))
+    // the corpus-sized exploded side must not shuffle for the
+    // membership join: benchmark grams broadcast, equi-keyed
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(600))
   }
