@@ -46,22 +46,28 @@ object Contamination {
       FROM c JOIN h ON c.doc_id = h.doc_id
       ORDER BY doc_id"""),
     (spark, dir) => {
-      val sh = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(tokens(col("text")))).as("sh"))
+      val docs = Tables.load(spark, dir, "documents")
+      // explode_outer, not explode: InferFiltersFromGenerate would copy
+      // the whole shingle expression into a pre-Generate Filter
+      // (size(..)>0 AND isnotnull(..)), re-splitting each text ~20× per
+      // row and blowing up codegen — measured 17.5 s → this shape is
+      // sub-second. Shingles are never empty (docs shorter than the
+      // window yield a single whole-doc shingle), so outer ≡ inner here.
+      def shingleOf(of: org.apache.spark.sql.DataFrame) =
+        of.select(col("doc_id"), explode_outer(
+          array_distinct(TextOps.shingles(tokens(col("text"))))).as("g"))
       // explicit broadcast: the benchmark dictionary is eval-set-sized
       // by nature (here the 2% slice's distinct shingles), so the
       // corpus-sized exploded frame must never shuffle for this join
       val benchGrams = broadcast(
-        sh.filter(col("doc_id") % 50 === 0)
-          .select(explode(col("sh")).as("g")).distinct()
+        shingleOf(docs.filter(col("doc_id") % 50 === 0))
+          .select(col("g")).distinct()
           .withColumn("hit", lit(1)))
       // ONE pass over the candidate shingles: left-join marks benchmark
       // membership, a single aggregation yields both the per-doc total
       // and the hit count — the corpus is scanned (and shingled) once,
       // not three times, and the only shuffle is the per-doc aggregate
-      sh.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
+      shingleOf(docs.filter(col("doc_id") % 50 =!= 0))
         .join(benchGrams, Seq("g"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_ngrams"),
