@@ -63,5 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftFunctions.JARO_WINKLER,
         "Jaro-Winkler similarity of two strings (0.7-threshold prefix boost)"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.FOLD_TEXT),
+      info(GraftFunctions.FOLD_TEXT,
+        "canonical text fold: unaccent + casefold + whitespace collapse"),
+      (exprs: Seq[Expression]) => FoldText(exprs.head)))
   }
 }

@@ -76,6 +76,7 @@ object GraftFunctions {
   val MINHASH_SIG = "graft_minhash_signature"
   val LSH_SIG = "graft_lsh_signature"
   val JARO_WINKLER = "graft_jaro_winkler"
+  val FOLD_TEXT = "graft_fold_text"
 
   /** Idempotent; must run once per session before using the columns. */
   def register(spark: SparkSession): Unit = {
@@ -97,6 +98,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(LSH_SIG, lshSignatureBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       JARO_WINKLER, exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      FOLD_TEXT, exprs => FoldText(exprs.head), "built-in")
   }
 
   /** Builder shared by [[register]] and `GraftExtensions`: optional
@@ -152,4 +155,7 @@ object GraftFunctions {
   /** Jaro-Winkler similarity of two strings (double in [0, 1]). */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function(JARO_WINKLER, a, b)
+
+  /** Canonical fold (unaccent + casefold + whitespace collapse). */
+  def foldText(s: Column): Column = call_function(FOLD_TEXT, s)
 }
