@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.specs ++ Scalars.specs ++ EventOps.specs ++
       TextOps.specs ++ Dedup.specs ++ VectorOps.specs ++ Multimodal.specs ++
       Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Splits.specs ++
-      SqlEntry.specs ++ Contamination.specs ++ Search.specs ++ Scrub.specs
+      SqlEntry.specs ++ Contamination.specs ++ Search.specs ++ Scrub.specs ++
+      Graph.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
