@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application and slowly-changing-dimension
+  * history — the warehouse-maintenance surface a production tier needs
+  * around the reference's OLTP store (the reference provisions a plain
+  * MySQL tier, `mysql-persistent-template.json`; replicating its tables
+  * into an analytics lake means applying its binlog as a changelog and
+  * keeping dimension history).
+  *
+  * Scale shape: both operators are ONE hash shuffle on the business
+  * key followed by a per-key ordered window — no self-join, no global
+  * sort. At 100 TB of changelog the shuffle is the unavoidable
+  * key-grouping; AQE absorbs hot-key skew (a key's history lands in
+  * one partition, so per-key state is bounded by that key's change
+  * count, not corpus size). `row_number`/`lead` stay inside
+  * whole-stage codegen.
+  */
+object Changes {
+
+  /** Apply a CDC changelog to produce the current snapshot: keep each
+    * key's latest row by `ordering`, dropping keys whose final
+    * operation is a delete. The classic "compact the binlog" operator —
+    * upserts win by recency, deletes tombstone the key.
+    *
+    * @param log      changelog rows (full-row images)
+    * @param keys     business key columns
+    * @param ordering change-sequence columns (combined must be unique
+    *                 per key for a deterministic winner)
+    * @param opCol    operation column; rows where it equals `deleteOp`
+    *                 are tombstones
+    */
+  def cdcApply(log: DataFrame, keys: Seq[String], ordering: Seq[Column],
+               opCol: String = "op", deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering.map(_.desc): _*)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("_rn")
+  }
+
+  /** SCD Type-2 history: every change becomes a versioned row with a
+    * [valid_from, valid_to) interval; the key's last non-delete version
+    * is flagged current. A delete closes the prior interval and emits
+    * its own tombstone version (is_current = false) so the history
+    * records WHEN the key died — the standard "type 2 with deletes"
+    * shape.
+    *
+    * @param tsCol    the change timestamp that bounds validity
+    * @param ordering full change order (ties in `tsCol` broken by the
+    *                 remaining columns)
+    */
+  def scd2(log: DataFrame, keys: Seq[String], tsCol: String,
+           ordering: Seq[Column], opCol: String = "op",
+           deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering: _*)
+    log
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to").isNull && col(opCol) =!= deleteOp)
+  }
+
+  /** The synthetic changelog both queries share: each order is a
+    * change event against its customer's "latest order" state —
+    * sequence = (o_orderdate, o_orderkey), tombstone when the order
+    * status is 'F' (closed). Derived, not invented: every column comes
+    * from the driver's `orders` fixture so the DuckDB oracle can build
+    * the identical log.
+    */
+  private def orderChangelog(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderpriority"),
+      when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"))
+
+  /** CDC compaction: latest surviving state per customer. */
+  val qCdcApply: QuerySpec = QuerySpec(
+    "q_cdc_apply",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_custkey, o_orderdate, o_orderkey,
+        round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY o_custkey"""),
+    (spark, dir) => {
+      cdcApply(orderChangelog(spark, dir), keys = Seq("o_custkey"),
+        ordering = Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_custkey")
+    })
+
+  /** SCD2 history over the same changelog: versioned validity
+    * intervals per customer, current-flagged.
+    */
+  val qScd2: QuerySpec = QuerySpec(
+    "q_scd2",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders)
+      SELECT o_custkey,
+        row_number() OVER w AS version,
+        o_orderdate AS valid_from,
+        lead(o_orderdate, 1) OVER w AS valid_to,
+        (lead(o_orderdate, 1) OVER w IS NULL AND op <> 'D') AS is_current,
+        round(o_totalprice, 2) AS o_totalprice
+      FROM log
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, version"""),
+    (spark, dir) => {
+      scd2(orderChangelog(spark, dir), keys = Seq("o_custkey"),
+        tsCol = "o_orderdate",
+        ordering = Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("version"), col("valid_from"),
+          col("valid_to"), col("is_current"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_custkey", "version")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qCdcApply, qScd2)
+}

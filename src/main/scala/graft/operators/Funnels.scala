@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over the `events`
+  * stream table — the product-analytics queries a deployment of the
+  * reference's event-collecting tier runs daily.
+  *
+  * Scale shape: both are sequences of hash aggregations keyed on
+  * `user_id` — no self-joins on the raw event table, no windows over
+  * unbounded frames. The funnel's per-step join is user-keyed
+  * (aggregated side ≤ one row per user, shrinking per step), so every
+  * shuffle after the first moves at most |users| rows, not |events|;
+  * at 100 TB of events that is the difference between shuffling the
+  * corpus k times and shuffling it once. Retention's two aggregations
+  * reuse the same (user) clustering, and the final matrix is
+  * |cohorts| × |offsets| — tiny at any scale.
+  */
+object Funnels {
+
+  /** Ordered funnel: for each step k, the users whose first step-k
+    * event at-or-after their step-(k-1) instant exists. Returns the
+    * per-user completion instants for the deepest stage reached; the
+    * standard "min-scan per stage" formulation (each stage = filter +
+    * groupBy-min + user-keyed join, never an event-level self-join).
+    *
+    * @return one row per user reaching step 1, columns
+    *         (userCol, t1..tN nullable timestamps)
+    */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(tsCol).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      val prevT = s"t$i"
+      val tK = s"t${i + 1}"
+      val nextT = events.filter(col(typeCol) === step)
+        .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+      acc.join(nextT, acc(userCol) === col("_u"), "left")
+        .groupBy((userCol +: (1 to i).map(k => s"t$k")).map(col): _*)
+        .agg(min(when(col("_ts") >= col(prevT), col("_ts"))).as(tK))
+    }
+  }
+
+  /** Funnel counts: users reaching each stage in order. ONE pass over
+    * the per-user times (a single agg row unpivoted with `stack`), not
+    * one scan per stage.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): DataFrame = {
+    val times = funnelTimes(events, userCol, tsCol, typeCol, steps)
+    val counts = times.agg(
+      count(col("t1")).as("n1"),
+      steps.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"${i + 1}, '$s', n${i + 1}" }
+      .mkString(", ")
+    counts.selectExpr(
+      s"stack(${steps.size}, $stackArgs) AS (step, step_name, n_users)")
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of a user's first
+    * event; cell (cohort, offset) = distinct users of that cohort
+    * active `offset` weeks later.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).as("week"))
+    val cohorts = weeks.groupBy("u").agg(min("week").as("cohort_week"))
+    val active = weeks.distinct()
+    active.join(cohorts, "u")
+      .withColumn("week_offset",
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week"))) /
+          (7L * 86400L)).cast("long"))
+      // DATE, matching engines whose week-truncation yields a date
+      .groupBy(col("cohort_week").cast("date").as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct("u").as("n_users"))
+  }
+
+  /** signup → view → click → purchase over the events fixture. */
+  val qFunnel: QuerySpec = QuerySpec(
+    "q_funnel",
+    Some("""WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (
+        SELECT s1.user_id, min(e.ts) AS t2
+        FROM s1 LEFT JOIN events e
+          ON e.user_id = s1.user_id AND e.event_type = 'view'
+             AND e.ts >= s1.t1
+        GROUP BY s1.user_id),
+      s3 AS (
+        SELECT s2.user_id, min(e.ts) AS t3
+        FROM s2 LEFT JOIN events e
+          ON e.user_id = s2.user_id AND e.event_type = 'click'
+             AND e.ts >= s2.t2
+        GROUP BY s2.user_id),
+      s4 AS (
+        SELECT s3.user_id, min(e.ts) AS t4
+        FROM s3 LEFT JOIN events e
+          ON e.user_id = s3.user_id AND e.event_type = 'purchase'
+             AND e.ts >= s3.t3
+        GROUP BY s3.user_id)
+      SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS step_name, count(t1) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'view', count(t2) FROM s2
+        UNION ALL
+        SELECT 3, 'click', count(t3) FROM s3
+        UNION ALL
+        SELECT 4, 'purchase', count(t4) FROM s4)
+      ORDER BY step"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      funnelCounts(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+        .orderBy("step")
+    })
+
+  /** Weekly retention matrix over the events fixture. */
+  val qCohortRetention: QuerySpec = QuerySpec(
+    "q_cohort_retention",
+    Some("""WITH weeks AS (
+        SELECT user_id AS u, date_trunc('week', ts) AS week FROM events),
+      cohorts AS (
+        SELECT u, min(week) AS cohort_week FROM weeks GROUP BY u),
+      active AS (SELECT DISTINCT u, week FROM weeks)
+      SELECT c.cohort_week,
+        CAST((epoch(a.week) - epoch(c.cohort_week)) / (7 * 86400) AS BIGINT)
+          AS week_offset,
+        count(DISTINCT a.u) AS n_users
+      FROM active a JOIN cohorts c ON a.u = c.u
+      GROUP BY 1, 2
+      ORDER BY cohort_week, week_offset"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      cohortRetention(ev, "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qFunnel, qCohortRetention)
+}

@@ -129,5 +129,191 @@ object Graph {
         .orderBy("kind", "entity_id")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qPageRank)
+  /** Co-purchase part graph: undirected (a < b) edges between parts
+    * appearing in the same order at least `minSupport` times. The
+    * support threshold is load-bearing at scale: raw co-occurrence on a
+    * basket corpus is near-quadratic in basket size and mostly noise;
+    * support-thresholded edges are the standard market-basket
+    * sparsification (and keep the oracle's 3-way self-join tractable).
+    */
+  def copurchaseEdges(spark: SparkSession, dir: String,
+                      minSupport: Int = 2): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    val l1 = li.toDF("k", "a")
+    val l2 = li.toDF("k2", "b")
+    l1.join(l2, col("k") === col("k2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("a", "b")
+  }
+
+  /** Exact triangle count + global clustering coefficient by
+    * degree-ordered orientation (the MapReduce-classic of Suri &
+    * Vassilvitskii's "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11): orient every edge from its lower-(degree, id)
+    * endpoint to the higher one, enumerate wedges only at each edge's
+    * SOURCE, and close them against the oriented edge set. Each
+    * triangle is counted exactly once, and — the scale property — the
+    * wedge count per node is bounded by its oriented out-degree, which
+    * the orientation caps at O(sqrt(|E|)) for any graph: a celebrity
+    * hub with degree 10^6 contributes almost no wedges because nearly
+    * all its edges point INTO it. Two hash joins, no global window.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("x"))
+      .unionAll(edges.select(col("b").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // rank = (degree, id) lexicographic — a total order, so orientation
+    // is acyclic and every wedge/triangle has a unique lowest vertex
+    val withDeg = edges
+      .join(deg.select(col("x").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          struct(col("db").as("rd"), col("b").as("rid")).as("dstRank")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"),
+            struct(col("da").as("rd"), col("a").as("rid")).as("dstRank")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dstRank").as("dstRank"))
+    // distinct alias sets on every self-join side: all three frames
+    // below share `oriented`'s lineage, and fresh exprIds are what keep
+    // the join conditions out of Spark's ambiguous-self-join trap
+    val w1 = oriented.select(col("src").as("u1"), col("dst").as("v"),
+      col("dstRank").as("vRank"))
+    val w2 = oriented.select(col("src").as("u2"), col("dst").as("w"),
+      col("dstRank").as("wRank"))
+    // wedges at the lowest-rank vertex, ordered so the closing edge
+    // (if present) is oriented v->w by construction
+    val wedges = w1.join(w2,
+      col("u1") === col("u2") && col("vRank") < col("wRank"))
+      .select(col("v"), col("w"))
+    val closing = oriented.select(col("src").as("cv"), col("dst").as("cw"))
+    val tri = wedges.join(closing,
+      col("v") === col("cv") && col("w") === col("cw"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(stats).crossJoin(nEdges)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering"))
+  }
+
+  /** Triangle census of the co-purchase part graph. Oracle: DuckDB
+    * counts the same triangles by the a<b<c three-way self-join (a
+    * different algorithm — orientation-free — so the hash match is an
+    * independent derivation, not the same code twice).
+    */
+  val qTriangles: QuerySpec = QuerySpec(
+    "q_triangles",
+    Some("""WITH pairs AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT x, count(*) AS d FROM (
+          SELECT a AS x FROM pairs UNION ALL SELECT b AS x FROM pairs)
+        GROUP BY x),
+      tri AS (SELECT count(*) AS t FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b)
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        (SELECT count(*) FROM pairs) AS n_edges,
+        (SELECT t FROM tri) AS n_triangles,
+        CAST((SELECT sum(d * (d - 1)) / 2 FROM deg) AS BIGINT) AS n_wedges,
+        round(3.0 * (SELECT t FROM tri) /
+          (SELECT sum(d * (d - 1)) / 2 FROM deg), 6) AS clustering"""),
+    (spark, dir) =>
+      triangleStats(copurchaseEdges(spark, dir)))
+
+  /** Fixed-depth BFS: shortest-hop distance (≤ 3) from a seed node in
+    * the symmetrized customer↔supplier trade graph. Three unrolled
+    * frontier expansions — frontier ⋈ edges, anti-join visited — so the
+    * per-round shuffle moves frontier-sized data, never the corpus; a
+    * fixed depth keeps Catalyst out of any loop (the unbounded-depth
+    * variant belongs at the RDD layer beside [[pageRank]] /
+    * `Dedup.connectedComponents`).
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+    // edges: (s, t); seeds: (node). Returns (node, hop = min distance).
+    var visited = seeds.select(col("node"), lit(0).as("hop"))
+    var frontier = seeds.select(col("node"))
+    var i = 1
+    while (i <= depth) {
+      // fresh aliases per round: frontier carries edge lineage from the
+      // previous round, so unrenamed edge columns would be ambiguous
+      val e = edges.select(col("s").as(s"_s$i"), col("t").as(s"_t$i"))
+      val next = frontier.join(e, col("node") === col(s"_s$i"))
+        .select(col(s"_t$i").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+      frontier = next
+      visited = visited.unionAll(next.select(col("node"), lit(i).as("hop")))
+      i += 1
+    }
+    visited
+  }
+
+  /** 3-hop neighborhood of the most active customer (max orders, key
+    * tie-break) in the trade graph, entity kinds decoded.
+    */
+  val qBfsHops: QuerySpec = QuerySpec(
+    "q_bfs_hops",
+    Some("""WITH e0 AS (
+        SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+      seed AS (SELECT o_custkey AS node FROM orders GROUP BY o_custkey
+        ORDER BY count(*) DESC, o_custkey LIMIT 1),
+      h0 AS (SELECT node, 0 AS hop FROM seed),
+      h1 AS (SELECT DISTINCT e.t AS node, 1 AS hop FROM e
+        JOIN h0 ON e.s = h0.node
+        WHERE e.t NOT IN (SELECT node FROM h0)),
+      h2 AS (SELECT DISTINCT e.t AS node, 2 AS hop FROM e
+        JOIN h1 ON e.s = h1.node
+        WHERE e.t NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)),
+      h3 AS (SELECT DISTINCT e.t AS node, 3 AS hop FROM e
+        JOIN h2 ON e.s = h2.node
+        WHERE e.t NOT IN (SELECT node FROM h0 UNION ALL
+          SELECT node FROM h1 UNION ALL SELECT node FROM h2)),
+      hops AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+        UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+      SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+          AS kind,
+        CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END
+          AS entity_id,
+        hop
+      FROM hops ORDER BY kind, entity_id"""),
+    (spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+      val ord = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val e0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("s"),
+          (col("l_suppkey") + SuppOffset).as("t"))
+        .distinct()
+      val edges = e0.unionAll(e0.select(col("t").as("s"), col("s").as("t")))
+      val seed = Tables.load(spark, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("o_custkey").asc)
+        .limit(1)
+        .select(col("o_custkey").as("node"))
+      bfsHops(edges, seed, depth = 3)
+        .select(
+          when(col("node") >= SuppOffset, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          when(col("node") >= SuppOffset, col("node") - SuppOffset)
+            .otherwise(col("node")).as("entity_id"),
+          col("hop"))
+        .orderBy("kind", "entity_id")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qPageRank, qTriangles, qBfsHops)
 }
