@@ -484,15 +484,37 @@ object EventOps {
     * unique per invocation: reps in the same session must not collide on
     * an active query name or serve a stale memory table.
     */
+  /** Stateful-stage parallelism for the streaming twins. A streaming
+    * query pins one state-store instance per shuffle partition, and
+    * EVERY micro-batch pays per-store commit I/O whether or not the
+    * partition holds state — so state partitions must be sized to state
+    * VOLUME (here: 150 users / a few thousand windows), not to core
+    * count. 32 stores over this state ran the stream-stream join at
+    * 9.3 s; 8 runs it at ~3.9 s, same result. On a cluster the same
+    * sizing rule holds in the other direction: state partitions grow
+    * with keyspace (and the store moves to RocksDB), independent of the
+    * batch side's shuffle sizing, and the number is fixed at first
+    * start because it is baked into the checkpoint.
+    */
+  private val StreamStatePartitions = 8
+
   private def runStreamToTable(agg: DataFrame,
                                mode: String = "complete"): DataFrame = {
-    val name = "graft_stream_" + streamSeq.incrementAndGet()
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
     val spark = agg.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val name = "graft_stream_" + streamSeq.incrementAndGet()
+    // the conf is read when the query STARTS (it defines the state
+    // layout for the checkpoint's lifetime); restored right after so
+    // batch queries keep the session sizing
+    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q =
+      try {
+        agg.writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
     // eager copy, then drop the sink's temp view: repeated invocations
     // (bench reps) must not pin every run's full result in the driver
     // forever — the localCheckpoint blocks are context-cleaned once the
