@@ -17,7 +17,8 @@ object SparkEntry {
       TextOps.specs ++ Dedup.specs ++ VectorOps.specs ++ Multimodal.specs ++
       Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Splits.specs ++
       SqlEntry.specs ++ Contamination.specs ++ Search.specs ++ Scrub.specs ++
-      Graph.specs ++ Changes.specs ++ Funnels.specs ++ Sketches.specs
+      Graph.specs ++ Changes.specs ++ Funnels.specs ++ Sketches.specs ++
+      Clustering.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration Lloyd's k-means over the embedding corpus with
+  * cosine assignment — the semantic-clustering operator of a training
+  * pipeline (topic bucketing, cluster-balanced sampling, semantic
+  * dedup above the pair level).
+  *
+  * Scale shape (the MLlib layout): vectors NEVER leave their
+  * partitions — each iteration broadcasts the k×d centroid table
+  * (driver-sized by definition), assignment is a broadcast cross join
+  * + argmax, and the centroid update is one hash aggregation of
+  * (cluster, dim, component) rows; only k×d averaged values return to
+  * the driver. No corpus shuffle at any step, so the plan at 100 TB
+  * is: scan, broadcast-join, partial-agg — the same shape per
+  * iteration.
+  *
+  * Cross-engine determinism (the PageRank playbook, FP edition):
+  * similarities are rounded to 6 dp BEFORE the argmax (ties break on
+  * cluster id), and updated centroid components are rounded to 6 dp
+  * and then snapped to FLOAT in both engines — float components are
+  * exactly representable in the double math both sides use, so each
+  * iteration starts from bit-identical centroids and accumulated FP
+  * drift cannot compound across iterations.
+  */
+object Clustering {
+
+  /** @param e     (idCol, vecCol: array&lt;float&gt;) corpus
+    * @param k     cluster count; initial centroids = the k lowest-id
+    *              vectors (deterministic, oracle-reproducible — swap in
+    *              k-means|| off the fixture path)
+    * @param iters assignment/update rounds (final assignment included)
+    * @return (idCol, cluster, sim) — sim rounded to 6 dp
+    */
+  def kmeansCosine(e: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "kmeansCosine: need at least one iteration")
+    val spark = e.sparkSession
+    import spark.implicits._
+    // k initial vectors — driver-sized like every centroid table below
+    var centroids: Seq[(Int, Seq[Float])] =
+      e.orderBy(idCol).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0)).zipWithIndex
+        .map { case (v, i) => (i, v) }.toIndexedSeq
+    var assigned: DataFrame = null
+    val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
+    for (it <- 1 to iters) {
+      val cdf = centroids.toDF("cid", "cv")
+      assigned = e.crossJoin(broadcast(cdf))
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col(vecCol), col("cv")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col(idCol), col("cid"), col("sim"), col(vecCol))
+      if (it < iters) {
+        // per-dimension mean; k×d rows back to the driver. A cluster
+        // that loses all members simply disappears (both engines drop
+        // it identically — no imputation).
+        val upd = assigned
+          .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+          .groupBy("cid", "dim")
+          .agg(avg(col("v")).as("m"))
+          .collect()
+        centroids = upd.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+          // mirror round(x, 6)::REAL exactly: decimal half-away-from-
+          // zero round to a DOUBLE, then the float snap — same two
+          // conversions, same order, as the oracle's CAST chain
+          val arr = rows.sortBy(_.getInt(1)).map { r =>
+            BigDecimal(r.getDouble(2))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble.toFloat
+          }
+          (cid, arr.toIndexedSeq)
+        }.sortBy(_._1)
+      }
+    }
+    assigned.select(col(idCol), col("cid").as("cluster"), col("sim"))
+  }
+
+  /** 8-cluster / 2-iteration semantic clustering of the embeddings
+    * fixture, assignment + final similarity oracle-checked. The oracle
+    * recomputes the identical two iterations in SQL (unrolled CTEs,
+    * same rounding discipline).
+    */
+  val qKmeans: QuerySpec = QuerySpec(
+    "q_kmeans",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+             FROM e ORDER BY vec_id LIMIT 8),
+      a1 AS (SELECT e.vec_id, e.v, c.cid,
+              round(list_cosine_similarity(e.v, c.v), 6) AS sim
+             FROM e CROSS JOIN c0 c),
+      m1 AS (SELECT vec_id, v, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, cid) AS rk FROM a1)
+             WHERE rk = 1),
+      c1 AS (SELECT cid, list(val ORDER BY dim) AS v FROM (
+              SELECT cid, dim, CAST(CAST(round(avg(val), 6) AS REAL) AS DOUBLE) AS val
+              FROM (SELECT cid, unnest(v) AS val,
+                      generate_subscripts(v, 1) AS dim FROM m1)
+              GROUP BY cid, dim)
+             GROUP BY cid),
+      a2 AS (SELECT e.vec_id, c.cid,
+              round(list_cosine_similarity(e.v, c.v), 6) AS sim
+             FROM e CROSS JOIN c1 c),
+      m2 AS (SELECT vec_id, cid AS cluster, sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, cid) AS rk FROM a2)
+             WHERE rk = 1)
+      SELECT vec_id, cluster, sim FROM m2 ORDER BY vec_id"""),
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      kmeansCosine(Tables.load(spark, dir, "embeddings"), k = 8, iters = 2)
+        .orderBy("vec_id")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qKmeans)
+}
