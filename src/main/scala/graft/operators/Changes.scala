@@ -134,5 +134,35 @@ object Changes {
         .orderBy("o_custkey", "version")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qCdcApply, qScd2)
+  /** The changelog through the STREAMING engine: orders as a file
+    * stream, per-key winner state (`Streams.cdcLatestState`), update
+    * mode. Each key's final emission — the row with its maximum
+    * (o_orderdate, o_orderkey), monotone across updates — is the
+    * compacted snapshot; tombstoned keys drop. Shares q_cdc_apply's
+    * oracle, so streaming-CDC ≡ batch-CDC is hash-checked.
+    */
+  val qStreamCdc: QuerySpec = QuerySpec(
+    "q_stream_cdc",
+    qCdcApply.oracle,
+    (spark, dir) => {
+      val log = graft.sources.Ingest.readStreamFiles(
+          spark, s"$dir/orders.*", Tables.orders)
+        .select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority"),
+          when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U"))
+            .as("op"))
+      val sunk = EventOps.runStreamToTable(
+        graft.streaming.Streams.cdcLatestState(log), mode = "update")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      sunk.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("op") =!= "D")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_custkey")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qCdcApply, qScd2, qStreamCdc)
 }

@@ -498,7 +498,7 @@ object EventOps {
     */
   private val StreamStatePartitions = 8
 
-  private def runStreamToTable(agg: DataFrame,
+  private[operators] def runStreamToTable(agg: DataFrame,
                                mode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -115,5 +115,87 @@ object Search {
         .orderBy("term")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qBm25, qInvertedIndex)
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09): fuse a lexical BM25 list and a vector cosine list with
+    * score = Σ 1/(60 + rank). Ranks are assigned on ROUNDED scores
+    * (bm25 4 dp, cosine 6 dp; id tie-break), so the integer ranks —
+    * and hence the exact rational RRF scores — are reproducible
+    * cross-engine, which is what makes a fused top-k hash-checkable.
+    *
+    * Scale shape: both input lists are top-k retrievals —
+    * `TakeOrderedAndProject`-bounded, never a corpus-wide global
+    * window; the rank row_number then runs over ≤ `listK` rows
+    * (driver-bounded by construction, the defining property of a
+    * retrieval list). The fuse join is list-sized.
+    */
+  val RrfK = 60
+
+  def qRrfFusion: QuerySpec = QuerySpec(
+    "q_rrf_fusion",
+    Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+        FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+      e AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS t
+        FROM d),
+      tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf FROM e
+        WHERE t IN ('spark', 'vector', 'stream') GROUP BY doc_id, dl, t),
+      dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+      lex AS (SELECT doc_id,
+        round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+          * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4)
+          AS bm25
+        FROM tf JOIN dfq USING (t), st GROUP BY doc_id),
+      lexr AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rl
+        FROM lex ORDER BY bm25 DESC, doc_id LIMIT 100),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      probe AS (SELECT v FROM emb WHERE vec_id = 0),
+      vec AS (SELECT emb.vec_id,
+          round(list_cosine_similarity(emb.v, probe.v), 6) AS sim
+        FROM emb, probe),
+      vecr AS (SELECT vec_id AS doc_id,
+          CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rv
+        FROM vec ORDER BY sim DESC, vec_id LIMIT 100)
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        round(coalesce(1.0 / (60 + l.rl), 0) + coalesce(1.0 / (60 + v.rv), 0), 6)
+          AS rrf,
+        l.rl AS lex_rank, v.rv AS vec_rank
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT 20"""),
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      val listK = 100
+      val lex = bm25(docsFrame(spark, dir), Seq("spark", "vector", "stream"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(listK)
+      // the window runs over the ALREADY-bounded list (≤ listK rows) —
+      // a single-partition window over a retrieval list, not the corpus
+      val lexr = lex
+        .withColumn("rl",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rl"))
+      val emb = Tables.load(spark, dir, "embeddings")
+      val probe = broadcast(
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("pv")))
+      val vec = emb.crossJoin(probe)
+        .select(col("vec_id"),
+          round(graft.functions.GraftFunctions
+            .cosineSim(col("embedding"), col("pv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(listK)
+      val vecr = vec
+        .withColumn("rv",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rv"))
+      lexr.join(vecr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(RrfK) + col("rl")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)), 6)
+            .as("rrf"),
+          col("rl").as("lex_rank"), col("rv").as("vec_rank"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qBm25, qInvertedIndex, qRrfFusion)
 }

@@ -11,6 +11,11 @@ case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 /** Output row of [[Streams.typedEventCounts]]. */
 case class TypedCount(user_id: Long, event_type: String, n: Long)
 
+/** Full-row changelog image for [[Streams.cdcLatestState]]. */
+case class CdcRow(o_custkey: Long, o_orderdate: java.sql.Timestamp,
+                  o_orderkey: Long, o_totalprice: Double,
+                  o_orderpriority: String, op: String)
+
 /** transformWithState processor (Spark 4 stateful API): running count
   * per (user, event_type). ValueState lives in the configured state
   * store — RocksDB in production — and supports TTL (`TTLConfig`)
@@ -161,6 +166,40 @@ object Streams {
           rows.foreach { r => c += 1; t += r._2 }
           state.update((c, t))
           Iterator(UserTotals(uid, c, t))
+      }
+      .toDF()
+  }
+
+  /** Streaming CDC apply (§2.9 × warehouse maintenance): the changelog
+    * arrives as a stream and per-key state holds the current winner —
+    * the latest full-row image by (o_orderdate, o_orderkey), tombstones
+    * included (a delete must be able to overwrite an earlier upsert).
+    * Emits the winner per key per micro-batch (update mode); the sink's
+    * final emission per key IS the compacted snapshot, which is what
+    * the batch `Changes.cdcApply` oracle checks. State: one row per
+    * live key — the minimum any upsert-materialization holds; pair with
+    * RocksDB + timeouts for unbounded key domains.
+    */
+  def cdcLatestState(changelog: DataFrame): DataFrame = {
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"), col("op"))
+      .as[CdcRow]
+      .groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[CdcRow, CdcRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[CdcRow], state: GroupState[CdcRow]) =>
+          var cur = state.getOption.orNull
+          rows.foreach { r =>
+            if (cur == null ||
+                r.o_orderdate.compareTo(cur.o_orderdate) > 0 ||
+                (r.o_orderdate.compareTo(cur.o_orderdate) == 0 &&
+                  r.o_orderkey > cur.o_orderkey)) cur = r
+          }
+          state.update(cur)
+          Iterator(cur)
       }
       .toDF()
   }
