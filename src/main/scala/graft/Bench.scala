@@ -100,7 +100,9 @@ object Bench {
       "q_simhash_pairs", "q_embed_neardup_banded", "q_cosine_topk",
       "q_cosine_topk_ivf", "q_sample_hash", "q_token_budget_quality",
       "q_pipeline_curate", "q_text_quality",
-      "q_stream_tumbling", "q_stream_join")
+      "q_stream_tumbling", "q_stream_join",
+      "q_pagerank", "q_triangles", "q_kmeans", "q_cdc_apply",
+      "q_funnel", "q_rrf_fusion", "q_stream_cdc")
     val byName = results.toMap
     val hq = headline.flatMap(n => byName.get(n).map(v => s"\"$n\":${r3(v)}"))
       .mkString("{", ",", "}")

@@ -204,4 +204,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(600))
   }
+
+  test("cdc apply: one key shuffle, no join anywhere") {
+    import graft.operators.Changes
+    val p = plan(Changes.qCdcApply.run(spark, sf))
+    // changelog compaction must stay window-over-one-shuffle: a join or
+    // a second exchange on the key means the latest-row-per-key shape
+    // regressed to self-join-and-filter
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.sliding("hashpartitioning(o_custkey".length)
+      .count(_ == "hashpartitioning(o_custkey") === 1, p.take(800))
+  }
+
+  test("triangle census: wedge joins equi-keyed; nested-loop only for 1-row stats") {
+    import graft.operators.Graph
+    val p = plan(Graph.triangleStats(Graph.copurchaseEdges(spark, sf)))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the final single-row stat frames (triangles × degree-stats ×
+    // edge-count) combine via two broadcast nested-loop cross joins of
+    // one row each — anything beyond those two means wedge enumeration
+    // or closing-edge probing lost its equi key
+    val nlj = "BroadcastNestedLoopJoin"
+    assert(p.sliding(nlj.length).count(_ == nlj) <= 2, p.take(1200))
+  }
+
+  test("funnel: post-stage-1 joins are user-keyed equi-joins") {
+    import graft.operators.Funnels
+    val p = plan(Funnels.qFunnel.run(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
