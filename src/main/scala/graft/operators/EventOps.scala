@@ -541,10 +541,41 @@ object EventOps {
         FROM orders ORDER BY o_custkey, o_orderkey""")
     })
 
+  /** Hourly OHLC bars per event type — time-series downsampling via
+    * arg-min/arg-max aggregates (`min_by`/`max_by`, the §2.4 rows the
+    * plain MIN/MAX family doesn't reach): open/close are the values AT
+    * the bar's first/last instant, not extremes. One hash aggregation;
+    * (event_type, ts) is unique in the fixture so the arg-selectors
+    * are deterministic (verified at sf0.01 and sf0.1).
+    */
+  val qOhlcBars: QuerySpec = QuerySpec(
+    "q_ohlc_bars",
+    Some("""SELECT event_type, date_trunc('hour', ts) AS bar,
+        round(arg_min(value, ts), 4) AS open,
+        round(max(value), 4) AS high,
+        round(min(value), 4) AS low,
+        round(arg_max(value, ts), 4) AS close,
+        count(*) AS n,
+        round(sum(value), 4) AS volume
+      FROM events GROUP BY 1, 2 ORDER BY event_type, bar"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bar"))
+        .agg(
+          round(min_by(col("value"), col("ts")), 4).as("open"),
+          round(max(col("value")), 4).as("high"),
+          round(min(col("value")), 4).as("low"),
+          round(max_by(col("value"), col("ts")), 4).as("close"),
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("volume"))
+        .orderBy("event_type", "bar")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
       qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
-      qStreamEnrich, qWindowRange)
+      qStreamEnrich, qWindowRange, qOhlcBars)
 }
