@@ -572,10 +572,107 @@ object EventOps {
         .orderBy("event_type", "bar")
     })
 
+  /** Interval-OVERLAP join (both sides are interval sets, NO shared
+    * equi key — the genuinely hard temporal join, distinct from
+    * [[qIntervalJoin]]'s point-in-interval case): user sessions
+    * (30-min gap) × cross-user error storms (10-min gap over the error
+    * sub-stream), matched where the intervals intersect.
+    *
+    * Scale shape: hour-bucket banding turns the theta join into an
+    * equi-join — each interval explodes to its covered hour bins, the
+    * join keys on the bin, a residual predicate keeps true overlaps,
+    * and pairs spanning several shared bins dedupe on the interval
+    * identities. Work is O(pairs that share an hour), not
+    * |sessions|×|storms|. The storm derivation runs a global lag-gap
+    * window over the ERROR SUB-STREAM only — incident-scale by
+    * definition (the fleet-wide alert stream, not the corpus); the
+    * per-user session side uses the usual keyed window.
+    */
+  val qIntervalOverlap: QuerySpec = QuerySpec(
+    "q_interval_overlap",
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s AS (
+        SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM g
+      ), sess AS (
+        SELECT user_id, min(ts) AS st, max(ts) AS en
+        FROM s GROUP BY user_id, seq
+      ), er AS (
+        SELECT ts, event_id FROM events WHERE event_type = 'error'
+      ), g2 AS (
+        SELECT ts,
+          CASE WHEN lag(ts) OVER w2 IS NULL
+                 OR ts - lag(ts) OVER w2 > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM er WINDOW w2 AS (ORDER BY ts, event_id)
+      ), s2 AS (
+        SELECT ts, sum(is_new) OVER (ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM g2
+      ), storm AS (
+        SELECT min(ts) AS sst, max(ts) AS sen FROM s2 GROUP BY seq)
+      SELECT sess.user_id, sess.st AS session_start, storm.sst AS storm_start,
+        (epoch_us(least(sess.en, storm.sen)) -
+         epoch_us(greatest(sess.st, storm.sst))) // 1000000 AS overlap_sec
+      FROM sess JOIN storm
+        ON sess.st <= storm.sen AND storm.sst <= sess.en
+      ORDER BY user_id, session_start, storm_start"""),
+    (spark, dir) => {
+      val binSeconds = 3600L
+      def bin(c: org.apache.spark.sql.Column) =
+        (unix_micros(c) / lit(binSeconds * 1000000L)).cast("long")
+      val ev = Tables.load(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("seq", sum("is_new").over(run))
+        .groupBy("user_id", "seq")
+        .agg(min("ts").as("st"), max("ts").as("en"))
+      val w2 = Window.orderBy(col("ts"), col("event_id"))
+      val run2 = Window.orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val storms = ev.filter(col("event_type") === "error")
+        .select("ts", "event_id")
+        .withColumn("prev_ts", lag("ts", 1).over(w2))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 10L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("seq", sum("is_new").over(run2))
+        .groupBy("seq")
+        .agg(min("ts").as("sst"), max("ts").as("sen"))
+      val sessBins = sess.withColumn("bin",
+        explode(sequence(bin(col("st")), bin(col("en")))))
+      val stormBins = storms.withColumn("bin",
+        explode(sequence(bin(col("sst")), bin(col("sen")))))
+      sessBins.join(stormBins, Seq("bin"))
+        .filter(col("st") <= col("sen") && col("sst") <= col("en"))
+        .select(col("user_id"), col("st"), col("en"), col("sst"), col("sen"))
+        .distinct() // a pair sharing k hour bins must appear once
+        .select(col("user_id"), col("st").as("session_start"),
+          col("sst").as("storm_start"),
+          // integer floor-division on exact microseconds both engines:
+          // true division would round vs truncate differently on
+          // fractional seconds
+          expr("(unix_micros(least(en, sen)) - unix_micros(greatest(st, sst)))" +
+            " div 1000000").as("overlap_sec"))
+        .orderBy("user_id", "session_start", "storm_start")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
       qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
-      qStreamEnrich, qWindowRange, qOhlcBars)
+      qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap)
 }
