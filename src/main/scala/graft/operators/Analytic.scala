@@ -64,6 +64,30 @@ object Analytic {
         .orderBy("o_orderpriority")
     })
 
+  /** Unpivot/melt — the dual of [[qPivot]], exercised as a literal
+    * round-trip: the pivoted wide frame melts back to long form through
+    * Spark's native `unpivot` (codegen `Expand`, one pass, no join).
+    * Oracle rebuilds the same long form with UNION ALL branches.
+    */
+  val qUnpivot: QuerySpec = QuerySpec(
+    "q_unpivot",
+    Some("""WITH p AS (
+        SELECT o_orderpriority,
+          CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+          CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+          CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, 'F' AS status, F AS n FROM p
+      UNION ALL SELECT o_orderpriority, 'O', O FROM p
+      UNION ALL SELECT o_orderpriority, 'P', P FROM p
+      ORDER BY o_orderpriority, status"""),
+    (spark, dir) => {
+      qPivot.run(spark, dir)
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy("o_orderpriority", "status")
+    })
+
   // --- analytic window functions: first/last/nth over frames ---
   val qWindowAnalytic: QuerySpec = QuerySpec(
     "q_window_analytic",
@@ -285,6 +309,6 @@ object Analytic {
     })
 
   def specs: Seq[QuerySpec] = Seq(
-    qUdafGeomean, qPivot, qWindowAnalytic, qWindowNulls, qWindowDistribution,
-    qWindowDistTwoPass, qWindowSliding)
+    qUdafGeomean, qPivot, qUnpivot, qWindowAnalytic, qWindowNulls,
+    qWindowDistribution, qWindowDistTwoPass, qWindowSliding)
 }
