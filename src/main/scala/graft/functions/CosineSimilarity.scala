@@ -77,6 +77,8 @@ object GraftFunctions {
   val LSH_SIG = "graft_lsh_signature"
   val JARO_WINKLER = "graft_jaro_winkler"
   val FOLD_TEXT = "graft_fold_text"
+  val BLOOM_AGG = "graft_bloom_agg"
+  val BLOOM_MIGHT_CONTAIN = "graft_bloom_might_contain"
 
   /** Idempotent; must run once per session before using the columns. */
   def register(spark: SparkSession): Unit = {
@@ -100,6 +102,20 @@ object GraftFunctions {
       JARO_WINKLER, exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       FOLD_TEXT, exprs => FoldText(exprs.head), "built-in")
+    // Spark ships mergeable bloom filters for its runtime join pruning
+    // but does not register them as SQL functions; exposing the same
+    // expressions here makes explicit bloom semi-join pruning available
+    // to queries (callers hash with xxhash64 first, as the runtime
+    // filter rule does)
+    reg.createOrReplaceTempFunction(
+      BLOOM_AGG,
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      BLOOM_MIGHT_CONTAIN,
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Builder shared by [[register]] and `GraftExtensions`: optional
@@ -158,4 +174,17 @@ object GraftFunctions {
 
   /** Canonical fold (unaccent + casefold + whitespace collapse). */
   def foldText(s: Column): Column = call_function(FOLD_TEXT, s)
+
+  /** Mergeable bloom filter over xxhash64(key) (binary). */
+  def bloomAgg(key: Column, estimatedItems: Long, numBits: Long): Column =
+    call_function(BLOOM_AGG, org.apache.spark.sql.functions.xxhash64(key),
+      org.apache.spark.sql.functions.lit(estimatedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+
+  /** Membership probe against a [[bloomAgg]] filter: no false
+    * negatives; false-positive rate set by the build sizing.
+    */
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    call_function(BLOOM_MIGHT_CONTAIN, bloom,
+      org.apache.spark.sql.functions.xxhash64(key))
 }

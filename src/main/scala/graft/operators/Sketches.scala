@@ -78,5 +78,61 @@ object Sketches {
         .orderBy(col("n").desc, col("l_partkey").asc)
     })
 
-  def specs: Seq[QuerySpec] = Seq(qHeavyHitters)
+  /** Explicit bloom semi-join pruning (the third sketch family next to
+    * CMS and HLL): build a mergeable bloom filter over the selective
+    * dimension's keys, pre-filter the fact side with `might_contain`,
+    * then exact-verify the survivors with the real semi-join — the
+    * "prune cheap, verify exact" pipeline Spark's own runtime filter
+    * rule applies, here as a first-class operator (the filter could be
+    * persisted and reused across queries, which the runtime rule cannot).
+    *
+    * Contract columns, all in-engine: the pruned-then-verified result
+    * must equal the direct semi-join (blooms never false-negative — a
+    * missed row means the operator is broken), and the false-positive
+    * overhead the verify join absorbs stays under 5%. The oracle checks
+    * the exact aggregate + both booleans.
+    */
+  val qBloomPrune: QuerySpec = QuerySpec(
+    "q_bloom_prune",
+    Some("""WITH dim AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+      ex AS (SELECT o.* FROM orders o
+             WHERE o.o_custkey IN (SELECT c_custkey FROM dim))
+      SELECT count(*) AS n_exact, round(sum(o_totalprice), 2) AS sum_price,
+        true AS no_false_negatives, true AS fp_rate_ok
+      FROM ex"""),
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain}
+      val dim = Tables.load(spark, dir, "customer")
+        .filter(col("c_acctbal") > 9000).select("c_custkey")
+      // the built filter lands on the driver as a literal: might_contain
+      // requires a foldable/scalar-subquery filter side, and a bloom IS
+      // a driver-sized summary (here 128 KiB), exactly like the CMS
+      // table above — the corpus-sized work stays distributed
+      val bf = dim.agg(
+        bloomAgg(col("c_custkey"), 100000L, 8L * 131072L).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val orders = Tables.load(spark, dir, "orders")
+      val cand = orders
+        .filter(bloomMightContain(lit(bf), col("o_custkey")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val exact = cand.join(broadcast(dim),
+        cand("o_custkey") === dim("c_custkey"), "left_semi")
+      val exactRaw = orders.join(broadcast(dim),
+        orders("o_custkey") === dim("c_custkey"), "left_semi")
+      val missed = exactRaw.join(cand.select(col("o_orderkey").as("ck")),
+        col("o_orderkey") === col("ck"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+        .crossJoin(orders.agg(count(lit(1)).as("n_total")))
+        .select(col("n_exact"), col("sum_price"),
+          (col("n_missed") === 0).as("no_false_negatives"),
+          ((col("n_cand") - col("n_exact")).cast("double") /
+            greatest(col("n_total") - col("n_exact"), lit(1L)) <= 0.05)
+            .as("fp_rate_ok"))
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qHeavyHitters, qBloomPrune)
 }
