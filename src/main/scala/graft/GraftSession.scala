@@ -35,6 +35,13 @@ object GraftSession {
     // reader has no timestamp type for; read as long and let the reader
     // facade (Tables) convert to micros explicitly.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ContextCleaner only reclaims unreferenced cache/checkpoint blocks
+    // when a GC actually runs; the 30-min default periodic GC means a
+    // long session (the 151-query × 3-rep bench) accumulates every
+    // memoized artifact's dropped blocks in old-gen until a full GC
+    // stalls some unlucky query for seconds. Two minutes bounds the
+    // backlog at negligible GC cost.
+    .config("spark.cleaner.periodicGC.interval", "2min")
     .config("spark.ui.enabled", "false")
 
   /** Local session used by tests and ad-hoc mains. `cores` threads, and

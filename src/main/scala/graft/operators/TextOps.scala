@@ -625,17 +625,26 @@ object TextOps {
         .select(col("doc_id"), col("lang"),
           array_distinct(shingles(tokens(col("text")))).as("sh"))
         .withColumn("sz", size(col("sh")))
-      // materialized once: both join sides read it, and re-deriving
-      // means re-tokenizing the corpus per side
-      val ex = sh.select(col("doc_id"), col("lang"), col("sz"),
-        explode(col("sh")).as("g")).localCheckpoint()
-      val a = ex.select(col("lang").as("la"), col("g").as("ga"),
-        col("doc_id").as("ida"), col("sz").as("sza"))
-      val b = ex.select(col("lang").as("lb"), col("g").as("gb"),
-        col("doc_id").as("idb"))
-      a.join(b, col("la") === col("lb") && col("ga") === col("gb") &&
-          col("ida") =!= col("idb"))
-        .groupBy("ida", "idb", "sza").agg(count(lit(1)).as("inter"))
+      // ONE derivation, no self-join: group the posting list per
+      // (lang, shingle) and emit ordered pairs by double-explode —
+      // same df(g)² pair volume the join would shuffle, but the corpus
+      // is tokenized once and nothing needs caching (the earlier
+      // checkpoint-the-exploded-frame variant churned 2M-row blocks
+      // per run). Posting lists are df(g)-sized — shingle document
+      // frequency, small off duplicate clusters (the df cap is the
+      // 100 TB hardening).
+      val postings = sh
+        .select(col("lang"), explode(col("sh")).as("g"),
+          struct(col("doc_id"), col("sz")).as("ds"))
+        .groupBy("lang", "g").agg(collect_list("ds").as("docs"))
+        .filter(size(col("docs")) > 1)
+      postings
+        .select(explode(col("docs")).as("a"), col("docs"))
+        .select(col("a"), explode(col("docs")).as("b"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.sz").as("sza"))
+        .agg(count(lit(1)).as("inter"))
         .filter(col("inter").cast("double") / col("sza") >= 0.9)
         .select(col("ida").as("contained_id"), col("idb").as("container_id"),
           round(col("inter").cast("double") / col("sza"), 4).as("containment"))
