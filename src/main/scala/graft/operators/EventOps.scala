@@ -669,10 +669,29 @@ object EventOps {
         .orderBy("user_id", "session_start", "storm_start")
     })
 
+  /** OHLC through the STREAMING engine: the same hourly bars as
+    * [[qOhlcBars]] computed by watermarked window state with
+    * `min_by`/`max_by` aggregates, complete-mode drain — shares the
+    * batch twin's oracle (the tenth streaming-engine oracle row).
+    * The window's start is the hour truncation, so `bar` aligns with
+    * `date_trunc('hour', ts)` exactly.
+    */
+  val qStreamOhlc: QuerySpec = QuerySpec(
+    "q_stream_ohlc",
+    qOhlcBars.oracle,
+    (spark, dir) => {
+      val agg = graft.streaming.Streams.tumblingOhlc(
+        streamedEvents(spark, dir), watermark = "3650 days")
+      runStreamToTable(agg)
+        .select(col("event_type"), col("bar"), col("open"), col("high"),
+          col("low"), col("close"), col("n"), col("volume"))
+        .orderBy("event_type", "bar")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
       qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
-      qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap)
+      qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc)
 }

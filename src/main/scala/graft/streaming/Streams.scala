@@ -67,6 +67,26 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Hourly OHLC bars per event type through the streaming engine —
+    * arg-min/max aggregates (`min_by`/`max_by`) inside watermarked
+    * window state, the streaming twin of `EventOps.qOhlcBars`.
+    */
+  def tumblingOhlc(events: DataFrame, window_ : String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        round(min_by(col("value"), col("ts")), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(max_by(col("value"), col("ts")), 4).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("volume"))
+      .select(col("window.start").as("bar"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n"), col("volume"))
+
   /** Sliding window (length, slide) per event_type. */
   def slidingCounts(events: DataFrame, length: String = "1 hour",
                     slide: String = "15 minutes",
