@@ -651,6 +651,53 @@ object TextOps {
         .orderBy("contained_id", "container_id")
     })
 
+  /** N-gram language-model quality score (the CCNet/KenLM filtering
+    * signal, §2.11): train bigram MLE counts on the corpus itself, then
+    * score each document by its mean log2 bigram probability —
+    * low-scoring docs are the gibberish/boilerplate a perplexity filter
+    * drops. P(w2|w1) = c(w1 w2) / c(w1·) with both counts from the
+    * bigram stream, so every scored bigram has P > 0 (no smoothing
+    * needed to score the training corpus).
+    *
+    * Scale shape: two hash aggregations build the count tables (token-
+    * and bigram-keyed — vocabulary-sized, stays distributed; AQE may
+    * broadcast them when small but nothing requires it), one shuffle
+    * join re-attaches probabilities, one doc-keyed aggregation scores.
+    * Exact-rational probabilities (counts are exact in double) keep the
+    * only FP wobble in log2 — 1-ulp libm differences vanish under the
+    * 4 dp round of a ~500-term mean.
+    */
+  val qNgramLmScore: QuerySpec = QuerySpec(
+    "q_ngram_lm_score",
+    Some("""WITH t AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+      bg AS (SELECT doc_id, w1, w1 || ' ' || w2 AS b FROM (
+        SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2 FROM t)),
+      c2 AS (SELECT b, CAST(count(*) AS DOUBLE) AS n2 FROM bg GROUP BY b),
+      c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS n1 FROM bg GROUP BY w1)
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+        round(avg(log2(c2.n2 / c1.n1)), 4) AS avg_logp
+      FROM bg JOIN c2 USING (b) JOIN c1 USING (w1)
+      GROUP BY bg.doc_id ORDER BY doc_id"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      val n = size(toks)
+      val pairs = zip_with(
+        slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (x, y) => struct(x.as("w1"), concat_ws(" ", x, y).as("b")))
+      val bg = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+      val c2 = bg.groupBy("b").agg(count(lit(1)).cast("double").as("n2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).cast("double").as("n1"))
+      bg.join(c2, "b").join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log2(col("n2") / col("n1"))), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    })
+
   /** MinHash-LSH containment contract, oracle-checked (VERDICT r3 item 1
     * — the `q_cosine_topk_ivf_exact` move applied to LSH): the oracle is
     * the EXACT pair set at jaccard ≥ 0.95 (well above the 8×8 banding
@@ -1063,6 +1110,6 @@ object TextOps {
     qTextFingerprint, qLangId, qNgramJaccard, qNgramJaccardGlobal,
     qEditDistance, qJaroWinkler, qMinhashLsh,
     qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
-    qSimhashPairs, qSimhashContain, qContainmentDedup, qTokenBudget, qTokenBudgetQuality,
+    qSimhashPairs, qSimhashContain, qContainmentDedup, qNgramLmScore, qTokenBudget, qTokenBudgetQuality,
     qPackSequences, qShufflePack, qTextChunks, qTextRepetition)
 }
