@@ -43,7 +43,7 @@ object Sketches {
     val skBytes = df.agg(
       count_min_sketch(col(keyCol), lit(Eps), lit(Confidence), lit(Seed))
         .as("sk"))
-      .head.getAs[Array[Byte]]("sk")
+      .head().getAs[Array[Byte]]("sk")
     val cms = CountMinSketch.readFrom(skBytes)
     val slack = math.ceil(Eps * cms.totalCount()).toLong
     val exactTop = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
@@ -111,7 +111,7 @@ object Sketches {
       // table above — the corpus-sized work stays distributed
       val bf = dim.agg(
         bloomAgg(col("c_custkey"), 100000L, 8L * 131072L).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
+        .head().getAs[Array[Byte]]("bf")
       val orders = Tables.load(spark, dir, "orders")
       val cand = orders
         .filter(bloomMightContain(lit(bf), col("o_custkey")))
