@@ -134,5 +134,56 @@ object Sketches {
             .as("fp_rate_ok"))
     })
 
-  def specs: Seq[QuerySpec] = Seq(qHeavyHitters, qBloomPrune)
+  /** Single-pass data profiling — the warehouse "column statistics"
+    * view (what ANALYZE feeds the CBO, surfaced as a queryable result):
+    * per column, row/non-null/distinct counts and min/max. ONE scan:
+    * every metric for every profiled column is an aggregate in one
+    * `agg`, and the single wide row unpivots to per-column rows with
+    * `stack` — profiling N columns costs one pass, not N.
+    *
+    * Profiled columns are restricted to integral/string types: min/max
+    * serialize for the cross-engine compare, and double/timestamp
+    * string formats legitimately differ between engines.
+    */
+  val qProfile: QuerySpec = QuerySpec(
+    "q_profile",
+    Some("""WITH m AS (SELECT
+        count(*) AS n,
+        count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+          CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+          CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3,
+          CAST(min(o_orderstatus) AS VARCHAR) AS mn3, CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+        count(o_orderpriority) AS nn4, count(DISTINCT o_orderpriority) AS nd4,
+          CAST(min(o_orderpriority) AS VARCHAR) AS mn4, CAST(max(o_orderpriority) AS VARCHAR) AS mx4
+      FROM orders)
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name, n, nn1 AS n_nonnull,
+          nd1 AS n_distinct, mn1 AS min_v, mx1 AS max_v FROM m
+        UNION ALL SELECT 'o_custkey', n, nn2, nd2, mn2, mx2 FROM m
+        UNION ALL SELECT 'o_orderstatus', n, nn3, nd3, mn3, mx3 FROM m
+        UNION ALL SELECT 'o_orderpriority', n, nn4, nd4, mn4, mx4 FROM m)
+      ORDER BY column_name"""),
+    (spark, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val aggs = count(lit(1)).as("n") +:
+        cols.flatMap { c =>
+          Seq(count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("string").as(s"mn_$c"),
+            max(col(c)).cast("string").as(s"mx_$c"))
+        }
+      val wide = Tables.load(spark, dir, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols
+        .map(c => s"'$c', n, nn_$c, nd_$c, mn_$c, mx_$c")
+        .mkString(", ")
+      wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n, n_nonnull, n_distinct, min_v, max_v)")
+        .orderBy("column_name")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qHeavyHitters, qBloomPrune, qProfile)
 }
