@@ -203,7 +203,43 @@ object Splits {
         .orderBy("lang")
     })
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
+    * IPL'06): each row gets key u^(1/w) with u uniform in (0,1); the
+    * top-k keys ARE a weighted sample without replacement. Deterministic
+    * here because u derives from the portable md5 hash, so the EXACT
+    * member set is oracle-checked — unlike [[qSampleWeighted]]'s
+    * independent keep-probabilities, this draws a fixed-size sample
+    * with inclusion probability ∝ weight.
+    *
+    * Scale shape: pure per-row arithmetic + `TakeOrderedAndProject`
+    * top-k — no shuffle beyond the k-row gather. Ordering compares the
+    * log form ln(u)/w (monotone in u^(1/w), numerically saner); key
+    * gaps across a corpus are ~orders of magnitude above libm's 1-ulp
+    * ln noise, so cross-engine order is stable.
+    */
+  val qSampleEs: QuerySpec = QuerySpec(
+    "q_sample_es",
+    Some("""SELECT doc_id, n_chars,
+        round(ln((CAST(('0x' || substr(md5('graft-es-v1' || '|' ||
+            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0) / n_chars, 9) AS es_key
+      FROM documents
+      ORDER BY ln((CAST(('0x' || substr(md5('graft-es-v1' || '|' ||
+          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+          / 4294967296.0) / n_chars DESC, doc_id
+      LIMIT 20"""),
+    (spark, dir) => {
+      val h = conv(substring(md5(concat_ws("|", lit("graft-es-v1"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      val es = log((h.cast("double") + 0.5) / 4294967296.0) / col("n_chars")
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), es.as("es"))
+        .orderBy(col("es").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"), round(col("es"), 9).as("es_key"))
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qTrainTestSplit, qSampleHash, qSampleStratified, qSampleWeighted,
-        qMixResample, qKfold)
+        qMixResample, qKfold, qSampleEs)
 }
