@@ -688,10 +688,37 @@ object EventOps {
         .orderBy("event_type", "bar")
     })
 
+  /** Z-score anomaly detection per event type: |value − μ_type| >
+    * 3σ_type. Group stats come from ONE aggregation joined back
+    * (broadcast — |event types| rows), NOT a window partitioned by
+    * type: a per-type window puts each type's entire history in one
+    * partition, which is exactly the skew a 100 TB event stream
+    * cannot afford.
+    */
+  val qZscoreOutliers: QuerySpec = QuerySpec(
+    "q_zscore_outliers",
+    Some("""WITH st AS (SELECT event_type, avg(value) AS mu,
+        stddev_samp(value) AS sigma FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type, round((e.value - st.mu) / st.sigma, 4) AS z
+      FROM events e JOIN st USING (event_type)
+      WHERE abs((e.value - st.mu) / st.sigma) > 3
+      ORDER BY event_id"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val st = ev.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(st), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
       qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
-      qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc)
+      qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc,
+      qZscoreOutliers)
 }
