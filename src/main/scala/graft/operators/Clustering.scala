@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism (the PageRank playbook, FP edition):
   * similarities are rounded to 6 dp BEFORE the argmax (ties break on
-  * cluster id), and updated centroid components are rounded to 6 dp
-  * and then snapped to FLOAT in both engines — float components are
-  * exactly representable in the double math both sides use, so each
-  * iteration starts from bit-identical centroids and accumulated FP
-  * drift cannot compound across iterations.
+  * cluster id); the centroid mean is computed in EXACT scaled-integer
+  * arithmetic (components → integer micros, LONG sum, one final
+  * division) so summation order cannot perturb it; and the updated
+  * components are rounded to 6 dp and snapped to FLOAT in both
+  * engines — float components are exactly representable in the double
+  * math both sides use, so each iteration starts from bit-identical
+  * centroids and accumulated FP drift cannot compound across
+  * iterations.
   */
 object Clustering {
 
@@ -61,20 +64,28 @@ object Clustering {
         .filter(col("rk") === 1)
         .select(col(idCol), col("cid"), col("sim"), col(vecCol))
       if (it < iters) {
-        // per-dimension mean; k×d rows back to the driver. A cluster
-        // that loses all members simply disappears (both engines drop
-        // it identically — no imputation).
+        // per-dimension mean in EXACT arithmetic; k×d rows back to the
+        // driver. Each component is scaled to integer micros
+        // (round(v·1e6) — one deterministic multiply+round, no
+        // accumulation) and summed as LONG: integer addition is
+        // order-independent, so the mean no longer depends on the FP
+        // summation order that differs between Spark and DuckDB. One
+        // double division at the end, then the shared round+snap. A
+        // cluster that loses all members simply disappears (both
+        // engines drop it identically — no imputation).
         val upd = assigned
           .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "v")))
           .groupBy("cid", "dim")
-          .agg(avg(col("v")).as("m"))
+          .agg(sum(round(col("v") * 1e6, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
           .collect()
         centroids = upd.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
           // mirror round(x, 6)::REAL exactly: decimal half-away-from-
           // zero round to a DOUBLE, then the float snap — same two
           // conversions, same order, as the oracle's CAST chain
           val arr = rows.sortBy(_.getInt(1)).map { r =>
-            BigDecimal(r.getDouble(2))
+            val mean = r.getLong(2).toDouble / (1e6 * r.getLong(3))
+            BigDecimal(mean)
               .setScale(6, BigDecimal.RoundingMode.HALF_UP)
               .toDouble.toFloat
           }
@@ -103,7 +114,9 @@ object Clustering {
                 ORDER BY sim DESC, cid) AS rk FROM a1)
              WHERE rk = 1),
       c1 AS (SELECT cid, list(val ORDER BY dim) AS v FROM (
-              SELECT cid, dim, CAST(CAST(round(avg(val), 6) AS REAL) AS DOUBLE) AS val
+              SELECT cid, dim, CAST(CAST(round(
+                  sum(CAST(round(val * 1000000) AS BIGINT))
+                    / (1000000.0 * count(*)), 6) AS REAL) AS DOUBLE) AS val
               FROM (SELECT cid, unnest(v) AS val,
                       generate_subscripts(v, 1) AS dim FROM m1)
               GROUP BY cid, dim)

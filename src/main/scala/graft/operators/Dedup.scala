@@ -43,11 +43,11 @@ object Dedup {
     * @return (id, comp) for every node that appears in a pair, where
     *         comp = min node id of the component
     */
-  /** @param pairsDistinct documents that the caller's pair list is
-    *   already normalized (u &lt; v) and deduplicated. Since the
-    *   partition-local union-find contraction absorbs duplicates for
-    *   free, this flag no longer changes the plan — it survives as
-    *   caller-side documentation only
+  /** Callers need NOT pre-deduplicate or direction-normalize the pair
+    * list: the partition-local union-find contraction absorbs duplicate
+    * and reversed edges for free. (A `pairsDistinct` flag used to
+    * document pre-deduped inputs; it never changed the plan and was
+    * removed — r6 ADVICE — so call sites cannot assume it does.)
     */
   /** @param checkpointEvery &gt; 0 → truncate the edge RDD's lineage to
     *   durable storage every N rounds via `RDD.checkpoint()` (requires
@@ -59,7 +59,6 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, src: String = "doc1",
                           dst: String = "doc2", maxIters: Int = 25,
                           jumpsPerRound: Int = 2,
-                          pairsDistinct: Boolean = false,
                           checkpointEvery: Int = 0,
                           checkpointDir: Option[String] = None): DataFrame = {
     // The iterative fixpoint runs at the RDD layer, NOT on DataFrames —
@@ -119,8 +118,7 @@ object Dedup {
     // is 1.0 M edges over 3.4 k nodes (near-cliques), and the forest
     // carries < 3% of that volume into the fixpoint; (2) the
     // norm0.distinct() shuffle the non-deduped path needed is subsumed,
-    // since union-find absorbs duplicate edges for free (pairsDistinct
-    // survives in the signature for source documentation only). The
+    // since union-find absorbs duplicate edges for free. The
     // per-partition map is bounded by 2× the partition's edge count —
     // the same order as the buffers the per-round reduceByKey already
     // implies — so input-split sizing governs it at 100 TB.
@@ -262,10 +260,8 @@ object Dedup {
     * untouched. Output schema = input schema.
     */
   def keepRepresentative(df: DataFrame, pairs: DataFrame,
-                         idCol: String = "doc_id",
-                         pairsDistinct: Boolean = false): DataFrame =
-    keepRepresentativeWith(df,
-      connectedComponents(pairs, pairsDistinct = pairsDistinct), idCol)
+                         idCol: String = "doc_id"): DataFrame =
+    keepRepresentativeWith(df, connectedComponents(pairs), idCol)
 
   /** Collapse with a precomputed (id, comp) cluster map — the shared
     * implementation behind every keep-one path (so the representative
@@ -317,7 +313,7 @@ object Dedup {
         .select("doc1", "doc2")
       // PPJoin pairs are doc1<doc2 and deduplicated by construction;
       // the result frame is already checkpointed by connectedComponents
-      connectedComponents(pairs, pairsDistinct = true,
+      connectedComponents(pairs,
         checkpointEvery = defaultCheckpointEvery(spark))
     })
 
@@ -351,7 +347,7 @@ object Dedup {
         .select("doc1", "doc2")
       // LSH candidate pairs are doc1<doc2 and deduplicated by
       // construction; result frame checkpointed by connectedComponents
-      connectedComponents(pairs, pairsDistinct = true,
+      connectedComponents(pairs,
         checkpointEvery = defaultCheckpointEvery(spark))
     })
 
@@ -445,8 +441,7 @@ object Dedup {
         .filter(col("sim") >= 0.6)
         .select(col("a.vec_id").as("doc1"), col("b.vec_id").as("doc2"))
       // a.vec_id < b.vec_id over distinct rows → pairs unique by construction
-      keepRepresentative(e.select("vec_id", "label"), pairs, idCol = "vec_id",
-        pairsDistinct = true)
+      keepRepresentative(e.select("vec_id", "label"), pairs, idCol = "vec_id")
         .groupBy("label")
         .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_vec"))
         .orderBy("label")
@@ -470,8 +465,7 @@ object Dedup {
           cells = Some(VectorOps.embedCellsFor(spark, dir)))
         .select(col("id1").as("doc1"), col("id2").as("doc2"))
       // banded pairs are id1<id2 and appear exactly once by construction
-      keepRepresentative(e.select("vec_id", "label"), pairs, idCol = "vec_id",
-        pairsDistinct = true)
+      keepRepresentative(e.select("vec_id", "label"), pairs, idCol = "vec_id")
         .groupBy("label")
         .agg(count(lit(1)).as("n_kept"), min("vec_id").as("first_vec"))
         .orderBy("label")

@@ -605,12 +605,12 @@ object EventOps {
       ), er AS (
         SELECT ts, event_id FROM events WHERE event_type = 'error'
       ), g2 AS (
-        SELECT ts,
+        SELECT ts, event_id,
           CASE WHEN lag(ts) OVER w2 IS NULL
                  OR ts - lag(ts) OVER w2 > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS is_new
         FROM er WINDOW w2 AS (ORDER BY ts, event_id)
       ), s2 AS (
-        SELECT ts, sum(is_new) OVER (ORDER BY ts
+        SELECT ts, sum(is_new) OVER (ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
         FROM g2
       ), storm AS (
@@ -698,19 +698,26 @@ object EventOps {
   val qZscoreOutliers: QuerySpec = QuerySpec(
     "q_zscore_outliers",
     Some("""WITH st AS (SELECT event_type, avg(value) AS mu,
-        stddev_samp(value) AS sigma FROM events GROUP BY event_type)
-      SELECT e.event_id, e.event_type, round((e.value - st.mu) / st.sigma, 4) AS z
-      FROM events e JOIN st USING (event_type)
-      WHERE abs((e.value - st.mu) / st.sigma) > 3
+        stddev_samp(value) AS sigma FROM events GROUP BY event_type),
+      zz AS (
+        SELECT e.event_id, e.event_type,
+          round((e.value - st.mu) / st.sigma, 6) AS z6
+        FROM events e JOIN st USING (event_type))
+      SELECT event_id, event_type, round(z6, 4) AS z FROM zz
+      WHERE abs(z6) > 3
       ORDER BY event_id"""),
     (spark, dir) => {
       val ev = Tables.load(spark, dir, "events")
       val st = ev.groupBy("event_type")
         .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+      // z is rounded to 6 dp BEFORE the >3 membership test so both
+      // engines decide row membership on the same value — the raw
+      // quotient comes from differently-ordered FP summation and a z
+      // within an ulp of 3 could otherwise flip the row set.
       ev.join(broadcast(st), "event_type")
-        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
-        .filter(abs(col("z")) > 3)
-        .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+        .withColumn("z6", round((col("value") - col("mu")) / col("sigma"), 6))
+        .filter(abs(col("z6")) > 3)
+        .select(col("event_id"), col("event_type"), round(col("z6"), 4).as("z"))
         .orderBy("event_id")
     })
 

@@ -22,7 +22,7 @@ object CcProbe {
     time("pair filter count")(println("[cc] edges=" + pairs.count()))
     time("cc fixpoint")(
       println("[cc] rows=" + graft.operators.Dedup.connectedComponents(
-        pairs, pairsDistinct = true).count()))
+        pairs).count()))
     time("minhashClusters (memo path)")(
       graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count())
     spark.stop()
