@@ -1105,11 +1105,103 @@ object TextOps {
     None,
     (spark, dir) => simhashPairsFor(spark, dir).orderBy("doc1", "doc2"))
 
+  /** Exact-substring (span-level) dedup — the production operator the
+    * doc-level families miss: repeated boilerplate SPANS survive
+    * document dedup whenever the surrounding text differs ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022,
+    * motivates removing them). Approximation of the paper's
+    * suffix-array pass with fixed-width windows: any repeated token
+    * substring of length ≥ w appears as a run of cross-doc-repeated
+    * w-token windows, so marking every position whose w-window occurs
+    * in ≥ `minDocs` distinct documents and merging consecutive marked
+    * positions yields maximal removable spans (doc_id, span_start,
+    * span_len) — token-indexed, 1-based, span_len ≥ w.
+    *
+    * Scale shape, stage by stage: positional windows are one narrow
+    * pass (`shingles` is zip_with-built — the corpus tokenizes once);
+    * each window is FINGERPRINTED to 8 bytes (xxhash64) before anything
+    * shuffles, so the df aggregation and the semi-join back move
+    * (fp, doc_id, pos) triples, never window text; the df filter is a
+    * hash agg keyed on fp (vocabulary-like cardinality); the run-merge
+    * window partitions by doc_id over MATCHED positions only — bounded
+    * by document length, no global window anywhere. Everything is
+    * linear in corpus tokens; there is no doc×doc anything. An fp
+    * collision (2⁻⁶⁴/pair) could falsely mark one window — the
+    * accepted trade everywhere fingerprints replace strings.
+    */
+  def substringSpans(docs: DataFrame, w: Int = 8,
+                     minDocs: Int = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    // docs shorter than w have no w-window: excluded up front (NOT the
+    // whole-doc fallback `shingles` applies — a 3-token doc is not a
+    // removable span of itself)
+    val pos = docs
+      .select(col("doc_id"), shingles(toks, w).as("gs"), size(toks).as("n"))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        xxhash64(col("g")).as("fp"))
+    val shared = pos.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("fp")
+    val matched = pos.join(shared, Seq("fp"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matched
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("pos") - col("prev") > 1, 1)
+          .otherwise(0))
+      .withColumn("rid", sum("is_new").over(run))
+      .groupBy("doc_id", "rid")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(w)).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
+  /** Removable-span inventory of the documents fixture: 8-token windows
+    * shared by ≥ 2 docs, merged to maximal spans. The oracle rebuilds
+    * positional windows with a list comprehension (generate_subscripts
+    * = window start, both 1-based), takes HAVING count(DISTINCT doc_id)
+    * ≥ 2, and merges runs with the same gaps-and-islands SQL the
+    * sessionize oracle uses — full strings where Spark uses
+    * fingerprints, so a hash-green row also witnesses fp faithfulness.
+    */
+  val qSubstringDedup: QuerySpec = QuerySpec(
+    "q_substring_dedup",
+    Some("""WITH t AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+      p AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos
+            FROM (SELECT doc_id,
+                    [array_to_string(toks[i:i+7], ' ')
+                     FOR i IN range(1, len(toks) - 6)] AS gs
+                  FROM t)),
+      shared AS (SELECT g FROM p GROUP BY g
+                 HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT doc_id, pos FROM p WHERE g IN (SELECT g FROM shared)),
+      r AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+                  THEN 1 ELSE 0 END AS is_new
+            FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      s AS (SELECT doc_id, pos, sum(is_new) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS rid FROM r)
+      SELECT doc_id, min(pos) AS span_start,
+        max(pos) - min(pos) + 8 AS span_len
+      FROM s GROUP BY doc_id, rid
+      ORDER BY doc_id, span_start"""),
+    (spark, dir) =>
+      substringSpans(Tables.load(spark, dir, "documents"))
+        .orderBy("doc_id", "span_start"))
+
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qNgramJaccardGlobal,
     qEditDistance, qJaroWinkler, qMinhashLsh,
     qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
-    qSimhashPairs, qSimhashContain, qContainmentDedup, qNgramLmScore, qTokenBudget, qTokenBudgetQuality,
+    qSimhashPairs, qSimhashContain, qContainmentDedup, qSubstringDedup,
+    qNgramLmScore, qTokenBudget, qTokenBudgetQuality,
     qPackSequences, qShufflePack, qTextChunks, qTextRepetition)
 }
