@@ -119,15 +119,34 @@ object VectorOps {
     bits.reduce(_ + _)
   }
 
-  /** ANN top-k restricted to same-LSH-bucket candidates (8 planes →
-    * 256 buckets). Returns the same schema as [[topK]]; recall measured
-    * against brute force in VectorSpec.
+  /** All bitmasks over `numPlanes` bits with popcount ≤ `radius` — the
+    * Hamming ball a multiprobe expansion XORs a signature with.
+    * Driver-side combinatorics over ≤ 2^planes longs, shipped as one
+    * array literal; the expansion factor IS this list's length, so
+    * radius directly prices recall (r=0: 1, r=1: planes+1, r=planes:
+    * exhaustive — the exactness-contract setting, test/oracle use).
     */
-  def topKLsh(emb: DataFrame, probeFilter: Column, k: Int, numPlanes: Int = 8): DataFrame = {
+  private[operators] def hammingMasks(numPlanes: Int, radius: Int): Seq[Long] =
+    (0L until (1L << numPlanes)).filter(m => java.lang.Long.bitCount(m) <= radius)
+
+  /** ANN top-k over LSH buckets with MULTIPROBE: each probe searches
+    * every bucket within Hamming distance `radius` of its own signature
+    * (Lv et al., "Multi-Probe LSH", VLDB 2007 — neighboring sign
+    * patterns hold the near-misses a single-bucket probe drops).
+    * Only the PROBE side explodes (×|ball|); the corpus keeps its home
+    * bucket, so each (probe, neighbor) candidate arises exactly once
+    * (home buckets are unique) and the corpus never shuffles wider than
+    * the plain bucket join. radius = numPlanes probes every bucket →
+    * provably equal to brute force ([[qCosineTopKLshExact]]).
+    */
+  def topKLshMultiprobe(emb: DataFrame, probeFilter: Column, k: Int,
+                        numPlanes: Int = 8, radius: Int = 1): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    val masks = typedLit(hammingMasks(numPlanes, radius))
     val sig = emb.withColumn("bucket", lshSignature(col("embedding"), numPlanes))
     val probes = sig.filter(probeFilter)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val corpus = sig.select(col("vec_id").as("neighbor_id"),
                             col("embedding").as("cvec"), col("bucket"))
     val joined = probes.join(corpus, Seq("bucket"))
@@ -139,12 +158,35 @@ object VectorOps {
       .select("probe_id", "neighbor_id", "sim", "rk")
   }
 
+  /** ANN top-k restricted to same-LSH-bucket candidates (8 planes →
+    * 256 buckets) — multiprobe at radius 0. Returns the same schema as
+    * [[topK]]; recall measured against brute force in VectorSpec.
+    */
+  def topKLsh(emb: DataFrame, probeFilter: Column, k: Int, numPlanes: Int = 8): DataFrame =
+    topKLshMultiprobe(emb, probeFilter, k, numPlanes, radius = 0)
+
   val qCosineTopKLsh: QuerySpec = QuerySpec(
     "q_cosine_topk_lsh",
     None, // approximate by design; recall vs brute force in VectorSpec
     (spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
       topKLsh(emb, col("vec_id") < 10, 5).orderBy("probe_id", "rk")
+    })
+
+  /** Exactness contract for the LSH search plumbing (the
+    * q_cosine_topk_ivf_exact pattern): multiprobe at radius = numPlanes
+    * visits EVERY bucket, so the result must equal brute force
+    * bit-for-bit — it shares q_cosine_topk's oracle. Hash-green pins
+    * completeness of the signature/bucket/expansion/join machinery; the
+    * approximate default then differs only by which buckets are pruned.
+    */
+  val qCosineTopKLshExact: QuerySpec = QuerySpec(
+    "q_cosine_topk_lsh_exact",
+    qCosineTopK.oracle,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKLshMultiprobe(emb, col("vec_id") < 10, 5, numPlanes = 8, radius = 8)
+        .orderBy("probe_id", "rk")
     })
 
   // --- EXACT near-dup pairs without the label-wide self-join (VERDICT
@@ -298,24 +340,61 @@ object VectorOps {
         .orderBy("id1", "id2")
     })
 
-  /** Unblocked near-dup via LSH buckets (the no-metadata scale path:
-    * no label/blocking column needed). Rows-only check; recall vs the
-    * exact pairs measured in DedupSimilaritySpec.
+  /** Unblocked near-dup pair generation via LSH buckets with multiprobe
+    * (no label/blocking column needed — the no-metadata scale path).
+    * One side explodes to its Hamming ball, the other keeps its home
+    * bucket: a qualifying pair (a,b) with sig distance d ≤ radius
+    * matches on exactly one mask (s_a XOR s_b) and the id1 &lt; id2 filter
+    * kills the mirrored match, so no distinct is needed. Pair volume is
+    * Σ over occupied buckets of |ball-neighbors|·|bucket| — never
+    * corpus², and the ball list is a literal.
+    */
+  def embedNearDupLshPairs(emb: DataFrame, threshold: Double,
+                           numPlanes: Int = 8, radius: Int = 0): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val masks = typedLit(hammingMasks(numPlanes, radius))
+    val sig = emb.withColumn("bucket", lshSignature(col("embedding"), numPlanes))
+    val ball = sig.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val home = sig.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("bucket"))
+    ball.join(home, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("e1"), col("e2")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
+  /** Unblocked near-dup via LSH buckets (radius 0). Rows-only check;
+    * recall vs the exact pairs measured in DedupSimilaritySpec, and the
+    * machinery is pinned exact by [[qEmbedNearDupLshExact]].
     */
   val qEmbedNearDupLsh: QuerySpec = QuerySpec(
     "q_embed_neardup_lsh",
     None,
-    (spark, dir) => {
-      GraftFunctions.register(spark)
-      val e = Tables.load(spark, dir, "embeddings")
-        .withColumn("bucket", lshSignature(col("embedding"), 8))
-      e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim",
-          round(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")), 6))
-        .filter(col("sim") >= 0.3)
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("sim"))
-    })
+    (spark, dir) =>
+      embedNearDupLshPairs(Tables.load(spark, dir, "embeddings"), 0.3))
+
+  /** Exactness contract for the LSH pair machinery: radius = numPlanes
+    * makes the ball cover every bucket, so the pair set must equal the
+    * UNBLOCKED all-pairs join — oracle is the global (label-free)
+    * brute-force pair list in DuckDB. Hash-green pins that bucketing
+    * partitions the corpus losslessly and the mirrored-match dedup is
+    * exact; the approximate default then differs only by pruned buckets.
+    */
+  val qEmbedNearDupLshExact: QuerySpec = QuerySpec(
+    "q_embed_neardup_lsh_exact",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+      ORDER BY id1, id2"""),
+    (spark, dir) =>
+      embedNearDupLshPairs(Tables.load(spark, dir, "embeddings"), 0.3,
+          numPlanes = 8, radius = 8)
+        .orderBy("id1", "id2"))
 
   /** Symmetric int8 quantization of a float-vector column (`in` →
     * `out`): per-vector scale = max|x|/127, components rounded to
@@ -362,5 +441,6 @@ object VectorOps {
 
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qEmbedQuantized,
-      qCosineTopKLsh, qEmbedNearDupLsh)
+      qCosineTopKLsh, qCosineTopKLshExact, qEmbedNearDupLsh,
+      qEmbedNearDupLshExact)
 }

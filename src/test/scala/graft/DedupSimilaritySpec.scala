@@ -211,6 +211,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(q(3L).map(math.abs).max === 127.0f)
   }
 
+  test("multiprobe LSH: widening the Hamming radius only ever adds pairs") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val counts = Seq(0, 1, 8).map(r =>
+      r -> VectorOps.embedNearDupLshPairs(e, 0.3, radius = r).count())
+    counts.sliding(2).foreach { case Seq((r1, c1), (r2, c2)) =>
+      assert(c1 <= c2, s"radius $r1 found $c1 pairs but radius $r2 found $c2")
+    }
+    // radius = numPlanes is exhaustive: equals the unblocked all-pairs join
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(graft.functions.GraftFunctions.cosineSim(
+        col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("sim") >= 0.3).count()
+    assert(counts.last._2 == brute)
+  }
+
   test("exact dedup keeps exactly one row per (lang, source)") {
     val kept = TextOps.qDedupExact.run(spark, sf)
     val keys = Tables.load(spark, sf, "documents").select("lang", "source").distinct().count()
