@@ -499,7 +499,8 @@ object EventOps {
   private val StreamStatePartitions = 8
 
   private[operators] def runStreamToTable(agg: DataFrame,
-                               mode: String = "complete"): DataFrame = {
+                               mode: String = "complete",
+                               checkpoint: Option[String] = None): DataFrame = {
     val spark = agg.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val name = "graft_stream_" + streamSeq.incrementAndGet()
@@ -509,10 +510,13 @@ object EventOps {
     spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
     val q =
       try {
-        agg.writeStream.format("memory").queryName(name)
+        val w = agg.writeStream.format("memory").queryName(name)
           .outputMode(mode)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+        // the engine permits checkpoint RECOVERY into a memory sink only
+        // in complete mode (state lives in the state store, the sink is
+        // rebuilt each trigger) — exactly the resume-proof shape
+        checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     // eager copy, then drop the sink's temp view: repeated invocations
@@ -525,6 +529,77 @@ object EventOps {
   }
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Crash-resume drill behind [[qStreamResume]]: stage the events
+    * fixture as two parquet files, drain file A through a CHECKPOINTED
+    * tumbling aggregation, let the query object die (AvailableNow
+    * terminates it — all that survives, as after a real driver crash,
+    * is the checkpoint directory), land file B, and start a brand-new
+    * query on the same checkpoint. Returns (afterA, afterB) as eager
+    * tables.
+    *
+    * What the checkpoint must carry for afterB to equal the batch
+    * answer over the FULL fixture: the file-source log (file A must not
+    * be reprocessed — double-counting breaks the hash) and the window
+    * state (file A's partial aggregates must survive the restart —
+    * losing them breaks the hash the other way). Each invocation
+    * stages into a fresh directory: a checkpoint binds to one source
+    * history, so reps must never share one.
+    */
+  private[graft] def streamResumePhases(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = s"target/stream-resume/run_${streamSeq.incrementAndGet()}"
+    // the run counter restarts with each JVM but target/ persists: a
+    // STALE checkpoint under the same path would see "no new files" and
+    // resume into an empty drain — scrub the whole run dir first
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    // halves staged with the RAW schema (long nanos ts) so the streamed
+    // read is byte-identical to the fixture path in streamedEvents
+    val raw = spark.read.schema(Tables.eventsRaw)
+      .parquet(s"$dir/events.parquet")
+    def stage(half: DataFrame, label: String): java.nio.file.Path = {
+      val tmp = s"$base/stage_$label"
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head.toPath
+    }
+    val pa = stage(raw.filter(col("event_id") % 2 === 0), "a")
+    val pb = stage(raw.filter(col("event_id") % 2 =!= 0), "b")
+    def drain(): DataFrame = {
+      val src = Tables.withEventTs(graft.sources.Ingest.readStreamFiles(
+        spark, s"$in/*.parquet", Tables.eventsRaw))
+      runStreamToTable(
+        graft.streaming.Streams.tumblingCounts(src, watermark = "3650 days"),
+        checkpoint = Some(s"$base/ckpt"))
+    }
+    Files.copy(pa, Paths.get(s"$in/a.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val afterA = drain()
+    Files.copy(pb, Paths.get(s"$in/b.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    (afterA, drain())
+  }
+
+  /** Exactly-once across a restart, machine-checked: the resumed
+    * query's complete-mode output over (A then B) shares
+    * [[qWindowTumbling]]'s batch oracle — green only if the checkpoint
+    * restored both source offsets (no A reprocessing) and window state
+    * (no A amnesia). StreamingSpec additionally pins the intermediate
+    * afterA table to the batch aggregate of file A alone.
+    */
+  val qStreamResume: QuerySpec = QuerySpec(
+    "q_stream_resume",
+    qWindowTumbling.oracle,
+    (spark, dir) =>
+      streamResumePhases(spark, dir)._2.orderBy("w_start", "event_type"))
 
   /** Interval-range window frame (trailing 30 days per customer). */
   val qWindowRange: QuerySpec = QuerySpec(
@@ -727,5 +802,5 @@ object EventOps {
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
       qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc,
-      qZscoreOutliers)
+      qZscoreOutliers, qStreamResume)
 }
