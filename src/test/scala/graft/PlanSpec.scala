@@ -234,4 +234,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("funnel: every step join's right side is pre-aggregated per user") {
+    import graft.operators.Funnels
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val lp = Funnels.funnelTimes(ev, "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase")).queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.size === 3)
+    def aggregated(n: LogicalPlan): Boolean = n match {
+      case _: Aggregate => true
+      case p: Project => aggregated(p.child)
+      case _ => false
+    }
+    // the scaladoc's scale claim, machine-checked: each step join moves
+    // at most one (grouped) row per user on its right side
+    joins.foreach(j => assert(aggregated(j.right),
+      s"step join right side is not an Aggregate:\n${j.right.treeString}"))
+  }
 }
