@@ -60,7 +60,7 @@ object Bench {
     // measurement; the -1 sentinel is reserved for all-reps-failed
     val allFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     val partialFailed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to reps).flatMap { _ =>
         var ok = true
         val t = time(try { fn(spark, sfDir).count(); () }
@@ -69,9 +69,57 @@ object Bench {
       }
       if (ts.size < reps && ts.nonEmpty) partialFailed += name
       if (ts.isEmpty) allFailed += name
+      name -> ts
+    }
+    val results = timings.map { case (name, ts) =>
       name -> (if (ts.isEmpty) -1.0 else median(ts))
     }
+    // Noise self-defense (this host has documented multi-second stalls:
+    // identical binaries measured 3-20x apart across driver runs). Two
+    // in-band tells: (a) per-query MIN across reps — a stall inflates
+    // median but rarely all reps, so min >> historical min flags a
+    // fully-contaminated query; (b) control_inflation — the ratio of
+    // this run's medians to the best-ever-recorded min for three
+    // untouched trivial controls, persisted across runs in target/.
+    // A reader seeing control_inflation >> 1 knows the RUN is hot, not
+    // the code.
+    val minsByName = timings.collect {
+      case (n, ts) if ts.nonEmpty => n -> ts.min
+    }.toMap
+    val controls =
+      Seq("q1_pricing_summary", "q3_shipping_priority", "q_rollup")
+    // best-records are per scale factor: an sf0.001 best would brand
+    // every sf0.1 run as inflated
+    val ctrlPath = java.nio.file.Paths.get(
+      "target/bench_controls_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".txt")
+    val prevBest: Map[String, Double] =
+      if (java.nio.file.Files.exists(ctrlPath))
+        scala.io.Source.fromFile(ctrlPath.toFile).getLines()
+          .flatMap { l => l.split(' ') match {
+            case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+            case _ => None
+          } }.toMap
+      else Map.empty
+    val medByName = results.toMap
+    val inflations = controls.flatMap { c =>
+      for {
+        m <- medByName.get(c) if m >= 0
+        best <- prevBest.get(c).orElse(minsByName.get(c)) if best > 0
+      } yield m / best
+    }
+    val controlInflation =
+      if (inflations.isEmpty) -1.0 else median(inflations)
+    val newBest = controls.flatMap { c =>
+      minsByName.get(c).map(cur =>
+        c -> math.min(cur, prevBest.getOrElse(c, Double.MaxValue)))
+    }
+    new java.io.File("target").mkdirs()
+    java.nio.file.Files.writeString(ctrlPath,
+      newBest.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qmins = minsByName.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val st = setup.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -80,12 +128,12 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val setupTotal = setup.map(_._2).sum
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qmins,"control_inflation":$controlInflation,""" +
       s""""setup":$st,"reps":$reps,"errors":$errs,"partial_failures":$partial,"sf":"$sfDir"}"""
     // self-record FIRST: the full per-query record lives in a file — the
     // driver's log capture keeps only the LAST 2000 chars of stdout
     // (BENCH_r03 and r04 both came back parsed:null because the
     // full-precision 126-query line is ~4 KB and lost its head)
-    new java.io.File("target").mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), full + "\n")
     // stdout gets a COMPACT line (~1 KB: 3-decimal rounding, headline
@@ -109,6 +157,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,""" +
       s""""queries_measured":${results.size},"setup_total":${r3(setupTotal)},""" +
+      s""""control_inflation":${r3(controlInflation)},""" +
       s""""reps":$reps,"errors":$errs,"partial_failures":$partial,""" +
       s""""sf":"$sfDir","detail":"target/bench.json"}"""
     println(compact)
