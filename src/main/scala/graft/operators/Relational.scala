@@ -497,10 +497,63 @@ object Relational {
         .limit(20)
     })
 
+  /** TPC-H Q17-shaped correlated-AGGREGATE subquery stress (r6 VERDICT
+    * item 6): per-brand revenue from small-quantity lineitems, where
+    * "small" is `l_quantity < 0.2 × avg(l_quantity) OF THAT PART` — the
+    * correlated scalar aggregate that a naive engine evaluates once per
+    * outer row. The DSL builds the decorrelated form a 100 TB plan
+    * needs explicitly: prune lineitem to qualifying parts (broadcast
+    * semi — part is the dimension), ONE part-keyed hash agg for the
+    * thresholds, one part-keyed join back; lineitem is never scanned
+    * per-row and never joined to itself unkeyed. The SQL twin
+    * ([[SqlEntry.qQtyBelowAvgSql]]) runs the subquery TEXT through
+    * Catalyst's decorrelation and must land on the same shape (PlanSpec
+    * guards: exactly one join of two lineitem-rooted subtrees, keyed on
+    * l_partkey, no cartesian).
+    *
+    * Membership determinism: l_quantity is integer-valued, so the
+    * per-part avg is exact-rational in double (exact sum / exact count,
+    * one division, one multiply by 0.2) — identical in both engines; no
+    * rounding needed before the &lt; compare.
+    */
+  val qQtyBelowAvg: QuerySpec = QuerySpec(
+    "q_qty_below_avg",
+    Some("""SELECT p.p_brand, count(*) AS n_below,
+        round(sum(l.l_extendedprice), 2) AS revenue_below
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size < 10
+        AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand"""),
+    (spark, dir) => {
+      val pt = Tables.load(spark, dir, "part")
+        .filter(col("p_size") < 10)
+        .select("p_partkey", "p_brand")
+      // restrict lineitem ONCE to parts of interest: the threshold agg
+      // and the probe both shrink; the avg is per part, so pruning whole
+      // parts cannot change any retained part's threshold
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(pt).select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val thr = li.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.2).as("small_thr"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+      li.join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("small_thr"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_below"),
+          round(sum("l_extendedprice"), 2).as("revenue_below"))
+        .orderBy("p_brand")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, qFilterPredicates,
     qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
-    qJoinWaiting,
+    qJoinWaiting, qQtyBelowAvg,
     qWindowRank, qWindowRunning, qRollup, qCube, qDistinctAgg, qHaving,
     qUnionAll, qIntersect, qExcept, qTopK, qLimitOffset)
 }

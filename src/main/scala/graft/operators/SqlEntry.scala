@@ -48,6 +48,16 @@ object SqlEntry {
   val qJoinWaitingSql: QuerySpec = viaSql(
     "q_join_waiting_sql", Relational.qJoinWaiting.oracle.get)
 
+  /** The Q17-shaped correlated scalar AGGREGATE subquery as SQL TEXT
+    * (`l_quantity < 0.2 * avg per part`): Catalyst must decorrelate the
+    * per-row aggregate into the same one-agg-one-join shape the DSL
+    * twin ([[Relational.qQtyBelowAvg]]) builds by hand — the one
+    * decorrelation pattern EXISTS/NOT EXISTS and the uncorrelated
+    * scalar don't cover. PlanSpec pins the rewrite to a join.
+    */
+  val qQtyBelowAvgSql: QuerySpec = viaSql(
+    "q_qty_below_avg_sql", Relational.qQtyBelowAvg.oracle.get)
+
   def specs: Seq[QuerySpec] =
-    Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql)
+    Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql)
 }

@@ -235,6 +235,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("correlated aggregate subquery decorrelates to a join, not per-row") {
+    import graft.operators.SqlEntry
+    val df = SqlEntry.qQtyBelowAvgSql.run(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    // decorrelation happened: no subquery expression survives anywhere
+    val hasSubquery = optimized.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+      case _ => false
+    }))
+    assert(!hasSubquery, "correlated aggregate survived as a subquery:\n" +
+      optimized.treeString.take(1500))
+    // and the physical shape is joins + aggregates, never a cartesian
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("funnel: every step join's right side is pre-aggregated per user") {
     import graft.operators.Funnels
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
