@@ -584,6 +584,148 @@ object Multimodal {
         .orderBy("media_id")
     })
 
+  // --- Image perceptual-hash dedup (dHash over the PPM decode path,
+  //     banded Hamming pairs via the shared 16-bit-chunk machinery) ---
+
+  /** Patterned PPM corpus for image dedup: payload bytes are a pure
+    * function of (doc_id % 40, (doc_id / 40) % 3) — 40 base patterns
+    * (hash-mixed grayscale noise) × 3 variants (variant t inverts a
+    * 2-column vertical band at x = 4t). Two media rows have BYTE-EQUAL
+    * payloads iff those two numbers match, which is what lets the
+    * containment contract's oracle derive equal-payload pairs in pure
+    * SQL over doc_id arithmetic ([[qImagePhashContain]]); same-pattern
+    * different-variant rows are the near-dups the pair query surfaces.
+    */
+  def patternPpm(id: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val cls = (id % 40).toInt
+    val variant = ((id / 40) % 3).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // integer hash mix — deterministic, engine-independent
+        var v = cls * 1103515245 + x * 12345 + y * 1013904223
+        v ^= (v >>> 13); v *= 196314165; v ^= (v >>> 16)
+        var g = v & 0xff
+        if (variant > 0 && x >= variant * 4 && x < variant * 4 + 2) g = 255 - g
+        val o = (y * w + x) * 3
+        px(o) = g.toByte; px(o + 1) = g.toByte; px(o + 2) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    header ++ px
+  }
+
+  /** Patterned media table keyed by document id. */
+  def patternPpmMedia(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType))))
+    Tables.load(spark, dir, "documents").select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, patternPpm(id), "image/x-portable-pixmap")
+      }
+    }(enc)
+  }
+
+  /** 64-bit dHash (difference hash, the standard perceptual image
+    * fingerprint): decode → integer Rec.601 grayscale → nearest-
+    * neighbour 9×8 grid → bit (y,x) = grid[y][x+1] &gt; grid[y][x].
+    * All-integer arithmetic, so the fingerprint is deterministic across
+    * engines and runs; invalid payloads yield a null hash (and
+    * [[TextOps.hammingPairs64]] never pairs nulls). One mapPartitions
+    * decode pass — codecs can't be Expressions; everything after the
+    * hash is ordinary columnar work.
+    */
+  def dhashPpm(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        parsePpm(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, px)) if w >= 9 && h >= 8 =>
+            def gray(sx: Int, sy: Int): Int = {
+              val o = (sy * w + sx) * 3
+              (299 * (px(o) & 0xff) + 587 * (px(o + 1) & 0xff) +
+                114 * (px(o + 2) & 0xff)) / 1000
+            }
+            var bits = 0L
+            var i = 0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                // nearest-neighbour sample of the 9x8 comparison grid
+                if (gray((x + 1) * w / 9, y * h / 8) >
+                    gray(x * w / 9, y * h / 8)) bits |= (1L << i)
+                i += 1; x += 1
+              }
+              y += 1
+            }
+            Row(id, bits)
+          case _ => Row(id, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-dup pairs at dHash Hamming ≤ 3 over the patterned
+    * corpus — the multimodal × dedup crossover: the SAME pigeonhole
+    * chunk join as text simhash, fed by the image decode path.
+    * Rows-only (the decode is engine-side); MultimodalSpec pins
+    * determinism + discrimination, and [[qImagePhashContain]] is the
+    * oracle-checked recall anchor.
+    */
+  val qImagePhashPairs: QuerySpec = QuerySpec(
+    "q_image_phash_pairs",
+    None,
+    (spark, dir) =>
+      TextOps.hammingPairs64(
+          dhashPpm(patternPpmMedia(spark, dir))
+            .select(col("media_id").as("doc_id"), col("dhash").as("h64")))
+        .select(col("doc1").as("id1"), col("doc2").as("id2"), col("hamming"))
+        .orderBy("id1", "id2"))
+
+  /** Containment contract for the image dedup family, oracle-checked:
+    * byte-equal payloads (md5 over the REAL bytes, the
+    * [[qMultimodalMeta]] hashing surface) must all be surfaced by the
+    * banded dHash pair generator — identical bytes ⇒ identical dHash ⇒
+    * Hamming 0 ⇒ pigeonhole candidate. The oracle derives the
+    * equal-payload pair set in pure SQL from the generation invariant
+    * (payload = f(doc_id % 40, (doc_id/40) % 3)), so a green row pins
+    * the synthetic corpus to its documented model, the decoder/hash
+    * determinism, and the pair generator's Hamming-0 recall at once.
+    */
+  val qImagePhashContain: QuerySpec = QuerySpec(
+    "q_image_phash_contain",
+    Some("""SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM documents a JOIN documents b
+        ON a.doc_id % 40 = b.doc_id % 40
+       AND (a.doc_id // 40) % 3 = (b.doc_id // 40) % 3
+       AND a.doc_id < b.doc_id
+      ORDER BY id1, id2"""),
+    (spark, dir) => {
+      val media = patternPpmMedia(spark, dir)
+      val byMd5 = media.select(col("media_id"), md5(col("payload")).as("m"))
+      val eq = byMd5.as("a").join(byMd5.as("b"),
+          col("a.m") === col("b.m") && col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+      val cands = TextOps.hammingPairs64(
+        dhashPpm(media)
+          .select(col("media_id").as("doc_id"), col("dhash").as("h64")))
+      eq.join(cands,
+          eq("id1") === cands("doc1") && eq("id2") === cands("doc2"),
+          "left_semi")
+        .orderBy("id1", "id2")
+    })
+
   /** SQL-checkable metadata surface over the binary payloads. */
   val qMultimodalMeta: QuerySpec = QuerySpec(
     "q_multimodal_meta",
@@ -602,5 +744,6 @@ object Multimodal {
     })
 
   def specs: Seq[QuerySpec] =
-    Seq(qMultimodalMeta, qAudioFeatures, qImageFeatures, qImageFeaturesJpeg)
+    Seq(qMultimodalMeta, qAudioFeatures, qImageFeatures, qImageFeaturesJpeg,
+      qImagePhashPairs, qImagePhashContain)
 }

@@ -1057,30 +1057,45 @@ object TextOps {
       simhash(docs).orderBy("doc_id")
     })
 
-  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, banded
-    * by 16-bit chunks: a pair within Hamming 3 differs in at most 3 of
-    * the 4 chunks, so BY PIGEONHOLE it agrees on at least one — the
-    * candidate join is an equi-join on (chunk index, chunk value), never
-    * an all-pairs compare, and recall is exactly 1 (proved in
-    * DedupSimilaritySpec against a brute-force sample). Verification is
-    * exact `bit_count(xor)`.
+  /** Near-dup pairs over ANY 64-bit fingerprint column at Hamming
+    * distance ≤ `maxHamming`, banded by 16-bit chunks: a pair within
+    * Hamming 3 differs in at most 3 of the 4 chunks, so BY PIGEONHOLE
+    * it agrees on at least one — the candidate join is an equi-join on
+    * (chunk index, chunk value), never an all-pairs compare, and recall
+    * is exactly 1 (proved in DedupSimilaritySpec against a brute-force
+    * sample). Verification is exact `bit_count(xor)`. Shared by the
+    * text simhash ([[simhashPairs]]) and the image perceptual-hash
+    * ([[Multimodal.qImagePhashPairs]]) dedup families.
+    *
+    * @param hashed (doc_id, h64) — null fingerprints never pair
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs) // (doc_id, simhash)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map { c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))
-      }: _*)).as(Seq("chunk", "cval")))
+  def hammingPairs64(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "hammingPairs64: 4x16-bit banding is complete only for Hamming <= 3")
+    val chunks = hashed
+      .filter(col("h64").isNotNull)
+      .select(col("doc_id"), col("h64"),
+        posexplode(array((0 until 4).map { c =>
+          shiftrightunsigned(col("h64"), c * 16).bitwiseAND(lit(0xffffL))
+        }: _*)).as(Seq("chunk", "cval")))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+        col("a.h64").as("sh1"), col("b.h64").as("sh2"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc1", "doc2", "hamming")
   }
+
+  /** SimHash near-dup pairs — [[hammingPairs64]] over the 64-bit text
+    * simhash.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      simhash(docs).select(col("doc_id"), col("simhash").as("h64")),
+      maxHamming)
 
   /** Banded simhash pairs over the fixture, memoized per (session, dir)
     * — consumed by both the pair query and the containment contract, so

@@ -129,4 +129,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[scala.collection.Seq[Float]]("feature")).toSeq ===
       again.map(_.getAs[scala.collection.Seq[Float]]("feature")).toSeq)
   }
+
+  test("dHash: payload-deterministic, discriminating, null on junk") {
+    val media = Multimodal.patternPpmMedia(spark, sf)
+    val h = Multimodal.dhashPpm(media)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // deterministic: byte-equal payloads (same class+variant) share a hash
+    val byKey = h.keys.groupBy(id => (id % 40, (id / 40) % 3))
+    byKey.values.filter(_.size > 1).foreach { ids =>
+      assert(ids.map(h).toSet.size === 1, s"equal payloads, unequal dhash: $ids")
+    }
+    // discriminating: the 40 base patterns don't collapse to one hash
+    assert(h.values.flatten.toSet.size > 10)
+    // junk bytes hash to null, and null never reaches the pair join
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val jh = Multimodal.dhashPpm(junk).collect()
+    assert(jh.forall(_.isNullAt(1)))
+    assert(graft.operators.TextOps.hammingPairs64(
+      Multimodal.dhashPpm(junk)
+        .select(col("media_id").as("doc_id"), col("dhash").as("h64"))
+    ).count() === 0)
+  }
 }
