@@ -1132,35 +1132,53 @@ object TextOps {
     * positions yields maximal removable spans (doc_id, span_start,
     * span_len) — token-indexed, 1-based, span_len ≥ w.
     *
-    * Scale shape, stage by stage: positional windows are one narrow
-    * pass (`shingles` is zip_with-built — the corpus tokenizes once);
-    * each window is FINGERPRINTED to 8 bytes (xxhash64) before anything
-    * shuffles, so the df aggregation and the semi-join back move
-    * (fp, doc_id, pos) triples, never window text; the df filter is a
-    * hash agg keyed on fp (vocabulary-like cardinality); the run-merge
-    * window partitions by doc_id over MATCHED positions only — bounded
-    * by document length, no global window anywhere. Everything is
-    * linear in corpus tokens; there is no doc×doc anything. An fp
-    * collision (2⁻⁶⁴/pair) could falsely mark one window — the
-    * accepted trade everywhere fingerprints replace strings.
+    * Scale shape, stage by stage: positional windows are ONE narrow
+    * pass — each window is FINGERPRINTED to 8 bytes (xxhash64 of its w
+    * token slices, no intermediate string) before anything shuffles;
+    * the shared-window filter is one posting-list aggregation keyed on
+    * fp (vocabulary-like cardinality, lists df(fp)-sized) exploded
+    * back to matched positions; the run-merge window partitions by
+    * doc_id over MATCHED positions only — bounded by document length,
+    * no global window anywhere. Everything is linear in corpus tokens;
+    * there is no doc×doc anything. An fp collision (2⁻⁶⁴/pair) could
+    * falsely mark one window — the accepted trade everywhere
+    * fingerprints replace strings.
     */
   def substringSpans(docs: DataFrame, w: Int = 8,
                      minDocs: Int = 2): DataFrame = {
     val toks = tokens(col("text"))
+    // fingerprints computed DIRECTLY from w aligned token slices
+    // (arrays_zip → per-element xxhash64 over the w fields): no
+    // intermediate w-token string is ever built. Same equivalence as
+    // hashing the joined string — tokens are space-free by construction,
+    // so the w-tuple determines the joined form and vice versa. (The
+    // string-shingle build was ~half this query's runtime at sf0.1.)
+    val m = size(toks) - (w - 1)
+    val fps = {
+      val slices = (0 until w).map(j => slice(toks, lit(j + 1), m).as(s"s$j"))
+      transform(arrays_zip(slices: _*), x =>
+        xxhash64((0 until w).map(j => x.getField(s"s$j")): _*))
+    }
     // docs shorter than w have no w-window: excluded up front (NOT the
     // whole-doc fallback `shingles` applies — a 3-token doc is not a
     // removable span of itself)
     val pos = docs
-      .select(col("doc_id"), shingles(toks, w).as("gs"), size(toks).as("n"))
+      .select(col("doc_id"), fps.as("fps"), size(toks).as("n"))
       .filter(col("n") >= w)
-      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos0", "g")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        xxhash64(col("g")).as("fp"))
-    val shared = pos.groupBy("fp")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("fp")
-    val matched = pos.join(shared, Seq("fp"), "left_semi")
+      .select(col("doc_id"), posexplode(col("fps")).as(Seq("pos0", "fp")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("fp"))
+    // ONE derivation, no re-scan: posting list per fingerprint, kept
+    // when it spans ≥ minDocs distinct docs, exploded back to matched
+    // positions — the qContainmentDedup pattern. Posting lists are
+    // df(fp)-sized: tiny off duplicate clusters; the 100 TB hardening
+    // for boilerplate-dominated corpora is a df cap with capped
+    // fingerprints verified directly (same note as containment dedup).
+    val matched = pos
+      .groupBy("fp")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .filter(size(array_distinct(col("occ").getField("doc_id"))) >= minDocs)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val run = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
