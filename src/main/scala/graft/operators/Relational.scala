@@ -550,10 +550,88 @@ object Relational {
         .orderBy("p_brand")
     })
 
+  /** TPC-H Q15-shaped "equal to the max of an aggregate" subquery: the
+    * top supplier(s) by revenue over a ship-date quarter, where the
+    * comparison value is itself an aggregate over the SAME derived
+    * table. The derived revenue table is computed ONCE (one hash agg
+    * over the date-pruned lineitem scan) and reused for both sides —
+    * its max is a one-row aggregate broadcast back, never a re-scan and
+    * never a per-row subquery. Revenue is rounded to 4 dp BEFORE the
+    * equality compare, so tie membership is decided on identical values
+    * in both engines (the raw sums come from differently-ordered FP
+    * summation).
+    */
+  val qTopSupplier: QuerySpec = QuerySpec(
+    "q_top_supplier",
+    Some("""WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey"""),
+    (spark, dir) => {
+      val rev = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("mr"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mr"))
+        .join(Tables.load(spark, dir, "supplier"),
+          col("s_suppkey") === col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    })
+
+  /** TPC-H Q22-shaped stress (adapted: this fixture's customer has no
+    * phone, so nationkey plays the country code, and every customer has
+    * SOME order, so the NOT EXISTS is scoped to urgent orders):
+    * positive-balance customers ABOVE the cohort's average balance who
+    * never placed a '1-URGENT' order, counted per nation. Exercises the
+    * remaining subquery combination — an UNCORRELATED scalar aggregate
+    * feeding a filter (broadcast one-row join, never per-row) PLUS a
+    * filtered NOT EXISTS decorrelated to a left-anti join on o_custkey.
+    * The avg is rounded to 6 dp before the &gt; compare so both engines
+    * admit the same customer set.
+    */
+  val qIdleRich: QuerySpec = QuerySpec(
+    "q_idle_rich",
+    Some("""SELECT c_nationkey AS cntry, count(*) AS numcust,
+        round(sum(c_acctbal), 4) AS totacctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey ORDER BY cntry"""),
+    (spark, dir) => {
+      val nations = Seq(1, 3, 5, 7, 9)
+      val cust = Tables.load(spark, dir, "customer")
+        .filter(col("c_nationkey").isin(nations: _*))
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg(round(avg("c_acctbal"), 6).as("thr"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(Tables.load(spark, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 4).as("totacctbal"))
+        .orderBy("cntry")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, qFilterPredicates,
     qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
-    qJoinWaiting, qQtyBelowAvg,
+    qJoinWaiting, qQtyBelowAvg, qTopSupplier, qIdleRich,
     qWindowRank, qWindowRunning, qRollup, qCube, qDistinctAgg, qHaving,
     qUnionAll, qIntersect, qExcept, qTopK, qLimitOffset)
 }

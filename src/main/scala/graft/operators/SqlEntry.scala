@@ -58,6 +58,23 @@ object SqlEntry {
   val qQtyBelowAvgSql: QuerySpec = viaSql(
     "q_qty_below_avg_sql", Relational.qQtyBelowAvg.oracle.get)
 
+  /** The Q15-shaped `= (SELECT max(...) FROM cte)` scalar over a shared
+    * CTE as SQL TEXT: Catalyst must plan the revenue CTE once and feed
+    * both the probe and the max aggregate from it (or re-derive it —
+    * either way, no per-row subquery survives; PlanSpec pins the scalar
+    * to a one-row join).
+    */
+  val qTopSupplierSql: QuerySpec = viaSql(
+    "q_top_supplier_sql", Relational.qTopSupplier.oracle.get)
+
+  /** The Q22-shaped uncorrelated-scalar + NOT EXISTS combination as SQL
+    * TEXT — the anti-join decorrelation and the one-row scalar join in
+    * a single statement.
+    */
+  val qIdleRichSql: QuerySpec = viaSql(
+    "q_idle_rich_sql", Relational.qIdleRich.oracle.get)
+
   def specs: Seq[QuerySpec] =
-    Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql)
+    Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql,
+      qTopSupplierSql, qIdleRichSql)
 }

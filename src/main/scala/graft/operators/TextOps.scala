@@ -1229,6 +1229,199 @@ object TextOps {
       substringSpans(Tables.load(spark, dir, "documents"))
         .orderBy("doc_id", "span_start"))
 
+  /** Gopher-style quality rule suite (Rae et al. 2021 §A1.1 heuristics,
+    * re-expressed over this fixture): word-count bounds, mean-word-length
+    * band, stopword floor, alphabetic-word ratio, symbol-to-word ratio.
+    * Each rule is emitted as its own flag (downstream pipelines weight
+    * them; a single boolean would lose the diagnostics) plus the
+    * conjunction. Narrow per-row work — one pass, no shuffle; every
+    * ratio is an exact rational (int counts ÷ int counts) so the rule
+    * comparisons are deterministic cross-engine, and displayed doubles
+    * are rounded to 4 dp.
+    */
+  val qGopherRules: QuerySpec = QuerySpec(
+    "q_gopher_rules",
+    Some(s"""WITH t AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_words,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+          / len(toks) AS mwl,
+        CAST(len(list_filter(toks,
+          t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t)))
+          AS INT) AS stop_hits,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+          AS DOUBLE) / len(toks) AS alpha_ratio,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '#|\\.\\.\\.')))
+          AS DOUBLE) / len(toks) AS sym_ratio
+        FROM t)
+      SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len, stop_hits,
+        CAST(n_words BETWEEN 20 AND 80 AS INT) AS r_wordcount,
+        CAST(mwl BETWEEN 3 AND 10 AS INT) AS r_wordlen,
+        CAST(stop_hits >= 2 AS INT) AS r_stop,
+        CAST(alpha_ratio >= 0.8 AS INT) AS r_alpha,
+        CAST(sym_ratio <= 0.1 AS INT) AS r_symbol,
+        CAST(n_words BETWEEN 20 AND 80 AND mwl BETWEEN 3 AND 10
+          AND stop_hits >= 2 AND alpha_ratio >= 0.8 AND sym_ratio <= 0.1
+          AS INT) AS pass
+      FROM m ORDER BY doc_id"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_words"),
+          (aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(toks)).as("mwl"),
+          size(filter(toks, t => array_contains(stopArr, t)))
+            .as("stop_hits"),
+          (size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+            size(toks)).as("alpha_ratio"),
+          (size(filter(toks, t => t.rlike("#|\\.\\.\\."))).cast("double") /
+            size(toks)).as("sym_ratio"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mwl"), 4).as("mean_word_len"), col("stop_hits"),
+          col("n_words").between(20, 80).cast("int").as("r_wordcount"),
+          col("mwl").between(3, 10).cast("int").as("r_wordlen"),
+          (col("stop_hits") >= 2).cast("int").as("r_stop"),
+          (col("alpha_ratio") >= 0.8).cast("int").as("r_alpha"),
+          (col("sym_ratio") <= 0.1).cast("int").as("r_symbol"),
+          (col("n_words").between(20, 80) && col("mwl").between(3, 10) &&
+            col("stop_hits") >= 2 && col("alpha_ratio") >= 0.8 &&
+            col("sym_ratio") <= 0.1).cast("int").as("pass"))
+        .orderBy("doc_id")
+    })
+
+  private val paraTokens = 10
+
+  /** Paragraph-level boilerplate removal (the RefinedWeb/FineWeb "line
+    * dedup" stage at this fixture's granularity): docs are split into
+    * fixed 10-token paragraphs, any paragraph whose fingerprint appears
+    * in ≥ 2 DISTINCT docs is dropped everywhere, and survivors are
+    * reassembled in order. Output keeps the kept-text fingerprint, not
+    * the text — the driver hash-checks reassembly faithfulness without
+    * shipping the corpus.
+    *
+    * Scale shape: the paragraph pass is narrow; the shared-fp screen is
+    * one hash agg keyed on md5 (uniform); the reassembly groups each
+    * doc's OWN paragraphs (bounded by doc length). Nothing is doc×doc
+    * and nothing corpus-sized is broadcast — the md5-keyed join is a
+    * shuffle join of (fp, doc, idx) triples.
+    */
+  val qParagraphDedup: QuerySpec = QuerySpec(
+    "q_paragraph_dedup",
+    Some(s"""WITH t AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+      c AS (SELECT doc_id, i AS idx,
+        array_to_string(toks[i*$paraTokens+1 :
+          least((i+1)*$paraTokens, len(toks))], ' ') AS txt
+        FROM t, UNNEST(generate_series(0,
+          CAST(ceil(len(toks)/$paraTokens.0) AS INT) - 1)) ix(i)),
+      d AS (SELECT md5(txt) AS fp FROM c GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT c.doc_id, c.idx, c.txt, d.fp IS NOT NULL AS dup
+            FROM c LEFT JOIN d ON md5(c.txt) = d.fp)
+      SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+        CAST(sum(CASE WHEN dup THEN 0 ELSE 1 END) AS INT) AS n_kept,
+        md5(coalesce(string_agg(CASE WHEN dup THEN NULL ELSE txt END,
+          ' ' ORDER BY idx), '')) AS kept_fp
+      FROM m GROUP BY doc_id ORDER BY doc_id"""),
+    (spark, dir) => {
+      val toks = tokens(col("text"))
+      val paras = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            ceil(size(col("toks")) / lit(paraTokens.toDouble)).cast("int") - 1))
+            .as("idx"))
+        .select(col("doc_id"), col("idx"),
+          concat_ws(" ", slice(col("toks"), col("idx") * paraTokens + 1,
+            lit(paraTokens))).as("txt"))
+        .withColumn("fp", md5(col("txt")))
+      val shared = paras.groupBy("fp")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("fp")
+      paras.join(shared.withColumn("dup", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), col("idx"), col("txt"),
+          coalesce(col("dup"), lit(false)).as("dup"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_paras"),
+          sum(when(col("dup"), 0).otherwise(1)).cast("int").as("n_kept"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(when(!col("dup"),
+              struct(col("idx"), col("txt"))))),
+            x => x.getField("txt")))).as("kept_fp"))
+        .orderBy("doc_id")
+    })
+
+  /** Incremental dedup: screen a NEW batch (the last 20% of doc_ids —
+    * arrival order) against the existing corpus without re-deduping the
+    * corpus itself, the shape every recurring-crawl pipeline runs. Two
+    * screens per delta doc: exact (md5 of text seen in the corpus) and
+    * near (≥ 90% of its 3-shingles contained in one same-lang corpus
+    * doc — [[qContainmentDedup]]'s asymmetric overlap, here directional
+    * delta→corpus by construction).
+    *
+    * Scale shape: the corpus side is reduced to fingerprints / exploded
+    * shingle postings before any join — delta×corpus work is
+    * Σ_g df_delta(g)·df_corpus(g) over shingles sharing a (lang, g) key,
+    * near-linear for the same df reasons as containment dedup, and the
+    * exact screen is a semi-join on md5. The corpus NEVER re-pairs with
+    * itself — cost scales with the delta, which is the entire point of
+    * incremental dedup.
+    */
+  val qDedupIncremental: QuerySpec = QuerySpec(
+    "q_dedup_incremental",
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      t AS (SELECT doc_id, lang, text,
+        regexp_split_to_array(trim(text), ' +') AS toks,
+        doc_id >= (SELECT 0.8 * m FROM mx) AS is_delta FROM documents),
+      s AS (SELECT doc_id, lang, text, is_delta,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 FOR i IN range(1, len(toks)-1)]) END AS sh
+        FROM t),
+      d AS (SELECT * FROM s WHERE is_delta),
+      c AS (SELECT * FROM s WHERE NOT is_delta),
+      nd AS (SELECT d.doc_id,
+          max(CAST(len(list_intersect(d.sh, c.sh)) AS DOUBLE) / len(d.sh))
+            AS mc
+        FROM d JOIN c ON d.lang = c.lang GROUP BY d.doc_id)
+      SELECT d.doc_id,
+        CAST(EXISTS (SELECT 1 FROM c WHERE md5(c.text) = md5(d.text))
+          AS INT) AS exact_dup,
+        CAST(coalesce(nd.mc, 0) >= 0.9 AS INT) AS near_dup,
+        round(coalesce(nd.mc, 0), 4) AS max_contain
+      FROM d LEFT JOIN nd USING (doc_id) ORDER BY doc_id"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val cut = docs.agg((max("doc_id") * 0.8).as("cut"))
+      val sh = docs.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("tfp"),
+          array_distinct(shingles(tokens(col("text")))).as("sh"),
+          (col("doc_id") >= col("cut")).as("is_delta"))
+      val delta = sh.filter(col("is_delta"))
+      val corpus = sh.filter(!col("is_delta"))
+      // inverted-index containment, delta side carries |sh| for the ratio
+      val dPost = delta.select(col("lang"), col("doc_id"),
+        size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+      val cPost = corpus.select(col("lang"), col("doc_id").as("cid"),
+        explode(col("sh")).as("g"))
+      val contain = dPost.join(cPost, Seq("lang", "g"))
+        .groupBy("doc_id", "cid", "sz").agg(count(lit(1)).as("inter"))
+        .groupBy("doc_id")
+        .agg(max(col("inter").cast("double") / col("sz")).as("mc"))
+      val exact = corpus.select(col("tfp")).distinct()
+        .withColumn("ex", lit(true))
+      delta.join(exact, Seq("tfp"), "left")
+        .join(contain, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ex"), lit(false)).cast("int").as("exact_dup"),
+          (coalesce(col("mc"), lit(0.0)) >= 0.9).cast("int").as("near_dup"),
+          round(coalesce(col("mc"), lit(0.0)), 4).as("max_contain"))
+        .orderBy("doc_id")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qNgramJaccardGlobal,
@@ -1236,5 +1429,6 @@ object TextOps {
     qMinhashShingle, qMinhashContain, qMinhashShingleContain, qSimhash,
     qSimhashPairs, qSimhashContain, qContainmentDedup, qSubstringDedup,
     qNgramLmScore, qTokenBudget, qTokenBudgetQuality,
-    qPackSequences, qShufflePack, qTextChunks, qTextRepetition)
+    qPackSequences, qShufflePack, qTextChunks, qTextRepetition,
+    qGopherRules, qParagraphDedup, qDedupIncremental)
 }

@@ -252,6 +252,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("top-supplier scalar: no correlated subquery, no cartesian, no nested loop") {
+    import graft.operators.SqlEntry
+    val df = SqlEntry.qTopSupplierSql.run(spark, sf)
+    // the `= (SELECT max(...) FROM cte)` scalar may legitimately survive
+    // as an UNCORRELATED one-shot subquery (evaluated once, broadcast as
+    // a literal — the one-row-join equivalent); what must NOT survive is
+    // a correlated one (per-row re-evaluation)
+    val correlated = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.isCorrelated
+        case _ => false
+      }))
+    assert(!correlated, "scalar subquery stayed correlated:\n" +
+      df.queryExecution.optimizedPlan.treeString.take(1500))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("idle-rich: NOT EXISTS decorrelates to a left-anti join") {
+    import graft.operators.SqlEntry
+    val p = plan(SqlEntry.qIdleRichSql.run(spark, sf))
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("winsorize/MAD: per-type stats broadcast back, never a per-type window") {
+    import graft.operators.Series
+    // the skew argument from qZscoreOutliers, machine-checked for the
+    // robust-stats twins: raw events join per-type summary rows via
+    // broadcast hash joins; no Window over the raw event stream
+    Seq(Series.qWinsorize, Series.qMadOutliers).foreach { q =>
+      val p = plan(q.run(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), q.name + ": " + p.take(600))
+      assert(!p.contains("Window"), q.name + ": " + p.take(600))
+      assert(!p.contains("CartesianProduct"), q.name + ": " + p.take(600))
+    }
+  }
+
   test("funnel: every step join's right side is pre-aggregated per user") {
     import graft.operators.Funnels
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
