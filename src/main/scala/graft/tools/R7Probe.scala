@@ -12,9 +12,9 @@ object R7Probe {
       val t0 = System.nanoTime(); f
       println(f"[r7] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    Seq("q_substring_dedup", "q_cosine_topk_lsh_exact", "q_embed_neardup_lsh_exact",
-        "q_stream_resume", "q_qty_below_avg", "q_qty_below_avg_sql",
-        "q_image_phash_pairs", "q_image_phash_contain", "q_funnel",
+    Seq("q_interpolate", "q_ewma", "q_winsorize", "q_mad_outliers",
+        "q_gopher_rules", "q_paragraph_dedup", "q_dedup_incremental",
+        "q_top_supplier", "q_top_supplier_sql", "q_idle_rich", "q_idle_rich_sql",
         "q1_pricing_summary").foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       (1 to 2).foreach(i => time(s"$q $i")(fn(spark, sfDir).count()))
