@@ -4,7 +4,6 @@ import graft.QuerySpec
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration Lloyd's k-means over the embedding corpus with
@@ -54,15 +53,23 @@ object Clustering {
         .map(_.getSeq[Float](0)).zipWithIndex
         .map { case (v, i) => (i, v) }.toIndexedSeq
     var assigned: DataFrame = null
-    val w = Window.partitionBy(idCol).orderBy(col("sim").desc, col("cid"))
     for (it <- 1 to iters) {
       val cdf = centroids.toDF("cid", "cv")
-      assigned = e.crossJoin(broadcast(cdf))
-        .withColumn("sim",
-          round(GraftFunctions.cosineSim(col(vecCol), col("cv")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col(idCol), col("cid"), col("sim"), col(vecCol))
+      // argmax as ONE hash aggregation, not a row_number window: max on
+      // the (sim, -cid) struct is lexicographic, so it picks highest sim
+      // then LOWEST cid — the identical tie-break the oracle's
+      // `ORDER BY sim DESC, cid` window applies — while the partial agg
+      // combines map-side; the window variant shuffled the full k-times-
+      // exploded frame (vectors attached) on vec_id each iteration.
+      val assignedKeyed = e.crossJoin(broadcast(cdf))
+        .select(col(idCol), col(vecCol),
+          struct(round(GraftFunctions.cosineSim(col(vecCol), col("cv")), 6)
+            .as("sim"), (-col("cid")).as("negcid")).as("sc"))
+        .groupBy(idCol)
+        .agg(max(col("sc")).as("m"), first(col(vecCol)).as(vecCol))
+      assigned = assignedKeyed
+        .select(col(idCol), (-col("m.negcid")).as("cid"),
+          col("m.sim").as("sim"), col(vecCol))
       if (it < iters) {
         // per-dimension mean in EXACT arithmetic; k×d rows back to the
         // driver. Each component is scaled to integer micros
