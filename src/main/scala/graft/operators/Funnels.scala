@@ -155,5 +155,42 @@ object Funnels {
         .orderBy("cohort_week", "week_offset")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qFunnel, qCohortRetention)
+  /** Event-transition matrix (first-order Markov view of user journeys):
+    * per-user next-event pairs counted into (from, to, n, p) — the
+    * product-analytics companion to the funnel, without its fixed step
+    * order. The lead window partitions per user (bounded by one user's
+    * history — the standard event-window skew posture); the transition
+    * counts are a hash agg on (from, to), |event types|² rows; the
+    * per-from totals broadcast back. p is an exact rational (count ÷
+    * count), so membership and values are deterministic cross-engine.
+    */
+  val qEventTransitions: QuerySpec = QuerySpec(
+    "q_event_transitions",
+    Some("""WITH s AS (SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS next_type
+      FROM events),
+      c AS (SELECT event_type, next_type, count(*) AS n FROM s
+            WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+      SELECT c.event_type, c.next_type, c.n,
+        round(CAST(c.n AS DOUBLE) / t.tot, 4) AS p
+      FROM c JOIN t USING (event_type)
+      ORDER BY event_type, next_type"""),
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val c = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead("event_type", 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val t = c.groupBy("event_type").agg(sum("n").as("tot"))
+      c.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("p"))
+        .orderBy("event_type", "next_type")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qFunnel, qCohortRetention, qEventTransitions)
 }

@@ -197,5 +197,54 @@ object Search {
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     })
 
-  def specs: Seq[QuerySpec] = Seq(qBm25, qInvertedIndex, qRrfFusion)
+  /** Per-document top-5 keyword extraction by TF-IDF — the cheap
+    * content-tagging signal beside BM25's query-time scoring. idf is
+    * rounded to 6 dp straight off `ln` (1-ulp libm differences are the
+    * same accepted risk class as the LM score's log2); tf is an exact
+    * integer, so the product is the identical double in both engines
+    * and the (score DESC, term) rank is deterministic.
+    *
+    * Scale shape: tf and df are the two hash aggs of the inverted-index
+    * build; the corpus-size scalar broadcasts as one row; the top-5 rank
+    * windows over ONE DOCUMENT's vocabulary at a time — never corpus-
+    * wide. Exactly the index-side statistics pipeline, reused as an
+    * operator.
+    */
+  val qTfidfTopk: QuerySpec = QuerySpec(
+    "q_tfidf_topk",
+    Some("""WITH t AS (SELECT doc_id,
+        unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term,
+          tf.tf * round(ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (SELECT doc_id, term, score, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+      SELECT doc_id, rk, term, round(score, 4) AS score FROM r
+      WHERE rk <= 5 ORDER BY doc_id, rk"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), " +")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term")
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * round(log(col("n").cast("double") / col("df")), 6))
+            .as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("term"),
+          round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rk")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qBm25, qInvertedIndex, qRrfFusion, qTfidfTopk)
 }
