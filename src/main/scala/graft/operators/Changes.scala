@@ -164,5 +164,62 @@ object Changes {
         .orderBy("o_custkey")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qCdcApply, qScd2, qStreamCdc)
+  /** Incremental materialized-view maintenance for a per-customer
+    * order summary: the standing aggregate (orders with key ≢0 mod 10)
+    * and the new batch (keys ≡0 mod 10) are PARTIALLY aggregated
+    * independently, then merged by re-aggregating the two partial
+    * states — count adds, sum adds, min/max fold. The oracle is the
+    * direct full recompute, so the hash match IS the proof that the
+    * merge path equals recomputation (the delta-maintenance contract).
+    *
+    * Money sums run in exact integer cents (LONG micro-sums, the
+    * k-means discipline) so merge order can't nudge an FP boundary;
+    * the single divide-by-100 happens once at the end in both engines.
+    *
+    * Scale shape: this is the mergeable-partial-agg pattern Spark's own
+    * hash aggregate uses, lifted to table level — at 100 TB the
+    * standing side is a stored summary (|customers| rows) and the cost
+    * per refresh is one scan + one hash agg of the DELTA plus a merge
+    * keyed on the group key; the full fact table is never re-scanned.
+    */
+  val qIncrementalAgg: QuerySpec = QuerySpec(
+    "q_incremental_agg",
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+          / 100 AS total_spend,
+        min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+    (spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val standing =
+        orderSummaryPartial(orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
+      val delta =
+        orderSummaryPartial(orders.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+      orderSummaryMerge(standing.unionAll(delta))
+        .select(col("o_custkey"), col("n_orders"),
+          (col("cents").cast("double") / 100).as("total_spend"),
+          col("first_order"), col("last_order"))
+        .orderBy("o_custkey")
+    })
+
+  /** Partial per-customer order summary over (o_custkey, o_orderdate,
+    * cents) rows — the map-side state of the incremental view. */
+  def orderSummaryPartial(df: DataFrame): DataFrame =
+    df.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"), sum("cents").as("cents"),
+      min("o_orderdate").as("first_order"),
+      max("o_orderdate").as("last_order"))
+
+  /** Merge any number of partial summaries per key: count/sum add,
+    * min/max fold — associative and commutative, so refresh order and
+    * batch boundaries can't change the result. */
+  def orderSummaryMerge(parts: DataFrame): DataFrame =
+    parts.groupBy("o_custkey").agg(
+      sum("n_orders").as("n_orders"), sum("cents").as("cents"),
+      min("first_order").as("first_order"),
+      max("last_order").as("last_order"))
+
+  def specs: Seq[QuerySpec] = Seq(qCdcApply, qScd2, qStreamCdc, qIncrementalAgg)
 }

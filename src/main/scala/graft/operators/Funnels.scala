@@ -192,5 +192,65 @@ object Funnels {
         .orderBy("event_type", "next_type")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qFunnel, qCohortRetention, qEventTransitions)
+  /** Two-proportion A/B test: users split by hash parity (user_id % 2),
+    * conversion = "made a purchase over 150", pooled two-proportion
+    * z-statistic. Every input to the z formula is an exact integer
+    * (per-group user and converter counts), and the formula is written
+    * with the IDENTICAL operation order in both engines — divisions,
+    * one multiply chain, one sqrt (correctly rounded per IEEE-754) — so
+    * the unrounded double matches bitwise before the 4 dp round.
+    *
+    * Scale shape: one scan → per-user hash agg (conversion flags fold
+    * map-side) → a 2-row group agg → single-row conditional-agg pivot.
+    * Nothing wider than |users| ever shuffles; output is one row.
+    */
+  val qAbTest: QuerySpec = QuerySpec(
+    "q_ab_test",
+    Some("""WITH u AS (SELECT user_id, user_id % 2 AS grp,
+        max(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2),
+      g AS (SELECT
+        sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+        sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS conv_a,
+        sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+        sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS conv_b
+      FROM u)
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+        CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+        round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+        round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+          / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+      FROM g"""),
+    (spark, dir) => {
+      val u = Tables.load(spark, dir, "events")
+        .groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1).otherwise(0)).as("conv"))
+      abStats(u)
+    })
+
+  /** Pooled two-proportion z over per-unit (grp ∈ {0,1}, conv ∈ {0,1})
+    * assignments; see qAbTest for the cross-engine FP argument. */
+  def abStats(users: DataFrame): DataFrame = {
+    val g = users.agg(
+      sum(when(col("grp") === 0, 1).otherwise(0)).as("n_a"),
+      sum(when(col("grp") === 0, col("conv")).otherwise(0)).as("conv_a"),
+      sum(when(col("grp") === 1, 1).otherwise(0)).as("n_b"),
+      sum(when(col("grp") === 1, col("conv")).otherwise(0)).as("conv_b"))
+    val p = col("conv_a").cast("double") / col("n_a")
+    val q = col("conv_b").cast("double") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(p, 6).as("rate_a"), round(q, 6).as("rate_b"),
+      round((p - q) / sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
+  }
+
+  def specs: Seq[QuerySpec] =
+    Seq(qFunnel, qCohortRetention, qEventTransitions, qAbTest)
 }

@@ -13,10 +13,11 @@ object NewQProbe {
       val t0 = System.nanoTime(); f
       println(f"[nq] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    Seq("q_containment_dedup", "q_interval_overlap", "q_ohlc_bars",
-        "q_unpivot", "q_bloom_prune", "q_kmeans", "q_stream_cdc",
-        "q_rrf_fusion", "q_heavy_hitters", "q_funnel",
-        "q_cohort_retention", "q_cdc_apply", "q_scd2").foreach { q =>
+    val qs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_basket_rules", "q_record_linkage", "q_incremental_agg",
+        "q_ab_test", "q_quality_checks", "q_table_diff", "q_histogram",
+        "q_event_transitions", "q_tfidf_topk")
+    qs.foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       (1 to 2).foreach(i => time(s"$q $i")(fn(spark, sfDir).count()))
     }
