@@ -225,6 +225,49 @@ object Series {
         .orderBy("event_id")
     })
 
+  /** Growth accounting: per-day active users, NEW users (first-ever
+    * appearance), and the cumulative unique-user count. Cumulative
+    * distinct is NOT computed as a distinct-over-growing-window (which
+    * would be quadratic); each user contributes one row at their
+    * first-seen day and the cumulative count is a running SUM of new
+    * users — the standard scalable rewrite.
+    *
+    * Scale shape: first-seen is one hash agg keyed on user; DAU is one
+    * hash agg keyed on (day, user) then (day); the running-sum window
+    * orders the DAILY table — |days| rows, bounded by the calendar, not
+    * event volume — so the single-partition window is provably tiny.
+    * All outputs are exact integers.
+    */
+  val qCumulativeUniques: QuerySpec = QuerySpec(
+    "q_cumulative_uniques",
+    Some("""WITH fs AS (SELECT user_id,
+        CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
+        FROM events GROUP BY 1),
+      nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1),
+      dau AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        count(DISTINCT user_id) AS active_users FROM events GROUP BY 1)
+      SELECT dau.day, dau.active_users,
+        coalesce(nu.new_users, 0) AS new_users,
+        CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.day)
+          AS BIGINT) AS cumulative_users
+      FROM dau LEFT JOIN nu ON dau.day = nu.day
+      ORDER BY dau.day"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val nu = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val dau = ev.groupBy("day")
+        .agg(count_distinct(col("user_id")).as("active_users"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(nu, Seq("day"), "left")
+        .select(col("day"), col("active_users"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cumulative_users", sum("new_users").over(w))
+        .orderBy("day")
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qInterpolate, qEwma, qWinsorize, qMadOutliers)
+    Seq(qInterpolate, qEwma, qWinsorize, qMadOutliers, qCumulativeUniques)
 }

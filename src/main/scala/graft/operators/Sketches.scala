@@ -185,5 +185,67 @@ object Sketches {
         .orderBy("column_name")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qHeavyHitters, qBloomPrune, qProfile)
+  /** The 1000-executor merge path of [[qHeavyHitters]], made literal:
+    * the corpus is split into 8 disjoint chunks (as a cluster's
+    * partitions would be), each chunk folds its OWN count-min table,
+    * and the driver merges the 8 fixed-size tables. Because a CMS is a
+    * linear sketch — counters are sums of per-row increments, and
+    * addition commutes — the merged table is BIT-IDENTICAL to the
+    * single-pass sketch with the same (eps, confidence, seed), so every
+    * probe estimate matches exactly. The `merged_eq_single` column is
+    * that proof, per key; the other contract booleans re-check the CMS
+    * bounds THROUGH the merged sketch. Shares qHeavyHitters' exact
+    * top-20, so the whole row is oracle-checked.
+    *
+    * Scale: each chunk sketch is a KB-sized table (the corpus never
+    * moves); merge cost is O(chunks × table size) on the driver —
+    * exactly how global frequencies are assembled from 1000 executors.
+    */
+  val qHeavyHittersMerged: QuerySpec = QuerySpec(
+    "q_heavy_hitters_merged",
+    Some("""SELECT l_partkey, count(*) AS n, true AS no_undercount,
+        true AS within_eps, true AS merged_eq_single
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY n DESC, l_partkey LIMIT 20"""),
+    (spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+      val single = CountMinSketch.readFrom(
+        li.agg(count_min_sketch(col("l_partkey"), lit(Eps),
+          lit(Confidence), lit(Seed)).as("sk"))
+          .head().getAs[Array[Byte]]("sk"))
+      // one sketch per disjoint chunk — 8 rows of KB-sized tables back
+      // to the driver, merged pairwise (mergeInPlace mutates the target)
+      val chunkRows = li
+        .groupBy(pmod(col("l_orderkey"), lit(8)).as("chunk"))
+        .agg(count_min_sketch(col("l_partkey"), lit(Eps), lit(Confidence),
+          lit(Seed)).as("sk"))
+        .collect() // 8 rows — sketch tables, not data
+      val merged = chunkRows.map(r =>
+          CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val slack = math.ceil(Eps * merged.totalCount()).toLong
+      val exactTop = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_partkey").asc)
+        .limit(20)
+        .collect() // the 20 probe keys, not a data path
+      val rows = exactTop.map { r =>
+        val key = r.getLong(0)
+        val n = r.getLong(1)
+        val est = merged.estimateCount(key)
+        Row(key, n, est >= n, est <= n + slack,
+          est == single.estimateCount(key))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        StructType(Seq(
+          StructField("l_partkey", LongType),
+          StructField("n", LongType),
+          StructField("no_undercount", BooleanType),
+          StructField("within_eps", BooleanType),
+          StructField("merged_eq_single", BooleanType))))
+        .orderBy(col("n").desc, col("l_partkey").asc)
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged)
 }

@@ -310,4 +310,44 @@ class PlanSpec extends AnyFunSuite {
     joins.foreach(j => assert(aggregated(j.right),
       s"step join right side is not an Aggregate:\n${j.right.treeString}"))
   }
+
+  test("basket rules: pair self-join keyed on the basket; stats broadcast") {
+    import graft.operators.Baskets
+    val p = plan(Baskets.qBasketRules.run(spark, sf))
+    // the pair generator must be an equi-join on the basket key (the
+    // brand inequality rides as a join condition, not a cartesian
+    // filter), and the per-item counts come back via broadcast hash
+    // joins. The ONLY nested-loop allowed is the 1-row basket-total
+    // crossJoin (the scalar-broadcast contract-assembly pattern).
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[basket".r
+      .findFirstIn(p).isDefined, p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(800))
+  }
+
+  test("record linkage: candidates from a block-keyed equi-join only") {
+    import graft.operators.Baskets
+    val p = plan(Baskets.qRecordLinkage.run(spark, sf))
+    // JW scoring must happen inside block-sized candidate lists — the
+    // join is equi-keyed on the blocking key; a cartesian/nested-loop
+    // here would be the |dirty|×|clean| plan this operator exists to avoid
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("cumulative uniques: running sum windows the daily table, not events") {
+    import graft.operators.Series
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // exactly one window, and its input is already aggregated to per-day
+    // rows — the quadratic distinct-over-growing-window rewrite this
+    // query documents must stay rewritten
+    val lp = Series.qCumulativeUniques.run(spark, sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size === 1, lp.treeString.take(800))
+    val aggsBelow = wins.head.child.collect { case a: Aggregate => a }
+    assert(aggsBelow.nonEmpty,
+      s"window input is not aggregated:\n${wins.head.child.treeString.take(800)}")
+  }
 }
