@@ -221,5 +221,34 @@ object Changes {
       min("first_order").as("first_order"),
       max("last_order").as("last_order"))
 
-  def specs: Seq[QuerySpec] = Seq(qCdcApply, qScd2, qStreamCdc, qIncrementalAgg)
+  /** The same materialized view maintained BY THE STREAMING ENGINE:
+    * orders arrive as a file stream, the per-customer summary lives in
+    * streaming aggregation state (count/sum/min/max — exactly the
+    * mergeable shape [[qIncrementalAgg]] proves), and the AvailableNow
+    * drain's final state must hash-match the batch oracle, shared
+    * verbatim. Batch delta-merge and streaming state are two routes to
+    * one contract; both rows pin it.
+    *
+    * Scale: streaming state is |customers| rows keyed on o_custkey —
+    * the state store shuffles arriving orders once per micro-batch;
+    * cents stay exact LONGs so replay/merge order can't move the sum.
+    */
+  val qStreamMv: QuerySpec = QuerySpec(
+    "q_stream_mv",
+    qIncrementalAgg.oracle, // shared — streaming MV must equal batch
+    (spark, dir) => {
+      val ord = graft.sources.Ingest.readStreamFiles(
+          spark, s"$dir/orders.*", Tables.orders)
+        .select(col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val agg = orderSummaryPartial(ord)
+      EventOps.runStreamToTable(agg)
+        .select(col("o_custkey"), col("n_orders"),
+          (col("cents").cast("double") / 100).as("total_spend"),
+          col("first_order"), col("last_order"))
+        .orderBy("o_custkey")
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qCdcApply, qScd2, qStreamCdc, qIncrementalAgg, qStreamMv)
 }

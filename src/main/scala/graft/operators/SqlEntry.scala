@@ -74,7 +74,22 @@ object SqlEntry {
   val qIdleRichSql: QuerySpec = viaSql(
     "q_idle_rich_sql", Relational.qIdleRich.oracle.get)
 
+  /** The market-basket rule mining as SQL TEXT: a three-CTE pipeline
+    * (distinct basket-item, per-item counts, keyed pair self-join) whose
+    * scalar total arrives via CROSS JOIN — the parser path over the
+    * co-occurrence band.
+    */
+  val qBasketRulesSql: QuerySpec = viaSql(
+    "q_basket_rules_sql", Baskets.qBasketRules.oracle.get)
+
+  /** The event-transition matrix as SQL TEXT: LEAD over a per-user
+    * window feeding chained aggregations and a USING join — the
+    * analytic-function parser path over the product-analytics band.
+    */
+  val qEventTransitionsSql: QuerySpec = viaSql(
+    "q_event_transitions_sql", Funnels.qEventTransitions.oracle.get)
+
   def specs: Seq[QuerySpec] =
     Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql,
-      qTopSupplierSql, qIdleRichSql)
+      qTopSupplierSql, qIdleRichSql, qBasketRulesSql, qEventTransitionsSql)
 }
