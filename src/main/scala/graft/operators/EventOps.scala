@@ -400,6 +400,52 @@ object EventOps {
         .orderBy("error_id", "purchase_id")
     })
 
+  /** LEFT OUTER stream-stream join — the semantically hard §2.9 join
+    * mode: an unmatched left row emits its null-extended result only
+    * when the WATERMARK proves no match can arrive, never at query
+    * stop. So this twin runs with a real 1-minute watermark, and both
+    * engines restrict the compared set to errors at least 3 hours older
+    * than the SMALLER of the two sides' max timestamps — the global
+    * watermark is the MIN across the per-side watermarks (each side
+    * only observes its own filtered rows, so the last purchase, not
+    * the last event, can gate eviction), and left-state eviction is
+    * conservative by the 1-hour look-back plus the watermark delay;
+    * the 3-hour margin absorbs both. Below that line the streaming
+    * result is contractually complete (matches emitted on arrival,
+    * null-extensions flushed by the final watermark advance). Rows
+    * newer than that are legitimately still in state at drain end —
+    * comparing them would test fixture truncation, not join semantics.
+    * The cutoff is derived from the data identically in both engines.
+    */
+  val qStreamJoinOuter: QuerySpec = QuerySpec(
+    "q_stream_join_outer",
+    Some("""SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+        p.event_id AS purchase_id, p.ts AS purchase_ts
+      FROM events e LEFT JOIN events p
+        ON p.event_type = 'purchase'
+        AND p.user_id = e.user_id
+        AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+      WHERE e.event_type = 'error'
+        AND e.ts <= (SELECT least(
+              max(CASE WHEN event_type = 'error' THEN ts END),
+              max(CASE WHEN event_type = 'purchase' THEN ts END))
+            - INTERVAL 3 HOUR FROM events)
+      ORDER BY error_id, purchase_id"""),
+    (spark, dir) => {
+      val joined = graft.streaming.Streams.errorsWithRecentPurchasesOuter(
+        streamedEvents(spark, dir), watermark = "1 minute")
+      val cutoff = Tables.load(spark, dir, "events")
+        .agg((least(
+          max(when(col("event_type") === "error", col("ts"))),
+          max(when(col("event_type") === "purchase", col("ts"))))
+          - expr("INTERVAL 3 HOUR")).as("co"))
+      runStreamToTable(joined, mode = "append")
+        .crossJoin(broadcast(cutoff))
+        .filter(col("error_ts") <= col("co"))
+        .drop("co")
+        .orderBy("error_id", "purchase_id")
+    })
+
   /** Streaming dedup state against an oracle: dedup on a deliberately
     * non-unique key (user, event_type — event_id is unique, which would
     * make the check vacuous), then project the key: the surviving key
@@ -800,7 +846,7 @@ object EventOps {
     Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
       qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
-      qStreamStateful, qStreamJoin, qStreamDedup, qStreamTyped,
+      qStreamStateful, qStreamJoin, qStreamJoinOuter, qStreamDedup, qStreamTyped,
       qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc,
       qZscoreOutliers, qStreamResume)
 }

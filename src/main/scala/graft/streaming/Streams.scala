@@ -150,6 +150,34 @@ object Streams {
       .select("error_id", "user_id", "error_ts", "purchase_id", "purchase_ts")
   }
 
+  /** LEFT OUTER stream-stream variant of [[errorsWithRecentPurchases]]:
+    * errors with no purchase in the preceding hour emit a null-extended
+    * row — but only once the watermark passes the point where a match
+    * is still possible (purchase_ts ≤ error_ts, so watermark > error_ts
+    * suffices). Unlike the inner join, the watermark here must be REAL
+    * (small): outer state flushes on watermark advance, never at query
+    * stop, so a fixture-spanning watermark would hold every unmatched
+    * row hostage. Callers therefore compare only rows older than the
+    * final watermark minus the join bound (see qStreamJoinOuter).
+    */
+  def errorsWithRecentPurchasesOuter(events: DataFrame,
+                                     watermark: String): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+              col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    errors.join(purchases,
+      col("user_id") === col("p_user_id") &&
+      col("purchase_ts") <= col("error_ts") &&
+      col("purchase_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("error_id", "user_id", "error_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Spark-4-native stateful op (§2.9): transformWithState with typed
     * ValueState per (user, event_type). Requires the RocksDB state
     * store provider (`spark.sql.streaming.stateStore.providerClass` =
