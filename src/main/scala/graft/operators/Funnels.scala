@@ -251,6 +251,109 @@ object Funnels {
         (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
   }
 
+  /** Marketing attribution for each purchase: LAST-TOUCH (most recent
+    * click by the user at or before the purchase — the as-of backward
+    * join, reusing [[EventOps.asOfJoin]]'s single-shuffle union+window
+    * machinery) and FIRST-TOUCH (the user's first signup ever, one row
+    * per user via a rank-1 window, broadcast-joined back). Clicks are
+    * deduped to one per (user, ts) with a max-event_id tie-break and
+    * the first-signup rank orders by (ts, event_id) — every tie is
+    * broken identically in both engines.
+    *
+    * Scale shape: the as-of side is one shuffle on user_id (no range
+    * join); first-touch is one user-keyed hash agg joined back — at
+    * 100 TB both move |events of the named types| once, and the window
+    * partitions per user.
+    */
+  val qAttribution: QuerySpec = QuerySpec(
+    "q_attribution",
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, max(event_id) AS cid FROM events
+        WHERE event_type = 'click' GROUP BY user_id, ts),
+      s AS (SELECT user_id, event_id AS sid, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM events WHERE event_type = 'signup')
+      SELECT p.event_id AS purchase_id, p.user_id,
+        lc.cid AS last_click_id, fs.sid AS first_signup_id
+      FROM p
+      ASOF LEFT JOIN c lc ON p.user_id = lc.user_id AND lc.ts <= p.ts
+      LEFT JOIN (SELECT user_id, sid FROM s WHERE rk = 1) fs
+        ON p.user_id = fs.user_id
+      ORDER BY purchase_id"""),
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("last_click_id"))
+      val sw = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("first_signup_id"),
+          row_number().over(sw).as("rk"))
+        .filter(col("rk") === 1).drop("rk")
+      EventOps.asOfJoin(purchases, clicks, "user_id", "ts", "last_click_id")
+        .join(firstSignup, Seq("user_id"), "left")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("last_click_id"), col("first_signup_id"))
+        .orderBy("purchase_id")
+    })
+
+  /** RFM segmentation: per-customer Recency (days from last order to
+    * the corpus max order date), Frequency (order count), Monetary
+    * (exact cents), each bucketed into quintiles with ntile(5). Every
+    * ntile ORDER BY ends in c_custkey, so bucket assignment is a total
+    * order — deterministic cross-engine (both engines share ntile's
+    * equal-division semantics). Recency quintiles order DESC (most
+    * recent = bucket 5, the conventional "5 is best" scoring).
+    *
+    * Scale: the per-customer rollup is one orders-keyed hash agg; the
+    * ntile windows are global over |customers| rows — fine while the
+    * segmentation table is summary-sized; at billions of customers the
+    * two-pass distribution rewrite (q_window_dist_twopass) replaces
+    * each ntile with a broadcast quantile lookup, same output contract.
+    */
+  val qRfmSegments: QuerySpec = QuerySpec(
+    "q_rfm_segments",
+    Some("""WITH cs AS (SELECT o_custkey,
+        date_diff('day', max(o_orderdate),
+          (SELECT max(o_orderdate) FROM orders)) AS rec_days,
+        count(*) AS freq,
+        sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey)
+      SELECT o_custkey, rec_days, freq,
+        CAST(cents AS DOUBLE) / 100 AS monetary,
+        ntile(5) OVER (ORDER BY rec_days DESC, o_custkey) AS r_score,
+        ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+        ntile(5) OVER (ORDER BY cents, o_custkey) AS m_score
+      FROM cs ORDER BY o_custkey"""),
+    (spark, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val orders = Tables.load(spark, dir, "orders")
+      val maxDate = orders.agg(max("o_orderdate").as("mx"))
+      val cs = orders
+        .select(col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("c100"))
+        .groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_order"),
+          count(lit(1)).as("freq"), sum("c100").as("cents"))
+        .crossJoin(broadcast(maxDate))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_order")).as("rec_days"),
+          col("freq"), col("cents"))
+      cs.select(col("o_custkey"), col("rec_days"), col("freq"),
+          (col("cents").cast("double") / 100).as("monetary"),
+          ntile(5).over(W.orderBy(col("rec_days").desc, col("o_custkey")))
+            .as("r_score"),
+          ntile(5).over(W.orderBy(col("freq"), col("o_custkey")))
+            .as("f_score"),
+          ntile(5).over(W.orderBy(col("cents"), col("o_custkey")))
+            .as("m_score"))
+        .orderBy("o_custkey")
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qFunnel, qCohortRetention, qEventTransitions, qAbTest)
+    Seq(qFunnel, qCohortRetention, qEventTransitions, qAbTest, qAttribution,
+      qRfmSegments)
 }
