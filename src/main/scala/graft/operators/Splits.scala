@@ -239,7 +239,47 @@ object Splits {
         .select(col("doc_id"), col("n_chars"), round(col("es"), 9).as("es_key"))
     })
 
+  /** Temperature-based multilingual mixture weights (the mBERT/XLM
+    * exponentiated-share recipe at α = 0.5): w_l ∝ n_l^0.5, normalized.
+    * α is FIXED at 0.5 so the power is `sqrt` — correctly rounded per
+    * IEEE-754, hence bit-identical cross-engine (a fractional `pow`
+    * would be a libm 1-ulp risk). The normalizing total is a RUNNING
+    * sum over langs in lexical order (ROWS frame), pinning the FP
+    * summation order — a bare SUM's addition order is engine-chosen
+    * and could flip the last ulp before the 6 dp round.
+    *
+    * Scale: one hash agg on lang; everything downstream operates on
+    * the |langs|-row summary.
+    */
+  val qMixtureWeights: QuerySpec = QuerySpec(
+    "q_mixture_weights",
+    Some("""WITH l AS (SELECT lang, count(*) AS n_docs FROM documents
+        GROUP BY lang),
+      c AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sq,
+        sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (ORDER BY lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM l),
+      t AS (SELECT max(cum) AS total FROM c)
+      SELECT c.lang, c.n_docs, round(c.sq / t.total, 6) AS weight,
+        round(c.sq / t.total * 10000, 2) AS per_10k
+      FROM c CROSS JOIN t ORDER BY c.lang"""),
+    (spark, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val l = Tables.load(spark, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val c = l.select(col("lang"), col("n_docs"),
+          sqrt(col("n_docs").cast("double")).as("sq"))
+        .withColumn("cum", sum("sq").over(W.orderBy("lang")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val t = c.agg(max("cum").as("total"))
+      c.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"),
+          round(col("sq") / col("total"), 6).as("weight"),
+          round(col("sq") / col("total") * 10000, 2).as("per_10k"))
+        .orderBy("lang")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qTrainTestSplit, qSampleHash, qSampleStratified, qSampleWeighted,
-        qMixResample, qKfold, qSampleEs)
+        qMixResample, qKfold, qSampleEs, qMixtureWeights)
 }
