@@ -446,6 +446,51 @@ object EventOps {
         .orderBy("error_id", "purchase_id")
     })
 
+  /** FULL OUTER stream-stream join — both sides' unmatched rows emit
+    * null-extended on watermark advance. Same completeness contract as
+    * [[qStreamJoinOuter]], applied SYMMETRICALLY: a row is compared
+    * when every non-null timestamp it carries is at least 3 h older
+    * than the smaller per-side max (right-state eviction needs the
+    * watermark past purchase_ts + the 1-hour look-AHEAD, the mirror of
+    * the left bound; the shared margin covers both directions).
+    */
+  val qStreamJoinFull: QuerySpec = QuerySpec(
+    "q_stream_join_full",
+    Some("""WITH co AS (SELECT least(
+            max(CASE WHEN event_type = 'error' THEN ts END),
+            max(CASE WHEN event_type = 'purchase' THEN ts END))
+          - INTERVAL 3 HOUR AS co FROM events),
+      e AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'error'),
+      p AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+      SELECT coalesce(e.user_id, p.user_id) AS user_id,
+        e.event_id AS error_id, e.ts AS error_ts,
+        p.event_id AS purchase_id, p.ts AS purchase_ts
+      FROM e FULL OUTER JOIN p
+        ON p.user_id = e.user_id
+        AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+      CROSS JOIN co
+      WHERE (e.ts IS NULL OR e.ts <= co.co)
+        AND (p.ts IS NULL OR p.ts <= co.co)
+      ORDER BY error_id, purchase_id"""),
+    (spark, dir) => {
+      val joined = graft.streaming.Streams.errorsWithRecentPurchasesOuter(
+        streamedEvents(spark, dir), watermark = "1 minute",
+        joinType = "full_outer")
+      val cutoff = Tables.load(spark, dir, "events")
+        .agg((least(
+          max(when(col("event_type") === "error", col("ts"))),
+          max(when(col("event_type") === "purchase", col("ts"))))
+          - expr("INTERVAL 3 HOUR")).as("co"))
+      runStreamToTable(joined, mode = "append")
+        .crossJoin(broadcast(cutoff))
+        .filter((col("error_ts").isNull || col("error_ts") <= col("co")) &&
+          (col("purchase_ts").isNull || col("purchase_ts") <= col("co")))
+        .drop("co")
+        .orderBy("error_id", "purchase_id")
+    })
+
   /** Streaming dedup state against an oracle: dedup on a deliberately
     * non-unique key (user, event_type — event_id is unique, which would
     * make the check vacuous), then project the key: the surviving key
@@ -846,7 +891,8 @@ object EventOps {
     Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
       qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
-      qStreamStateful, qStreamJoin, qStreamJoinOuter, qStreamDedup, qStreamTyped,
+      qStreamStateful, qStreamJoin, qStreamJoinOuter, qStreamJoinFull,
+      qStreamDedup, qStreamTyped,
       qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc,
       qZscoreOutliers, qStreamResume)
 }

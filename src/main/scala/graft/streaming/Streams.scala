@@ -161,7 +161,8 @@ object Streams {
     * final watermark minus the join bound (see qStreamJoinOuter).
     */
   def errorsWithRecentPurchasesOuter(events: DataFrame,
-                                     watermark: String): DataFrame = {
+                                     watermark: String,
+                                     joinType: String = "left_outer"): DataFrame = {
     val errors = events.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id"),
               col("ts").as("error_ts"))
@@ -174,8 +175,12 @@ object Streams {
       col("user_id") === col("p_user_id") &&
       col("purchase_ts") <= col("error_ts") &&
       col("purchase_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
-      "left_outer")
-      .select("error_id", "user_id", "error_ts", "purchase_id", "purchase_ts")
+      joinType)
+      // full outer: right-only rows have a null user_id from the left
+      // side — surface the side-independent key for downstream compare
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("error_id"), col("error_ts"), col("purchase_id"),
+        col("purchase_ts"))
   }
 
   /** Spark-4-native stateful op (§2.9): transformWithState with typed
