@@ -142,5 +142,85 @@ object Clustering {
         .orderBy("vec_id")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qKmeans)
+  /** Greedy k-center (farthest-point-first) diversity sampling — the
+    * coreset-selection operator of a training pipeline: pick k maximally
+    * spread examples (seed = lowest id; each next pick is the candidate
+    * whose MAX cosine similarity to the already-selected set is
+    * smallest, ties to the lower id). Similarities are rounded to 6 dp
+    * before the argmin — the same cross-engine cosine-parity contract
+    * q_cosine_topk pins — so the greedy trajectory is deterministic and
+    * fully oracle-checked against a step-unrolled SQL twin.
+    *
+    * Scale shape: the selected set is ≤ k vectors — broadcast by
+    * construction; each of the k−1 steps is one corpus scan + a
+    * candidate-keyed hash agg + a 1-row top-1 (TakeOrderedAndProject),
+    * so the driver sees exactly one row per step and the corpus never
+    * shuffles. k sequential jobs is the textbook trade of this
+    * algorithm; the billion-scale variant swaps in over-sampled
+    * k-center++ batches, same per-step plan.
+    */
+  def kcenterGreedy(e: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = e.sparkSession
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = e.select(col(idCol), col(vecCol))
+    val seedId = emb.agg(min(idCol)).head().getLong(0)
+    var selected = Vector[(Int, Long, java.lang.Double)]((1, seedId, null))
+    for (step <- 2 to k) {
+      val ids = selected.map(_._2)
+      val selDf = emb.filter(col(idCol).isin(ids: _*))
+        .select(col(vecCol).as("svec"))
+      val best = emb.filter(!col(idCol).isin(ids: _*))
+        .crossJoin(broadcast(selDf))
+        .select(col(idCol),
+          round(GraftFunctions.cosineSim(col(vecCol), col("svec")), 6)
+            .as("s"))
+        .groupBy(idCol).agg(max("s").as("novelty"))
+        .orderBy(col("novelty"), col(idCol)).limit(1)
+        .head() // exactly ONE row returns per step
+      selected :+= ((step, best.getLong(0),
+        java.lang.Double.valueOf(best.getDouble(1))))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        selected.map { case (st, id, nv) => Row(st, id, nv) }, 1),
+      StructType(Seq(StructField("step", IntegerType),
+        StructField(idCol, LongType),
+        StructField("novelty", DoubleType))))
+  }
+
+  /** The k=8 greedy trajectory, each step's pick and novelty
+    * hash-checked against the unrolled oracle. */
+  private def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s1 AS (SELECT 1 AS step, min(vec_id) AS vec_id,
+             CAST(NULL AS DOUBLE) AS novelty FROM e)""")
+    for (i <- 2 to k) {
+      sb.append(s""",
+      n$i AS (SELECT c.vec_id,
+          max(round(list_cosine_similarity(c.v, s.v), 6)) AS novelty
+        FROM e c, e s
+        WHERE s.vec_id IN (SELECT vec_id FROM s${i - 1})
+          AND c.vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+        GROUP BY c.vec_id),
+      p$i AS (SELECT $i AS step, vec_id, novelty FROM n$i
+        ORDER BY novelty, vec_id LIMIT 1),
+      s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM p$i)""")
+    }
+    sb.append(s"""
+      SELECT step, vec_id, novelty FROM s$k ORDER BY step""").toString
+  }
+
+  val qKcenter: QuerySpec = QuerySpec(
+    "q_kcenter_sample",
+    Some(kcenterOracle(8)),
+    (spark, dir) => {
+      kcenterGreedy(Tables.load(spark, dir, "embeddings"), k = 8)
+        .orderBy("step")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qKmeans, qKcenter)
 }
