@@ -93,13 +93,15 @@ object Bench {
     val ctrlPath = java.nio.file.Paths.get(
       "target/bench_controls_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + ".txt")
     val prevBest: Map[String, Double] =
-      if (java.nio.file.Files.exists(ctrlPath))
-        scala.io.Source.fromFile(ctrlPath.toFile).getLines()
+      if (java.nio.file.Files.exists(ctrlPath)) {
+        val src = scala.io.Source.fromFile(ctrlPath.toFile)
+        try src.getLines()
           .flatMap { l => l.split(' ') match {
             case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
             case _ => None
           } }.toMap
-      else Map.empty
+        finally src.close()
+      } else Map.empty
     val medByName = results.toMap
     val inflations = controls.flatMap { c =>
       for {
@@ -109,9 +111,14 @@ object Bench {
     }
     val controlInflation =
       if (inflations.isEmpty) -1.0 else median(inflations)
-    val newBest = controls.flatMap { c =>
-      minsByName.get(c).map(cur =>
-        c -> math.min(cur, prevBest.getOrElse(c, Double.MaxValue)))
+    // merge, don't replace: a control that failed every rep this run
+    // must keep its historical best, or the next run baselines on itself
+    val newBest = (prevBest.keySet ++ controls).toSeq.sorted.flatMap { c =>
+      (minsByName.get(c), prevBest.get(c)) match {
+        case (Some(cur), prev) => Some(c -> math.min(cur, prev.getOrElse(Double.MaxValue)))
+        case (None, Some(prev)) => Some(c -> prev)
+        case _ => None
+      }
     }
     new java.io.File("target").mkdirs()
     java.nio.file.Files.writeString(ctrlPath,

@@ -143,14 +143,17 @@ object Audit {
     * inputs, so bucket membership is deterministic cross-engine; the
     * histogram itself is a 20-row hash agg. Scale: one scan + one agg,
     * the same two-pass shape as every summary-broadcast operator here.
+    * The width is floored at 1e-12 identically in both engines so a
+    * degenerate min==max input degrades to one bucket-0 row instead of
+    * Spark yielding NaN nulls while DuckDB errors on the inf cast.
     */
   val qHistogram: QuerySpec = QuerySpec(
     "q_histogram",
     Some("""WITH st AS (SELECT min(o_totalprice) AS mn,
         max(o_totalprice) AS mx FROM orders),
       b AS (SELECT least(CAST(floor((o_totalprice - st.mn) /
-          ((st.mx - st.mn) / 20.0)) AS INT), 19) AS bucket,
-        st.mn AS mn, (st.mx - st.mn) / 20.0 AS w
+          greatest((st.mx - st.mn) / 20.0, 1e-12)) AS INT), 19) AS bucket,
+        st.mn AS mn, greatest((st.mx - st.mn) / 20.0, 1e-12) AS w
         FROM orders, st)
       SELECT bucket, round(mn + bucket * w, 4) AS lo,
         round(mn + (bucket + 1) * w, 4) AS hi, count(*) AS n
@@ -159,12 +162,12 @@ object Audit {
       val orders = Tables.load(spark, dir, "orders")
       val st = orders.agg(min("o_totalprice").as("mn"),
         max("o_totalprice").as("mx"))
+      val w = greatest((col("mx") - col("mn")) / 20.0, lit(1e-12))
       orders.crossJoin(broadcast(st))
         .select(
-          least(floor((col("o_totalprice") - col("mn")) /
-            ((col("mx") - col("mn")) / 20.0)).cast("int"), lit(19))
-            .as("bucket"),
-          col("mn"), ((col("mx") - col("mn")) / 20.0).as("w"))
+          least(floor((col("o_totalprice") - col("mn")) / w).cast("int"),
+            lit(19)).as("bucket"),
+          col("mn"), w.as("w"))
         .groupBy("bucket", "mn", "w").agg(count(lit(1)).as("n"))
         .select(col("bucket"), round(col("mn") + col("bucket") * col("w"), 4)
             .as("lo"),

@@ -38,8 +38,15 @@ object Baskets {
         round(col("n_ab").cast("double") / col("n_baskets"), 6)
           .as("support"),
         round(col("n_ab").cast("double") / col("na"), 6).as("confidence"),
-        round((col("n_ab") * col("n_baskets")).cast("double") /
-          (col("na") * col("nb")), 6).as("lift"))
+        // exact-int64 products are safe up to n_baskets ≈ 3.0e9 (see
+        // qBasketRules scaladoc); past that fail fast like the oracle
+        // would, instead of wrapping silently
+        round(when(col("n_baskets") <= lit(3037000499L),
+            (col("n_ab") * col("n_baskets")).cast("double") /
+              (col("na") * col("nb")))
+          .otherwise(raise_error(lit(
+            "Baskets.rules: n_baskets > 3.0e9 — int64 lift product would overflow; pre-aggregate or cast before multiplying"))),
+          6).as("lift"))
   }
 
   /** Best-match blocked linkage: candidates are (dirty ⋈ clean) on the
@@ -71,6 +78,14 @@ object Baskets {
     * output ratio is ONE double division (the lift numerator and
     * denominator multiply exactly in int64 first), so both engines
     * compute the identical IEEE double before the 6 dp round.
+    *
+    * Overflow bound on the int64 lift products: n_ab ≤ min(n_a, n_b) ≤
+    * n_baskets, so both products are ≤ n_baskets² and exact while
+    * n_baskets < 2³¹·√2 ≈ 3.0e9 baskets. Beyond that Spark would wrap
+    * silently where DuckDB raises, so [[rules]] fails fast instead: it
+    * asserts the bound once from the (already computed) basket count.
+    * Corpora past 3e9 baskets should pre-aggregate by basket shard or
+    * accept one ULP by casting before the multiply.
     *
     * Scale shape: the brand dictionary is a 2-column projection of the
     * part dim (broadcastable; at warehouse scale the lineitem⋈part hop

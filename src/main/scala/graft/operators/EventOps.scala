@@ -464,8 +464,9 @@ object EventOps {
         WHERE event_type = 'error'),
       p AS (SELECT event_id, user_id, ts FROM events
         WHERE event_type = 'purchase')
-      SELECT coalesce(e.user_id, p.user_id) AS user_id,
-        e.event_id AS error_id, e.ts AS error_ts,
+      SELECT e.event_id AS error_id,
+        coalesce(e.user_id, p.user_id) AS user_id,
+        e.ts AS error_ts,
         p.event_id AS purchase_id, p.ts AS purchase_ts
       FROM e FULL OUTER JOIN p
         ON p.user_id = e.user_id

@@ -246,6 +246,127 @@ object Sketches {
         .orderBy(col("n").desc, col("l_partkey").asc)
     })
 
+  // --- mergeable quantile sketch (GK) — completes the sketch family
+  //     (HLL distinct / CMS frequency / Bloom membership / GK rank) ---
+
+  private val QProbes = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+  /** Contracted rank error; sketches BUILD 4× tighter (GkBuildEps) so
+    * merge-tree error growth has headroom — see GkSketch scaladoc.
+    */
+  private val RankEps = 0.01
+  private val GkBuildEps = 0.0025
+
+  /** Shared contract tail for the GK queries: ONE scan computes n, the
+    * exact probe quantiles (the oracle anchor — `percentile` matches
+    * DuckDB `quantile_cont` at 4 dp, pinned by q_approx_percentile),
+    * and for every (sketch, probe) the strict/weak ranks of the sketch
+    * estimate; the contract boolean then asserts the estimate's rank
+    * interval [#(x < est)+1, #(x ≤ est)] intersects [φ·n ± (ε·n + 1)].
+    * Probing via exact ranks (not value proximity) is the honest GK
+    * guarantee — on a heavy-tied column the ε-rank value can be far
+    * from the exact quantile in value space and still be correct.
+    */
+  private def gkContract(spark: SparkSession, xs: DataFrame,
+                         sketches: Seq[(String, graft.functions.GkSketch)])
+      : DataFrame = {
+    val ests = sketches.map { case (_, sk) => QProbes.map(sk.query).toArray }
+    val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
+    aggs += count(lit(1)).as("n")
+    QProbes.zipWithIndex.foreach { case (q, i) =>
+      aggs += round(expr(s"percentile(x, $q)"), 4).as(s"ex_$i")
+      sketches.indices.foreach { j =>
+        aggs += sum(when(col("x") < ests(j)(i), 1L).otherwise(0L))
+          .as(s"lt_${j}_$i")
+        aggs += sum(when(col("x") <= ests(j)(i), 1L).otherwise(0L))
+          .as(s"le_${j}_$i")
+      }
+    }
+    val built = aggs.result()
+    val r = xs.agg(built.head, built.tail: _*).head()
+    val n = r.getAs[Long]("n")
+    val tol = RankEps * n + 1
+    val rows = QProbes.zipWithIndex.map { case (q, i) =>
+      val vals: Seq[Any] = Seq(q, r.getAs[Double](s"ex_$i")) ++
+        sketches.indices.map { j =>
+          val lo = r.getAs[Long](s"lt_${j}_$i") + 1 // rank interval of est
+          val hi = r.getAs[Long](s"le_${j}_$i")
+          val target = q * n
+          hi >= target - tol && lo <= target + tol
+        }
+      Row(vals: _*)
+    }
+    val schema = StructType(
+      StructField("q", org.apache.spark.sql.types.DoubleType) +:
+      StructField("exact_v", org.apache.spark.sql.types.DoubleType) +:
+      sketches.map { case (nm, _) => StructField(nm, BooleanType) })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      .orderBy("q")
+  }
+
+  private def gkOracle(contracts: String*): String = {
+    val bools = contracts.map(c => s"true AS $c").mkString(", ")
+    QProbes.map { q =>
+      s"""SELECT CAST($q AS DOUBLE) AS q,
+         round(quantile_cont(CAST(l_extendedprice AS DOUBLE), $q), 4)
+           AS exact_v, $bools FROM lineitem"""
+    }.mkString("", "\nUNION ALL ", "\nORDER BY q")
+  }
+
+  /** Mergeable GK quantile sketch over lineitem prices, rank-ε
+    * contracted. The sketch is a Spark `Aggregator` ([[graft.functions.GkQuantileAgg]]):
+    * each of the 32 partitions folds its rows into a local tuple
+    * summary and Spark merges the fixed-small summaries — values never
+    * move, the same ship-sketches-not-keys shape as the CMS path. The
+    * driver probes 7 quantiles on the KB-sized result (a GK table IS a
+    * driver-sized summary, like the CMS/bloom above); the corpus-sized
+    * work (sketch build, exact anchors, rank counts) is distributed.
+    */
+  val qQuantileSketch: QuerySpec = QuerySpec(
+    "q_quantile_sketch",
+    Some(gkOracle("within_rank_eps")),
+    (spark, dir) => {
+      val xs = Tables.load(spark, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val gk = udaf(new graft.functions.GkQuantileAgg(GkBuildEps),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val sk = graft.functions.GkSketch.fromBytes(
+        xs.agg(gk(col("x")).as("sk")).head().getAs[Array[Byte]]("sk"))
+      gkContract(spark, xs, Seq("within_rank_eps" -> sk))
+    })
+
+  /** The explicit 1000-executor merge path of [[qQuantileSketch]],
+    * mirroring [[qHeavyHittersMerged]]: 8 disjoint chunks each fold
+    * their OWN GK summary, the driver merges the 8 fixed-small tables
+    * in chunk order. GK is NOT a linear sketch (unlike CMS the merged
+    * table is not bit-identical to the single pass), so the proof is
+    * the honest one: the MERGED sketch satisfies the same rank-ε
+    * contract as the single-pass sketch, on shared oracle-checked
+    * exact rows.
+    */
+  val qQuantileSketchMerged: QuerySpec = QuerySpec(
+    "q_quantile_sketch_merged",
+    Some(gkOracle("single_within_eps", "merged_within_eps")),
+    (spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("double").as("x"))
+      val gk = udaf(new graft.functions.GkQuantileAgg(GkBuildEps),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val single = graft.functions.GkSketch.fromBytes(
+        li.agg(gk(col("x")).as("sk")).head().getAs[Array[Byte]]("sk"))
+      val merged = li
+        .groupBy(pmod(col("l_orderkey"), lit(8)).as("chunk"))
+        .agg(gk(col("x")).as("sk"))
+        .orderBy("chunk")
+        .collect() // 8 rows — KB-sized summaries, not data
+        .map(r => graft.functions.GkSketch.fromBytes(r.getAs[Array[Byte]]("sk")))
+        .reduce((a, b) => a.merge(b))
+      gkContract(spark, li.select("x"),
+        Seq("single_within_eps" -> single, "merged_within_eps" -> merged))
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged)
+    Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged,
+      qQuantileSketch, qQuantileSketchMerged)
 }

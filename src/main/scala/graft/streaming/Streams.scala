@@ -177,10 +177,12 @@ object Streams {
       col("purchase_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
       joinType)
       // full outer: right-only rows have a null user_id from the left
-      // side — surface the side-independent key for downstream compare
-      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
-        col("error_id"), col("error_ts"), col("purchase_id"),
-        col("purchase_ts"))
+      // side — coalesce in the side-independent key, keeping the same
+      // column order as the inner variant so positional consumers see
+      // one layout across all join modes
+      .select(col("error_id"),
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("error_ts"), col("purchase_id"), col("purchase_ts"))
   }
 
   /** Spark-4-native stateful op (§2.9): transformWithState with typed
