@@ -628,10 +628,219 @@ object Relational {
         .orderBy("cntry")
     })
 
+  /** TPC-H Q2-shaped correlated-MIN-over-a-multi-join (VERDICT r7 item
+    * 2; adapted — the fixture has no partsupp, so the (part, supplier)
+    * offer table is DERIVED: min unit price per pair from lineitem):
+    * for small parts, the ASIA supplier(s) whose unit cost equals the
+    * part's minimum unit cost among ASIA suppliers. The correlated
+    * scalar-min subquery's inner side is itself a multi-join
+    * (offers ⋈ supplier ⋈ nation ⋈ region) — the shape that forces an
+    * optimizer to decorrelate into ONE per-part aggregate over the
+    * joined inner, not a per-row re-plan.
+    *
+    * The DSL builds that target shape directly: the ASIA supplier set
+    * is a broadcast dim (supplier ⋈ nation ⋈ region, dims all tiny);
+    * offers are ONE (part, supplier)-keyed hash agg over lineitem,
+    * semi-pruned to qualifying parts and ASIA suppliers BEFORE the
+    * per-part min (pruning whole parts/suppliers cannot change a
+    * retained part's min); the min is a part-keyed agg joined back on
+    * (partkey, cost = min). Membership determinism: unit_cost is ONE
+    * IEEE division, min picks an exact member, equality compares
+    * identical bit patterns in both engines.
+    */
+  val qMinCostSupp: QuerySpec = QuerySpec(
+    "q_min_cost_supp",
+    Some("""WITH ps AS (SELECT l_partkey, l_suppkey,
+        min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+      asia AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA')
+      SELECT a.s_acctbal, a.s_name, a.n_name, p.p_partkey, p.p_brand,
+        a.s_suppkey, ps.unit_cost
+      FROM part p
+      JOIN ps ON ps.l_partkey = p.p_partkey
+      JOIN asia a ON a.s_suppkey = ps.l_suppkey
+      WHERE p.p_size < 5
+        AND ps.unit_cost = (SELECT min(ps2.unit_cost)
+          FROM ps ps2 JOIN asia a2 ON a2.s_suppkey = ps2.l_suppkey
+          WHERE ps2.l_partkey = p.p_partkey)
+      ORDER BY a.s_acctbal DESC, a.s_name, p.p_partkey, a.s_suppkey
+      LIMIT 100"""),
+    (spark, dir) => {
+      val asia = Tables.load(spark, dir, "supplier")
+        .join(broadcast(Tables.load(spark, dir, "nation")
+            .join(broadcast(Tables.load(spark, dir, "region")
+              .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val smallParts = Tables.load(spark, dir, "part")
+        .filter(col("p_size") < 5)
+        .select("p_partkey", "p_brand")
+      val offers = Tables.load(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("price"))
+        .join(broadcast(smallParts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(asia.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("price").as("unit_cost"))
+      val minCost = offers.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min("unit_cost").as("min_cost"))
+      offers
+        .join(minCost, col("l_partkey") === col("m_partkey") &&
+          col("unit_cost") === col("min_cost"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"),
+          col("s_suppkey"))
+        .limit(100)
+    })
+
+  /** TPC-H Q13-shaped outer-join count distribution: orders per
+    * customer (excluding one priority class, so the join predicate is
+    * compound and some customers genuinely count zero through the OUTER
+    * join — an inner join would silently drop them), then the
+    * distribution of those counts. The double aggregation is the point:
+    * the first is custkey-keyed (shuffle on the join key it already
+    * has), the second is a tiny c_count-keyed hash agg over one row per
+    * customer. `count(o_orderkey)` not `count(*)` — NULL-extended rows
+    * must count 0, which is exactly SQL's count-skips-nulls.
+    */
+  val qCustOrderDist: QuerySpec = QuerySpec(
+    "q_cust_order_dist",
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey) cc
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""),
+    (spark, dir) => {
+      val cust = Tables.load(spark, dir, "customer").select("c_custkey")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    })
+
+  /** TPC-H Q18-shaped IN-over-grouped-HAVING (large-volume orders): the
+    * IN subquery is a grouped aggregate with a HAVING threshold over
+    * the SAME fact table the outer query re-joins. The DSL computes the
+    * per-order quantity agg ONCE and reuses it for both the membership
+    * test and the output column — the decorrelated ideal (the SQL twin
+    * leaves that discovery to Catalyst: it may semi-join and re-derive,
+    * but never evaluate per-row). Sums of integer-valued quantities are
+    * exact in double, so HAVING membership and total_qty are
+    * deterministic; the ORDER BY (o_totalprice DESC, o_orderkey) is
+    * total, making the LIMIT stable cross-engine.
+    */
+  val qBigOrders: QuerySpec = QuerySpec(
+    "q_big_orders",
+    Some("""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        o.o_totalprice, sum(l.l_quantity) AS total_qty
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        o.o_totalprice
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 100"""),
+    (spark, dir) => {
+      val bigQty = Tables.load(spark, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.load(spark, dir, "orders")
+        .join(bigQty, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(spark, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    })
+
+  /** TPC-H Q20-shaped nested-IN with a correlated aggregate (adapted to
+    * the derived (part, supplier) pair table): suppliers of red-named
+    * parts whose 1995 shipped quantity for some such part exceeds 40%
+    * of their ALL-TIME quantity for it — a membership subquery whose
+    * inner filter is itself a correlated aggregate over a differently
+    * filtered scan of the same fact. The DSL's decorrelated form: both
+    * the 1995 and the all-time (part, supplier) aggs are keyed hash
+    * aggs pruned to red parts FIRST (the correlation key set), joined
+    * pairwise, thresholded, then distinct supplier keys semi-join the
+    * supplier dim. Quantity sums are exact; 0.4 × exact is one IEEE
+    * multiply, identical cross-engine.
+    */
+  val qConcentratedSupp: QuerySpec = QuerySpec(
+    "q_concentrated_supp",
+    Some("""WITH ps AS (SELECT l_partkey, l_suppkey,
+        sum(l_quantity) AS qty95
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey)
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM ps
+        WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+            WHERE p_name LIKE 'red%')
+          AND ps.qty95 > (SELECT 0.4 * sum(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = ps.l_partkey
+              AND l2.l_suppkey = ps.l_suppkey))
+      ORDER BY s.s_name, s.s_suppkey"""),
+    (spark, dir) => {
+      val redParts = Tables.load(spark, dir, "part")
+        .filter(col("p_name").like("red%"))
+        .select("p_partkey")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(broadcast(redParts),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val qty95 = li
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("qty95"))
+      val allTime = li
+        .groupBy(col("l_partkey").as("t_partkey"),
+          col("l_suppkey").as("t_suppkey"))
+        .agg((lit(0.4) * sum("l_quantity")).as("thr"))
+      val chosen = qty95
+        .join(allTime, col("l_partkey") === col("t_partkey") &&
+          col("l_suppkey") === col("t_suppkey"))
+        .filter(col("qty95") > col("thr"))
+        .select("l_suppkey").distinct()
+      Tables.load(spark, dir, "supplier")
+        .join(chosen, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.load(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name", "s_suppkey")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, qFilterPredicates,
     qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
     qJoinWaiting, qQtyBelowAvg, qTopSupplier, qIdleRich,
+    qMinCostSupp, qCustOrderDist, qBigOrders, qConcentratedSupp,
     qWindowRank, qWindowRunning, qRollup, qCube, qDistinctAgg, qHaving,
     qUnionAll, qIntersect, qExcept, qTopK, qLimitOffset)
 }

@@ -89,7 +89,36 @@ object SqlEntry {
   val qEventTransitionsSql: QuerySpec = viaSql(
     "q_event_transitions_sql", Funnels.qEventTransitions.oracle.get)
 
+  /** The Q2-shaped correlated MIN whose inner side is a multi-join
+    * (offers ⋈ supplier ⋈ nation ⋈ region) as SQL TEXT: Catalyst must
+    * decorrelate the per-part scalar min into one aggregate over the
+    * joined inner — the deepest correlated-inner shape in the suite.
+    */
+  val qMinCostSuppSql: QuerySpec = viaSql(
+    "q_min_cost_supp_sql", Relational.qMinCostSupp.oracle.get)
+
+  /** The Q13-shaped outer-join count distribution as SQL TEXT: a
+    * compound outer-join predicate feeding two stacked aggregations.
+    */
+  val qCustOrderDistSql: QuerySpec = viaSql(
+    "q_cust_order_dist_sql", Relational.qCustOrderDist.oracle.get)
+
+  /** The Q18-shaped IN over a grouped-HAVING aggregate as SQL TEXT:
+    * the membership set is itself a grouped aggregate of the re-joined
+    * fact — Catalyst plans the IN as a semi-join against the agg.
+    */
+  val qBigOrdersSql: QuerySpec = viaSql(
+    "q_big_orders_sql", Relational.qBigOrders.oracle.get)
+
+  /** The Q20-shaped nested IN with a correlated aggregate threshold as
+    * SQL TEXT — membership inside membership, with the inner filter a
+    * correlated agg over a differently filtered scan of the same fact.
+    */
+  val qConcentratedSuppSql: QuerySpec = viaSql(
+    "q_concentrated_supp_sql", Relational.qConcentratedSupp.oracle.get)
+
   def specs: Seq[QuerySpec] =
     Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql,
-      qTopSupplierSql, qIdleRichSql, qBasketRulesSql, qEventTransitionsSql)
+      qTopSupplierSql, qIdleRichSql, qBasketRulesSql, qEventTransitionsSql,
+      qMinCostSuppSql, qCustOrderDistSql, qBigOrdersSql, qConcentratedSuppSql)
 }

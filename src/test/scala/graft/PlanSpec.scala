@@ -279,6 +279,64 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("min-cost-supp: correlated min over a multi-join decorrelates to a join") {
+    import graft.operators.SqlEntry
+    val df = SqlEntry.qMinCostSuppSql.run(spark, sf)
+    // the per-part scalar min (whose inner is offers ⋈ supplier ⋈
+    // nation ⋈ region) must become one aggregate + join — nothing
+    // correlated survives, and nothing plans cartesian
+    val correlated = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.isCorrelated
+        case _ => false
+      }))
+    assert(!correlated, "Q2-shaped scalar min stayed correlated:\n" +
+      df.queryExecution.optimizedPlan.treeString.take(1500))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("big-orders: IN over grouped HAVING becomes a semi-join or agg-join, never per-row") {
+    import graft.operators.SqlEntry
+    val df = SqlEntry.qBigOrdersSql.run(spark, sf)
+    val hasSubquery = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+        case _ => false
+      }))
+    assert(!hasSubquery, "Q18-shaped IN survived as a subquery:\n" +
+      df.queryExecution.optimizedPlan.treeString.take(1500))
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("concentrated-supp: nested IN with correlated agg fully decorrelates") {
+    import graft.operators.SqlEntry
+    val df = SqlEntry.qConcentratedSuppSql.run(spark, sf)
+    val hasSubquery = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+        case _ => false
+      }))
+    assert(!hasSubquery, "Q20-shaped nested IN survived as a subquery:\n" +
+      df.queryExecution.optimizedPlan.treeString.take(1500))
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("cust-order-dist: outer join keeps its equi key; two stacked aggs") {
+    import graft.operators.SqlEntry
+    val p = plan(SqlEntry.qCustOrderDistSql.run(spark, sf))
+    assert(p.contains("LeftOuter"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("winsorize/MAD: per-type stats broadcast back, never a per-type window") {
     import graft.operators.Series
     // the skew argument from qZscoreOutliers, machine-checked for the
