@@ -18,7 +18,8 @@ object SparkEntry {
       Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Splits.specs ++
       SqlEntry.specs ++ Contamination.specs ++ Search.specs ++ Scrub.specs ++
       Graph.specs ++ Changes.specs ++ Funnels.specs ++ Sketches.specs ++
-      Clustering.specs ++ Series.specs ++ Audit.specs ++ Baskets.specs
+      Clustering.specs ++ Series.specs ++ Audit.specs ++ Baskets.specs ++
+      Layout.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
