@@ -108,9 +108,12 @@ object Clustering {
     * recomputes the identical two iterations in SQL (unrolled CTEs,
     * same rounding discipline).
     */
-  val qKmeans: QuerySpec = QuerySpec(
-    "q_kmeans",
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The 8-cluster / 2-iteration oracle CTE chain (shared verbatim by
+    * qKmeans and qSemanticDedup, so the two can never drift): `m2` is
+    * the final (vec_id, cluster, sim) assignment.
+    */
+  private[operators] val kmeans8x2Ctes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
              FROM e ORDER BY vec_id LIMIT 8),
       a1 AS (SELECT e.vec_id, e.v, c.cid,
@@ -134,7 +137,11 @@ object Clustering {
       m2 AS (SELECT vec_id, cid AS cluster, sim FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
                 ORDER BY sim DESC, cid) AS rk FROM a2)
-             WHERE rk = 1)
+             WHERE rk = 1)"""
+
+  val qKmeans: QuerySpec = QuerySpec(
+    "q_kmeans",
+    Some(s"""WITH $kmeans8x2Ctes
       SELECT vec_id, cluster, sim FROM m2 ORDER BY vec_id"""),
     (spark, dir) => {
       GraftFunctions.register(spark)
@@ -222,5 +229,62 @@ object Clustering {
         .orderBy("step")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qKmeans, qKcenter)
+  /** SemDeDup-style semantic dedup (VERDICT r7 item 4) — the published
+    * cluster-then-dedup recipe for embedding dedup at scale, composed
+    * from three already-oracle-checked parts: [[kmeansCosine]] buckets
+    * the corpus (8 clusters, 2 iterations — the qKmeans trajectory
+    * verbatim), exact cosine pairs are generated ONLY within a cluster
+    * (the cluster bounds the quadratic: Σ nc² ≪ n², and the per-cluster
+    * pair join is keyed on the cluster id — at larger scale the
+    * in-cluster step composes with the cell-banded pruning of
+    * `VectorOps.embedNearDupBanded`, same contract), and
+    * `Dedup.keepRepresentativeWith` collapses the pair graph's
+    * connected components to the min-id member. The oracle unrolls the
+    * identical pipeline: shared k-means CTEs → within-cluster pairs at
+    * the same 6 dp-rounded threshold → recursive-CTE transitive
+    * closure → min-id survivors, so every surviving row is
+    * hash-checked. Accepting pairs only within a cluster is the
+    * deliberate SemDeDup recall trade; the exact all-pairs reference
+    * for that loss is q_embed_neardup.
+    */
+  val qSemanticDedup: QuerySpec = QuerySpec(
+    "q_semantic_dedup",
+    Some(s"""WITH RECURSIVE $kmeans8x2Ctes,
+      ev AS (SELECT e.vec_id, e.v, m2.cluster
+             FROM e JOIN m2 ON e.vec_id = m2.vec_id),
+      prs AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+              FROM ev a JOIN ev b ON a.cluster = b.cluster
+                AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+      edges AS (SELECT v1 AS src, v2 AS dst FROM prs
+                UNION SELECT v2, v1 FROM prs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      comp AS (SELECT src AS vec_id, least(src, min(dst)) AS comp
+               FROM reach GROUP BY src)
+      SELECT ev.vec_id, ev.cluster FROM ev
+      LEFT JOIN comp ON ev.vec_id = comp.vec_id
+      WHERE comp.comp IS NULL OR comp.comp = ev.vec_id
+      ORDER BY ev.vec_id"""),
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val emb = Tables.load(spark, dir, "embeddings")
+      val assigned = kmeansCosine(emb, k = 8, iters = 2)
+      val ev = emb.select("vec_id", "embedding")
+        .join(assigned.select("vec_id", "cluster"), Seq("vec_id"))
+      val pairs = ev.as("a")
+        .join(ev.as("b"), col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(round(GraftFunctions.cosineSim(
+          col("a.embedding"), col("b.embedding")), 6) >= 0.3)
+        .select(col("a.vec_id").as("doc1"), col("b.vec_id").as("doc2"))
+      Dedup.keepRepresentativeWith(
+          ev.select("vec_id", "cluster"),
+          Dedup.connectedComponents(pairs), idCol = "vec_id")
+        .orderBy("vec_id")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qKmeans, qKcenter, qSemanticDedup)
 }
