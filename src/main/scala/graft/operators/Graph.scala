@@ -229,7 +229,10 @@ object Graph {
       count(lit(1)).as("n_nodes"),
       (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    tri.crossJoin(stats).crossJoin(nEdges)
+    // 1-row scalar sides: broadcast explicitly, same discipline as the
+    // file's other small-side joins (AQE would get there, but the plan
+    // should say what it means)
+    tri.crossJoin(broadcast(stats)).crossJoin(broadcast(nEdges))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)

@@ -111,13 +111,25 @@ object Series {
         .orderBy("event_type", "hour")
     })
 
+  /** Per-series point cap for [[ewmaSmoothed]]'s one-task fold: the
+    * collected array is the task's memory bound, so it is ASSERTED, not
+    * assumed. 1M hourly points ≈ a 114-year series (≈ 16 MB collected),
+    * far past any real grid while still an order of magnitude under
+    * task-memory trouble. Series past the cap should be re-grained
+    * (daily buckets) or segment-folded; silently truncating would
+    * corrupt the recurrence, so the guard fails fast instead.
+    */
+  val EwmaMaxPointsPerSeries = 1000000
+
   /** EWMA smoothing (α = 0.3) over each type's observed hourly series:
     * y_1 = v_1, y_t = α·v_t + (1−α)·y_{t−1}. The recurrence is
     * inherently sequential per series, so each series is folded IN ONE
     * TASK over its collected points — the per-series state is
     * |hours in range| (time-bounded, NOT event-volume-bounded; the
     * event-volume work happened in the hourly hash agg), which is the
-    * same per-key-bounded-state argument the streaming operators make.
+    * same per-key-bounded-state argument the streaming operators make —
+    * and capped at `maxPointsPerSeries` (guard raises rather than
+    * spill or truncate; see [[EwmaMaxPointsPerSeries]]).
     * The oracle drives the identical recurrence through a recursive CTE.
     *
     * Determinism: inputs rounded to 6 dp; the fold applies the same
@@ -140,11 +152,22 @@ object Series {
           ON i.event_type = ew.event_type AND i.rn = ew.rn + 1)
       SELECT event_type, hour, ${r4Sql("y")} AS ewma FROM ew
       ORDER BY event_type, hour"""),
-    (spark, dir) => {
+    (spark, dir) => ewmaSmoothed(spark, dir))
+
+  private[graft] def ewmaSmoothed(spark: SparkSession, dir: String,
+      maxPointsPerSeries: Int = EwmaMaxPointsPerSeries): DataFrame = {
       val arr = hourlyKnown(spark, dir)
         .groupBy("event_type")
         .agg(sort_array(collect_list(struct(col("hour").as("h"),
           col("v").as("v")))).as("pts"))
+        // fail fast on a series whose grid exceeds the one-task bound —
+        // the error names the series so the caller can re-grain it
+        .withColumn("pts",
+          when(size(col("pts")) <= lit(maxPointsPerSeries), col("pts"))
+            .otherwise(raise_error(concat(
+              lit("Series.ewma: series '"), col("event_type"),
+              lit(s"' exceeds $maxPointsPerSeries hourly points — " +
+                "re-grain (e.g. daily) or segment the fold")))))
       val ys = aggregate(col("pts"), array().cast("array<double>"),
         (acc, x) => concat(acc, array(
           when(size(acc) === 0, x.getField("v"))
@@ -156,7 +179,7 @@ object Series {
         .select(col("event_type"), col("z.hour").as("hour"),
           r4(col("z.y")).as("ewma"))
         .orderBy("event_type", "hour")
-    })
+  }
 
   /** Winsorization: clip each event's value to its type's [p05, p95]
     * band. Exact linear-interpolation percentiles (Spark `percentile` ≡

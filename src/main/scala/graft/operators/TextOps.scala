@@ -1145,7 +1145,8 @@ object TextOps {
     * fingerprints replace strings.
     */
   def substringSpans(docs: DataFrame, w: Int = 8,
-                     minDocs: Int = 2): DataFrame = {
+                     minDocs: Int = 2,
+                     dfCap: Int = Int.MaxValue): DataFrame = {
     val toks = tokens(col("text"))
     // fingerprints computed DIRECTLY from w aligned token slices
     // (arrays_zip → per-element xxhash64 over the w fields): no
@@ -1170,15 +1171,31 @@ object TextOps {
     // ONE derivation, no re-scan: posting list per fingerprint, kept
     // when it spans ≥ minDocs distinct docs, exploded back to matched
     // positions — the qContainmentDedup pattern. Posting lists are
-    // df(fp)-sized: tiny off duplicate clusters; the 100 TB hardening
-    // for boilerplate-dominated corpora is a df cap with capped
-    // fingerprints verified directly (same note as containment dedup).
-    val matched = pos
-      .groupBy("fp")
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
-      .filter(size(array_distinct(col("occ").getField("doc_id"))) >= minDocs)
-      .select(explode(col("occ")).as("o"))
-      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+    // df(fp)-sized: tiny off duplicate clusters; pass `dfCap` for the
+    // list-free hardened path (below) on boilerplate-heavy corpora.
+    val matched =
+      if (dfCap == Int.MaxValue) pos
+        .groupBy("fp")
+        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+        .filter(size(array_distinct(col("occ").getField("doc_id"))) >= minDocs)
+        .select(explode(col("occ")).as("o"))
+        .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+      else {
+        // df-cap hardening (boilerplate-dominated corpora): a license
+        // header shared by millions of docs makes one fp's posting list
+        // a task-killer. This path never BUILDS lists — a partial-
+        // aggregated (count, count distinct) per fp selects fps whose
+        // occurrence count fits the cap, and positions re-attach with a
+        // semi-join. Trade, stated: spans repeated in > dfCap positions
+        // are NOT marked — at that df they are corpus boilerplate and
+        // belong to qParagraphDedup's removal pass, not span surgery.
+        val keep = pos.groupBy("fp")
+          .agg(count_distinct(col("doc_id")).as("nd"),
+            count(lit(1)).as("nocc"))
+          .filter(col("nd") >= minDocs && col("nocc") <= dfCap)
+        pos.join(keep.select("fp"), Seq("fp"), "left_semi")
+          .select("doc_id", "pos")
+      }
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val run = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -231,4 +231,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val keys = Tables.load(spark, sf, "documents").select("lang", "source").distinct().count()
     assert(kept.count() === keys)
   }
+
+  test("substringSpans df-cap drops only the over-cap boilerplate span") {
+    import spark.implicits._
+    // 6 docs share a 4-token boilerplate header (df 6); docs 1 and 2
+    // additionally share a unique 4-token span (df 2). Body tails are
+    // distinct so no other window repeats.
+    val header = "terms of service apply"
+    val dup = "quick brown foxes jump"
+    val docs = (1L to 6L).map { i =>
+      val tail = s"tail$i a$i b$i c$i d$i"
+      val extra = if (i <= 2) s"$dup " else ""
+      (i, s"$header $extra$tail")
+    }.toDF("doc_id", "text")
+    def spans(cap: Int) =
+      TextOps.substringSpans(docs, w = 4, minDocs = 2, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val uncapped =
+      TextOps.substringSpans(docs, w = 4, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // cap 6 admits every fp (header df = 6): hardened path ≡ list path
+    assert(spans(6) === uncapped)
+    assert(uncapped.contains((3L, 1, 4))) // header alone, merged w-window
+    // docs 1-2: header run extends through the 4 bridging windows into
+    // the shared span — positions 1..5 merge to one 8-token span
+    assert(uncapped.contains((1L, 1, 8)))
+    // cap 5 excludes the header fp; the bridging windows (df 2) keep
+    // the docs 1-2 span, now starting at position 2
+    val capped = spans(5)
+    assert(capped === Set((1L, 2, 7), (2L, 2, 7)),
+      s"expected only the df-2 span, got $capped")
+  }
 }

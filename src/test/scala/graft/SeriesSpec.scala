@@ -84,4 +84,18 @@ class SeriesSpec extends AnyFunSuite {
     val out = Series.qMadOutliers.run(spark, sf)
     assert(out.filter(col("robust_z") <= 3).count() === 0)
   }
+
+  test("ewma: per-series point cap fails fast, naming the series") {
+    // fixture series have hundreds of hourly points: a cap of 2 must
+    // trip the guard rather than truncate or spill
+    val ex = intercept[Exception] {
+      Series.ewmaSmoothed(spark, sf, maxPointsPerSeries = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("Series.ewma")), s"got: $ex")
+    // the default cap admits the fixture unchanged
+    assert(Series.ewmaSmoothed(spark, sf).count() ===
+      Series.qEwma.run(spark, sf).count())
+  }
 }
