@@ -492,6 +492,29 @@ object EventOps {
         .orderBy("error_id", "purchase_id")
     })
 
+  /** LEFT SEMI stream-stream join — completes the §2.9 join-mode
+    * matrix (inner / left outer / full outer / left semi). Semi
+    * emission happens on match ARRIVAL, never on watermark advance
+    * (unmatched rows simply never emit), so this twin drains complete
+    * under the fixture-spanning watermark like the inner join — no
+    * cutoff contract needed. The oracle is the EXISTS screen, i.e. the
+    * DISTINCT-error projection of [[qStreamJoin]]'s theta join.
+    */
+  val qStreamJoinSemi: QuerySpec = QuerySpec(
+    "q_stream_join_semi",
+    Some("""SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts
+      FROM events e
+      WHERE e.event_type = 'error' AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+          AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR)
+      ORDER BY error_id"""),
+    (spark, dir) => {
+      val joined = graft.streaming.Streams.errorsWithPurchaseSemi(
+        streamedEvents(spark, dir), watermark = "3650 days")
+      runStreamToTable(joined, mode = "append").orderBy("error_id")
+    })
+
   /** Streaming dedup state against an oracle: dedup on a deliberately
     * non-unique key (user, event_type — event_id is unique, which would
     * make the check vacuous), then project the key: the surviving key
@@ -893,6 +916,7 @@ object EventOps {
       qDateDensify,
       qWindowTumbling, qStreamTumbling, qStreamSliding, qStreamSession,
       qStreamStateful, qStreamJoin, qStreamJoinOuter, qStreamJoinFull,
+      qStreamJoinSemi,
       qStreamDedup, qStreamTyped,
       qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc,
       qZscoreOutliers, qStreamResume)

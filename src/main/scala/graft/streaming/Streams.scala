@@ -185,6 +185,33 @@ object Streams {
         col("error_ts"), col("purchase_id"), col("purchase_ts"))
   }
 
+  /** LEFT SEMI stream-stream join — the last join mode the streaming
+    * engine supports, and the screening shape (EXISTS, not enrich):
+    * errors that saw at least one same-user purchase in the preceding
+    * hour, each emitted AT MOST ONCE. Emission is on the MATCH path
+    * only — a left row leaves state the moment its first match arrives
+    * (or silently at watermark eviction if none ever does) — so unlike
+    * the outer modes the drained result is watermark-complete without
+    * a cutoff contract: there is no null-extension waiting on the
+    * watermark. The time bound still sizes state eviction both ways.
+    */
+  def errorsWithPurchaseSemi(events: DataFrame,
+                             watermark: String): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+              col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    errors.join(purchases,
+      col("user_id") === col("p_user_id") &&
+      col("purchase_ts") <= col("error_ts") &&
+      col("purchase_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
+      "left_semi")
+  }
+
   /** Spark-4-native stateful op (§2.9): transformWithState with typed
     * ValueState per (user, event_type). Requires the RocksDB state
     * store provider (`spark.sql.streaming.stateStore.providerClass` =
