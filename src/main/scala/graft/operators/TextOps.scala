@@ -1439,6 +1439,127 @@ object TextOps {
         .orderBy("doc_id")
     })
 
+  /** Per-delta-doc "most shingles shared with any single corpus doc"
+    * aggregator for [[qStreamDedupIncremental]]: the streaming engine
+    * allows one stateful aggregation per query, so the batch path's
+    * two-level (doc, cid) → doc rollup folds into ONE typed buffer — a
+    * cid → shared-count map per delta doc, finished to its max. The
+    * buffer holds only the doc's matching corpus docs (df-bounded, the
+    * same argument as the batch join's fan-out) and merges
+    * associatively, so map-side partial aggregation still applies.
+    */
+  private[operators] object MaxSharedCount
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Map[Long, Long], Long] {
+    override def zero: Map[Long, Long] = Map.empty
+    override def reduce(b: Map[Long, Long],
+                        cid: java.lang.Long): Map[Long, Long] =
+      if (cid == null) b
+      else b.updated(cid.longValue, b.getOrElse(cid.longValue, 0L) + 1L)
+    override def merge(x: Map[Long, Long],
+                       y: Map[Long, Long]): Map[Long, Long] =
+      y.foldLeft(x) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v) }
+    override def finish(b: Map[Long, Long]): Long =
+      if (b.isEmpty) 0L else b.values.max
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.Encoders.kryo[Map[Long, Long]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Streaming twin of [[qDedupIncremental]] — the recurring-crawl
+    * shape run THROUGH the streaming engine: delta docs arrive as a
+    * file stream, the corpus stays a static table. Same two screens:
+    * exact (md5 seen in the corpus — stream-static left join against
+    * the corpus fingerprint set) and near (≥ 90 % of the doc's
+    * 3-shingles contained in one same-lang corpus doc — postings
+    * explode, stream-static left join on (lang, shingle), then one
+    * stateful [[MaxSharedCount]] aggregation). Complete mode: the sink
+    * holds one verdict row per delta doc seen so far; corpus postings
+    * re-read per micro-batch but NEVER self-pair, so per-batch cost
+    * scales with that batch's crawl drop — the incremental-dedup
+    * point, now with arrival semantics.
+    */
+  def incrementalDedupStream(delta: DataFrame, corpus: DataFrame): DataFrame = {
+    val exact = corpus.select(md5(col("text")).as("tfp")).distinct()
+      .withColumn("ex", lit(true))
+    val cPost = corpus.select(col("lang"), col("doc_id").as("cid"),
+      explode(array_distinct(shingles(tokens(col("text"))))).as("g"))
+    val dPost = delta
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("tfp"),
+        array_distinct(shingles(tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), col("lang"), col("tfp"),
+        size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+    val maxShared = udaf(MaxSharedCount)
+    dPost
+      .join(exact, Seq("tfp"), "left")
+      .join(cPost, Seq("lang", "g"), "left")
+      .groupBy(col("doc_id"), col("sz"),
+        coalesce(col("ex"), lit(false)).as("ex"))
+      .agg(maxShared(col("cid")).as("mx"))
+      .select(col("doc_id"),
+        col("ex").cast("int").as("exact_dup"),
+        (col("mx").cast("double") / col("sz") >= 0.9).cast("int")
+          .as("near_dup"),
+        round(col("mx").cast("double") / col("sz"), 4).as("max_contain"))
+  }
+
+  /** Stage the fixture's delta partition (top 20 % of doc_id, the same
+    * cut [[qDedupIncremental]] derives relationally) as TWO parquet
+    * files — two crawl drops — in a fresh per-invocation dir. The 1-row
+    * cut collect is STAGING, not the operator: carving the fixture into
+    * "corpus" and "arriving crawl" needs a concrete split value to
+    * write files with (same role as streamResumePhases' halves).
+    */
+  private def stageDeltaFiles(spark: SparkSession, dir: String): (String, Double) = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cut = docs.agg((max("doc_id") * 0.8).as("cut")).head.getDouble(0)
+    val base = s"target/stream-incr/run_${stageSeq.incrementAndGet()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    Seq("a" -> (col("doc_id") % 2 === 0), "b" -> (col("doc_id") % 2 =!= 0))
+      .foreach { case (label, half) =>
+        val tmp = s"$base/stage_$label"
+        docs.filter(col("doc_id") >= cut && half)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head.toPath
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$in/$label.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    (in, cut)
+  }
+
+  private val stageSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The fifteenth streaming oracle row: [[incrementalDedupStream]]
+    * drained over the staged crawl drops (maxFilesPerTrigger = 1 forces
+    * one micro-batch per drop) SHARES the batch oracle — green only if
+    * arrival-order screening over two batches lands on exactly the
+    * batch answer.
+    */
+  val qStreamDedupIncremental: QuerySpec = QuerySpec(
+    "q_stream_dedup_incr",
+    qDedupIncremental.oracle,
+    (spark, dir) => {
+      val (in, cut) = stageDeltaFiles(spark, dir)
+      val corpus = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < lit(cut))
+      val delta = spark.readStream.schema(Tables.documents)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*.parquet")
+      EventOps.runStreamToTable(
+        incrementalDedupStream(delta, corpus), mode = "complete")
+        .orderBy("doc_id")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qNgramJaccardGlobal,
@@ -1447,5 +1568,6 @@ object TextOps {
     qSimhashPairs, qSimhashContain, qContainmentDedup, qSubstringDedup,
     qNgramLmScore, qTokenBudget, qTokenBudgetQuality,
     qPackSequences, qShufflePack, qTextChunks, qTextRepetition,
-    qGopherRules, qParagraphDedup, qDedupIncremental)
+    qGopherRules, qParagraphDedup, qDedupIncremental,
+    qStreamDedupIncremental)
 }
