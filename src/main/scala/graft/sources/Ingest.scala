@@ -102,4 +102,69 @@ object Ingest {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(write)
+
+  /** Keyed MERGE/upsert for a [[foreachBatchSink]] body, with the
+    * exactly-once REPLAY contract made explicit: each batch merges into
+    * a parquet table (batch rows replace same-key rows, others carry
+    * over) and records its batchId in `_commits` AFTER the table swap;
+    * a replayed batchId — what foreachBatch redelivers after a crash
+    * between sink write and checkpoint commit — returns before touching
+    * anything, so the table stays byte-identical. Idempotence therefore
+    * rests on the batchId key alone, which is exactly Spark's contract
+    * (same batchId ⇒ same data on redelivery).
+    *
+    * Crash windows, stated: a crash after swap but before the commit
+    * record re-runs the merge on replay — and keyed upsert of identical
+    * rows is itself idempotent, so the table CONTENT converges either
+    * way; the `_commits` record only spares the rewrite. The swap is
+    * rename-based: readers of `data/` see old or new, never a partial.
+    *
+    * Single-writer by construction (micro-batches are serialized per
+    * query). The whole-table rewrite (`coalesce(1)`) is the
+    * fixture-scale stand-in for a real table format's partition-scoped
+    * copy-on-write or merge-on-read — the batchId ledger and swap
+    * discipline are the part that transfers unchanged.
+    *
+    * `batch` must be unique per `keys` (pre-reduce it in the caller —
+    * e.g. max_by on an ordering column); asserted cheaply against the
+    * merged result.
+    */
+  def upsertParquet(tableDir: String, keys: Seq[String])
+                   (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val root = new java.io.File(tableDir)
+    root.mkdirs()
+    val commits = new java.io.File(root, "_commits")
+    val done: Set[Long] =
+      if (!commits.exists()) Set.empty
+      else {
+        val src = scala.io.Source.fromFile(commits)
+        try src.getLines().filter(_.nonEmpty).map(_.toLong).toSet
+        finally src.close()
+      }
+    if (done.contains(batchId)) return // replay of a committed batch: no-op
+    val data = new java.io.File(root, "data")
+    val merged =
+      if (!data.exists()) batch
+      else spark.read.parquet(data.getPath)
+        .join(batch.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(batch)
+    val tmp = new java.io.File(root, s"tmp_$batchId")
+    // write fully (reads the old files) BEFORE the old dir is dropped
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val nKeys = spark.read.parquet(tmp.getPath)
+      .select(keys.map(col): _*).distinct().count()
+    val nRows = spark.read.parquet(tmp.getPath).count()
+    require(nKeys == nRows,
+      s"upsertParquet: batch $batchId not unique per ${keys.mkString(",")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(data)
+    require(tmp.renameTo(data), s"upsertParquet: swap failed for $batchId")
+    val out = new java.io.FileWriter(commits, true)
+    try out.write(s"$batchId\n") finally out.close()
+  }
 }
