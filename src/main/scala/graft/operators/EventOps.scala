@@ -645,6 +645,40 @@ object EventOps {
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stage the events fixture as `n` parquet files (chunked by
+    * event_id mod n) in a fresh per-invocation dir — generic
+    * multi-micro-batch staging for streaming twins that need real
+    * cross-batch STATE (pair with `maxFilesPerTrigger = 1` so each
+    * file is its own AvailableNow micro-batch). Unlike
+    * [[streamResumePhases]] there is no checkpoint here; callers get
+    * the input dir and own the query lifecycle.
+    */
+  private[operators] def stageEventChunks(spark: SparkSession, dir: String,
+                                          n: Int): String = {
+    val base = s"target/stream-chunks/run_${streamSeq.incrementAndGet()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    val raw = spark.read.schema(Tables.eventsRaw)
+      .parquet(s"$dir/events.parquet")
+    (0 until n).foreach { i =>
+      val tmp = s"$base/stage_$i"
+      raw.filter(pmod(col("event_id"), lit(n)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$in/c$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    in
+  }
+
   /** Crash-resume drill behind [[qStreamResume]]: stage the events
     * fixture as two parquet files, drain file A through a CHECKPOINTED
     * tumbling aggregation, let the query object die (AvailableNow

@@ -366,7 +366,91 @@ object Sketches {
         Seq("single_within_eps" -> single, "merged_within_eps" -> merged))
     })
 
+  /** The GK summary as STREAMING STATE — the composition the sketch
+    * family's merge proofs point at: a mergeable summary is exactly
+    * what an incremental engine keeps between micro-batches. Events
+    * arrive in 4 chunk files (one micro-batch each); the complete-mode
+    * global aggregation folds every batch into the persisted GK buffer
+    * through [[graft.functions.GkQuantileAgg]]'s reduce/merge path —
+    * the same code Spark uses across partitions now runs across TIME —
+    * and the drained sketch must satisfy the identical rank-ε contract
+    * as a batch-built sketch, on oracle-anchored exact rows. State is
+    * one O(1/ε·log εn) summary, not values: the unbounded-stream
+    * quantile shape.
+    */
+  val qStreamQuantile: QuerySpec = QuerySpec(
+    "q_stream_quantile",
+    Some {
+      val bools = "true AS within_rank_eps"
+      QProbes.map { q =>
+        s"""SELECT CAST($q AS DOUBLE) AS q,
+           round(quantile_cont(value, $q), 4) AS exact_v, $bools
+           FROM events"""
+      }.mkString("", "\nUNION ALL ", "\nORDER BY q")
+    },
+    (spark, dir) => {
+      val in = EventOps.stageEventChunks(spark, dir, 4)
+      val src = spark.readStream.schema(Tables.eventsRaw)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*.parquet")
+      val gk = udaf(new graft.functions.GkQuantileAgg(GkBuildEps),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val table = EventOps.runStreamToTable(
+        src.select(col("value").as("x")).agg(gk(col("x")).as("sk")),
+        mode = "complete")
+      val sk = graft.functions.GkSketch.fromBytes(
+        table.head().getAs[Array[Byte]]("sk"))
+      val xs = Tables.load(spark, dir, "events")
+        .select(col("value").as("x"))
+      gkContract(spark, xs, Seq("within_rank_eps" -> sk))
+        .select("q", "exact_v", "within_rank_eps")
+    })
+
+  /** Mergeable HLL (DataSketches) union proof — the distinct-count
+    * analogue of [[qHeavyHittersMerged]]/[[qQuantileSketchMerged]],
+    * closing the persistable-merge story for the whole sketch family:
+    * 8 disjoint chunks each build their own `hll_sketch_agg` summary
+    * (the executor shape), `hll_union_agg` merges the fixed-small
+    * sketches, and the union's estimate must satisfy the same
+    * error-bound contract as the single-pass sketch. HLL registers are
+    * per-bucket hash maxima — set-deterministic, union = elementwise
+    * max — but sparse→dense promotion can take different routes in the
+    * two builds, so the honest cross-build claim is a shared 1 %
+    * consistency tolerance, not bit equality (same reasoning as GK's
+    * contract-equivalence proof). Bound: lgK = 12 ⇒ RSE ≈ 1.04/√4096;
+    * contracted at 3σ ≈ 5 % (+1 for integer slack).
+    */
+  val qHllMerged: QuerySpec = QuerySpec(
+    "q_hll_merged",
+    Some("""SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_n,
+      true AS single_within_bound, true AS merged_within_bound,
+      true AS merge_consistent FROM orders"""),
+    (spark, dir) => {
+      val o = Tables.load(spark, dir, "orders")
+      val single = o
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+        .head().getAs[Long]("est")
+      val merged = o
+        .groupBy(pmod(col("o_orderkey"), lit(8)).as("chunk"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .head().getAs[Long]("est")
+      val exact = o.agg(count_distinct(col("o_custkey")).as("n"))
+        .head().getAs[Long]("n")
+      val bound = 0.05 * exact + 1
+      val row = Row(exact,
+        math.abs(single - exact) <= bound,
+        math.abs(merged - exact) <= bound,
+        math.abs(merged - single) <= 0.01 * exact + 1)
+      val schema = StructType(Seq(
+        StructField("exact_n", LongType),
+        StructField("single_within_bound", BooleanType),
+        StructField("merged_within_bound", BooleanType),
+        StructField("merge_consistent", BooleanType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), schema)
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged,
-      qQuantileSketch, qQuantileSketchMerged)
+      qQuantileSketch, qQuantileSketchMerged, qStreamQuantile, qHllMerged)
 }
