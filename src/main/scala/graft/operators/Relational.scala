@@ -836,11 +836,149 @@ object Relational {
         .orderBy("s_name", "s_suppkey")
     })
 
+  /** TPC-H Q19-shaped DISJUNCTIVE join predicate (adapted to this
+    * fixture's part columns): revenue over an OR of AND-blocks, each
+    * block constraining BOTH sides of the part⋈lineitem join. The
+    * optimizer shape the conjunctive suite doesn't reach: no single
+    * disjunct can push alone, but the part-only projection of the OR
+    * ((brand,size) bands) is inferable and must reach the part scan —
+    * Catalyst extracts it via constraint propagation, so the join sees
+    * only candidate parts and the full OR evaluates as the join's
+    * residual. PlanSpec pins the pushed disjunction and no-cartesian.
+    */
+  val qDisjunctiveJoin: QuerySpec = QuerySpec(
+    "q_disjunctive_join",
+    Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+        AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#14' AND p_size BETWEEN 10 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#16' AND p_size BETWEEN 20 AND 40
+             AND l_quantity BETWEEN 25 AND 50)"""),
+    (spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val pt = Tables.load(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+      def block(brand: String, szLo: Int, szHi: Int,
+                qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+        .filter(block("Brand#12", 1, 15, 1, 15) ||
+                block("Brand#14", 10, 25, 10, 30) ||
+                block("Brand#16", 20, 40, 25, 50))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    })
+
+  /** TPC-H Q16-shaped NOT-IN + COUNT DISTINCT (adapted: the blacklist
+    * is negative-balance suppliers, standing in for the complaints
+    * predicate): how many distinct acceptable suppliers stock each
+    * (type, size) band. NOT IN over a subquery is the one anti-join
+    * spelling the suite's NOT-EXISTS rows don't cover — Catalyst plans
+    * it null-aware; s_suppkey is non-null so it degrades to the same
+    * anti join the DSL builds. The distinct count shuffles once on the
+    * (type, size) group key.
+    */
+  val qSupplierVariety: QuerySpec = QuerySpec(
+    "q_supplier_variety",
+    Some("""SELECT p_type, p_size,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#12'
+        AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_type, p_size
+      ORDER BY supplier_cnt DESC, p_type, p_size"""),
+    (spark, dir) => {
+      val pt = Tables.load(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#12" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_type", "p_size")
+      val bad = Tables.load(spark, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.load(spark, dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
+    })
+
+  /** TPC-H Q11-shaped group-HAVING against a GLOBAL scalar fraction
+    * (adapted: part stock value derived from lineitem): parts whose
+    * total traded value exceeds twice the mean per-part value. The
+    * derived value table computes ONCE and feeds both the threshold
+    * (one-row aggregate, broadcast back) and the output — never a
+    * second scan, never a per-group subquery. Membership is decided on
+    * 4 dp-rounded value vs 6 dp-rounded threshold in both engines
+    * (sums of doubles are order-dependent in the last ulp).
+    */
+  val qValuableParts: QuerySpec = QuerySpec(
+    "q_valuable_parts",
+    Some("""WITH v AS (SELECT l_partkey,
+        sum(l_extendedprice * l_quantity) AS val
+      FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey AS partkey, round(val, 2) AS part_value
+      FROM v
+      WHERE round(val, 4) > (SELECT round(2.0 * avg(val), 6) FROM v)
+      ORDER BY part_value DESC, partkey"""),
+    (spark, dir) => {
+      val v = Tables.load(spark, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice") * col("l_quantity")).as("val"))
+      val thr = v.agg(round(lit(2.0) * avg("val"), 6).as("thr"))
+      v.crossJoin(broadcast(thr))
+        .filter(round(col("val"), 4) > col("thr"))
+        .select(col("l_partkey").as("partkey"),
+          round(col("val"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("partkey"))
+    })
+
+  /** TPC-H Q14-shaped conditional-aggregate ratio: the PROMO share of
+    * one month's revenue — CASE inside an aggregate over a date-pruned
+    * join, the classic selective-numerator/total-denominator ratio.
+    * One agg, part broadcast, shipdate range reaches the parquet scan.
+    */
+  val qPromoShare: QuerySpec = QuerySpec(
+    "q_promo_share",
+    Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'"""),
+    (spark, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-02-01").cast("timestamp"))
+        .join(broadcast(Tables.load(spark, dir, "part")
+          .select("p_partkey", "p_type")),
+          col("p_partkey") === col("l_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))) /
+            sum(rev), 4).as("promo_share"),
+          round(sum(rev), 2).as("total_revenue"))
+    })
+
   def specs: Seq[QuerySpec] = Seq(
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, qFilterPredicates,
     qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
     qJoinWaiting, qQtyBelowAvg, qTopSupplier, qIdleRich,
     qMinCostSupp, qCustOrderDist, qBigOrders, qConcentratedSupp,
+    qDisjunctiveJoin, qSupplierVariety, qValuableParts, qPromoShare,
     qWindowRank, qWindowRunning, qRollup, qCube, qDistinctAgg, qHaving,
     qUnionAll, qIntersect, qExcept, qTopK, qLimitOffset)
 }

@@ -272,8 +272,13 @@ object Sketches {
     val ests = sketches.map { case (_, sk) => QProbes.map(sk.query).toArray }
     val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
     aggs += count(lit(1)).as("n")
-    QProbes.zipWithIndex.foreach { case (q, i) =>
-      aggs += round(expr(s"percentile(x, $q)"), 4).as(s"ex_$i")
+    // ONE sort-based percentile buffer for all 7 probes (the array
+    // form): 7 scalar percentile aggs each buffered the whole column —
+    // this single change took the GK contract scans from ~10 s to the
+    // suite's normal sub-second band at sf0.1
+    aggs += expr(s"percentile(x, array(${QProbes.mkString(", ")}))")
+      .as("exs")
+    QProbes.zipWithIndex.foreach { case (_, i) =>
       sketches.indices.foreach { j =>
         aggs += sum(when(col("x") < ests(j)(i), 1L).otherwise(0L))
           .as(s"lt_${j}_$i")
@@ -284,9 +289,13 @@ object Sketches {
     val built = aggs.result()
     val r = xs.agg(built.head, built.tail: _*).head()
     val n = r.getAs[Long]("n")
+    val exs = r.getSeq[Double](r.fieldIndex("exs"))
+    // same HALF_UP-on-BigDecimal semantics as Spark's round(col, 4)
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val tol = RankEps * n + 1
     val rows = QProbes.zipWithIndex.map { case (q, i) =>
-      val vals: Seq[Any] = Seq(q, r.getAs[Double](s"ex_$i")) ++
+      val vals: Seq[Any] = Seq(q, r4(exs(i))) ++
         sketches.indices.map { j =>
           val lo = r.getAs[Long](s"lt_${j}_$i") + 1 // rank interval of est
           val hi = r.getAs[Long](s"le_${j}_$i")

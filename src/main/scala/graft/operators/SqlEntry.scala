@@ -117,8 +117,35 @@ object SqlEntry {
   val qConcentratedSuppSql: QuerySpec = viaSql(
     "q_concentrated_supp_sql", Relational.qConcentratedSupp.oracle.get)
 
+  /** The Q19-shaped disjunctive join predicate as SQL TEXT: the parser
+    * path must reach the same pushed part-side disjunction the DSL twin
+    * gets from constraint propagation.
+    */
+  val qDisjunctiveJoinSql: QuerySpec = viaSql(
+    "q_disjunctive_join_sql", Relational.qDisjunctiveJoin.oracle.get)
+
+  /** The Q16-shaped NOT IN subquery as SQL TEXT: Catalyst's null-aware
+    * anti-join planning over the same non-null key the DSL twin
+    * anti-joins directly.
+    */
+  val qSupplierVarietySql: QuerySpec = viaSql(
+    "q_supplier_variety_sql", Relational.qSupplierVariety.oracle.get)
+
+  /** The Q11-shaped HAVING-vs-global-scalar as SQL TEXT: the
+    * uncorrelated scalar over the same CTE both feeds the filter and
+    * must not re-scan the fact.
+    */
+  val qValuablePartsSql: QuerySpec = viaSql(
+    "q_valuable_parts_sql", Relational.qValuableParts.oracle.get)
+
+  /** The Q14-shaped conditional-aggregate ratio as SQL TEXT. */
+  val qPromoShareSql: QuerySpec = viaSql(
+    "q_promo_share_sql", Relational.qPromoShare.oracle.get)
+
   def specs: Seq[QuerySpec] =
     Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql,
       qTopSupplierSql, qIdleRichSql, qBasketRulesSql, qEventTransitionsSql,
-      qMinCostSuppSql, qCustOrderDistSql, qBigOrdersSql, qConcentratedSuppSql)
+      qMinCostSuppSql, qCustOrderDistSql, qBigOrdersSql, qConcentratedSuppSql,
+      qDisjunctiveJoinSql, qSupplierVarietySql, qValuablePartsSql,
+      qPromoShareSql)
 }
