@@ -124,20 +124,20 @@ object Layout {
           min(y) AS mny, max(y) AS mxy, count(*) AS n
         FROM zor GROUP BY fid),
       linagg AS (SELECT count(*) AS lin_files,
-          sum(CASE WHEN mxx >= 100 AND mnx <= 400
+          CAST(sum(CASE WHEN mxx >= 100 AND mnx <= 400
                     AND mxy >= 200 AND mny <= 500 THEN 1 ELSE 0 END)
-            AS lin_files_scanned,
-          sum(CASE WHEN mxx >= 100 AND mnx <= 400
+            AS BIGINT) AS lin_files_scanned,
+          CAST(sum(CASE WHEN mxx >= 100 AND mnx <= 400
                     AND mxy >= 200 AND mny <= 500 THEN n ELSE 0 END)
-            AS lin_rows_scanned
+            AS BIGINT) AS lin_rows_scanned
         FROM linstat),
       zagg AS (SELECT count(*) AS z_files,
-          sum(CASE WHEN mxx >= 100 AND mnx <= 400
+          CAST(sum(CASE WHEN mxx >= 100 AND mnx <= 400
                     AND mxy >= 200 AND mny <= 500 THEN 1 ELSE 0 END)
-            AS z_files_scanned,
-          sum(CASE WHEN mxx >= 100 AND mnx <= 400
+            AS BIGINT) AS z_files_scanned,
+          CAST(sum(CASE WHEN mxx >= 100 AND mnx <= 400
                     AND mxy >= 200 AND mny <= 500 THEN n ELSE 0 END)
-            AS z_rows_scanned
+            AS BIGINT) AS z_rows_scanned
         FROM zstat),
       mrows AS (SELECT count(*) AS rows_matching FROM pts
         WHERE x BETWEEN 100 AND 400 AND y BETWEEN 200 AND 500)
