@@ -408,4 +408,47 @@ class PlanSpec extends AnyFunSuite {
     assert(aggsBelow.nonEmpty,
       s"window input is not aggregated:\n${wins.head.child.treeString.take(800)}")
   }
+
+  test("disjunctive join: per-side OR projections reach both scans; no nested loop") {
+    // no single disjunct of the OR-of-AND-blocks can push alone, but the
+    // part-only projection ((brand,size) bands) and the lineitem-only
+    // projection (quantity bands) are each inferable — both must reach
+    // their parquet scans as pushed ORs, with the full OR left as the
+    // join residual on an EQUI hash join (never a nested loop)
+    val p = plan(Relational.qDisjunctiveJoin.run(spark, sf))
+    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"), p.take(1200))
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("supplier-variety: NOT IN plans as an anti join; size IN-list pushed") {
+    // l_suppkey NOT IN (subquery) over a non-null key must degrade to a
+    // left-anti hash join (the null-aware fallback is a nested loop),
+    // and the part screen's IN-list must reach the part scan
+    val p = plan(Relational.qSupplierVariety.run(spark, sf))
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(p.contains("In(p_size"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("valuable-parts: threshold reuses the per-part shuffle — one fact scan") {
+    // the derived value table feeds both the global threshold and the
+    // output; the claim "computes once" is AQE exchange reuse, visible
+    // only in the EXECUTED plan: the threshold branch must read a
+    // ReusedExchange over the per-partkey shuffle instead of re-scanning
+    // lineitem (at 100 TB the second fact scan is the whole cost)
+    val df = Relational.qValuableParts.run(spark, sf)
+    assert(df.collect().nonEmpty, "threshold selects nothing — row is vacuous")
+    val p = plan(df)
+    assert(p.contains("ReusedExchange"), p.take(2000))
+  }
+
+  test("promo-share: shipdate month range reaches the lineitem scan") {
+    val p = plan(Relational.qPromoShare.run(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"), p.take(1200))
+    assert(p.contains("LessThan(l_shipdate"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
