@@ -945,6 +945,75 @@ object EventOps {
         .orderBy("event_id")
     })
 
+  /** The exactly-once upsert sink driven END-TO-END by the streaming
+    * engine — the 17th streaming oracle row, closing VERDICT r8 item 3:
+    * events land as 4 time-ordered file micro-batches, each batch
+    * pre-reduces to its latest row per user (max_by on (ts, event_id) —
+    * the caller-side reduce the sink contract requires), and
+    * [[graft.sources.Ingest.upsertParquet]] MERGEs it into the
+    * bucket-scoped versioned table. Because chunks partition by ts
+    * RANGE (value-based buckets — equal timestamps can never split)
+    * and are staged one-at-a-time with a drain between, "latest batch
+    * wins per key" composes with the in-batch argmax to exactly the
+    * global argmax — which is the batch MERGE oracle: DuckDB's
+    * row_number() latest event per user. The final state is read back
+    * through the table's CURRENT snapshot pointer.
+    */
+  val qStreamUpsert: QuerySpec = QuerySpec(
+    "q_stream_upsert",
+    Some("""SELECT user_id, ts AS last_ts, event_type AS last_type,
+        value AS last_value
+      FROM (SELECT user_id, ts, event_type, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = s"target/stream-upsert/run_${streamSeq.incrementAndGet()}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val table = s"$base/table"
+      val raw = spark.read.schema(Tables.eventsRaw)
+        .parquet(s"$dir/events.parquet")
+      val n = 4
+      val bounds = raw.agg(min("ts"), max("ts")).head() // 2 scalars
+      val tmin = bounds.getLong(0)
+      val step = (bounds.getLong(1) - tmin) / n + 1 // bucket ∈ [0, n-1]
+      def writer(b: DataFrame, id: Long): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 8)(
+          b.groupBy("user_id")
+            .agg(max_by(
+              struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+              struct(col("ts"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_type").as("event_type"), col("m.value").as("value")),
+          id)
+      val src = graft.sources.Ingest.readStreamFiles(
+        spark, s"$in/*.parquet", Tables.eventsRaw, basePath = Some(in))
+      val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+      try (0 until n).foreach { i =>
+        val tmp = s"$base/stage_$i"
+        raw.filter(expr(s"(ts - ${tmin}L) DIV ${step}L") === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head.toPath
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$in/c$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable() // each ts-range chunk is its own batch
+      } finally q.stop()
+      Tables.withEventTs(Ingest.readUpsertTable(spark, table))
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
       qDateDensify,
@@ -953,5 +1022,5 @@ object EventOps {
       qStreamJoinSemi,
       qStreamDedup, qStreamTyped,
       qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc,
-      qZscoreOutliers, qStreamResume)
+      qZscoreOutliers, qStreamResume, qStreamUpsert)
 }

@@ -103,68 +103,166 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(write)
 
-  /** Keyed MERGE/upsert for a [[foreachBatchSink]] body, with the
-    * exactly-once REPLAY contract made explicit: each batch merges into
-    * a parquet table (batch rows replace same-key rows, others carry
-    * over) and records its batchId in `_commits` AFTER the table swap;
-    * a replayed batchId — what foreachBatch redelivers after a crash
-    * between sink write and checkpoint commit — returns before touching
-    * anything, so the table stays byte-identical. Idempotence therefore
-    * rests on the batchId key alone, which is exactly Spark's contract
-    * (same batchId ⇒ same data on redelivery).
+  /** Hash-bucket partition column of an upsert table (hive-style dirs
+    * `bkt=N` under each version — NOT underscore-prefixed, which
+    * Spark's file listing would hide).
+    */
+  val UpsertBucketCol = "bkt"
+
+  /** Keyed MERGE/upsert for a [[foreachBatchSink]] body — a minimal
+    * copy-on-write table format with the exactly-once REPLAY contract
+    * made explicit. Layout under `tableDir`:
     *
-    * Crash windows, stated: a crash after swap but before the commit
-    * record re-runs the merge on replay — and keyed upsert of identical
-    * rows is itself idempotent, so the table CONTENT converges either
-    * way; the `_commits` record only spares the rewrite. The swap is
-    * rename-based: readers of `data/` see old or new, never a partial.
+    *   - `v_<batchId>/bkt=N/part-….parquet` — immutable versioned
+    *     snapshots, hash-bucketed on `keys`
+    *     (`pmod(xxhash64(keys), nBuckets)`)
+    *   - `CURRENT` — the snapshot pointer; updated by writing
+    *     `CURRENT.tmp` and an ATOMIC rename over it, so readers
+    *     ([[readUpsertTable]]) always resolve a fully-written version —
+    *     old or new, never partial, with NO window where the table is
+    *     absent (the r8 delete-then-rename swap had one)
+    *   - `_commits` — append-only batchId ledger, written AFTER the
+    *     pointer swap; parsed defensively (a torn line from a crash
+    *     mid-append degrades to "uncommitted", which is safe because
+    *     the merge is idempotent — never a hard failure)
     *
-    * Single-writer by construction (micro-batches are serialized per
-    * query). The whole-table rewrite (`coalesce(1)`) is the
-    * fixture-scale stand-in for a real table format's partition-scoped
-    * copy-on-write or merge-on-read — the batchId ledger and swap
-    * discipline are the part that transfers unchanged.
+    * The rewrite is PARTITION-SCOPED: only buckets containing batch
+    * keys are merged and rewritten; every untouched bucket hard-links
+    * its files into the new version — zero data I/O, byte-identical by
+    * construction (same inode), which is the logical sharing a
+    * manifest-based table format gets from immutable data files. Batch
+    * cost is therefore O(touched buckets), not O(table): at 100 TB
+    * with nBuckets sized so a bucket is a few GB, a keyed micro-batch
+    * rewrites only the buckets it lands in.
+    *
+    * Crash windows, enumerated against the protocol order
+    * (build v_new → swap CURRENT → append ledger → delete old version):
+    * before the swap, the partial `v_<batchId>` is unreferenced and is
+    * rebuilt from scratch on replay; between swap and ledger append,
+    * replay sees `CURRENT == v_<batchId>` and only re-appends the
+    * commit record (the state already includes the batch); after the
+    * append, replay no-ops off the ledger. Old versions are deleted
+    * only after commit, and hard links keep shared files alive. The
+    * one documented non-goal: snapshot retention is zero, so a reader
+    * holding v_old across a concurrent batch races its deletion —
+    * single-writer, readers-between-batches here; a real deployment
+    * keeps N snapshots for isolation.
     *
     * `batch` must be unique per `keys` (pre-reduce it in the caller —
-    * e.g. max_by on an ordering column); asserted cheaply against the
-    * merged result.
+    * e.g. max_by on an ordering column); validated on the BATCH itself
+    * before any merge, so the failure blames the data that broke the
+    * contract, not the merged table.
     */
-  def upsertParquet(tableDir: String, keys: Seq[String])
+  def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16)
                    (batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
     val spark = batch.sparkSession
     val root = new java.io.File(tableDir)
     root.mkdirs()
     val commits = new java.io.File(root, "_commits")
-    val done: Set[Long] =
-      if (!commits.exists()) Set.empty
-      else {
-        val src = scala.io.Source.fromFile(commits)
-        try src.getLines().filter(_.nonEmpty).map(_.toLong).toSet
-        finally src.close()
-      }
-    if (done.contains(batchId)) return // replay of a committed batch: no-op
-    val data = new java.io.File(root, "data")
-    val merged =
-      if (!data.exists()) batch
-      else spark.read.parquet(data.getPath)
-        .join(batch.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(batch)
-    val tmp = new java.io.File(root, s"tmp_$batchId")
-    // write fully (reads the old files) BEFORE the old dir is dropped
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-    val nKeys = spark.read.parquet(tmp.getPath)
-      .select(keys.map(col): _*).distinct().count()
-    val nRows = spark.read.parquet(tmp.getPath).count()
-    require(nKeys == nRows,
-      s"upsertParquet: batch $batchId not unique per ${keys.mkString(",")}")
+    val currentF = new java.io.File(root, "CURRENT")
+
+    def readCurrent(): Option[String] =
+      if (!currentF.exists()) None
+      else Some(new String(java.nio.file.Files.readAllBytes(currentF.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(data)
-    require(tmp.renameTo(data), s"upsertParquet: swap failed for $batchId")
-    val out = new java.io.FileWriter(commits, true)
-    try out.write(s"$batchId\n") finally out.close()
+    // drop anything not referenced by CURRENT: crashed partial builds,
+    // superseded versions, an orphaned pointer tmp
+    def cleanupStale(): Unit = {
+      val keep = readCurrent()
+      Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v_") &&
+          !keep.contains(f.getName))
+        .foreach(rm)
+      new java.io.File(root, "CURRENT.tmp").delete()
+    }
+    def commit(): Unit = {
+      val out = new java.io.FileWriter(commits, true)
+      try out.write(s"$batchId\n") finally out.close()
+      cleanupStale()
+    }
+
+    val done: Set[Long] =
+      if (!commits.exists()) Set.empty
+      else {
+        val src = scala.io.Source.fromFile(commits)
+        try src.getLines()
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+        finally src.close()
+      }
+    if (done.contains(batchId)) return // replay of a committed batch: no-op
+    val vName = s"v_$batchId"
+    if (readCurrent().contains(vName)) {
+      commit() // crash between swap and append: state already has the batch
+      return
+    }
+
+    require(!batch.columns.contains(UpsertBucketCol),
+      s"upsertParquet: batch must not carry a '$UpsertBucketCol' column")
+    val dup = batch.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsertParquet: batch $batchId has multiple rows for " +
+        s"${keys.mkString(",")} = ${dup.headOption.fold("")(_.toString)} — " +
+        "pre-reduce the batch (e.g. max_by on an ordering column)")
+    if (batch.isEmpty) { commit(); return } // nothing to merge
+
+    val bk = batch.withColumn(UpsertBucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
+    // ≤ nBuckets small ints — the only driver-side collect in the sink
+    val touched: Set[Long] = bk.select(UpsertBucketCol).distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val newV = new java.io.File(root, vName)
+    rm(newV) // partial build from a previous crashed attempt
+    newV.mkdirs()
+    val curDir = readCurrent().map(new java.io.File(root, _))
+    val touchedDirs = curDir.toSeq.flatMap(d =>
+      touched.toSeq.sorted.map(b => new java.io.File(d, s"$UpsertBucketCol=$b"))
+        .filter(_.isDirectory))
+    val merged =
+      if (touchedDirs.isEmpty) bk
+      else spark.read.option("basePath", curDir.get.getPath)
+        .parquet(touchedDirs.map(_.getPath): _*)
+        .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
+        .unionByName(bk)
+    merged.repartition(touched.size, col(UpsertBucketCol))
+      .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
+    curDir.foreach { d =>
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$UpsertBucketCol=") &&
+          !touched.contains(f.getName.stripPrefix(s"$UpsertBucketCol=").toLong))
+        .foreach { bdir =>
+          val dst = new java.io.File(newV, bdir.getName)
+          dst.mkdirs()
+          Option(bdir.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
+            java.nio.file.Files.createLink(
+              new java.io.File(dst, f.getName).toPath, f.toPath)
+          }
+        }
+    }
+    val tmpPtr = new java.io.File(root, "CURRENT.tmp")
+    java.nio.file.Files.write(tmpPtr.toPath,
+      vName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmpPtr.toPath, currentF.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    commit()
+  }
+
+  /** Read an [[upsertParquet]] table at its CURRENT snapshot. */
+  def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val root = new java.io.File(tableDir)
+    val currentF = new java.io.File(root, "CURRENT")
+    require(currentF.exists(), s"upsert table has no CURRENT pointer: $tableDir")
+    val v = new String(java.nio.file.Files.readAllBytes(currentF.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    spark.read.option("basePath", new java.io.File(root, v).getPath)
+      .parquet(new java.io.File(root, v).getPath)
+      .drop(UpsertBucketCol)
   }
 }

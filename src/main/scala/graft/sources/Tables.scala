@@ -66,10 +66,13 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `ts` is TIMESTAMP(NANOS) in the Parquet footer; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by GraftSession)
-    * Spark surfaces it as a long of nanoseconds — declared so here, and
-    * converted to a microsecond timestamp in [[events]].
+  /** `ts` is declared LONG and read as the raw INT64 epoch ticks,
+    * whatever timestamp unit the fixture was generated with — the
+    * driver has shipped events.parquet as TIMESTAMP(NANOS) (rounds
+    * 1–8; surfaced as long via the nanosAsLong legacy conf GraftSession
+    * still sets) and as TIMESTAMP(MICROS) (round 9). [[withEventTs]]
+    * normalizes by magnitude, so a fixture regeneration in either unit
+    * cannot silently shift every event to 1970 again.
     */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -177,8 +180,15 @@ object Tables {
     * `DIV` (integer division) — `/` would go through double and lose
     * precision at 1e18-scale nanosecond epochs.
     */
+  /** Raw epoch-tick long → microsecond timestamp, unit-detected by
+    * magnitude: ≥ 1e17 ticks can only be nanoseconds (it would be the
+    * year 5138+ in µs), below that microseconds. The fixture's 2024
+    * events sit at ~1.7e18 ns / ~1.7e15 µs — three orders from the
+    * boundary on either side.
+    */
   def withEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    df.withColumn("ts", timestamp_micros(
+      expr("CASE WHEN ts >= 100000000000000000 THEN ts DIV 1000 ELSE ts END")))
 
   /** Events with `ts` as timestamp — the shape all queries see. */
   def events(spark: SparkSession, sfDir: String): DataFrame =

@@ -149,7 +149,7 @@ class IngestSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     // MERGE semantics: latest value per key, carried-over keys intact
-    val got = spark.read.parquet(s"$table/data").orderBy("user_id")
+    val got = Ingest.readUpsertTable(spark, table).orderBy("user_id")
       .select("user_id", "value").as[(Long, Double)].collect().toSeq
     assert(got === Seq((1L, 1.0), (2L, 9.0), (3L, 3.0)))
     // the crash-redelivery contract: foreachBatch hands batch 0 over
@@ -170,7 +170,94 @@ class IngestSpec extends AnyFunSuite {
     assert(snapshot() === before, "replayed batchId mutated the table")
     // while a genuinely new batch still lands
     writer(Seq(Ev(5, ts("2024-01-01 00:04:00"), 1, "view", 7.0)).toDF(), 2L)
-    assert(spark.read.parquet(s"$table/data")
+    assert(Ingest.readUpsertTable(spark, table)
       .filter(col("user_id") === 1).head.getAs[Double]("value") === 7.0)
+  }
+
+  private def inodesByBucket(table: String): Map[String, Set[Long]] = {
+    val root = new java.io.File(table)
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "CURRENT").toPath)).trim
+    Option(new java.io.File(root, cur).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map { b =>
+        b.getName -> Option(b.listFiles()).toSeq.flatten.filter(_.isFile)
+          .map(f => java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+            .asInstanceOf[Long]).toSet
+      }.toMap
+  }
+
+  test("upsert rewrite is bucket-scoped: untouched buckets hard-link, not rewrite") {
+    import spark.implicits._
+    val table = tmp() + "/cow_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 8)(
+        rows.toDF("user_id", "value"), id)
+    // seed enough keys that several buckets are populated
+    up(0, (1L to 40L).map(k => k -> k.toDouble): _*)
+    val before = inodesByBucket(table)
+    assert(before.size > 1, s"seed landed in one bucket: ${before.keys}")
+    // a one-key batch touches exactly that key's bucket
+    up(1, 7L -> 700.0)
+    val after = inodesByBucket(table)
+    val touched = after.keySet.filter(b =>
+      before.get(b).forall(_ != after(b)))
+    // exactly one bucket rewrote; every other bucket's files are the SAME
+    // inodes (hard links into the new version — zero data I/O)
+    assert(touched.size === 1, s"touched=$touched")
+    (after.keySet - touched.head).foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    // and the merge itself is correct
+    val got = Ingest.readUpsertTable(spark, table)
+      .filter(col("user_id").isin(7L, 8L))
+      .orderBy("user_id").select("value").as[Double].collect().toSeq
+    assert(got === Seq(700.0, 8.0))
+  }
+
+  test("upsert survives a torn ledger line and a lost commit record") {
+    import spark.implicits._
+    val table = tmp() + "/crash_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4)(
+        rows.toDF("user_id", "value"), id)
+    up(0, 1L -> 1.0, 2L -> 2.0)
+    // torn line from a crash mid-append must degrade to "uncommitted",
+    // not NumberFormatException-brick the sink
+    val ledger = java.nio.file.Paths.get(table, "_commits")
+    java.nio.file.Files.writeString(ledger,
+      java.nio.file.Files.readString(ledger) + "9", // no trailing newline
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    up(1, 3L -> 3.0)
+    assert(Ingest.readUpsertTable(spark, table).count() === 3)
+    // crash window between pointer swap and ledger append: CURRENT names
+    // v_1 but the ledger lost the record — replay must just re-commit,
+    // not rebuild (inodes unchanged), and the table stays correct
+    val kept = java.nio.file.Files.readAllLines(ledger)
+    java.nio.file.Files.write(ledger,
+      java.util.List.of(kept.get(0))) // drop batch 1's record
+    val before = inodesByBucket(table)
+    up(1, 3L -> 999.0) // replayed content is irrelevant; state already has it
+    assert(inodesByBucket(table) === before, "lost-commit replay rebuilt data")
+    assert(Ingest.readUpsertTable(spark, table)
+      .filter(col("user_id") === 3).head.getAs[Double]("value") === 3.0)
+    // stale version dirs from crashed builds are swept on the next commit
+    val stale = new java.io.File(table, "v_99")
+    stale.mkdirs()
+    up(2, 4L -> 4.0)
+    assert(!stale.exists(), "stale crashed-build version dir survived")
+    assert(Ingest.readUpsertTable(spark, table).count() === 4)
+  }
+
+  test("upsert validates key-uniqueness on the batch and blames the batch") {
+    import spark.implicits._
+    val table = tmp() + "/dup_table"
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(table, Seq("user_id"))(
+        Seq(1L -> 1.0, 1L -> 2.0).toDF("user_id", "value"), 0L)
+    }
+    assert(ex.getMessage.contains("batch 0"), ex.getMessage)
+    assert(ex.getMessage.contains("pre-reduce"), ex.getMessage)
+    // nothing was committed or pointed at
+    assert(!new java.io.File(table, "CURRENT").exists())
   }
 }
