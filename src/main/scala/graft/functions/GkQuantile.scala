@@ -29,7 +29,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * is the ground truth — if the bound ever broke, the boolean goes
   * false and the correctness gate flags it).
   */
-final class GkSketch(val eps: Double) extends Serializable {
+final class GkSketch(private var _eps: Double) extends java.io.Externalizable {
+
+  def this() = this(0.01) // Externalizable deserialization constructor
+
+  def eps: Double = _eps
 
   // tuple list, sorted by value: vs(i) with weight gs(i) and spread ds(i)
   private var vs: Array[Double] = Array.emptyDoubleArray
@@ -206,14 +210,73 @@ final class GkSketch(val eps: Double) extends Serializable {
     */
   def size: Int = { flush(); vs.length }
 
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    flush() // a serialized sketch carries tuples only, never raw values
-    out.defaultWriteObject()
+  /** Realized rank slack e of the summary — any [[query]] result's
+    * rank is within ±e of its target rank (the same e `query` uses
+    * internally). Lets callers size sketch-guided search bands off the
+    * ACHIEVED error instead of the looser construction ε.
+    */
+  def rankSlack: Long = {
+    flush()
+    var m = 0L
+    var i = 0
+    while (i < vs.length) { m = math.max(m, gs(i) + ds(i)); i += 1 }
+    (m + 1) / 2
   }
 
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
+  /** Compact binary form: header (eps, n, tuple count) + the three
+    * primitive arrays — 24·size + 20 bytes, no object-stream class
+    * descriptors or reflection metadata (VERDICT r8 item 4). A
+    * serialized sketch carries tuples only, never the raw-value
+    * staging buffer (flushed first).
+    */
+  override def writeExternal(out: java.io.ObjectOutput): Unit = {
+    flush()
+    out.writeDouble(_eps)
+    out.writeLong(summarized)
+    out.writeInt(vs.length)
+    var i = 0
+    while (i < vs.length) {
+      out.writeDouble(vs(i)); out.writeLong(gs(i)); out.writeLong(ds(i))
+      i += 1
+    }
+  }
+
+  override def readExternal(in: java.io.ObjectInput): Unit = {
+    _eps = in.readDouble()
+    summarized = in.readLong()
+    val len = in.readInt()
+    vs = new Array[Double](len)
+    gs = new Array[Long](len)
+    ds = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      vs(i) = in.readDouble(); gs(i) = in.readLong(); ds(i) = in.readLong()
+      i += 1
+    }
     buf = new Array[Double](GkSketch.BatchSize)
+    bufLen = 0
+  }
+
+  private[functions] def packTuples(bb: java.nio.ByteBuffer): Unit = {
+    var i = 0
+    while (i < vs.length) {
+      bb.putDouble(vs(i)); bb.putLong(gs(i)); bb.putLong(ds(i))
+      i += 1
+    }
+  }
+
+  private[functions] def unpackFrom(bb: java.nio.ByteBuffer): Unit = {
+    _eps = bb.getDouble()
+    summarized = bb.getLong()
+    val len = bb.getInt()
+    vs = new Array[Double](len)
+    gs = new Array[Long](len)
+    ds = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      vs(i) = bb.getDouble(); gs(i) = bb.getLong(); ds(i) = bb.getLong()
+      i += 1
+    }
     bufLen = 0
   }
 }
@@ -221,19 +284,23 @@ final class GkSketch(val eps: Double) extends Serializable {
 object GkSketch {
   val BatchSize = 4096
 
+  /** Pure packed form (same layout as [[GkSketch.writeExternal]], no
+    * java-serialization envelope at all) — what `finish` emits into
+    * result columns.
+    */
   def toBytes(sk: GkSketch): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(sk)
-    oos.close()
-    bos.toByteArray
+    val n = sk.size // flushes
+    val bb = java.nio.ByteBuffer.allocate(20 + 24 * n)
+    bb.putDouble(sk.eps).putLong(sk.n).putInt(n)
+    sk.packTuples(bb)
+    bb.array()
   }
 
   def fromBytes(bytes: Array[Byte]): GkSketch = {
-    val ois = new java.io.ObjectInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try ois.readObject().asInstanceOf[GkSketch]
-    finally ois.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val sk = new GkSketch()
+    sk.unpackFrom(bb)
+    sk
   }
 }
 
@@ -248,6 +315,9 @@ final class GkQuantileAgg(eps: Double)
   override def reduce(b: GkSketch, a: Double): GkSketch = b.insert(a)
   override def merge(x: GkSketch, y: GkSketch): GkSketch = x.merge(y)
   override def finish(b: GkSketch): Array[Byte] = GkSketch.toBytes(b)
+  // the java-serialization envelope now carries GkSketch's packed
+  // Externalizable payload (three primitive arrays + header), not
+  // field-reflection metadata
   override def bufferEncoder: Encoder[GkSketch] =
     Encoders.javaSerialization[GkSketch]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

@@ -256,40 +256,102 @@ object Sketches {
   private val RankEps = 0.01
   private val GkBuildEps = 0.0025
 
-  /** Shared contract tail for the GK queries: ONE scan computes n, the
-    * exact probe quantiles (the oracle anchor — `percentile` matches
-    * DuckDB `quantile_cont` at 4 dp, pinned by q_approx_percentile),
-    * and for every (sketch, probe) the strict/weak ranks of the sketch
-    * estimate; the contract boolean then asserts the estimate's rank
+  /** Shared contract tail for the GK queries: the exact probe
+    * quantiles (the oracle anchor — interpolated between exact order
+    * statistics with Spark's `percentile` formula, which matches
+    * DuckDB `quantile_cont` at 4 dp, pinned by q_approx_percentile)
+    * and, for every (sketch, probe), the strict/weak ranks of the
+    * sketch estimate; the contract boolean asserts the estimate's rank
     * interval [#(x < est)+1, #(x ≤ est)] intersects [φ·n ± (ε·n + 1)].
     * Probing via exact ranks (not value proximity) is the honest GK
     * guarantee — on a heavy-tied column the ε-rank value can be far
     * from the exact quantile in value space and still be correct.
+    *
+    * The exact order statistics are SKETCH-GUIDED (replacing Spark's
+    * sort-based `percentile`, which buffers every value per partition
+    * into one aggregation buffer — 4.7 s of a 4.8 s query at sf0.1,
+    * measured): the first sketch brackets each probe's rank with
+    * values queried at φ ± 3·ε̂ (ε̂ = its realized rank error), scan 1
+    * is ONE codegen'd aggregate over the fact computing n, every
+    * contract rank count AND each band's below-band count, and scan 2
+    * resolves exact values from the ~6·ε̂·n rows inside the bands.
+    * Using the sketch under test as its own guide is sound because
+    * nothing is taken on faith: the walk `require`s that every needed
+    * rank is actually covered by its band — a broken sketch fails
+    * loudly, it can never vouch for itself. At cluster scale the band
+    * resolve stays executor-side (sort the band rows, they are
+    * ε̂-bounded); the driver-side walk here is the fixture-scale
+    * shortcut for the same ~50k rows.
     */
-  private def gkContract(spark: SparkSession, xs: DataFrame,
+  private def gkContract(spark: SparkSession, xs0: DataFrame,
                          sketches: Seq[(String, graft.functions.GkSketch)])
       : DataFrame = {
     val ests = sketches.map { case (_, sk) => QProbes.map(sk.query).toArray }
-    val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
-    aggs += count(lit(1)).as("n")
-    // ONE sort-based percentile buffer for all 7 probes (the array
-    // form): 7 scalar percentile aggs each buffered the whole column —
-    // this single change took the GK contract scans from ~10 s to the
-    // suite's normal sub-second band at sf0.1
-    aggs += expr(s"percentile(x, array(${QProbes.mkString(", ")}))")
-      .as("exs")
-    QProbes.zipWithIndex.foreach { case (_, i) =>
-      sketches.indices.foreach { j =>
-        aggs += sum(when(col("x") < ests(j)(i), 1L).otherwise(0L))
-          .as(s"lt_${j}_$i")
-        aggs += sum(when(col("x") <= ests(j)(i), 1L).otherwise(0L))
-          .as(s"le_${j}_$i")
-      }
+    val guide = sketches.head._2
+    val nG = guide.n
+    // realized rank slack of the guide (±ε̂·n in ranks), padded +1
+    val eFrac = (guide.rankSlack + 1).toDouble / nG
+    val bands = QProbes.map { q =>
+      (guide.query(math.max(1e-9, q - 3 * eFrac)),
+       guide.query(math.min(1.0, q + 3 * eFrac)))
     }
-    val built = aggs.result()
-    val r = xs.agg(built.head, built.tail: _*).head()
-    val n = r.getAs[Long]("n")
-    val exs = r.getSeq[Double](r.fieldIndex("exs"))
+    val xs = xs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (n, exs, r) =
+      try {
+        // scan 1: one aggregate — n, per-probe below-band counts, and
+        // the per-(sketch, probe) strict/weak rank counts
+        val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
+        aggs += count(lit(1)).as("n")
+        bands.zipWithIndex.foreach { case ((vlo, _), i) =>
+          aggs += sum(when(col("x") < vlo, 1L).otherwise(0L)).as(s"below_$i")
+        }
+        QProbes.zipWithIndex.foreach { case (_, i) =>
+          sketches.indices.foreach { j =>
+            aggs += sum(when(col("x") < ests(j)(i), 1L).otherwise(0L))
+              .as(s"lt_${j}_$i")
+            aggs += sum(when(col("x") <= ests(j)(i), 1L).otherwise(0L))
+              .as(s"le_${j}_$i")
+          }
+        }
+        val built = aggs.result()
+        val row = xs.agg(built.head, built.tail: _*).head()
+        val nTotal = row.getAs[Long]("n")
+        // scan 2: only rows inside some band survive — ~6·ε̂·n per
+        // probe — then resolve each probe's floor/ceil order stats by
+        // walking its band in value order from the below-band rank
+        val bandPred = bands.map { case (vlo, vhi) =>
+          col("x") >= vlo && col("x") <= vhi
+        }.reduce(_ || _)
+        val bandHist = xs.filter(bandPred)
+          .groupBy("x").agg(count(lit(1)).as("c"))
+          .orderBy("x")
+          .collect().map(r => (r.getDouble(0), r.getLong(1)))
+        val positions = QProbes.map(_ * (nTotal - 1))
+        val exact = positions.zipWithIndex.map { case (p, i) =>
+          val (kLo, kHi) = (p.floor.toLong, p.ceil.toLong)
+          val (vlo, vhi) = bands(i)
+          var cum = row.getAs[Long](s"below_$i")
+          require(cum <= kLo,
+            s"gk band $i starts past rank $kLo — guide sketch broke its bound")
+          var vLo = Double.NaN
+          var vHi = Double.NaN
+          var idx = 0
+          while (idx < bandHist.length && cum <= kHi) {
+            val (v, c) = bandHist(idx)
+            if (v >= vlo && v <= vhi) {
+              if (cum <= kLo && kLo < cum + c) vLo = v
+              if (cum <= kHi && kHi < cum + c) vHi = v
+              cum += c
+            }
+            idx += 1
+          }
+          require(!vLo.isNaN && !vHi.isNaN,
+            s"gk band $i did not cover ranks $kLo/$kHi — guide sketch broke its bound")
+          if (kLo == kHi) vLo
+          else (kHi - p) * vLo + (p - kLo) * vHi // Spark's percentile formula
+        }
+        (nTotal, exact, row)
+      } finally { xs.unpersist(); () }
     // same HALF_UP-on-BigDecimal semantics as Spark's round(col, 4)
     def r4(v: Double): Double =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
