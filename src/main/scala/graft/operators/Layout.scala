@@ -45,6 +45,27 @@ object Layout {
   def zkey2(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Spread the low 10 bits of `c` to every THIRD bit position — the
+    * classic stride-3 Morton ladder (published constants for 10-bit
+    * inputs; the result occupies 30 bits).
+    */
+  private def spread10x3(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 16))).bitwiseAND(lit(0x030000FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 8))).bitwiseAND(lit(0x0300F00FL))
+    val d = (b.bitwiseOR(shiftleft(b, 4))).bitwiseAND(lit(0x030C30C3L))
+    (d.bitwiseOR(shiftleft(d, 2))).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** 3-column Morton key (callers mask to ≤10 bits each) — 100 TB
+    * tables cluster on three dimensions (tenant, date, key), not two;
+    * the spread ladder generalizes by masking to 10 bits and striding
+    * 3 (VERDICT r8 item 7).
+    */
+  def zkey3(x: Column, y: Column, z: Column): Column =
+    spread10x3(x)
+      .bitwiseOR(shiftleft(spread10x3(y), 1))
+      .bitwiseOR(shiftleft(spread10x3(z), 2))
+
   /** Cluster `df` on the Z-key of (x, y) into `nFiles` range files —
     * the distributed Z-order write path: range-partition by key
     * (sampled boundaries, no global sort), sort within each partition
@@ -177,5 +198,168 @@ object Layout {
           col("z_files_scanned") < col("lin_files_scanned"))
     })
 
-  def specs: Seq[QuerySpec] = Seq(qZorderLayout)
+  /** 3-D twin of [[qZorderLayout]] over (custkey, epoch-day, orderkey)
+    * masked to 10 bits each: [[zkey3]] buckets vs the linear (z, y, x)
+    * sort, 64 fixed key-range buckets per layout (top-6 key bits),
+    * bounding boxes from one hash agg each, a 3-D probe box, and the
+    * contract boolean that the Z-layout scans fewer buckets — same
+    * deterministic arithmetic as the 2-D row, so DuckDB checks every
+    * number through the identical stride-3 spread ladder.
+    */
+  val qZorder3Layout: QuerySpec = QuerySpec(
+    "q_zorder3_layout",
+    Some("""WITH pts AS (SELECT
+        CAST(o_custkey & 1023 AS BIGINT) AS x,
+        CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+          o_orderdate) & 1023 AS BIGINT) AS y,
+        CAST(o_orderkey & 1023 AS BIGINT) AS z
+      FROM orders),
+      s1 AS (SELECT x, y, z,
+        (x | (x << 16)) & 50331903 AS xa,
+        (y | (y << 16)) & 50331903 AS ya,
+        (z | (z << 16)) & 50331903 AS za FROM pts),
+      s2 AS (SELECT x, y, z,
+        (xa | (xa << 8)) & 50393103 AS xb,
+        (ya | (ya << 8)) & 50393103 AS yb,
+        (za | (za << 8)) & 50393103 AS zb FROM s1),
+      s3 AS (SELECT x, y, z,
+        (xb | (xb << 4)) & 51130563 AS xc,
+        (yb | (yb << 4)) & 51130563 AS yc,
+        (zb | (zb << 4)) & 51130563 AS zc FROM s2),
+      s4 AS (SELECT x, y, z,
+        (xc | (xc << 2)) & 153391689 AS xd,
+        (yc | (yc << 2)) & 153391689 AS yd,
+        (zc | (zc << 2)) & 153391689 AS zd FROM s3),
+      zed AS (SELECT x, y, z,
+        xd | (yd << 1) | (zd << 2) AS zkey FROM s4),
+      lin AS (SELECT x, y, z,
+        ((z << 20) | (y << 10) | x) >> 24 AS fid FROM zed),
+      zor AS (SELECT x, y, z, zkey >> 24 AS fid FROM zed),
+      linstat AS (SELECT fid, min(x) AS mnx, max(x) AS mxx,
+          min(y) AS mny, max(y) AS mxy, min(z) AS mnz, max(z) AS mxz,
+          count(*) AS n FROM lin GROUP BY fid),
+      zstat AS (SELECT fid, min(x) AS mnx, max(x) AS mxx,
+          min(y) AS mny, max(y) AS mxy, min(z) AS mnz, max(z) AS mxz,
+          count(*) AS n FROM zor GROUP BY fid),
+      linagg AS (SELECT count(*) AS lin_files,
+          CAST(sum(CASE WHEN mxx >= 100 AND mnx <= 400
+                    AND mxy >= 200 AND mny <= 500
+                    AND mxz >= 300 AND mnz <= 700 THEN 1 ELSE 0 END)
+            AS BIGINT) AS lin_files_scanned,
+          CAST(sum(CASE WHEN mxx >= 100 AND mnx <= 400
+                    AND mxy >= 200 AND mny <= 500
+                    AND mxz >= 300 AND mnz <= 700 THEN n ELSE 0 END)
+            AS BIGINT) AS lin_rows_scanned
+        FROM linstat),
+      zagg AS (SELECT count(*) AS z_files,
+          CAST(sum(CASE WHEN mxx >= 100 AND mnx <= 400
+                    AND mxy >= 200 AND mny <= 500
+                    AND mxz >= 300 AND mnz <= 700 THEN 1 ELSE 0 END)
+            AS BIGINT) AS z_files_scanned,
+          CAST(sum(CASE WHEN mxx >= 100 AND mnx <= 400
+                    AND mxy >= 200 AND mny <= 500
+                    AND mxz >= 300 AND mnz <= 700 THEN n ELSE 0 END)
+            AS BIGINT) AS z_rows_scanned
+        FROM zstat),
+      mrows AS (SELECT count(*) AS rows_matching FROM pts
+        WHERE x BETWEEN 100 AND 400 AND y BETWEEN 200 AND 500
+          AND z BETWEEN 300 AND 700)
+      SELECT l.lin_files, l.lin_files_scanned, l.lin_rows_scanned,
+        z.z_files, z.z_files_scanned, z.z_rows_scanned,
+        m.rows_matching,
+        z.z_files_scanned < l.lin_files_scanned AS zorder_wins
+      FROM linagg l, zagg z, mrows m"""),
+    (spark, dir) => {
+      val pts = Tables.load(spark, dir, "orders")
+        .select(
+          col("o_custkey").bitwiseAND(lit(1023L)).cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").bitwiseAND(lit(1023L)).as("y"),
+          col("o_orderkey").bitwiseAND(lit(1023L)).cast("long").as("z"))
+      val zed = pts.withColumn("zkey",
+        zkey3(col("x"), col("y"), col("z")))
+      def boxes(keyed: DataFrame): DataFrame =
+        keyed.groupBy("fid").agg(
+          min("x").as("mnx"), max("x").as("mxx"),
+          min("y").as("mny"), max("y").as("mxy"),
+          min("z").as("mnz"), max("z").as("mxz"),
+          count(lit(1)).as("n"))
+      val overlap = col("mxx") >= 100 && col("mnx") <= 400 &&
+        col("mxy") >= 200 && col("mny") <= 500 &&
+        col("mxz") >= 300 && col("mnz") <= 700
+      val lin = boxes(zed.withColumn("fid",
+        shiftrightunsigned(
+          shiftleft(col("z"), 20)
+            .bitwiseOR(shiftleft(col("y"), 10)).bitwiseOR(col("x")), 24)))
+        .agg(count(lit(1)).as("lin_files"),
+          sum(when(overlap, 1L).otherwise(0L)).as("lin_files_scanned"),
+          sum(when(overlap, col("n")).otherwise(0L)).as("lin_rows_scanned"))
+      val zor = boxes(zed.withColumn("fid", shiftrightunsigned(col("zkey"), 24)))
+        .agg(count(lit(1)).as("z_files"),
+          sum(when(overlap, 1L).otherwise(0L)).as("z_files_scanned"),
+          sum(when(overlap, col("n")).otherwise(0L)).as("z_rows_scanned"))
+      val mrows = pts
+        .filter(col("x").between(100, 400) && col("y").between(200, 500) &&
+          col("z").between(300, 700))
+        .agg(count(lit(1)).as("rows_matching"))
+      lin.crossJoin(broadcast(zor)).crossJoin(broadcast(mrows))
+        .withColumn("zorder_wins",
+          col("z_files_scanned") < col("lin_files_scanned"))
+    })
+
+  private val layoutSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** The write-path pruning proof PROMOTED into the oracle-checked
+    * suite (VERDICT r8 item 6): actually write the two layouts with
+    * [[zorderWrite]] / [[linearWrite]], run the SAME 2-D range query
+    * over both, and read the engine's own scan metrics
+    * (`FileSourceScanExec.numOutputRows` — rows surviving parquet
+    * row-group min/max skipping). Oracle-checkable outputs: the probe
+    * answer count (DuckDB recomputes it from the base table — both
+    * layouts must return exactly this many rows) and the two contract
+    * booleans: identical answers from both layouts, and strictly fewer
+    * rows physically scanned under Z-order. The raw scanned-row
+    * metrics stay out of the output on purpose — row-group packing is
+    * engine-internal — but the INEQUALITY is the portable claim, now
+    * standing in the correctness gate instead of only in LayoutSpec.
+    */
+  val qZorderPruning: QuerySpec = QuerySpec(
+    "q_zorder_pruning",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS rows_matching,
+        true AS layouts_agree, true AS zorder_scans_less
+      FROM orders
+      WHERE (o_custkey & 1023) BETWEEN 100 AND 400
+        AND (date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+          o_orderdate) & 1023) BETWEEN 200 AND 500"""),
+    (spark, dir) => {
+      val base = s"target/zorder-prune/run_${layoutSeq.incrementAndGet()}"
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").bitwiseAND(lit(1023L)).cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").bitwiseAND(lit(1023L)).as("y"))
+      linearWrite(orders, col("x"), col("y"), s"$base/linear", 48)
+      zorderWrite(orders, col("x"), col("y"), s"$base/zorder", 48)
+      def probe(p: String): DataFrame = spark.read.parquet(p)
+        .filter(col("x").between(100, 400) && col("y").between(200, 500))
+      def scannedRows(df: DataFrame): (Long, Array[Long]) = {
+        // collect THIS plan (not a derived one) so its scan metrics
+        // populate, then read ids from the collected rows
+        val rows = df.collect()
+        val ids = rows.map(_.getAs[Long]("o_orderkey")).sorted
+        val scanned = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.map(_.metrics("numOutputRows").value).sum
+        (scanned, ids)
+      }
+      val (linScanned, linIds) = scannedRows(probe(s"$base/linear"))
+      val (zScanned, zIds) = scannedRows(probe(s"$base/zorder"))
+      import spark.implicits._
+      Seq((linIds.length.toLong, java.util.Arrays.equals(linIds, zIds),
+          zScanned < linScanned))
+        .toDF("rows_matching", "layouts_agree", "zorder_scans_less")
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qZorderLayout, qZorder3Layout, qZorderPruning)
 }
