@@ -152,8 +152,16 @@ object Ingest {
     * e.g. max_by on an ordering column); validated on the BATCH itself
     * before any merge, so the failure blames the data that broke the
     * contract, not the merged table.
+    *
+    * `keepVersions` retains that many committed snapshots (CURRENT
+    * included) for reader isolation and time travel
+    * ([[readUpsertTable]]'s `asOfBatch`); hard links make retention
+    * nearly free — an unchanged bucket's files are shared across every
+    * retained snapshot, so disk cost is the churn, not
+    * keepVersions × table.
     */
-  def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16)
+  def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
+                    keepVersions: Int = 1)
                    (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
     val spark = batch.sparkSession
@@ -170,14 +178,32 @@ object Ingest {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    // drop anything not referenced by CURRENT: crashed partial builds,
-    // superseded versions, an orphaned pointer tmp
+    // torn/garbage line from a crash mid-append degrades to
+    // "uncommitted" (safe: the merge is idempotent), never a hard failure
+    def readLedger(): Set[Long] =
+      if (!commits.exists()) Set.empty
+      else {
+        val src = scala.io.Source.fromFile(commits)
+        try src.getLines()
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+        finally src.close()
+      }
+    // drop anything not referenced: crashed partial builds (any v_ dir
+    // NOT in the ledger — an uncommitted build is garbage whatever its
+    // batchId), an orphaned pointer tmp, and committed versions beyond
+    // the retention window (CURRENT plus the keepVersions-1
+    // highest-batchId committed others)
     def cleanupStale(): Unit = {
-      val keep = readCurrent()
-      Option(root.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("v_") &&
-          !keep.contains(f.getName))
-        .foreach(rm)
+      val cur = readCurrent()
+      val committed = readLedger()
+      val versions = Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      val retained = versions
+        .flatMap(f => scala.util.Try(f.getName.stripPrefix("v_").toLong).toOption)
+        .filter(committed.contains)
+        .sorted(Ordering[Long].reverse)
+        .take(math.max(1, keepVersions)).map(b => s"v_$b").toSet ++ cur
+      versions.filterNot(f => retained.contains(f.getName)).foreach(rm)
       new java.io.File(root, "CURRENT.tmp").delete()
     }
     def commit(): Unit = {
@@ -186,14 +212,7 @@ object Ingest {
       cleanupStale()
     }
 
-    val done: Set[Long] =
-      if (!commits.exists()) Set.empty
-      else {
-        val src = scala.io.Source.fromFile(commits)
-        try src.getLines()
-          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-        finally src.close()
-      }
+    val done: Set[Long] = readLedger()
     if (done.contains(batchId)) return // replay of a committed batch: no-op
     val vName = s"v_$batchId"
     if (readCurrent().contains(vName)) {
@@ -254,13 +273,32 @@ object Ingest {
     commit()
   }
 
-  /** Read an [[upsertParquet]] table at its CURRENT snapshot. */
-  def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
+  /** Read an [[upsertParquet]] table — its CURRENT snapshot, or (time
+    * travel) the state as of a past batch: the highest RETAINED
+    * snapshot with batchId ≤ `asOfBatch`. Snapshots are immutable and
+    * hard-link-shared, so a historical read costs the same as a
+    * current one; asking for a batch older than the retention window
+    * fails loudly rather than silently serving a newer state.
+    */
+  def readUpsertTable(spark: SparkSession, tableDir: String,
+                      asOfBatch: Option[Long] = None): DataFrame = {
     val root = new java.io.File(tableDir)
     val currentF = new java.io.File(root, "CURRENT")
     require(currentF.exists(), s"upsert table has no CURRENT pointer: $tableDir")
-    val v = new String(java.nio.file.Files.readAllBytes(currentF.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim
+    val v = asOfBatch match {
+      case None =>
+        new String(java.nio.file.Files.readAllBytes(currentF.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      case Some(b) =>
+        val have = Option(root.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+          .flatMap(f => scala.util.Try(f.getName.stripPrefix("v_").toLong).toOption)
+        val eligible = have.filter(_ <= b)
+        require(eligible.nonEmpty,
+          s"upsert table has no retained snapshot at or before batch $b " +
+            s"(retained: ${have.sorted.mkString(",")}) — raise keepVersions")
+        s"v_${eligible.max}"
+    }
     spark.read.option("basePath", new java.io.File(root, v).getPath)
       .parquet(new java.io.File(root, v).getPath)
       .drop(UpsertBucketCol)

@@ -248,6 +248,36 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.readUpsertTable(spark, table).count() === 4)
   }
 
+  test("upsert retention keeps N snapshots; time travel reads past state") {
+    import spark.implicits._
+    val table = tmp() + "/tt_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 2)(rows.toDF("user_id", "value"), id)
+    up(0, 1L -> 1.0, 2L -> 2.0)
+    up(1, 2L -> 22.0)
+    up(2, 3L -> 3.0)
+    def versions(): Set[String] =
+      Option(new java.io.File(table).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+        .map(_.getName).toSet
+    // retention 2: batch 0's snapshot pruned, 1 and 2 retained
+    assert(versions() === Set("v_1", "v_2"), versions())
+    // current state
+    assert(Ingest.readUpsertTable(spark, table)
+      .orderBy("user_id").select("value").as[Double].collect().toSeq ===
+      Seq(1.0, 22.0, 3.0))
+    // time travel to the state after batch 1 (before user 3 existed)
+    assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(1L))
+      .orderBy("user_id").select("value").as[Double].collect().toSeq ===
+      Seq(1.0, 22.0))
+    // asking past the retention window fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+    }
+    assert(ex.getMessage.contains("keepVersions"), ex.getMessage)
+  }
+
   test("upsert validates key-uniqueness on the batch and blames the batch") {
     import spark.implicits._
     val table = tmp() + "/dup_table"
