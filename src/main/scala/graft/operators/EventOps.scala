@@ -995,19 +995,28 @@ object EventOps {
           id)
       val src = graft.sources.Ingest.readStreamFiles(
         spark, s"$in/*.parquet", Tables.eventsRaw, basePath = Some(in))
-      val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
-      try (0 until n).foreach { i =>
-        val tmp = s"$base/stage_$i"
-        raw.filter(expr(s"(ts - ${tmin}L) DIV ${step}L") === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head.toPath
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$in/c$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        q.processAllAvailable() // each ts-range chunk is its own batch
-      } finally q.stop()
+      // micro-batch jobs are batch-sized, not corpus-sized: run the
+      // whole drain (the writer's merge jobs plan per batch, so the
+      // conf must hold until the stream stops) at the streaming state
+      // sizing — see the StreamStatePartitions rationale at
+      // runStreamToTable — and restore after
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until n).foreach { i =>
+          val tmp = s"$base/stage_$i"
+          raw.filter(expr(s"(ts - ${tmin}L) DIV ${step}L") === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head.toPath
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$in/c$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable() // each ts-range chunk is its own batch
+        } finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       Tables.withEventTs(Ingest.readUpsertTable(spark, table))
         .select(col("user_id"), col("ts").as("last_ts"),
           col("event_type").as("last_type"), col("value").as("last_value"))

@@ -163,12 +163,36 @@ object Ingest {
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
                     keepVersions: Int = 1)
                    (batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set,
+      count, first, lit, max, pmod, xxhash64}
     val spark = batch.sparkSession
     val root = new java.io.File(tableDir)
     root.mkdirs()
     val commits = new java.io.File(root, "_commits")
     val currentF = new java.io.File(root, "CURRENT")
+
+    // keys and bucket count are TABLE properties, not call options: a
+    // batch hashed with a different nBuckets would scope its merge to
+    // the wrong buckets and leave the same key alive in two places.
+    // First writer pins them in _meta (atomic rename); every later
+    // call must match or fail loudly.
+    val metaF = new java.io.File(root, "_meta")
+    val metaStr = s"keys=${keys.mkString(",")}\nbuckets=$nBuckets\n"
+    if (!metaF.exists()) {
+      val tmpMeta = new java.io.File(root, "_meta.tmp")
+      java.nio.file.Files.write(tmpMeta.toPath,
+        metaStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmpMeta.toPath, metaF.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val have = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(have == metaStr,
+        s"upsertParquet: table $tableDir was created with [${have.trim
+          .replace('\n', ' ')}] but this call passed [${metaStr.trim
+          .replace('\n', ' ')}] — keys/buckets are immutable table properties")
+    }
 
     def readCurrent(): Option[String] =
       if (!currentF.exists()) None
@@ -222,35 +246,42 @@ object Ingest {
 
     require(!batch.columns.contains(UpsertBucketCol),
       s"upsertParquet: batch must not carry a '$UpsertBucketCol' column")
-    val dup = batch.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsertParquet: batch $batchId has multiple rows for " +
-        s"${keys.mkString(",")} = ${dup.headOption.fold("")(_.toString)} — " +
-        "pre-reduce the batch (e.g. max_by on an ordering column)")
-    if (batch.isEmpty) { commit(); return } // nothing to merge
-
     val bk = batch.withColumn(UpsertBucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
-    // ≤ nBuckets small ints — the only driver-side collect in the sink
-    val touched: Set[Long] = bk.select(UpsertBucketCol).distinct()
-      .collect().map(_.getLong(0)).toSet
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE aggregation job answers empty?, key-unique?, and the
+      // touched bucket set (≤ nBuckets small ints — the only
+      // driver-side collect in the sink); the cached batch then feeds
+      // the merge without recomputing its upstream per action
+      val summary = bk
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("cnt"), first(col(UpsertBucketCol)).as("b"))
+        .agg(max(col("cnt")).as("max_cnt"), collect_set(col("b")).as("bs"))
+        .head()
+      if (summary.isNullAt(0)) { commit(); return } // empty batch
+      if (summary.getLong(0) != 1L)
+        throw new IllegalArgumentException(
+          s"upsertParquet: batch $batchId has up to ${summary.getLong(0)} " +
+            s"rows for one ${keys.mkString(",")} key — pre-reduce the batch " +
+            "(e.g. max_by on an ordering column)")
+      val touched: Set[Long] = summary.getSeq[Long](1).toSet
 
-    val newV = new java.io.File(root, vName)
-    rm(newV) // partial build from a previous crashed attempt
-    newV.mkdirs()
-    val curDir = readCurrent().map(new java.io.File(root, _))
-    val touchedDirs = curDir.toSeq.flatMap(d =>
-      touched.toSeq.sorted.map(b => new java.io.File(d, s"$UpsertBucketCol=$b"))
-        .filter(_.isDirectory))
-    val merged =
-      if (touchedDirs.isEmpty) bk
-      else spark.read.option("basePath", curDir.get.getPath)
-        .parquet(touchedDirs.map(_.getPath): _*)
-        .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
-        .unionByName(bk)
-    merged.repartition(touched.size, col(UpsertBucketCol))
-      .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
+      val newV = new java.io.File(root, vName)
+      rm(newV) // partial build from a previous crashed attempt
+      newV.mkdirs()
+      val curDir = readCurrent().map(new java.io.File(root, _))
+      val touchedDirs = curDir.toSeq.flatMap(d =>
+        touched.toSeq.sorted.map(b => new java.io.File(d, s"$UpsertBucketCol=$b"))
+          .filter(_.isDirectory))
+      val merged =
+        if (touchedDirs.isEmpty) bk
+        else spark.read.option("basePath", curDir.get.getPath)
+          .parquet(touchedDirs.map(_.getPath): _*)
+          .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
+          .unionByName(bk)
+      merged.repartition(touched.size, col(UpsertBucketCol))
+        .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
     curDir.foreach { d =>
       Option(d.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith(s"$UpsertBucketCol=") &&
@@ -264,13 +295,14 @@ object Ingest {
           }
         }
     }
-    val tmpPtr = new java.io.File(root, "CURRENT.tmp")
-    java.nio.file.Files.write(tmpPtr.toPath,
-      vName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmpPtr.toPath, currentF.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    commit()
+      val tmpPtr = new java.io.File(root, "CURRENT.tmp")
+      java.nio.file.Files.write(tmpPtr.toPath,
+        vName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmpPtr.toPath, currentF.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      commit()
+    } finally { bk.unpersist(); () }
   }
 
   /** Read an [[upsertParquet]] table — its CURRENT snapshot, or (time

@@ -278,6 +278,23 @@ class IngestSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("keepVersions"), ex.getMessage)
   }
 
+  test("upsert pins keys/buckets as immutable table properties") {
+    import spark.implicits._
+    val table = tmp() + "/meta_table"
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 8)(
+      Seq(1L -> 1.0).toDF("user_id", "value"), 0L)
+    // same properties: fine
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 8)(
+      Seq(2L -> 2.0).toDF("user_id", "value"), 1L)
+    // different bucket count would scope merges to the wrong buckets
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 16)(
+        Seq(3L -> 3.0).toDF("user_id", "value"), 2L)
+    }
+    assert(ex.getMessage.contains("immutable table properties"), ex.getMessage)
+    assert(Ingest.readUpsertTable(spark, table).count() === 2)
+  }
+
   test("upsert validates key-uniqueness on the batch and blames the batch") {
     import spark.implicits._
     val table = tmp() + "/dup_table"
