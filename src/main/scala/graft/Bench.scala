@@ -53,7 +53,9 @@ object Bench {
       "minhash_cc_build" ->
         (() => { graft.operators.Dedup.minhashClusters(spark, sfDir, 0.9).count(); () }),
       "embed_cells_build" ->
-        (() => { graft.operators.VectorOps.embedCellsFor(spark, sfDir).count(); () })
+        (() => { graft.operators.VectorOps.embedCellsFor(spark, sfDir).count(); () }),
+      "kmeans_assign_build" ->
+        (() => { graft.operators.Clustering.assignmentsFor(spark, sfDir).count(); () })
     ).map { case (name, f) => name -> time(f()) }
     // failures tracked PER REP: one transient bad rep must not erase a
     // measurable query (ADVICE r3) — median of the successful reps is the

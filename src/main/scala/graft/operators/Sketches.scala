@@ -521,7 +521,116 @@ object Sketches {
         spark.sparkContext.parallelize(Seq(row), 1), schema)
     })
 
+  /** The GK summary PER GROUP — the always-on percentile-monitor shape
+    * the sketch's scale story promises (one O(1/ε·log εn) summary per
+    * key, values never shuffle) but no row exercised until now: one
+    * `groupBy(flag).agg(gk(x))` builds an independent mergeable
+    * summary per return-flag, and every (group, probe) estimate is
+    * rank-contracted against that group's exact order statistics —
+    * the same sketch-guided two-scan contract as [[qQuantileSketch]],
+    * with the group column folded into the fused aggregate and the
+    * band filter. Exact anchors per group are oracle-checked against
+    * DuckDB's grouped `quantile_cont` at 4 dp.
+    */
+  val qQuantileByGroup: QuerySpec = QuerySpec(
+    "q_quantile_by_group",
+    Some {
+      QProbes.map { q =>
+        s"""SELECT l_returnflag AS grp, CAST($q AS DOUBLE) AS q,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), $q), 4)
+             AS exact_v, true AS within_rank_eps
+           FROM lineitem GROUP BY l_returnflag"""
+      }.mkString("", "\nUNION ALL ", "\nORDER BY grp, q")
+    },
+    (spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          col("l_extendedprice").cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val gk = udaf(new graft.functions.GkQuantileAgg(GkBuildEps),
+          org.apache.spark.sql.Encoders.scalaDouble)
+        val info = li.groupBy("grp").agg(gk(col("x")).as("sk")).collect()
+          .map { r =>
+            val sk = graft.functions.GkSketch.fromBytes(r.getAs[Array[Byte]]("sk"))
+            val eFrac = (sk.rankSlack + 1).toDouble / sk.n
+            (r.getString(0),
+             QProbes.map(sk.query).toArray,
+             QProbes.map(q => (sk.query(math.max(1e-9, q - 3 * eFrac)),
+               sk.query(math.min(1.0, q + 3 * eFrac)))).toArray)
+          }.sortBy(_._1)
+        val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
+        info.zipWithIndex.foreach { case ((g, ests, bands), j) =>
+          aggs += sum(when(col("grp") === g, 1L).otherwise(0L)).as(s"n_$j")
+          QProbes.indices.foreach { i =>
+            aggs += sum(when(col("grp") === g && col("x") < ests(i), 1L)
+              .otherwise(0L)).as(s"lt_${j}_$i")
+            aggs += sum(when(col("grp") === g && col("x") <= ests(i), 1L)
+              .otherwise(0L)).as(s"le_${j}_$i")
+            aggs += sum(when(col("grp") === g && col("x") < bands(i)._1, 1L)
+              .otherwise(0L)).as(s"below_${j}_$i")
+          }
+        }
+        val built = aggs.result()
+        val row = li.agg(built.head, built.tail: _*).head()
+        val bandPred = info.map { case (g, _, bands) =>
+          col("grp") === g && bands.map { case (lo, hi) =>
+            col("x") >= lo && col("x") <= hi
+          }.reduce(_ || _)
+        }.reduce(_ || _)
+        val bandHist = li.filter(bandPred)
+          .groupBy("grp", "x").agg(count(lit(1)).as("c"))
+          .orderBy("grp", "x").collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+          .groupBy(_._1)
+        def r4(v: Double): Double =
+          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = info.zipWithIndex.flatMap { case ((g, _, bands), j) =>
+          val n = row.getAs[Long](s"n_$j")
+          val hist = bandHist.getOrElse(g, Array.empty).map(t => (t._2, t._3))
+          val tol = RankEps * n + 1
+          QProbes.zipWithIndex.map { case (q, i) =>
+            val p = q * (n - 1)
+            val (kLo, kHi) = (p.floor.toLong, p.ceil.toLong)
+            val (vlo, vhi) = bands(i)
+            var cum = row.getAs[Long](s"below_${j}_$i")
+            require(cum <= kLo,
+              s"gk group $g band $i starts past rank $kLo — sketch broke its bound")
+            var vLo = Double.NaN
+            var vHi = Double.NaN
+            var idx = 0
+            while (idx < hist.length && cum <= kHi) {
+              val (v, c) = hist(idx)
+              if (v >= vlo && v <= vhi) {
+                if (cum <= kLo && kLo < cum + c) vLo = v
+                if (cum <= kHi && kHi < cum + c) vHi = v
+                cum += c
+              }
+              idx += 1
+            }
+            require(!vLo.isNaN && !vHi.isNaN,
+              s"gk group $g band $i missed ranks $kLo/$kHi — sketch broke its bound")
+            val exact =
+              if (kLo == kHi) vLo else (kHi - p) * vLo + (p - kLo) * vHi
+            val target = q * n
+            val lo = row.getAs[Long](s"lt_${j}_$i") + 1
+            val hi = row.getAs[Long](s"le_${j}_$i")
+            Row(g, q, r4(exact), hi >= target - tol && lo <= target + tol)
+          }
+        }
+        val schema = StructType(Seq(
+          StructField("grp", org.apache.spark.sql.types.StringType),
+          StructField("q", org.apache.spark.sql.types.DoubleType),
+          StructField("exact_v", org.apache.spark.sql.types.DoubleType),
+          StructField("within_rank_eps", BooleanType)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+          .orderBy("grp", "q")
+      } finally { li.unpersist(); () }
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged,
-      qQuantileSketch, qQuantileSketchMerged, qStreamQuantile, qHllMerged)
+      qQuantileSketch, qQuantileSketchMerged, qStreamQuantile, qHllMerged,
+      qQuantileByGroup)
 }
