@@ -344,7 +344,8 @@ object Layout {
         .filter(col("x").between(100, 400) && col("y").between(200, 500))
       def scannedRows(df: DataFrame): (Long, Array[Long]) = {
         // collect THIS plan (not a derived one) so its scan metrics
-        // populate, then read ids from the collected rows
+        // populate, then read ids from the collected rows — probe-sized
+        // (~1 % of orders: 125 rows at sf0.001), bounded by the 2-D box
         val rows = df.collect()
         val ids = rows.map(_.getAs[Long]("o_orderkey")).sorted
         val scanned = df.queryExecution.executedPlan.collect {
