@@ -142,11 +142,10 @@ object Ingest {
     * replay sees `CURRENT == v_<batchId>` and only re-appends the
     * commit record (the state already includes the batch); after the
     * append, replay no-ops off the ledger. Old versions are deleted
-    * only after commit, and hard links keep shared files alive. The
-    * one documented non-goal: snapshot retention is zero, so a reader
-    * holding v_old across a concurrent batch races its deletion —
-    * single-writer, readers-between-batches here; a real deployment
-    * keeps N snapshots for isolation.
+    * only after commit, and hard links keep shared files alive. A
+    * reader holding a snapshot OLDER than the retention window still
+    * races its deletion — single-writer, readers-on-retained-snapshots
+    * is the isolation contract, and `keepVersions` sizes that window.
     *
     * `batch` must be unique per `keys` (pre-reduce it in the caller —
     * e.g. max_by on an ordering column); validated on the BATCH itself
