@@ -55,7 +55,9 @@ object Bench {
       "embed_cells_build" ->
         (() => { graft.operators.VectorOps.embedCellsFor(spark, sfDir).count(); () }),
       "kmeans_assign_build" ->
-        (() => { graft.operators.Clustering.assignmentsFor(spark, sfDir).count(); () })
+        (() => { graft.operators.Clustering.assignmentsFor(spark, sfDir).count(); () }),
+      "cluster_cells_build" ->
+        (() => { graft.operators.Clustering.clusterCellsFor(spark, sfDir).count(); () })
     ).map { case (name, f) => name -> time(f()) }
     // failures tracked PER REP: one transient bad rep must not erase a
     // measurable query (ADVICE r3) — median of the successful reps is the

