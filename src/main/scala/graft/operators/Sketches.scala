@@ -550,16 +550,30 @@ object Sketches {
       try {
         val gk = udaf(new graft.functions.GkQuantileAgg(GkBuildEps),
           org.apache.spark.sql.Encoders.scalaDouble)
-        val info = li.groupBy("grp").agg(gk(col("x")).as("sk")).collect()
-          .map { r =>
-            val sk = graft.functions.GkSketch.fromBytes(r.getAs[Array[Byte]]("sk"))
-            val eFrac = (sk.rankSlack + 1).toDouble / sk.n
-            (r.getString(0),
-             QProbes.map(sk.query).toArray,
-             QProbes.map(q => (sk.query(math.max(1e-9, q - 3 * eFrac)),
-               sk.query(math.min(1.0, q + 3 * eFrac)))).toArray)
-          }.sortBy(_._1)
-        val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
+        val sketches = li.groupBy("grp").agg(gk(col("x")).as("sk")).collect()
+          .map(r => r.getString(0) ->
+            graft.functions.GkSketch.fromBytes(r.getAs[Array[Byte]]("sk")))
+        gkGroupContract(spark, li, sketches.toSeq)
+      } finally { li.unpersist(); () }
+    })
+
+  /** Per-group rank-ε contract shared by the batch and streaming
+    * grouped-quantile rows: `byG` is a persisted (grp, x) frame,
+    * `sketches` one GK summary per group value. Same machinery as the
+    * global contract with the group folded into the fused aggregate
+    * and the band filter.
+    */
+  private def gkGroupContract(spark: SparkSession, byG: DataFrame,
+      sketches: Seq[(String, graft.functions.GkSketch)]): DataFrame = {
+    val info = sketches.map { case (g, sk) =>
+      val eFrac = (sk.rankSlack + 1).toDouble / sk.n
+      (g,
+       QProbes.map(sk.query).toArray,
+       QProbes.map(q => (sk.query(math.max(1e-9, q - 3 * eFrac)),
+         sk.query(math.min(1.0, q + 3 * eFrac)))).toArray)
+    }.sortBy(_._1)
+    val li = byG
+    val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
         info.zipWithIndex.foreach { case ((g, ests, bands), j) =>
           aggs += sum(when(col("grp") === g, 1L).otherwise(0L)).as(s"n_$j")
           QProbes.indices.foreach { i =>
@@ -618,19 +632,58 @@ object Sketches {
             Row(g, q, r4(exact), hi >= target - tol && lo <= target + tol)
           }
         }
-        val schema = StructType(Seq(
-          StructField("grp", org.apache.spark.sql.types.StringType),
-          StructField("q", org.apache.spark.sql.types.DoubleType),
-          StructField("exact_v", org.apache.spark.sql.types.DoubleType),
-          StructField("within_rank_eps", BooleanType)))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
-          .orderBy("grp", "q")
-      } finally { li.unpersist(); () }
+    val schema = StructType(Seq(
+      StructField("grp", org.apache.spark.sql.types.StringType),
+      StructField("q", org.apache.spark.sql.types.DoubleType),
+      StructField("exact_v", org.apache.spark.sql.types.DoubleType),
+      StructField("within_rank_eps", BooleanType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      .orderBy("grp", "q")
+  }
+
+  /** The grouped GK summary as STREAMING STATE — the per-key
+    * always-on percentile monitor composed end-to-end: events arrive
+    * as 4 file micro-batches, a complete-mode `groupBy(event_type)`
+    * aggregation folds every batch into one persisted GK buffer PER
+    * KEY (state = #keys × O(1/ε·log εn) tuples, never values), and
+    * each drained per-key sketch must satisfy the identical
+    * per-group rank-ε contract as the batch build, on oracle-anchored
+    * grouped exact quantiles. This is [[qStreamQuantile]] ×
+    * [[qQuantileByGroup]]: the composition a production
+    * latency-per-endpoint monitor actually runs.
+    */
+  val qStreamQuantileByGroup: QuerySpec = QuerySpec(
+    "q_stream_quantile_by_group",
+    Some {
+      QProbes.map { q =>
+        s"""SELECT event_type AS grp, CAST($q AS DOUBLE) AS q,
+           round(quantile_cont(value, $q), 4) AS exact_v,
+           true AS within_rank_eps
+           FROM events GROUP BY event_type"""
+      }.mkString("", "\nUNION ALL ", "\nORDER BY grp, q")
+    },
+    (spark, dir) => {
+      val in = EventOps.stageEventChunks(spark, dir, 4)
+      val src = spark.readStream.schema(Tables.eventsRaw)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*.parquet")
+      val gk = udaf(new graft.functions.GkQuantileAgg(GkBuildEps),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val table = EventOps.runStreamToTable(
+        src.groupBy(col("event_type").as("grp"))
+          .agg(gk(col("value")).as("sk")),
+        mode = "complete")
+      val sketches = table.collect().map(r => r.getString(0) ->
+        graft.functions.GkSketch.fromBytes(r.getAs[Array[Byte]]("sk")))
+      val byG = Tables.load(spark, dir, "events")
+        .select(col("event_type").as("grp"), col("value").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try gkGroupContract(spark, byG, sketches.toSeq)
+      finally { byG.unpersist(); () }
     })
 
   def specs: Seq[QuerySpec] =
     Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged,
       qQuantileSketch, qQuantileSketchMerged, qStreamQuantile, qHllMerged,
-      qQuantileByGroup)
+      qQuantileByGroup, qStreamQuantileByGroup)
 }
