@@ -109,6 +109,51 @@ object Ingest {
     */
   val UpsertBucketCol = "bkt"
 
+  /** Committed batchIds of an upsert table. A torn/garbage line from a
+    * crash mid-append degrades to "uncommitted" (safe: the merge is
+    * idempotent), never a hard failure. Shared by the writer's replay
+    * check, `cleanupStale`, and — critically — the time-travel read:
+    * a `v_*` directory NOT in this set is a crashed partial build and
+    * must never be served as a snapshot.
+    */
+  private def readLedger(root: java.io.File): Set[Long] = {
+    val commits = new java.io.File(root, "_commits")
+    if (!commits.exists()) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(commits)
+      try src.getLines()
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+      finally src.close()
+    }
+  }
+
+  /** Atomic small-file write (tmp + rename) used for `_meta`, `_schema`
+    * and the CURRENT pointer.
+    */
+  private def writeAtomic(root: java.io.File, name: String, body: String): Unit = {
+    val tmp = new java.io.File(root, name + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Hard-link `src` into `dstDir` under the same name; on filesystems
+    * without hard-link support (some container volume drivers, network
+    * mounts) fall back to a plain copy — correctness is unaffected,
+    * only the zero-I/O sharing optimization is lost.
+    */
+  private def linkOrCopy(src: java.io.File, dstDir: java.io.File): Unit = {
+    val dst = new java.io.File(dstDir, src.getName).toPath
+    try java.nio.file.Files.createLink(dst, src.toPath)
+    catch {
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        java.nio.file.Files.copy(src.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Keyed MERGE/upsert for a [[foreachBatchSink]] body — a minimal
     * copy-on-write table format with the exactly-once REPLAY contract
     * made explicit. Layout under `tableDir`:
@@ -158,9 +203,21 @@ object Ingest {
     * nearly free — an unchanged bucket's files are shared across every
     * retained snapshot, so disk cost is the churn, not
     * keepVersions × table.
+    *
+    * `deleteCol` turns the sink into a full MERGE: name a boolean
+    * column of the batch and rows where it is true are TOMBSTONES —
+    * their keys are removed from the table (dropped from their touched
+    * bucket during the merge) instead of upserted. The tombstone's
+    * non-key columns are ignored; the marker column itself is never
+    * written. Tombstones participate in the same key-uniqueness
+    * contract (a key appears once per batch, as a delete OR an upsert,
+    * not both) and the same bucket scoping — a delete-only batch still
+    * rewrites only the buckets its keys hash to. This is the CDC apply
+    * path: a `Changes`-style changelog (upserts + deletes) folds into
+    * the table exactly-once.
     */
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
-                    keepVersions: Int = 1)
+                    keepVersions: Int = 1, deleteCol: Option[String] = None)
                    (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
       count, first, lit, max, pmod, xxhash64}
@@ -178,12 +235,7 @@ object Ingest {
     val metaF = new java.io.File(root, "_meta")
     val metaStr = s"keys=${keys.mkString(",")}\nbuckets=$nBuckets\n"
     if (!metaF.exists()) {
-      val tmpMeta = new java.io.File(root, "_meta.tmp")
-      java.nio.file.Files.write(tmpMeta.toPath,
-        metaStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmpMeta.toPath, metaF.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      writeAtomic(root, "_meta", metaStr)
     } else {
       val have = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -201,16 +253,6 @@ object Ingest {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    // torn/garbage line from a crash mid-append degrades to
-    // "uncommitted" (safe: the merge is idempotent), never a hard failure
-    def readLedger(): Set[Long] =
-      if (!commits.exists()) Set.empty
-      else {
-        val src = scala.io.Source.fromFile(commits)
-        try src.getLines()
-          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-        finally src.close()
-      }
     // drop anything not referenced: crashed partial builds (any v_ dir
     // NOT in the ledger — an uncommitted build is garbage whatever its
     // batchId), an orphaned pointer tmp, and committed versions beyond
@@ -218,7 +260,7 @@ object Ingest {
     // highest-batchId committed others)
     def cleanupStale(): Unit = {
       val cur = readCurrent()
-      val committed = readLedger()
+      val committed = readLedger(root)
       val versions = Option(root.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("v_"))
       val retained = versions
@@ -235,7 +277,7 @@ object Ingest {
       cleanupStale()
     }
 
-    val done: Set[Long] = readLedger()
+    val done: Set[Long] = readLedger(root)
     if (done.contains(batchId)) return // replay of a committed batch: no-op
     val vName = s"v_$batchId"
     if (readCurrent().contains(vName)) {
@@ -245,9 +287,24 @@ object Ingest {
 
     require(!batch.columns.contains(UpsertBucketCol),
       s"upsertParquet: batch must not carry a '$UpsertBucketCol' column")
+    deleteCol.foreach { c =>
+      require(batch.columns.contains(c),
+        s"upsertParquet: deleteCol '$c' is not a column of the batch")
+      require(!keys.contains(c), s"upsertParquet: deleteCol '$c' is a key")
+    }
     val bk = batch.withColumn(UpsertBucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the table's DATA schema (tombstone marker excluded, bucket col
+    // included) — pinned once so an empty snapshot stays readable:
+    // spark.read with this schema over a version holding zero data
+    // files is a well-typed empty table, not an inference failure
+    def dataOf(df: DataFrame): DataFrame = deleteCol.fold(df)(df.drop(_))
+    val schemaF = new java.io.File(root, "_schema")
+    if (!schemaF.exists()) writeAtomic(root, "_schema", dataOf(bk).schema.json)
+    def swapCurrent(): Unit = {
+      writeAtomic(root, "CURRENT", vName)
+    }
     try {
       // ONE aggregation job answers empty?, key-unique?, and the
       // touched bucket set (≤ nBuckets small ints — the only
@@ -258,12 +315,25 @@ object Ingest {
         .agg(count(lit(1)).as("cnt"), first(col(UpsertBucketCol)).as("b"))
         .agg(max(col("cnt")).as("max_cnt"), collect_set(col("b")).as("bs"))
         .head()
-      if (summary.isNullAt(0)) { commit(); return } // empty batch
+      if (summary.isNullAt(0)) { // empty batch
+        if (readCurrent().isEmpty) {
+          // first-ever batch is empty: the table must still become
+          // readable (foreachBatch legitimately delivers an empty batch
+          // 0), so commit an EMPTY snapshot — _schema carries the type
+          val newV = new java.io.File(root, vName)
+          rm(newV)
+          dataOf(bk).write.partitionBy(UpsertBucketCol)
+            .mode("overwrite").parquet(newV.getPath)
+          swapCurrent()
+        }
+        commit(); return
+      }
       if (summary.getLong(0) != 1L)
         throw new IllegalArgumentException(
           s"upsertParquet: batch $batchId has up to ${summary.getLong(0)} " +
             s"rows for one ${keys.mkString(",")} key — pre-reduce the batch " +
-            "(e.g. max_by on an ordering column)")
+            "(e.g. max_by on an ordering column; a key may appear as an " +
+            "upsert OR a tombstone, not both)")
       val touched: Set[Long] = summary.getSeq[Long](1).toSet
 
       val newV = new java.io.File(root, vName)
@@ -273,41 +343,45 @@ object Ingest {
       val touchedDirs = curDir.toSeq.flatMap(d =>
         touched.toSeq.sorted.map(b => new java.io.File(d, s"$UpsertBucketCol=$b"))
           .filter(_.isDirectory))
+      // every batch key — upsert or tombstone — evicts its old row from
+      // the touched buckets; only non-tombstone rows are re-inserted.
+      // A delete is therefore just an eviction with no replacement.
+      val upserts = dataOf(deleteCol.fold(bk)(c => bk.filter(!col(c))))
       val merged =
-        if (touchedDirs.isEmpty) bk
+        if (touchedDirs.isEmpty) upserts
         else spark.read.option("basePath", curDir.get.getPath)
           .parquet(touchedDirs.map(_.getPath): _*)
           .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
-          .unionByName(bk)
+          .unionByName(upserts)
       merged.repartition(touched.size, col(UpsertBucketCol))
         .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
-    curDir.foreach { d =>
-      Option(d.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith(s"$UpsertBucketCol=") &&
-          !touched.contains(f.getName.stripPrefix(s"$UpsertBucketCol=").toLong))
-        .foreach { bdir =>
-          val dst = new java.io.File(newV, bdir.getName)
-          dst.mkdirs()
-          Option(bdir.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
-            java.nio.file.Files.createLink(
-              new java.io.File(dst, f.getName).toPath, f.toPath)
+      curDir.foreach { d =>
+        Option(d.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith(s"$UpsertBucketCol=") &&
+            !touched.contains(f.getName.stripPrefix(s"$UpsertBucketCol=").toLong))
+          .foreach { bdir =>
+            val dst = new java.io.File(newV, bdir.getName)
+            dst.mkdirs()
+            Option(bdir.listFiles()).toSeq.flatten.filter(_.isFile)
+              .foreach(linkOrCopy(_, dst))
           }
-        }
-    }
-      val tmpPtr = new java.io.File(root, "CURRENT.tmp")
-      java.nio.file.Files.write(tmpPtr.toPath,
-        vName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmpPtr.toPath, currentF.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      swapCurrent()
       commit()
     } finally { bk.unpersist(); () }
   }
 
   /** Read an [[upsertParquet]] table — its CURRENT snapshot, or (time
     * travel) the state as of a past batch: the highest RETAINED
-    * snapshot with batchId ≤ `asOfBatch`. Snapshots are immutable and
-    * hard-link-shared, so a historical read costs the same as a
+    * COMMITTED snapshot with batchId ≤ `asOfBatch`. Candidate `v_*`
+    * directories are intersected with the `_commits` ledger before
+    * resolution: a directory without a commit record is a crashed
+    * partial build (a writer that died mid-write, swept only by the
+    * NEXT successful commit) and serving it would return torn data —
+    * the one crash window the v9 enumeration missed. The CURRENT
+    * branch needs no such check: the pointer is swapped atomically and
+    * only ever names a fully-built version. Snapshots are immutable
+    * and hard-link-shared, so a historical read costs the same as a
     * current one; asking for a batch older than the retention window
     * fails loudly rather than silently serving a newer state.
     */
@@ -321,17 +395,27 @@ object Ingest {
         new String(java.nio.file.Files.readAllBytes(currentF.toPath),
           java.nio.charset.StandardCharsets.UTF_8).trim
       case Some(b) =>
+        val committed = readLedger(root)
         val have = Option(root.listFiles()).toSeq.flatten
           .filter(f => f.isDirectory && f.getName.startsWith("v_"))
           .flatMap(f => scala.util.Try(f.getName.stripPrefix("v_").toLong).toOption)
+          .filter(committed.contains)
         val eligible = have.filter(_ <= b)
         require(eligible.nonEmpty,
-          s"upsert table has no retained snapshot at or before batch $b " +
-            s"(retained: ${have.sorted.mkString(",")}) — raise keepVersions")
+          s"upsert table has no retained committed snapshot at or before " +
+            s"batch $b (retained: ${have.sorted.mkString(",")}) — raise keepVersions")
         s"v_${eligible.max}"
     }
-    spark.read.option("basePath", new java.io.File(root, v).getPath)
-      .parquet(new java.io.File(root, v).getPath)
+    val vDir = new java.io.File(root, v)
+    // _schema pins the table type so an all-deleted / empty-first-batch
+    // snapshot (zero data files) still reads as a typed empty table
+    val schemaF = new java.io.File(root, "_schema")
+    val reader =
+      if (!schemaF.exists()) spark.read
+      else spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+    reader.option("basePath", vDir.getPath).parquet(vDir.getPath)
       .drop(UpsertBucketCol)
   }
 }

@@ -278,6 +278,92 @@ class IngestSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("keepVersions"), ex.getMessage)
   }
 
+  test("time travel never serves an uncommitted crashed build") {
+    import spark.implicits._
+    val table = tmp() + "/tt_crash_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 3)(rows.toDF("user_id", "value"), id)
+    up(0, 1L -> 1.0)
+    up(1, 2L -> 2.0)
+    // a writer died mid-build: v_99 exists (with a torn parquet) but was
+    // never committed — it survives until the NEXT commit's sweep, and a
+    // time-travel read in that window must resolve PAST it
+    val crashed = new java.io.File(table, "v_99/bkt=0")
+    crashed.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(crashed, "part-torn.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val got = Ingest.readUpsertTable(spark, table, asOfBatch = Some(99L))
+      .orderBy("user_id").select("value").as[Double].collect().toSeq
+    assert(got === Seq(1.0, 2.0), "time travel served the crashed build")
+    // the current read is unaffected too
+    assert(Ingest.readUpsertTable(spark, table).count() === 2)
+  }
+
+  test("empty first batch still commits a readable (empty) table") {
+    import spark.implicits._
+    val table = tmp() + "/empty_first_table"
+    // foreachBatch can legitimately deliver an empty batch 0
+    Ingest.upsertParquet(table, Seq("user_id"))(
+      Seq.empty[(Long, Double)].toDF("user_id", "value"), 0L)
+    val empty = Ingest.readUpsertTable(spark, table)
+    assert(empty.columns.toSeq === Seq("user_id", "value"))
+    assert(empty.count() === 0)
+    // and the table proceeds normally afterwards
+    Ingest.upsertParquet(table, Seq("user_id"))(
+      Seq(1L -> 1.0).toDF("user_id", "value"), 1L)
+    assert(Ingest.readUpsertTable(spark, table).count() === 1)
+  }
+
+  test("tombstones delete keys; delete replay is idempotent and bucket-scoped") {
+    import spark.implicits._
+    val table = tmp() + "/del_table"
+    def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 8,
+        deleteCol = Some("_deleted"))(
+        rows.toDF("user_id", "value", "_deleted"), id)
+    up(0, (1L to 40L).map(k => (k, k.toDouble, false)): _*)
+    val before = inodesByBucket(table)
+    // one delete + one upsert in the same batch
+    up(1, (7L, 0.0, true), (8L, 800.0, false))
+    val got = Ingest.readUpsertTable(spark, table)
+      .filter(col("user_id").isin(6L, 7L, 8L))
+      .orderBy("user_id").select("user_id", "value")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((6L, 6.0), (8L, 800.0)), "tombstone did not delete")
+    // the marker column is never written to the table
+    assert(!Ingest.readUpsertTable(spark, table).columns.contains("_deleted"))
+    // delete-only batches stay bucket-scoped: untouched buckets hard-link
+    val after = inodesByBucket(table)
+    val untouchedSame = (after.keySet & before.keySet)
+      .count(b => after(b) === before(b))
+    assert(untouchedSame >= after.size - 2, s"too many buckets rewrote")
+    // replaying the delete batch leaves the table byte-identical
+    val snap = after
+    up(1, (7L, 0.0, true), (8L, 800.0, false))
+    assert(inodesByBucket(table) === snap, "delete replay rebuilt data")
+    // a key may not appear as both upsert and tombstone in one batch
+    val ex = intercept[IllegalArgumentException] {
+      up(2, (9L, 9.0, false), (9L, 0.0, true))
+    }
+    assert(ex.getMessage.contains("pre-reduce"), ex.getMessage)
+  }
+
+  test("deleting every key yields a typed empty table, not a read failure") {
+    import spark.implicits._
+    val table = tmp() + "/del_all_table"
+    def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+        deleteCol = Some("_deleted"))(
+        rows.toDF("user_id", "value", "_deleted"), id)
+    up(0, (1L, 1.0, false), (2L, 2.0, false))
+    up(1, (1L, 0.0, true), (2L, 0.0, true))
+    val empty = Ingest.readUpsertTable(spark, table)
+    assert(empty.columns.toSeq === Seq("user_id", "value"))
+    assert(empty.count() === 0)
+  }
+
   test("upsert pins keys/buckets as immutable table properties") {
     import spark.implicits._
     val table = tmp() + "/meta_table"
