@@ -164,6 +164,95 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  private val cdcSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The changelog applied to the TABLE FORMAT by the streaming
+    * engine — the composition of [[qCdcApply]] (what a compacted
+    * changelog means) with the tombstone-aware upsert sink (how a
+    * table applies one exactly-once). Orders arrive as 4 date-range
+    * file micro-batches; each batch pre-reduces to its latest change
+    * per customer (max_by on (o_orderdate, o_orderkey) — the sink's
+    * uniqueness contract) carrying `_deleted = (op = 'D')`, and
+    * [[graft.sources.Ingest.upsertParquet]] MERGEs it: upserts replace,
+    * tombstones drop the key from its bucket. Date-RANGE chunking means
+    * later batches strictly dominate, so "latest batch wins per key"
+    * composes with the in-batch argmax to the global argmax — whose
+    * surviving (op ≠ 'D') rows are exactly q_cdc_apply's compacted
+    * snapshot, shared verbatim as the oracle. A customer deleted by a
+    * late tombstone is ABSENT from the final table read, not filtered
+    * by this query — the delete physically happened in the format.
+    */
+  val qStreamCdcTable: QuerySpec = QuerySpec(
+    "q_stream_cdc_table",
+    qCdcApply.oracle, // shared — table-applied CDC must equal batch CDC
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = s"target/stream-cdc-table/run_${cdcSeq.incrementAndGet()}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val table = s"$base/table"
+      val log = orderChangelog(spark, dir)
+      val n = 4
+      // o_orderdate is a TIMESTAMP in the fixture; chunk on its DATE
+      val b = log.agg(min(to_date(col("o_orderdate"))),
+        max(to_date(col("o_orderdate")))).head() // 2 scalars
+      val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+      def writer(batch: DataFrame, id: Long): Unit =
+        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+          deleteCol = Some("_deleted"))(
+          batch.groupBy("o_custkey")
+            .agg(max_by(
+              struct(col("o_orderdate"), col("o_orderkey"),
+                col("o_totalprice"), col("o_orderpriority"), col("op")),
+              struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+            .select(col("o_custkey"), col("m.o_orderdate").as("o_orderdate"),
+              col("m.o_orderkey").as("o_orderkey"),
+              col("m.o_totalprice").as("o_totalprice"),
+              col("m.o_orderpriority").as("o_orderpriority"),
+              (col("m.op") === "D").as("_deleted")),
+          id)
+      val src = Ingest.readStreamFiles(spark, s"$in/*.parquet",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderkey BIGINT, " +
+            "o_totalprice DOUBLE, o_orderpriority STRING, op STRING"),
+        basePath = Some(in))
+      // micro-batch jobs are batch-sized: run the drain at streaming
+      // state sizing (see EventOps.StreamStatePartitions) and restore
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until n).foreach { i =>
+          val tmp = s"$base/stage_$i"
+          // date-RANGE buckets (value-based, not row-based): equal
+          // dates can never split a chunk, so cross-batch recency is
+          // exactly batch order
+          log.filter(expr(
+            s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
+            === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head.toPath
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$in/c$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable() // each date-range chunk = one batch
+        } finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Ingest.readUpsertTable(spark, table)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_custkey")
+    })
+
   /** Incremental materialized-view maintenance for a per-customer
     * order summary: the standing aggregate (orders with key ≢0 mod 10)
     * and the new batch (keys ≡0 mod 10) are PARTIALLY aggregated
@@ -250,5 +339,6 @@ object Changes {
     })
 
   def specs: Seq[QuerySpec] =
-    Seq(qCdcApply, qScd2, qStreamCdc, qIncrementalAgg, qStreamMv)
+    Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qIncrementalAgg,
+      qStreamMv)
 }
