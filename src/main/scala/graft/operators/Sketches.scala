@@ -256,115 +256,141 @@ object Sketches {
   private val RankEps = 0.01
   private val GkBuildEps = 0.0025
 
-  /** Shared contract tail for the GK queries: the exact probe
-    * quantiles (the oracle anchor — interpolated between exact order
-    * statistics with Spark's `percentile` formula, which matches
-    * DuckDB `quantile_cont` at 4 dp, pinned by q_approx_percentile)
-    * and, for every (sketch, probe), the strict/weak ranks of the
-    * sketch estimate; the contract boolean asserts the estimate's rank
-    * interval [#(x < est)+1, #(x ≤ est)] intersects [φ·n ± (ε·n + 1)].
-    * Probing via exact ranks (not value proximity) is the honest GK
-    * guarantee — on a heavy-tied column the ε-rank value can be far
-    * from the exact quantile in value space and still be correct.
-    *
-    * The exact order statistics are SKETCH-GUIDED (replacing Spark's
-    * sort-based `percentile`, which buffers every value per partition
-    * into one aggregation buffer — 4.7 s of a 4.8 s query at sf0.1,
-    * measured): the first sketch brackets each probe's rank with
-    * values queried at φ ± 3·ε̂ (ε̂ = its realized rank error), scan 1
-    * is ONE codegen'd aggregate over the fact computing n, every
-    * contract rank count AND each band's below-band count, and scan 2
-    * resolves exact values from the ~6·ε̂·n rows inside the bands.
-    * Using the sketch under test as its own guide is sound because
-    * nothing is taken on faith: the walk `require`s that every needed
-    * rank is actually covered by its band — a broken sketch fails
-    * loudly, it can never vouch for itself. At cluster scale the band
-    * resolve stays executor-side (sort the band rows, they are
-    * ε̂-bounded); the driver-side walk here is the fixture-scale
-    * shortcut for the same ~50k rows.
+  /** Per-(group, probe) contract facts resolved by [[gkAnchors]]: the
+    * group's row count, the exact interpolated quantile, and each
+    * sketch-under-test's (strict, weak) rank counts at its estimate.
     */
+  private case class GkAnchor(n: Long, exact: Double,
+                              ranks: IndexedSeq[(Long, Long)])
+
+  /** Executor-side sketch-guided anchor resolve shared by ALL GK
+    * contract rows (global, merged, streaming, grouped). Two passes
+    * over `xs` (`grp`, `x`), both distributed:
+    *
+    * Pass 1 joins a broadcast PROBE SPEC — one row per (group, probe,
+    * sketch) carrying the estimate under test and the guide's value
+    * band for the probe — and aggregates `groupBy(grp, pi, si)`: n,
+    * strict/weak rank counts of the estimate, and the below-band
+    * count. Contract facts are ROWS keyed by group (constant 4
+    * aggregate columns), not per-group aggregate COLUMNS — the shape
+    * that survives 10k-key grouped monitors, where the previous fused
+    * single-row aggregate would have needed 200k columns.
+    *
+    * Pass 2 resolves each probe's floor/ceil order statistics WITHOUT
+    * materializing band rows on the driver (the previous driver-side
+    * band-histogram walk was a ~6·ε̂·n collect — a driver OOM at
+    * 100 TB): band rows get `row_number` over (group, probe) in value
+    * order, the below-band count converts that to a GLOBAL 0-based
+    * rank, and only the ≤ 2 rows whose rank equals the probe's
+    * bracketing positions come back. Each (group, probe) window
+    * partition holds ~6·ε̂·n_g rows — executor-sized by the sketch's
+    * own ε̂ bound, spilling to executor disk at worst, never to the
+    * driver.
+    *
+    * Using the guide sketch (each group's first) to band its own
+    * verification stays sound because nothing is taken on faith: pass
+    * 1's below-band count must sit at or before the bracketing rank
+    * and pass 2 must actually surface both bracketing positions —
+    * loud `require`s fail a sketch that broke its bound; it can never
+    * vouch for itself.
+    */
+  private def gkAnchors(spark: SparkSession, xs0: DataFrame,
+      perGroup: Seq[(String, Seq[graft.functions.GkSketch])])
+      : Map[(String, Int), GkAnchor] = {
+    import org.apache.spark.sql.expressions.Window
+    val spec = perGroup.flatMap { case (g, sks) =>
+      val guide = sks.head
+      val eFrac = (guide.rankSlack + 1).toDouble / guide.n
+      QProbes.zipWithIndex.flatMap { case (q, i) =>
+        val vlo = guide.query(math.max(1e-9, q - 3 * eFrac))
+        val vhi = guide.query(math.min(1.0, q + 3 * eFrac))
+        sks.zipWithIndex.map { case (sk, j) => (g, i, j, sk.query(q), vlo, vhi) }
+      }
+    }
+    val specDf = spark.createDataFrame(spec)
+      .toDF("grp", "pi", "si", "est", "vlo", "vhi")
+    val xs = xs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(group, probe, sketch) rank facts — map-side
+      // combined before the one |groups|·|probes|·|sketches|-key shuffle
+      val byKey = xs.join(broadcast(specDf), Seq("grp"))
+        .groupBy("grp", "pi", "si")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") < col("est"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("le"),
+          sum(when(col("x") < col("vlo"), 1L).otherwise(0L)).as("below"))
+        .collect() // |groups|·7·|sketches| KB-sized fact rows
+        .map(r => ((r.getString(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      val band2 = spec.filter(_._3 == 0).map { case (g, i, _, _, vlo, vhi) =>
+        val (n, _, _, below) = byKey((g, i, 0))
+        val p = QProbes(i) * (n - 1)
+        require(below <= p.floor.toLong,
+          s"gk group '$g' band $i starts past rank ${p.floor.toLong} — " +
+            "guide sketch broke its bound")
+        (g, i, vlo, vhi, below, p.floor.toLong, p.ceil.toLong)
+      }
+      val band2Df = spark.createDataFrame(band2)
+        .toDF("grp", "pi", "vlo", "vhi", "below", "kLo", "kHi")
+      // pass 2: executor-side order statistics at the bracketing ranks
+      val w = Window.partitionBy("grp", "pi").orderBy("x")
+      val posVal = xs.join(broadcast(band2Df), Seq("grp"))
+        .filter(col("x") >= col("vlo") && col("x") <= col("vhi"))
+        .withColumn("pos", row_number().over(w) + col("below") - 1)
+        .filter(col("pos") === col("kLo") || col("pos") === col("kHi"))
+        .select("grp", "pi", "pos", "x")
+        .collect() // ≤ 2 bracketing rows per (group, probe)
+        .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)),
+          r.getDouble(3))).toMap
+      perGroup.flatMap { case (g, sks) =>
+        QProbes.zipWithIndex.map { case (q, i) =>
+          val n = byKey((g, i, 0))._1
+          val p = q * (n - 1)
+          val (kLo, kHi) = (p.floor.toLong, p.ceil.toLong)
+          def at(k: Long): Double = {
+            require(posVal.contains((g, i, k)),
+              s"gk group '$g' band $i did not cover rank $k — " +
+                "guide sketch broke its bound")
+            posVal((g, i, k))
+          }
+          val exact =
+            if (kLo == kHi) at(kLo)
+            else (kHi - p) * at(kLo) + (p - kLo) * at(kHi) // Spark's percentile formula
+          ((g, i), GkAnchor(n, exact,
+            sks.indices.map { j =>
+              val (_, lt, le, _) = byKey((g, i, j)); (lt, le)
+            }))
+        }
+      }.toMap
+    } finally { xs.unpersist(); () }
+  }
+
+  /** Same HALF_UP-on-BigDecimal semantics as Spark's round(col, 4). */
+  private def r4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Rank-interval membership test of the GK contract: the estimate's
+    * rank interval [#(x < est)+1, #(x ≤ est)] must intersect
+    * [φ·n ± (ε·n + 1)]. Probing via exact ranks (not value proximity)
+    * is the honest GK guarantee — on a heavy-tied column the ε-rank
+    * value can be far from the exact quantile in value space and
+    * still be correct.
+    */
+  private def withinEps(q: Double, n: Long, ltle: (Long, Long)): Boolean = {
+    val tol = RankEps * n + 1
+    val target = q * n
+    ltle._2 >= target - tol && (ltle._1 + 1) <= target + tol
+  }
+
   private def gkContract(spark: SparkSession, xs0: DataFrame,
                          sketches: Seq[(String, graft.functions.GkSketch)])
       : DataFrame = {
-    val ests = sketches.map { case (_, sk) => QProbes.map(sk.query).toArray }
-    val guide = sketches.head._2
-    val nG = guide.n
-    // realized rank slack of the guide (±ε̂·n in ranks), padded +1
-    val eFrac = (guide.rankSlack + 1).toDouble / nG
-    val bands = QProbes.map { q =>
-      (guide.query(math.max(1e-9, q - 3 * eFrac)),
-       guide.query(math.min(1.0, q + 3 * eFrac)))
-    }
-    val xs = xs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (n, exs, r) =
-      try {
-        // scan 1: one aggregate — n, per-probe below-band counts, and
-        // the per-(sketch, probe) strict/weak rank counts
-        val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
-        aggs += count(lit(1)).as("n")
-        bands.zipWithIndex.foreach { case ((vlo, _), i) =>
-          aggs += sum(when(col("x") < vlo, 1L).otherwise(0L)).as(s"below_$i")
-        }
-        QProbes.zipWithIndex.foreach { case (_, i) =>
-          sketches.indices.foreach { j =>
-            aggs += sum(when(col("x") < ests(j)(i), 1L).otherwise(0L))
-              .as(s"lt_${j}_$i")
-            aggs += sum(when(col("x") <= ests(j)(i), 1L).otherwise(0L))
-              .as(s"le_${j}_$i")
-          }
-        }
-        val built = aggs.result()
-        val row = xs.agg(built.head, built.tail: _*).head()
-        val nTotal = row.getAs[Long]("n")
-        // scan 2: only rows inside some band survive — ~6·ε̂·n per
-        // probe — then resolve each probe's floor/ceil order stats by
-        // walking its band in value order from the below-band rank
-        val bandPred = bands.map { case (vlo, vhi) =>
-          col("x") >= vlo && col("x") <= vhi
-        }.reduce(_ || _)
-        val bandHist = xs.filter(bandPred)
-          .groupBy("x").agg(count(lit(1)).as("c"))
-          .orderBy("x")
-          .collect().map(r => (r.getDouble(0), r.getLong(1)))
-        val positions = QProbes.map(_ * (nTotal - 1))
-        val exact = positions.zipWithIndex.map { case (p, i) =>
-          val (kLo, kHi) = (p.floor.toLong, p.ceil.toLong)
-          val (vlo, vhi) = bands(i)
-          var cum = row.getAs[Long](s"below_$i")
-          require(cum <= kLo,
-            s"gk band $i starts past rank $kLo — guide sketch broke its bound")
-          var vLo = Double.NaN
-          var vHi = Double.NaN
-          var idx = 0
-          while (idx < bandHist.length && cum <= kHi) {
-            val (v, c) = bandHist(idx)
-            if (v >= vlo && v <= vhi) {
-              if (cum <= kLo && kLo < cum + c) vLo = v
-              if (cum <= kHi && kHi < cum + c) vHi = v
-              cum += c
-            }
-            idx += 1
-          }
-          require(!vLo.isNaN && !vHi.isNaN,
-            s"gk band $i did not cover ranks $kLo/$kHi — guide sketch broke its bound")
-          if (kLo == kHi) vLo
-          else (kHi - p) * vLo + (p - kLo) * vHi // Spark's percentile formula
-        }
-        (nTotal, exact, row)
-      } finally { xs.unpersist(); () }
-    // same HALF_UP-on-BigDecimal semantics as Spark's round(col, 4)
-    def r4(v: Double): Double =
-      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val tol = RankEps * n + 1
+    val anchors = gkAnchors(spark, xs0.withColumn("grp", lit("")),
+      Seq("" -> sketches.map(_._2)))
     val rows = QProbes.zipWithIndex.map { case (q, i) =>
-      val vals: Seq[Any] = Seq(q, r4(exs(i))) ++
-        sketches.indices.map { j =>
-          val lo = r.getAs[Long](s"lt_${j}_$i") + 1 // rank interval of est
-          val hi = r.getAs[Long](s"le_${j}_$i")
-          val target = q * n
-          hi >= target - tol && lo <= target + tol
-        }
-      Row(vals: _*)
+      val a = anchors(("", i))
+      Row((Seq[Any](q, r4(a.exact)) ++
+        sketches.indices.map(j => withinEps(q, a.n, a.ranks(j)))): _*)
     }
     val schema = StructType(
       StructField("q", org.apache.spark.sql.types.DoubleType) +:
@@ -558,80 +584,22 @@ object Sketches {
     })
 
   /** Per-group rank-ε contract shared by the batch and streaming
-    * grouped-quantile rows: `byG` is a persisted (grp, x) frame,
-    * `sketches` one GK summary per group value. Same machinery as the
-    * global contract with the group folded into the fused aggregate
-    * and the band filter.
+    * grouped-quantile rows: `byG` is a (grp, x) frame, `sketches` one
+    * GK summary per group value. [[gkAnchors]] does all the
+    * distributed work — per-group facts arrive as rows (the shape
+    * that holds at 10k keys), exact anchors resolve executor-side.
     */
   private def gkGroupContract(spark: SparkSession, byG: DataFrame,
       sketches: Seq[(String, graft.functions.GkSketch)]): DataFrame = {
-    val info = sketches.map { case (g, sk) =>
-      val eFrac = (sk.rankSlack + 1).toDouble / sk.n
-      (g,
-       QProbes.map(sk.query).toArray,
-       QProbes.map(q => (sk.query(math.max(1e-9, q - 3 * eFrac)),
-         sk.query(math.min(1.0, q + 3 * eFrac)))).toArray)
-    }.sortBy(_._1)
-    val li = byG
-    val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
-        info.zipWithIndex.foreach { case ((g, ests, bands), j) =>
-          aggs += sum(when(col("grp") === g, 1L).otherwise(0L)).as(s"n_$j")
-          QProbes.indices.foreach { i =>
-            aggs += sum(when(col("grp") === g && col("x") < ests(i), 1L)
-              .otherwise(0L)).as(s"lt_${j}_$i")
-            aggs += sum(when(col("grp") === g && col("x") <= ests(i), 1L)
-              .otherwise(0L)).as(s"le_${j}_$i")
-            aggs += sum(when(col("grp") === g && col("x") < bands(i)._1, 1L)
-              .otherwise(0L)).as(s"below_${j}_$i")
-          }
-        }
-        val built = aggs.result()
-        val row = li.agg(built.head, built.tail: _*).head()
-        val bandPred = info.map { case (g, _, bands) =>
-          col("grp") === g && bands.map { case (lo, hi) =>
-            col("x") >= lo && col("x") <= hi
-          }.reduce(_ || _)
-        }.reduce(_ || _)
-        val bandHist = li.filter(bandPred)
-          .groupBy("grp", "x").agg(count(lit(1)).as("c"))
-          .orderBy("grp", "x").collect()
-          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-          .groupBy(_._1)
-        def r4(v: Double): Double =
-          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val rows = info.zipWithIndex.flatMap { case ((g, _, bands), j) =>
-          val n = row.getAs[Long](s"n_$j")
-          val hist = bandHist.getOrElse(g, Array.empty).map(t => (t._2, t._3))
-          val tol = RankEps * n + 1
-          QProbes.zipWithIndex.map { case (q, i) =>
-            val p = q * (n - 1)
-            val (kLo, kHi) = (p.floor.toLong, p.ceil.toLong)
-            val (vlo, vhi) = bands(i)
-            var cum = row.getAs[Long](s"below_${j}_$i")
-            require(cum <= kLo,
-              s"gk group $g band $i starts past rank $kLo — sketch broke its bound")
-            var vLo = Double.NaN
-            var vHi = Double.NaN
-            var idx = 0
-            while (idx < hist.length && cum <= kHi) {
-              val (v, c) = hist(idx)
-              if (v >= vlo && v <= vhi) {
-                if (cum <= kLo && kLo < cum + c) vLo = v
-                if (cum <= kHi && kHi < cum + c) vHi = v
-                cum += c
-              }
-              idx += 1
-            }
-            require(!vLo.isNaN && !vHi.isNaN,
-              s"gk group $g band $i missed ranks $kLo/$kHi — sketch broke its bound")
-            val exact =
-              if (kLo == kHi) vLo else (kHi - p) * vLo + (p - kLo) * vHi
-            val target = q * n
-            val lo = row.getAs[Long](s"lt_${j}_$i") + 1
-            val hi = row.getAs[Long](s"le_${j}_$i")
-            Row(g, q, r4(exact), hi >= target - tol && lo <= target + tol)
-          }
-        }
+    val info = sketches.sortBy(_._1)
+    val anchors = gkAnchors(spark, byG,
+      info.map { case (g, sk) => (g, Seq(sk)) })
+    val rows = info.flatMap { case (g, _) =>
+      QProbes.zipWithIndex.map { case (q, i) =>
+        val a = anchors((g, i))
+        Row(g, q, r4(a.exact), withinEps(q, a.n, a.ranks(0)))
+      }
+    }
     val schema = StructType(Seq(
       StructField("grp", org.apache.spark.sql.types.StringType),
       StructField("q", org.apache.spark.sql.types.DoubleType),
