@@ -142,10 +142,95 @@ object SqlEntry {
   val qPromoShareSql: QuerySpec = viaSql(
     "q_promo_share_sql", Relational.qPromoShare.oracle.get)
 
+  private val upsertSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The upsert TABLE FORMAT reached through the SQL entry: orders
+    * fold into a bucket-scoped CoW table as 4 date-range batches
+    * (latest order per customer — the sink's pre-reduce contract),
+    * [[graft.sources.Tables.registerUpsertTable]] registers BOTH the
+    * CURRENT snapshot and the `asOfBatch = 2` time-travel snapshot as
+    * catalog views, and one `spark.sql` statement aggregates the two —
+    * proving parser → catalog → snapshot-pinned file list end-to-end.
+    * The oracle recomputes both snapshots from raw orders: CURRENT is
+    * the global latest-order-per-customer compaction (batch recency ≡
+    * date recency, because chunks partition by date RANGE), and the
+    * as-of state replays only chunks 0‥2.
+    */
+  val qUpsertSql: QuerySpec = QuerySpec(
+    "q_upsert_sql",
+    Some("""WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+          CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        log AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+          (date_diff('day', b.d0, CAST(o_orderdate AS DATE)) * 4)
+            // (date_diff('day', b.d0, b.d1) + 1) AS bkt
+          FROM orders, b),
+        cur AS (SELECT o_orderpriority FROM (SELECT o_orderpriority,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM log) t
+          WHERE rn = 1),
+        old AS (SELECT o_orderpriority FROM (SELECT o_orderpriority,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM log WHERE bkt <= 2) t
+          WHERE rn = 1)
+      SELECT 'current' AS snap, o_orderpriority, count(*) AS n
+      FROM cur GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'asof_b2' AS snap, o_orderpriority, count(*) AS n
+      FROM old GROUP BY o_orderpriority
+      ORDER BY snap, o_orderpriority"""),
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.{Ingest, Tables}
+      val base = s"target/upsert-sql/run_${upsertSeq.incrementAndGet()}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val table = s"$base/table"
+      val log = Tables.load(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      val b = log.agg(min(to_date(col("o_orderdate"))),
+        max(to_date(col("o_orderdate")))).head() // 2 scalars
+      val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+      // batch-sized merge jobs, not corpus-sized (the streaming rows'
+      // StreamStatePartitions rationale applies to the sink's merges)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+      try (0 until 4).foreach { i =>
+        val chunk = log.filter(expr(
+          s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * 4 DIV $span") === i)
+        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+          keepVersions = 4)(
+          chunk.groupBy("o_custkey")
+            .agg(max_by(
+              struct(col("o_orderdate"), col("o_orderkey"),
+                col("o_orderpriority")),
+              struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+            .select(col("o_custkey"), col("m.o_orderdate").as("o_orderdate"),
+              col("m.o_orderkey").as("o_orderkey"),
+              col("m.o_orderpriority").as("o_orderpriority")),
+          i.toLong)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Tables.registerUpsertTable(spark, "upsert_orders_current", table)
+      Tables.registerUpsertTable(spark, "upsert_orders_asof2", table,
+        asOfBatch = Some(2L))
+      spark.sql("""
+        SELECT 'current' AS snap, o_orderpriority, count(*) AS n
+        FROM upsert_orders_current GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'asof_b2' AS snap, o_orderpriority, count(*) AS n
+        FROM upsert_orders_asof2 GROUP BY o_orderpriority
+        ORDER BY snap, o_orderpriority""")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql,
       qTopSupplierSql, qIdleRichSql, qBasketRulesSql, qEventTransitionsSql,
       qMinCostSuppSql, qCustOrderDistSql, qBigOrdersSql, qConcentratedSuppSql,
       qDisjunctiveJoinSql, qSupplierVarietySql, qValuablePartsSql,
-      qPromoShareSql)
+      qPromoShareSql, qUpsertSql)
 }

@@ -197,4 +197,19 @@ object Tables {
   /** Register every fixture table as a temp view for spark.sql entry. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     schemas.keys.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+
+  /** Register an [[Ingest.upsertParquet]] table in the catalog so the
+    * SQL entry can read the table format: `name` becomes a temp view
+    * over the table's CURRENT snapshot — or, with `asOfBatch`, over
+    * the committed time-travel snapshot — resolved AT REGISTRATION
+    * time. Snapshot-at-registration is the right isolation for a
+    * view: the file list is pinned when the view is created, so a
+    * concurrent writer committing new versions never shifts results
+    * mid-query; re-register to see newer state (the same contract a
+    * manifest-based table format gives its readers).
+    */
+  def registerUpsertTable(spark: SparkSession, name: String, tableDir: String,
+                          asOfBatch: Option[Long] = None): Unit =
+    Ingest.readUpsertTable(spark, tableDir, asOfBatch)
+      .createOrReplaceTempView(name)
 }
