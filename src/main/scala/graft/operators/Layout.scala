@@ -106,6 +106,34 @@ object Layout {
       .parquet(out)
   }
 
+  /** The real maintenance pass: [[compact]] AND [[zorderWrite]] in one
+    * rewrite — a table that has accumulated small unclustered files
+    * (streaming commits, upsert churn) is read once and rewritten as
+    * ceil(n/target) Z-clustered range files, restoring BOTH properties
+    * a fresh Z-write gives: bounded file count and tight per-file 2-D
+    * min/max for row-group skipping. File count is exact — one file
+    * per range partition, no `maxRecordsPerFile` splitting — because
+    * clustering wants RANGE partitions, whose sizes are sampled-even,
+    * not round-robin-even: per-file row counts land near the target
+    * rather than exactly on it (the honest trade; a maintenance pass
+    * that round-robined for exact sizes would destroy the clustering
+    * it exists to restore). LayoutSpec asserts both post-conditions in
+    * one test.
+    */
+  def compactZorder(spark: SparkSession, in: String, out: String,
+                    x: Column, y: Column, targetRecordsPerFile: Long): Unit = {
+    val df = spark.read.parquet(in)
+    val n = df.count()
+    val parts = math.max(1L,
+      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    df.withColumn("zkey", zkey2(x.bitwiseAND(lit(1023L)),
+        y.bitwiseAND(lit(1023L))))
+      .repartitionByRange(parts, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+      .write.mode("overwrite").parquet(out)
+  }
+
   /** Analytic Z-order pruning proof over orders, fully deterministic
     * (so DuckDB checks every number): points are (custkey, epoch-day)
     * masked to 10 bits; both layouts assign rows to 64 FIXED key-range

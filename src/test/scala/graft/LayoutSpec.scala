@@ -52,6 +52,38 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order read $zScan rows, linear $linScan — no pruning win")
   }
 
+  test("compactZorder restores file count AND clustering in one rewrite") {
+    val base = java.nio.file.Files.createTempDirectory("compactz").toString
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(1023L)).cast("long").as("x"),
+        datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").bitwiseAND(lit(1023L)).as("y"))
+    val n = orders.count()
+    // churned table state: many small files, clustering destroyed
+    orders.repartition(97).write.mode("overwrite").parquet(s"$base/churned")
+    // the baseline a maintenance pass must beat: same file count,
+    // linear (y, x) clustering
+    val target = (n + 47) / 48 // → 48 files
+    Layout.linearWrite(orders, col("x"), col("y"), s"$base/linear", 48)
+    Layout.compactZorder(spark, s"$base/churned", s"$base/restored",
+      col("x"), col("y"), target)
+    def dataFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    // post-condition 1: file count back to ceil(n/target)
+    assert(dataFiles(s"$base/restored") == ((n + target - 1) / target).toInt)
+    val pred = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("x").between(100, 400) && col("y").between(200, 500))
+    // post-condition 2: clustering restored — the 2-D probe skips more
+    // row groups than the linear layout at the same file count
+    val zScan = scanOutputRows(pred(spark.read.parquet(s"$base/restored")))
+    val linScan = scanOutputRows(pred(spark.read.parquet(s"$base/linear")))
+    assert(zScan < linScan,
+      s"restored layout read $zScan rows, linear $linScan — no pruning win")
+    // and the rewrite lost nothing
+    assert(spark.read.parquet(s"$base/restored").count() == n)
+  }
+
   test("compaction caps file count at ceil(n/target) and keeps all rows") {
     val base = java.nio.file.Files.createTempDirectory("compact").toString
     val orders = Tables.load(spark, sf, "orders").select("o_orderkey")
