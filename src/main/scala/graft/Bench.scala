@@ -189,5 +189,15 @@ object Bench {
       s""""sf":"$sfDir","detail":"target/bench.json"}"""
     println(compact)
     spark.stop()
+    // A hopeless host must never publish a record that reads as a code
+    // regression: controls >2x their best-ever mins means the RUN is
+    // broken (documented multi-second host stalls), not the plans.
+    // The record is still written (file + stdout, flagged by
+    // control_inflation); rc!=0 marks it unusable for grading.
+    if (controlInflation > 2) {
+      System.err.println(f"[bench] control_inflation $controlInflation%.2f" +
+        " > 2: host too noisy; record written but marked unusable")
+      sys.exit(2)
+    }
   }
 }

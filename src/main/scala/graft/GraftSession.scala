@@ -43,6 +43,13 @@ object GraftSession {
     // backlog at negligible GC cost.
     .config("spark.cleaner.periodicGC.interval", "2min")
     .config("spark.ui.enabled", "false")
+    // Scratch I/O on the fast ephemeral tier (tmpfs locally, local
+    // NVMe on a cluster): shuffle/spill files, and the default
+    // checkpoint root for streaming queries that don't pin their own —
+    // state-store commits fsync every micro-batch, and that latency is
+    // pure scaffolding cost (see graft.Scratch).
+    .config("spark.local.dir", Scratch.dir("spark-local"))
+    .config("spark.sql.streaming.checkpointLocation", Scratch.dir("stream-ck"))
 
   /** Local session used by tests and ad-hoc mains. `cores` threads, and
     * shuffle partitions sized to cores (not the 200 default, which just

@@ -164,8 +164,6 @@ object Changes {
         .orderBy("o_custkey")
     })
 
-  private val cdcSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** The changelog applied to the TABLE FORMAT by the streaming
     * engine — the composition of [[qCdcApply]] (what a compacted
     * changelog means) with the tombstone-aware upsert sink (how a
@@ -187,7 +185,7 @@ object Changes {
     qCdcApply.oracle, // shared — table-applied CDC must equal batch CDC
     (spark, dir) => {
       import graft.sources.Ingest
-      val base = s"target/stream-cdc-table/run_${cdcSeq.incrementAndGet()}"
+      val base = graft.Scratch.dir("stream-cdc-table") // tmpfs-backed
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
@@ -223,10 +221,8 @@ object Changes {
             "o_totalprice DOUBLE, o_orderpriority STRING, op STRING"),
         basePath = Some(in))
       // micro-batch jobs are batch-sized: run the drain at streaming
-      // state sizing (see EventOps.StreamStatePartitions) and restore
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", 8)
-      try {
+      // state sizing
+      EventOps.withStreamSizing(spark) {
         val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
         try (0 until n).foreach { i =>
           val tmp = s"$base/stage_$i"
@@ -245,7 +241,7 @@ object Changes {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           q.processAllAvailable() // each date-range chunk = one batch
         } finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       Ingest.readUpsertTable(spark, table)
         .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"),

@@ -613,18 +613,29 @@ object EventOps {
     */
   private val StreamStatePartitions = 8
 
+  /** Run `body` (which must START any streaming query it creates
+    * before returning control here... in practice: the whole drain)
+    * at streaming-state shuffle sizing, restoring the session's batch
+    * sizing after. The conf is read when a query STARTS (it defines
+    * the state layout for the checkpoint's lifetime), and micro-batch
+    * jobs inside a `foreachBatch` sink plan per batch — so sinks that
+    * merge inside the drain hold the sizing for the stream's whole
+    * lifetime. One helper so every streaming row shares the
+    * [[StreamStatePartitions]] rationale instead of restating an
+    * ad-hoc `8`.
+    */
+  private[operators] def withStreamSizing[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private[operators] def runStreamToTable(agg: DataFrame,
                                mode: String = "complete",
                                checkpoint: Option[String] = None): DataFrame = {
     val spark = agg.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val name = "graft_stream_" + streamSeq.incrementAndGet()
-    // the conf is read when the query STARTS (it defines the state
-    // layout for the checkpoint's lifetime); restored right after so
-    // batch queries keep the session sizing
-    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-    val q =
-      try {
+    val q = withStreamSizing(spark) {
         val w = agg.writeStream.format("memory").queryName(name)
           .outputMode(mode)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -632,7 +643,7 @@ object EventOps {
         // in complete mode (state lives in the state store, the sink is
         // rebuilt each trigger) — exactly the resume-proof shape
         checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     q.awaitTermination()
     // eager copy, then drop the sink's temp view: repeated invocations
     // (bench reps) must not pin every run's full result in the driver
@@ -655,7 +666,7 @@ object EventOps {
     */
   private[operators] def stageEventChunks(spark: SparkSession, dir: String,
                                           n: Int): String = {
-    val base = s"target/stream-chunks/run_${streamSeq.incrementAndGet()}"
+    val base = graft.Scratch.dir("stream-chunks") // tmpfs-backed staging
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
@@ -698,10 +709,9 @@ object EventOps {
   private[graft] def streamResumePhases(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val base = s"target/stream-resume/run_${streamSeq.incrementAndGet()}"
-    // the run counter restarts with each JVM but target/ persists: a
-    // STALE checkpoint under the same path would see "no new files" and
-    // resume into an empty drain — scrub the whole run dir first
+    // fresh tmpfs-backed dir per invocation: a checkpoint binds to one
+    // source history, so reps must never share one
+    val base = graft.Scratch.dir("stream-resume")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
@@ -969,7 +979,7 @@ object EventOps {
       WHERE rn = 1 ORDER BY user_id"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val base = s"target/stream-upsert/run_${streamSeq.incrementAndGet()}"
+      val base = graft.Scratch.dir("stream-upsert") // tmpfs-backed
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
@@ -997,12 +1007,8 @@ object EventOps {
         spark, s"$in/*.parquet", Tables.eventsRaw, basePath = Some(in))
       // micro-batch jobs are batch-sized, not corpus-sized: run the
       // whole drain (the writer's merge jobs plan per batch, so the
-      // conf must hold until the stream stops) at the streaming state
-      // sizing — see the StreamStatePartitions rationale at
-      // runStreamToTable — and restore after
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", 8)
-      try {
+      // conf must hold until the stream stops) at streaming state sizing
+      withStreamSizing(spark) {
         val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
         try (0 until n).foreach { i =>
           val tmp = s"$base/stage_$i"
@@ -1016,7 +1022,7 @@ object EventOps {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           q.processAllAvailable() // each ts-range chunk is its own batch
         } finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       Tables.withEventTs(Ingest.readUpsertTable(spark, table))
         .select(col("user_id"), col("ts").as("last_ts"),
           col("event_type").as("last_type"), col("value").as("last_value"))

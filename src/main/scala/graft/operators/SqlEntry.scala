@@ -142,8 +142,6 @@ object SqlEntry {
   val qPromoShareSql: QuerySpec = viaSql(
     "q_promo_share_sql", Relational.qPromoShare.oracle.get)
 
-  private val upsertSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** The upsert TABLE FORMAT reached through the SQL entry: orders
     * fold into a bucket-scoped CoW table as 4 date-range batches
     * (latest order per customer — the sink's pre-reduce contract),
@@ -182,7 +180,7 @@ object SqlEntry {
     (spark, dir) => {
       import org.apache.spark.sql.functions._
       import graft.sources.{Ingest, Tables}
-      val base = s"target/upsert-sql/run_${upsertSeq.incrementAndGet()}"
+      val base = graft.Scratch.dir("upsert-sql") // tmpfs-backed
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
@@ -198,9 +196,7 @@ object SqlEntry {
       val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
       // batch-sized merge jobs, not corpus-sized (the streaming rows'
       // StreamStatePartitions rationale applies to the sink's merges)
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", 8)
-      try (0 until 4).foreach { i =>
+      EventOps.withStreamSizing(spark) { (0 until 4).foreach { i =>
         val chunk = log.filter(expr(
           s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * 4 DIV $span") === i)
         Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
@@ -214,7 +210,7 @@ object SqlEntry {
               col("m.o_orderkey").as("o_orderkey"),
               col("m.o_orderpriority").as("o_orderpriority")),
           i.toLong)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } }
       Tables.registerUpsertTable(spark, "upsert_orders_current", table)
       Tables.registerUpsertTable(spark, "upsert_orders_asof2", table,
         asOfBatch = Some(2L))

@@ -1515,7 +1515,7 @@ object TextOps {
   private def stageDeltaFiles(spark: SparkSession, dir: String): (String, Double) = {
     val docs = Tables.load(spark, dir, "documents")
     val cut = docs.agg((max("doc_id") * 0.8).as("cut")).head.getDouble(0)
-    val base = s"target/stream-incr/run_${stageSeq.incrementAndGet()}"
+    val base = graft.Scratch.dir("stream-incr") // tmpfs-backed staging
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
@@ -1537,8 +1537,6 @@ object TextOps {
       }
     (in, cut)
   }
-
-  private val stageSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The fifteenth streaming oracle row: [[incrementalDedupStream]]
     * drained over the staged crawl drops (maxFilesPerTrigger = 1 forces
