@@ -188,6 +188,7 @@ object Bench {
       s""""reps":$reps,"errors":$errs,"partial_failures":$partial,""" +
       s""""sf":"$sfDir","detail":"target/bench.json"}"""
     println(compact)
+    Memo.clearAll() // release memoized checkpoint blocks before teardown
     spark.stop()
     // A hopeless host must never publish a record that reads as a code
     // regression: controls >2x their best-ever mins means the RUN is

@@ -242,9 +242,7 @@ object Clustering {
       kmeansCosine(Tables.load(spark, dir, "embeddings"), k = 8, iters = 2)
         .select("vec_id", "cluster").localCheckpoint())
 
-  private val assignMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+  private val assignMemo = graft.Memo[(SparkSession, String), DataFrame]()
 
   /** SemDeDup-style semantic dedup (VERDICT r7 item 4) — the published
     * cluster-then-dedup recipe for embedding dedup at scale, composed
@@ -329,9 +327,7 @@ object Clustering {
       VectorOps.embedCells(labeled, numPlanes = 8).localCheckpoint()
     })
 
-  private val cellsMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+  private val cellsMemo = graft.Memo[(SparkSession, String), DataFrame]()
 
   val qSemanticDedupBanded: QuerySpec = QuerySpec(
     "q_semantic_dedup_banded",

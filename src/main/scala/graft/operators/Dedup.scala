@@ -302,8 +302,7 @@ object Dedup {
     * scan, not a recompute of candidate generation + CC rounds.
     */
   private val clusterMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]
+    graft.Memo[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]()
 
   /** (id, comp) for the exact-jaccard near-dup graph of `dir`. */
   def jaccardClusters(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -331,8 +330,7 @@ object Dedup {
     spark.conf.get("spark.graft.dedup.checkpointEvery", "0").toInt
 
   private val minhashClusterMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]
+    graft.Memo[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]()
 
   /** (id, comp) for the MinHash+LSH near-dup graph of `dir` at estimated
     * similarity ≥ `minSim` — memoized like [[jaccardClusters]]: the

@@ -591,7 +591,7 @@ object EventOps {
     * ("Option 'basePath' must be a directory").
     */
   private def streamedEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables.withEventTs(graft.sources.Ingest.readStreamFiles(
+    Tables.withEventTsAt(spark, dir)(graft.sources.Ingest.readStreamFiles(
       spark, s"$dir/events.*", Tables.eventsRaw))
 
   /** Drain a streaming aggregate into a complete-mode memory sink via

@@ -441,8 +441,7 @@ object Multimodal {
       }(enc).localCheckpoint()
     })
 
-  private val jpegMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val jpegMemo = graft.Memo[(SparkSession, String), DataFrame]()
 
   /** REAL image decoder for any ImageIO-supported container (JPEG, PNG,
     * BMP, GIF): same feature surface as [[decodePpm]] — dimensions,

@@ -218,9 +218,7 @@ object TextOps {
   // JVM-lifetime scope by design: one entry per (session, dir,
   // threshold), sized for this engine's one-job-per-JVM process model.
   // A long-lived multi-tenant server would add eviction/unpersist here.
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, Double), DataFrame]
+  private val pairsMemo = graft.Memo[(SparkSession, String, Double), DataFrame]()
 
   /** One definition of "documents as (doc_id, blocking-key, token set)"
     * shared by every PPJoin variant — the blocked, global, and shingle
@@ -507,9 +505,7 @@ object TextOps {
     None,
     (spark, dir) => minhashShinglePairs(spark, dir).filter(col("est_sim") >= 0.9))
 
-  private val minhashMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), DataFrame]
+  private val minhashMemo = graft.Memo[(SparkSession, String, String), DataFrame]()
 
   /** UNBLOCKED exact near-dup pairs — the no-metadata corpus case
     * (blocking on lang is an optimization available only when such a
@@ -1108,8 +1104,7 @@ object TextOps {
       simhashPairs(docs).localCheckpoint()
     })
 
-  private val simhashPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val simhashPairsMemo = graft.Memo[(SparkSession, String), DataFrame]()
 
   /** The simhash dedup surface: near-dup pairs at Hamming ≤ 3.
     * Rows-only (engine-specific hashing); exact-recall property in

@@ -284,9 +284,7 @@ object VectorOps {
       embedCells(Tables.load(spark, dir, "embeddings"), numPlanes)
         .localCheckpoint())
 
-  private val cellsMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, Int), DataFrame]
+  private val cellsMemo = graft.Memo[(SparkSession, String, Int), DataFrame]()
 
   /** Exact same-label near-dup pairs — identical result set to
     * [[qEmbedNearDup]]'s all-pairs join, but the member join is keyed on

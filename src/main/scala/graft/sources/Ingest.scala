@@ -204,6 +204,13 @@ object Ingest {
     * retained snapshot, so disk cost is the churn, not
     * keepVersions × table.
     *
+    * `graceMs` (opt-in) additionally keeps any committed version whose
+    * build is younger than the window, even when out of retention —
+    * the reader/retention race then needs a reader that has been
+    * holding its snapshot for longer than the grace, not merely a
+    * commit landing mid-read. Zero by default so retention stays
+    * exactly keepVersions-sized for callers that want that invariant.
+    *
     * `deleteCol` turns the sink into a full MERGE: name a boolean
     * column of the batch and rows where it is true are TOMBSTONES —
     * their keys are removed from the table (dropped from their touched
@@ -217,7 +224,8 @@ object Ingest {
     * the table exactly-once.
     */
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
-                    keepVersions: Int = 1, deleteCol: Option[String] = None)
+                    keepVersions: Int = 1, deleteCol: Option[String] = None,
+                    graceMs: Long = 0L)
                    (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
       count, first, lit, max, pmod, xxhash64}
@@ -255,12 +263,20 @@ object Ingest {
     }
     // drop anything not referenced: crashed partial builds (any v_ dir
     // NOT in the ledger — an uncommitted build is garbage whatever its
-    // batchId), an orphaned pointer tmp, and committed versions beyond
-    // the retention window (CURRENT plus the keepVersions-1
-    // highest-batchId committed others)
+    // batchId; swept immediately, grace does not apply under the
+    // single-writer contract), an orphaned pointer tmp, and committed
+    // versions beyond the retention window (CURRENT plus the
+    // keepVersions-1 highest-batchId committed others). `graceMs`
+    // hardens the reader/retention race the scaladoc documents: a
+    // committed version younger (by build mtime) than the grace window
+    // survives even when out of retention, so deleting a snapshot from
+    // under a reader requires BOTH an out-of-retention snapshot AND a
+    // reader older than the grace — not just an unlucky commit landing
+    // mid-read.
     def cleanupStale(): Unit = {
       val cur = readCurrent()
       val committed = readLedger(root)
+      val now = System.currentTimeMillis()
       val versions = Option(root.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("v_"))
       val retained = versions
@@ -268,7 +284,13 @@ object Ingest {
         .filter(committed.contains)
         .sorted(Ordering[Long].reverse)
         .take(math.max(1, keepVersions)).map(b => s"v_$b").toSet ++ cur
-      versions.filterNot(f => retained.contains(f.getName)).foreach(rm)
+      versions.filterNot(f => retained.contains(f.getName))
+        .filterNot { f =>
+          val isCommitted = scala.util.Try(
+            f.getName.stripPrefix("v_").toLong).toOption.exists(committed.contains)
+          isCommitted && graceMs > 0 && now - f.lastModified < graceMs
+        }
+        .foreach(rm)
       new java.io.File(root, "CURRENT.tmp").delete()
     }
     def commit(): Unit = {

@@ -111,7 +111,7 @@ object Tables {
       if (analyzedDbs.contains(statsDb(sfDir)) && spark.catalog.tableExists(tbl))
         spark.table(tbl)
       else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events") withEventTs(df) else df
+    if (name == "events") withEventTsAt(spark, sfDir)(df) else df
   }
 
   /** Dirs analyzed in this JVM — guards the per-load catalog lookup so
@@ -184,11 +184,97 @@ object Tables {
     * magnitude: ≥ 1e17 ticks can only be nanoseconds (it would be the
     * year 5138+ in µs), below that microseconds. The fixture's 2024
     * events sit at ~1.7e18 ns / ~1.7e15 µs — three orders from the
-    * boundary on either side.
+    * boundary on either side. Fallback for frames with no backing file
+    * (derived tables); file-backed reads use [[withEventTsAt]], which
+    * resolves the unit ONCE from the Parquet footer.
     */
   def withEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(
-      expr("CASE WHEN ts >= 100000000000000000 THEN ts DIV 1000 ELSE ts END")))
+    df.withColumn("ts", timestamp_micros(eventTicksToMicros("auto")))
+
+  /** Epoch-tick unit of `$sfDir/events.parquet`, resolved once per dir
+    * from the file footers rather than per-row magnitude (ADVICE r9 —
+    * magnitude heuristics silently misclassify pre-1973 nanosecond
+    * epochs). The column's logical-type annotation names the unit
+    * authoritatively when present (the driver has shipped the fixture
+    * as TIMESTAMP(NANOS) in rounds 1–8 and TIMESTAMP(MICROS) in round
+    * 9+; Spark surfaces both as raw INT64 under the declared LongType
+    * schema + the legacy nanosAsLong conf). A plain unannotated INT64
+    * falls back to the footer's min/max statistics with a LOUD failure
+    * if they straddle the ns/µs boundary (mixed units in one file can
+    * only be a corrupt fixture), and to per-row magnitude ("auto") only
+    * when the footer carries no statistics at all. All data files are
+    * footer-checked (cheap — no data pages are read) and must agree.
+    */
+  private def eventTsUnit(spark: SparkSession, sfDir: String): String =
+    tsUnitMemo.getOrElseUpdate(sfDir, {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val root = new java.io.File(s"$sfDir/events.parquet")
+      val files =
+        if (root.isFile) Seq(root)
+        else Option(root.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+      require(files.nonEmpty, s"withEventTsAt: no parquet files under $root")
+      val conf = spark.sessionState.newHadoopConf()
+      val units = files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val footer = r.getFooter
+          footer.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+            .asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit.toString.toLowerCase // millis | micros | nanos
+            case _ =>
+              val stats = footer.getBlocks.asScala
+                .flatMap(_.getColumns.asScala)
+                .filter(_.getPath.toDotString == "ts")
+                .map(_.getStatistics)
+                .filter(s => s != null && s.hasNonNullValue)
+              if (stats.isEmpty) "auto"
+              else {
+                val mins = stats.map(_.genericGetMin
+                  .asInstanceOf[java.lang.Long].longValue)
+                val maxs = stats.map(_.genericGetMax
+                  .asInstanceOf[java.lang.Long].longValue)
+                val nanos = (mins ++ maxs).map(_ >= NanosBoundary).distinct
+                require(nanos.size == 1,
+                  s"events ts in ${f.getName} straddles the ns/µs boundary " +
+                    s"(min=${mins.min}, max=${maxs.max}) — mixed-unit fixture")
+                if (nanos.head) "nanos" else "micros"
+              }
+          }
+        } finally r.close()
+      }.distinct
+      require(units.size == 1,
+        s"events.parquet files under $sfDir disagree on the ts unit: " +
+          units.sorted.mkString(","))
+      units.head
+    })
+
+  private val NanosBoundary = 100000000000000000L // 1e17: year 5138+ in µs
+
+  private val tsUnitMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventTicksToMicros(unit: String) = unit match {
+    case "nanos"  => expr("ts DIV 1000") // integer div — `/` loses precision at 1e18
+    case "micros" => col("ts")
+    case "millis" => col("ts") * lit(1000L)
+    case "auto"   =>
+      expr(s"CASE WHEN ts >= $NanosBoundary THEN ts DIV 1000 ELSE ts END")
+    case u => throw new IllegalArgumentException(s"events ts unit: $u")
+  }
+
+  /** [[withEventTs]] with the unit pinned from `sfDir`'s footers — a
+    * single codegen'd arithmetic op per row instead of a branch, and
+    * immune to the magnitude heuristic's pre-1973 blind spot.
+    */
+  def withEventTsAt(spark: SparkSession, sfDir: String)(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      timestamp_micros(eventTicksToMicros(eventTsUnit(spark, sfDir))))
 
   /** Events with `ts` as timestamp — the shape all queries see. */
   def events(spark: SparkSession, sfDir: String): DataFrame =

@@ -278,6 +278,35 @@ class IngestSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("keepVersions"), ex.getMessage)
   }
 
+  test("retention grace keeps a just-superseded snapshot one more cycle") {
+    import spark.implicits._
+    val table = tmp() + "/grace_table"
+    def up(id: Long, grace: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 1, graceMs = grace)(rows.toDF("user_id", "value"), id)
+    def versions(): Set[String] =
+      Option(new java.io.File(table).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+        .map(_.getName).toSet
+    // with a 1h grace, the out-of-retention v_0/v_1 are young (built
+    // milliseconds ago) and must survive the later commits' sweeps —
+    // a reader that resolved them just before the swap can finish
+    up(0, 3600000L, 1L -> 1.0)
+    up(1, 3600000L, 2L -> 2.0)
+    up(2, 3600000L, 3L -> 3.0)
+    assert(versions() === Set("v_0", "v_1", "v_2"), versions())
+    // an uncommitted crashed build is swept regardless of grace: under
+    // the single-writer contract no reader can hold it
+    val crashed = new java.io.File(table, "v_50")
+    crashed.mkdirs()
+    up(3, 3600000L, 4L -> 4.0)
+    assert(!crashed.exists(), "grace must not shield an uncommitted build")
+    // grace 0 restores the strict keepVersions-sized window
+    up(4, 0L, 5L -> 5.0)
+    assert(versions() === Set("v_4"), versions())
+    assert(Ingest.readUpsertTable(spark, table).count() === 5)
+  }
+
   test("time travel never serves an uncommitted crashed build") {
     import spark.implicits._
     val table = tmp() + "/tt_crash_table"
@@ -362,6 +391,47 @@ class IngestSpec extends AnyFunSuite {
     val empty = Ingest.readUpsertTable(spark, table)
     assert(empty.columns.toSeq === Seq("user_id", "value"))
     assert(empty.count() === 0)
+  }
+
+  test("event ts unit is pinned from parquet footers, not per-row magnitude") {
+    import spark.implicits._
+    // fixture path: the annotated footer agrees with the magnitude
+    // fallback (both micros at the current fixture generation)
+    val viaFooter = Tables.load(spark, sf, "events")
+      .agg(max("ts")).head.getTimestamp(0)
+    val viaMagnitude = Tables.withEventTs(
+      spark.read.schema(Tables.eventsRaw).parquet(s"$sf/events.parquet"))
+      .agg(max("ts")).head.getTimestamp(0)
+    assert(viaFooter === viaMagnitude)
+    // stats fallback: an UNANNOTATED long column classifies off the
+    // footer min/max statistics — micros-magnitude and nanos-magnitude
+    // corpora land on the same instant
+    val microsOfFixture = viaMagnitude.getTime * 1000L +
+      (viaMagnitude.getNanos / 1000L) % 1000L
+    def writeRaw(ticks: Long): String = {
+      val d = tmp()
+      Seq((1L, ticks, 7L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$d/events.parquet")
+      d
+    }
+    val microsDir = writeRaw(microsOfFixture)
+    val nanosDir = writeRaw(microsOfFixture * 1000L)
+    assert(Tables.load(spark, microsDir, "events")
+      .head.getTimestamp(1) === viaMagnitude)
+    assert(Tables.load(spark, nanosDir, "events")
+      .head.getTimestamp(1) === viaMagnitude)
+    // a file whose ts range straddles the ns/µs boundary can only be a
+    // corrupt fixture — the read fails loudly instead of shifting rows
+    val straddleDir = tmp()
+    Seq((1L, microsOfFixture, 7L, "view", 1.0, "{}"),
+      (2L, microsOfFixture * 1000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$straddleDir/events.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Tables.load(spark, straddleDir, "events").count()
+    }
+    assert(ex.getMessage.contains("straddles"), ex.getMessage)
   }
 
   test("upsert pins keys/buckets as immutable table properties") {
