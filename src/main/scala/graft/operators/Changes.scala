@@ -164,6 +164,23 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** Pre-reduce a changelog chunk to its latest change per customer
+    * (max_by on (o_orderdate, o_orderkey) — the sink's uniqueness
+    * contract) carrying `_deleted = (op = 'D')` — the per-batch shape
+    * both table-format CDC rows feed to the sink.
+    */
+  private def latestChangePerCustomer(batch: DataFrame): DataFrame =
+    batch.groupBy("o_custkey")
+      .agg(max_by(
+        struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority"), col("op")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderdate").as("o_orderdate"),
+        col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_totalprice").as("o_totalprice"),
+        col("m.o_orderpriority").as("o_orderpriority"),
+        (col("m.op") === "D").as("_deleted"))
+
   /** The changelog applied to the TABLE FORMAT by the streaming
     * engine — the composition of [[qCdcApply]] (what a compacted
     * changelog means) with the tombstone-aware upsert sink (how a
@@ -203,18 +220,7 @@ object Changes {
       val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
       def writer(batch: DataFrame, id: Long): Unit =
         Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
-          deleteCol = Some("_deleted"))(
-          batch.groupBy("o_custkey")
-            .agg(max_by(
-              struct(col("o_orderdate"), col("o_orderkey"),
-                col("o_totalprice"), col("o_orderpriority"), col("op")),
-              struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
-            .select(col("o_custkey"), col("m.o_orderdate").as("o_orderdate"),
-              col("m.o_orderkey").as("o_orderkey"),
-              col("m.o_totalprice").as("o_totalprice"),
-              col("m.o_orderpriority").as("o_orderpriority"),
-              (col("m.op") === "D").as("_deleted")),
-          id)
+          deleteCol = Some("_deleted"))(latestChangePerCustomer(batch), id)
       val src = Ingest.readStreamFiles(spark, s"$in/*.parquet",
         org.apache.spark.sql.types.StructType.fromDDL(
           "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderkey BIGINT, " +
@@ -247,6 +253,103 @@ object Changes {
           round(col("o_totalprice"), 2).as("o_totalprice"),
           col("o_orderpriority"))
         .orderBy("o_custkey")
+    })
+
+  /** The table format's CHANGE-DATA-FEED read back out — CDC in, CDC
+    * out. The same 4 date-range changelog batches as
+    * [[qStreamCdcTable]] fold into an upsert table written with
+    * `changeFeed = true`; the query returns every change record the
+    * format captured (`insert` / `update_preimage` / `update_postimage`
+    * / `delete`, full rows + `_batch_id`). The DuckDB oracle derives
+    * the identical feed from first principles: per (customer, batch)
+    * winners (the in-batch argmax the sink's pre-reduce produces), the
+    * previous winner via `lag` over the customer's batch sequence (the
+    * table's pre-state — a customer's row after batch b is exactly its
+    * batch-b winner when op='U', absent when 'D'), and the
+    * classification matrix — winner D over a live row → delete with
+    * the OLD row as image; U over live → pre+post pair; U over
+    * dead/absent → insert; D over absent → nothing. A hash match here
+    * proves the feed is byte-faithful to what the merges actually did,
+    * which is the property an incremental MV/replica consumer depends
+    * on. Scale: feed capture joins batch keys (broadcast) against
+    * touched buckets only — cost rides the merge's own O(touched), and
+    * the read is a parquet scan of the retained versions' `_changes`
+    * dirs.
+    */
+  val qTableCdf: QuerySpec = QuerySpec(
+    "q_table_cdf",
+    Some("""WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+               max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+          CAST(date_diff('day', d0, CAST(o_orderdate AS DATE)) AS BIGINT)
+            * 4 // (date_diff('day', d0, d1) + 1) AS b
+        FROM orders, bounds),
+      winners AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey, b
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM log)
+        WHERE rn = 1),
+      w2 AS (
+        SELECT *,
+          lag(op) OVER cw AS prev_op,
+          lag(o_orderdate) OVER cw AS prev_date,
+          lag(o_orderkey) OVER cw AS prev_key,
+          lag(o_totalprice) OVER cw AS prev_price,
+          lag(o_orderpriority) OVER cw AS prev_prio
+        FROM winners WINDOW cw AS (PARTITION BY o_custkey ORDER BY b)),
+      changes AS (
+        SELECT b AS _batch_id, 'delete' AS _change_type, o_custkey,
+          prev_date AS o_orderdate, prev_key AS o_orderkey,
+          prev_price AS o_totalprice, prev_prio AS o_orderpriority
+        FROM w2 WHERE op = 'D' AND prev_op = 'U'
+        UNION ALL
+        SELECT b, 'update_preimage', o_custkey, prev_date, prev_key,
+          prev_price, prev_prio
+        FROM w2 WHERE op = 'U' AND prev_op = 'U'
+        UNION ALL
+        SELECT b, 'update_postimage', o_custkey, o_orderdate, o_orderkey,
+          o_totalprice, o_orderpriority
+        FROM w2 WHERE op = 'U' AND prev_op = 'U'
+        UNION ALL
+        SELECT b, 'insert', o_custkey, o_orderdate, o_orderkey,
+          o_totalprice, o_orderpriority
+        FROM w2 WHERE op = 'U' AND (prev_op IS NULL OR prev_op = 'D'))
+      SELECT _batch_id, _change_type, o_custkey, o_orderdate, o_orderkey,
+        round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+      FROM changes ORDER BY _batch_id, o_custkey, _change_type"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("table-cdf") // tmpfs-backed
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val table = s"$base/table"
+      val log = orderChangelog(spark, dir)
+      val n = 4
+      val bounds = log.agg(min(to_date(col("o_orderdate"))),
+        max(to_date(col("o_orderdate")))).head() // 2 scalars
+      val (d0, d1) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+      (0 until n).foreach { i =>
+        val chunk = log.filter(expr(
+          s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span") === i)
+        // all versions retained: the feed read below spans every batch
+        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+          keepVersions = n, deleteCol = Some("_deleted"), changeFeed = true)(
+          latestChangePerCustomer(chunk), i.toLong)
+      }
+      Ingest.readTableChanges(spark, table, 0L, (n - 1).toLong)
+        .select(col("_batch_id"), col("_change_type"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("_batch_id", "o_custkey", "_change_type")
     })
 
   /** Incremental materialized-view maintenance for a per-customer
@@ -335,6 +438,6 @@ object Changes {
     })
 
   def specs: Seq[QuerySpec] =
-    Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qIncrementalAgg,
-      qStreamMv)
+    Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
+      qIncrementalAgg, qStreamMv)
 }

@@ -211,6 +211,26 @@ object Ingest {
     * commit landing mid-read. Zero by default so retention stays
     * exactly keepVersions-sized for callers that want that invariant.
     *
+    * `changeFeed` (opt-in, pinned at table creation like keys/buckets)
+    * additionally records WHAT each batch changed — the change-data-
+    * feed a downstream incremental consumer (MV refresh, replication,
+    * audit) reads instead of diffing snapshots. Each version carries
+    * `v_<b>/_changes/` (underscore-prefixed, so snapshot reads never
+    * see it) holding full-row change records: `insert` /
+    * `update_preimage` / `update_postimage` / `delete` in a
+    * `_change_type` column plus `_batch_id`. Pre-images are the table
+    * rows the batch replaced or deleted — classification joins the
+    * batch keys (broadcast — batch-sized by definition) against only
+    * the TOUCHED buckets, so the feed costs one extra scan of the
+    * buckets the merge already rewrites, never a table scan. A
+    * tombstone for an absent key records nothing (the merge changed
+    * nothing). Feed availability is retention-bounded exactly like
+    * time travel: changes live inside their version dir and are swept
+    * with it ([[readTableChanges]] fails loudly past the window). A
+    * committed batch that created no version (a non-first empty batch)
+    * is recorded in `_empty` so the reader can prove "zero changes"
+    * rather than guess.
+    *
     * `deleteCol` turns the sink into a full MERGE: name a boolean
     * column of the batch and rows where it is true are TOMBSTONES —
     * their keys are removed from the table (dropped from their touched
@@ -225,10 +245,10 @@ object Ingest {
     */
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
                     keepVersions: Int = 1, deleteCol: Option[String] = None,
-                    graceMs: Long = 0L)
+                    graceMs: Long = 0L, changeFeed: Boolean = false)
                    (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
-      count, first, lit, max, pmod, xxhash64}
+      count, first, lit, max, pmod, when, xxhash64}
     val spark = batch.sparkSession
     val root = new java.io.File(tableDir)
     root.mkdirs()
@@ -252,6 +272,20 @@ object Ingest {
           .replace('\n', ' ')}] but this call passed [${metaStr.trim
           .replace('\n', ' ')}] — keys/buckets are immutable table properties")
     }
+    // the change feed is a table property too: a feed with silent holes
+    // (some batches recorded, some not) is worse than no feed, so the
+    // marker is pinned before the first commit and every later call
+    // must agree with it
+    val cdfF = new java.io.File(root, "_cdf")
+    if (changeFeed && !cdfF.exists()) {
+      require(readLedger(root).isEmpty,
+        s"upsertParquet: table $tableDir has committed batches with no " +
+          "change feed — the feed cannot start mid-history")
+      writeAtomic(root, "_cdf", "")
+    }
+    require(!cdfF.exists() || changeFeed,
+      s"upsertParquet: table $tableDir records a change feed — " +
+        "pass changeFeed=true (a silent hole would corrupt the feed)")
 
     def readCurrent(): Option[String] =
       if (!currentF.exists()) None
@@ -338,6 +372,14 @@ object Ingest {
         .agg(max(col("cnt")).as("max_cnt"), collect_set(col("b")).as("bs"))
         .head()
       if (summary.isNullAt(0)) { // empty batch
+        if (changeFeed && readCurrent().nonEmpty) {
+          // a non-first empty batch commits no version; record it so
+          // readTableChanges can prove "zero changes" instead of
+          // confusing it with a retention-swept batch. Replay after a
+          // crash re-appends — duplicates are harmless (parsed as a set).
+          val out = new java.io.FileWriter(new java.io.File(root, "_empty"), true)
+          try out.write(s"$batchId\n") finally out.close()
+        }
         if (readCurrent().isEmpty) {
           // first-ever batch is empty: the table must still become
           // readable (foreachBatch legitimately delivers an empty batch
@@ -387,6 +429,37 @@ object Ingest {
             Option(bdir.listFiles()).toSeq.flatten.filter(_.isFile)
               .foreach(linkOrCopy(_, dst))
           }
+      }
+      if (changeFeed) {
+        val dataCols = dataOf(bk).columns
+          .filterNot(_ == UpsertBucketCol).map(col)
+        val flag = deleteCol.map(col).getOrElse(lit(false))
+        val old =
+          if (touchedDirs.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              dataOf(bk).schema)
+          else spark.read.option("basePath", curDir.get.getPath)
+            .parquet(touchedDirs.map(_.getPath): _*)
+        // pre-images: the table rows this batch replaces or deletes —
+        // ≤ batch-size rows by construction; checkpointed so the
+        // classification join and the output union don't re-scan the
+        // touched buckets a third time
+        val pre = old.join(
+          broadcast(bk.select(keys.map(col) :+ flag.as("_is_delete"): _*)),
+          keys, "inner").localCheckpoint()
+        val preKeys = pre.select(keys.map(col): _*).distinct()
+        val post = upserts.join(
+          broadcast(preKeys.withColumn("_existed", lit(true))), keys, "left")
+        val changes = pre.select(dataCols :+
+            when(col("_is_delete"), "delete")
+              .otherwise("update_preimage").as("_change_type"): _*)
+          .unionByName(post.select(dataCols :+
+            when(col("_existed"), "update_postimage")
+              .otherwise("insert").as("_change_type"): _*))
+          .withColumn("_batch_id", lit(batchId))
+        changes.coalesce(math.max(1, touched.size))
+          .write.parquet(new java.io.File(newV, "_changes").getPath)
       }
       swapCurrent()
       commit()
@@ -439,5 +512,67 @@ object Ingest {
           java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
     reader.option("basePath", vDir.getPath).parquet(vDir.getPath)
       .drop(UpsertBucketCol)
+  }
+
+  /** Read the change-data-feed of an [[upsertParquet]] table written
+    * with `changeFeed = true`: every change record with `_batch_id` in
+    * `[fromBatch, toBatch]` — full rows tagged `insert` /
+    * `update_preimage` / `update_postimage` / `delete` in
+    * `_change_type`. This is what an incremental consumer reads
+    * instead of diffing snapshots: an MV refresh folds the post-images
+    * and deletes; a replica applies them in batch order.
+    *
+    * Availability is retention-bounded like time travel: a committed
+    * batch in range must either have its version retained (the feed
+    * lives inside `v_<b>/_changes`), or be provably change-free (a
+    * non-first empty batch, recorded in `_empty`) — anything else
+    * means the feed was swept and the read FAILS rather than silently
+    * returning a hole. A table without the `_cdf` marker fails
+    * immediately (it never recorded changes).
+    */
+  def readTableChanges(spark: SparkSession, tableDir: String,
+                       fromBatch: Long, toBatch: Long): DataFrame = {
+    val root = new java.io.File(tableDir)
+    require(new java.io.File(root, "_cdf").exists(),
+      s"$tableDir is not a change-feed table — write it with changeFeed=true")
+    val emptyF = new java.io.File(root, "_empty")
+    val emptyIds: Set[Long] =
+      if (!emptyF.exists()) Set.empty
+      else {
+        val src = scala.io.Source.fromFile(emptyF)
+        try src.getLines()
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+        finally src.close()
+      }
+    val committed = readLedger(root)
+      .filter(b => b >= fromBatch && b <= toBatch).toSeq.sorted
+    val paths = committed.flatMap { b =>
+      val vDir = new java.io.File(root, s"v_$b")
+      val ch = new java.io.File(vDir, "_changes")
+      if (ch.isDirectory) Some(ch.getPath)
+      else if (vDir.isDirectory || emptyIds.contains(b)) None // zero changes
+      else throw new IllegalArgumentException(
+        s"change feed for batch $b of $tableDir is beyond the retention " +
+          "window (its version was swept) — raise keepVersions/graceMs " +
+          "or consume the feed before it ages out")
+    }
+    // schema pinned from the table's _schema (bucket col dropped) plus
+    // the feed columns, so a zero-change range reads as a typed empty
+    // frame and file column order can never matter
+    val schemaF = new java.io.File(root, "_schema")
+    require(schemaF.exists(), s"$tableDir has no _schema file")
+    val dataSchema = org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    val chSchema = StructType(
+      dataSchema.fields.filterNot(_.name == UpsertBucketCol).toSeq ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_batch_id",
+          org.apache.spark.sql.types.LongType)))
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], chSchema)
+    else spark.read.schema(chSchema).parquet(paths: _*)
   }
 }

@@ -393,6 +393,73 @@ class IngestSpec extends AnyFunSuite {
     assert(empty.count() === 0)
   }
 
+  test("change feed records inserts, updates, deletes with pre/post images") {
+    import spark.implicits._
+    val table = tmp() + "/cdf_table"
+    def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 10, deleteCol = Some("_del"), changeFeed = true)(
+        rows.toDF("user_id", "value", "_del"), id)
+    up(0, (1L, 1.0, false), (2L, 2.0, false))
+    up(1, (2L, 22.0, false), (3L, 3.0, false), (9L, 0.0, true)) // 9 absent: no record
+    up(2, (1L, 0.0, true)) // delete key 1
+    up(3) // empty batch: commits, zero changes
+    val ch = Ingest.readTableChanges(spark, table, 0, 3)
+      .orderBy("_batch_id", "user_id", "_change_type")
+      .select("_batch_id", "_change_type", "user_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(ch === Seq(
+      (0L, "insert", 1L, 1.0), (0L, "insert", 2L, 2.0),
+      (1L, "update_postimage", 2L, 22.0), (1L, "update_preimage", 2L, 2.0),
+      (1L, "insert", 3L, 3.0),
+      (2L, "delete", 1L, 1.0)))
+    // replaying a committed batch leaves the feed untouched
+    up(1, (2L, 22.0, false), (3L, 3.0, false), (9L, 0.0, true))
+    assert(Ingest.readTableChanges(spark, table, 0, 3).count() === 6)
+    // a sub-range reads only its batches
+    assert(Ingest.readTableChanges(spark, table, 2, 3).count() === 1)
+  }
+
+  test("change feed is a pinned table property and retention-bounded") {
+    import spark.implicits._
+    val t1 = tmp() + "/cdf_holes"
+    Ingest.upsertParquet(t1, Seq("user_id"), nBuckets = 2)(
+      Seq((1L, 1.0)).toDF("user_id", "value"), 0L)
+    // cannot start the feed mid-history
+    val exMid = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(t1, Seq("user_id"), nBuckets = 2,
+        changeFeed = true)(Seq((2L, 2.0)).toDF("user_id", "value"), 1L)
+    }
+    assert(exMid.getMessage.contains("mid-history"), exMid.getMessage)
+    // a feed table refuses a feed-less writer (silent hole)
+    val t2 = tmp() + "/cdf_strict"
+    Ingest.upsertParquet(t2, Seq("user_id"), nBuckets = 2,
+      changeFeed = true)(Seq((1L, 1.0)).toDF("user_id", "value"), 0L)
+    val exOff = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(t2, Seq("user_id"), nBuckets = 2)(
+        Seq((2L, 2.0)).toDF("user_id", "value"), 1L)
+    }
+    assert(exOff.getMessage.contains("changeFeed=true"), exOff.getMessage)
+    // a non-feed table fails the feed read immediately
+    val exNot = intercept[IllegalArgumentException] {
+      Ingest.readTableChanges(spark, t1, 0, 0)
+    }
+    assert(exNot.getMessage.contains("not a change-feed"), exNot.getMessage)
+    // feed availability is retention-bounded: keepVersions=1 sweeps
+    // v_0 at batch 1's commit, so reading batch 0's changes fails loudly
+    val t3 = tmp() + "/cdf_retention"
+    def up3(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(t3, Seq("user_id"), nBuckets = 2,
+        keepVersions = 1, changeFeed = true)(rows.toDF("user_id", "value"), id)
+    up3(0, 1L -> 1.0)
+    up3(1, 2L -> 2.0)
+    val exRet = intercept[IllegalArgumentException] {
+      Ingest.readTableChanges(spark, t3, 0, 1)
+    }
+    assert(exRet.getMessage.contains("retention"), exRet.getMessage)
+    assert(Ingest.readTableChanges(spark, t3, 1, 1).count() === 1)
+  }
+
   test("event ts unit is pinned from parquet footers, not per-row magnitude") {
     import spark.implicits._
     // fixture path: the annotated footer agrees with the magnitude
