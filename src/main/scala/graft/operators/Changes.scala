@@ -255,6 +255,40 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** Fold the [[orderChangelog]] into a FRESH upsert table under
+    * `base` as `n` date-range batches (the [[qStreamCdcTable]]
+    * chunking — value-based buckets, so cross-batch recency is exactly
+    * batch order), tombstones applied, every version retained. Shared
+    * by the table-format rows that need a realistically-built table.
+    */
+  private def buildCdcUpsertTable(spark: SparkSession, dir: String,
+                                  base: String, n: Int,
+                                  changeFeed: Boolean): String = {
+    import graft.sources.Ingest
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val table = s"$base/table"
+    val log = orderChangelog(spark, dir)
+    val bounds = log.agg(min(to_date(col("o_orderdate"))),
+      max(to_date(col("o_orderdate")))).head() // 2 scalars
+    val (d0, d1) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+    // batch-sized merge jobs, not corpus-sized
+    EventOps.withStreamSizing(spark) {
+      (0 until n).foreach { i =>
+        val chunk = log.filter(expr(
+          s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span") === i)
+        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+          keepVersions = n, deleteCol = Some("_deleted"),
+          changeFeed = changeFeed)(latestChangePerCustomer(chunk), i.toLong)
+      }
+    }
+    table
+  }
+
   /** The table format's CHANGE-DATA-FEED read back out — CDC in, CDC
     * out. The same 4 date-range changelog batches as
     * [[qStreamCdcTable]] fold into an upsert table written with
@@ -323,33 +357,64 @@ object Changes {
       FROM changes ORDER BY _batch_id, o_custkey, _change_type"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val base = graft.Scratch.dir("table-cdf") // tmpfs-backed
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(base))
-      val table = s"$base/table"
-      val log = orderChangelog(spark, dir)
       val n = 4
-      val bounds = log.agg(min(to_date(col("o_orderdate"))),
-        max(to_date(col("o_orderdate")))).head() // 2 scalars
-      val (d0, d1) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
-      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
-      (0 until n).foreach { i =>
-        val chunk = log.filter(expr(
-          s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span") === i)
-        // all versions retained: the feed read below spans every batch
-        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
-          keepVersions = n, deleteCol = Some("_deleted"), changeFeed = true)(
-          latestChangePerCustomer(chunk), i.toLong)
-      }
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("table-cdf"), n, changeFeed = true)
       Ingest.readTableChanges(spark, table, 0L, (n - 1).toLong)
         .select(col("_batch_id"), col("_change_type"), col("o_custkey"),
           col("o_orderdate"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"),
           col("o_orderpriority"))
         .orderBy("_batch_id", "o_custkey", "_change_type")
+    })
+
+  /** Point lookup through the table format's hash-bucket layout — the
+    * read path the layout exists for. The CDC-built table (same fold
+    * as [[qTableCdf]]) is probed for 4 customer keys (one
+    * deliberately absent); [[graft.sources.Ingest.lookupUpsertTable]]
+    * hashes the probe with the table's pinned bucket function and
+    * scans ONLY those buckets. The pruning is ENFORCED inside the
+    * query — it `require`s the pruned scan's file list is strictly
+    * smaller than the full snapshot's, so the row fails loudly if the
+    * bucket math ever stops pruning — while the DuckDB oracle
+    * hash-checks the data: the compacted-changelog snapshot restricted
+    * to the probe keys (the 4-batch fold equals global compaction —
+    * the [[qStreamCdcTable]] argument). Scale: a k-key lookup reads
+    * O(k) buckets of a table of ANY size; the only driver-side values
+    * are ≤ nBuckets small ints.
+    */
+  val qUpsertLookup: QuerySpec = QuerySpec(
+    "q_upsert_lookup",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_custkey, o_orderdate, o_orderkey,
+        round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+      FROM ranked
+      WHERE rn = 1 AND op <> 'D'
+        AND o_custkey IN (1, 2, 3, 999999999)
+      ORDER BY o_custkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("upsert-lookup"), n = 4, changeFeed = false)
+      import spark.implicits._
+      val probe = Seq(1L, 2L, 3L, 999999999L).toDF("o_custkey")
+      val pruned = Ingest.lookupUpsertTable(spark, table, probe)
+      val nPruned = pruned.inputFiles.length
+      val nFull = Ingest.readUpsertTable(spark, table).inputFiles.length
+      require(nPruned < nFull,
+        s"bucket pruning did not engage: lookup scans $nPruned of $nFull files")
+      pruned.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderpriority"))
+        .orderBy("o_custkey")
     })
 
   /** Incremental materialized-view maintenance for a per-customer
@@ -439,5 +504,5 @@ object Changes {
 
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
-      qIncrementalAgg, qStreamMv)
+      qUpsertLookup, qIncrementalAgg, qStreamMv)
 }

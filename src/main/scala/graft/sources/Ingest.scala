@@ -483,8 +483,19 @@ object Ingest {
   def readUpsertTable(spark: SparkSession, tableDir: String,
                       asOfBatch: Option[Long] = None): DataFrame = {
     val root = new java.io.File(tableDir)
+    val vDir = resolveVersionDir(root, asOfBatch)
+    pinnedReader(spark, root).option("basePath", vDir.getPath)
+      .parquet(vDir.getPath)
+      .drop(UpsertBucketCol)
+  }
+
+  /** The snapshot dir for CURRENT / a committed as-of batch (the
+    * resolution rules documented on [[readUpsertTable]]).
+    */
+  private def resolveVersionDir(root: java.io.File,
+                                asOfBatch: Option[Long]): java.io.File = {
     val currentF = new java.io.File(root, "CURRENT")
-    require(currentF.exists(), s"upsert table has no CURRENT pointer: $tableDir")
+    require(currentF.exists(), s"upsert table has no CURRENT pointer: $root")
     val v = asOfBatch match {
       case None =>
         new String(java.nio.file.Files.readAllBytes(currentF.toPath),
@@ -501,16 +512,76 @@ object Ingest {
             s"batch $b (retained: ${have.sorted.mkString(",")}) — raise keepVersions")
         s"v_${eligible.max}"
     }
-    val vDir = new java.io.File(root, v)
-    // _schema pins the table type so an all-deleted / empty-first-batch
-    // snapshot (zero data files) still reads as a typed empty table
+    new java.io.File(root, v)
+  }
+
+  /** Reader with the table's pinned `_schema` applied, so an
+    * all-deleted / empty-first-batch snapshot (zero data files) still
+    * reads as a typed empty table.
+    */
+  private def pinnedReader(spark: SparkSession, root: java.io.File) = {
     val schemaF = new java.io.File(root, "_schema")
-    val reader =
-      if (!schemaF.exists()) spark.read
-      else spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(
-        new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
-    reader.option("basePath", vDir.getPath).parquet(vDir.getPath)
+    if (!schemaF.exists()) spark.read
+    else spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  /** Point-lookup read of an [[upsertParquet]] table: scan ONLY the
+    * bucket dirs the probe keys hash to, then exact-match inside them.
+    * This is the read path the hash-bucketed layout exists for — a
+    * key's row can live in exactly one bucket (`pmod(xxhash64(keys),
+    * nBuckets)`, pinned in `_meta`), so a k-key lookup reads O(k)
+    * buckets however large the table is, where the plain
+    * [[readUpsertTable]]-then-filter scans every file.
+    *
+    * `probe` carries the key columns (extra columns are ignored); it
+    * is assumed point-lookup-sized — its distinct keys are broadcast
+    * for the exact match. The only driver-side collect is the DISTINCT
+    * BUCKET set, bounded by nBuckets small ints (the same bound the
+    * sink's own merge planning uses), never by probe or table size. A
+    * probe too large to broadcast belongs in a regular join against
+    * [[readUpsertTable]] instead. Keys absent from the table simply
+    * match nothing — including keys hashing to a bucket dir that does
+    * not exist (never-written bucket), which contributes no scan at
+    * all.
+    */
+  def lookupUpsertTable(spark: SparkSession, tableDir: String,
+                        probe: DataFrame,
+                        asOfBatch: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
+    val root = new java.io.File(tableDir)
+    val metaF = new java.io.File(root, "_meta")
+    require(metaF.exists(), s"not an upsert table (no _meta): $tableDir")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+    val keys = meta("keys").split(",").toSeq
+    val nBuckets = meta("buckets").toInt
+    keys.foreach(k => require(probe.columns.contains(k),
+      s"lookup probe is missing key column '$k' (table keys: " +
+        s"${keys.mkString(",")})"))
+    val probeKeys = probe.select(keys.map(col): _*).distinct()
+    // ≤ nBuckets small ints — bounded by the table property, not data
+    val buckets: Seq[Long] = probeKeys
+      .select(pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val vDir = resolveVersionDir(root, asOfBatch)
+    val bucketDirs = buckets
+      .map(b => new java.io.File(vDir, s"$UpsertBucketCol=$b"))
+      .filter(_.isDirectory)
+    val reader = pinnedReader(spark, root)
+    val scan =
+      if (bucketDirs.isEmpty)
+        // typed empty via the pinned schema over the (possibly empty)
+        // version dir — same trick the snapshot read uses
+        reader.option("basePath", vDir.getPath).parquet(vDir.getPath)
+          .filter(lit(false))
+      else reader.option("basePath", vDir.getPath)
+        .parquet(bucketDirs.map(_.getPath): _*)
+    scan.join(broadcast(probeKeys), keys, "left_semi")
       .drop(UpsertBucketCol)
   }
 

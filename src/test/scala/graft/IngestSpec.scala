@@ -420,6 +420,35 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.readTableChanges(spark, table, 2, 3).count() === 1)
   }
 
+  test("bucket-pruned lookup equals full-scan filter and reads fewer files") {
+    import spark.implicits._
+    val table = tmp() + "/lookup_table"
+    val rows = (1L to 200L).map(i => (i, i * 1.5))
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 8)(
+      rows.toDF("user_id", "value"), 0L)
+    val probe = Seq(7L, 42L, 9999L).toDF("user_id") // 9999 absent
+    val got = Ingest.lookupUpsertTable(spark, table, probe)
+      .orderBy("user_id").as[(Long, Double)].collect().toSeq
+    assert(got === Seq(7L -> 10.5, 42L -> 63.0))
+    val nPruned = Ingest.lookupUpsertTable(spark, table, probe)
+      .inputFiles.length
+    val nFull = Ingest.readUpsertTable(spark, table).inputFiles.length
+    assert(nPruned < nFull, s"$nPruned vs $nFull")
+    // time travel composes: lookup against a past committed snapshot
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 8,
+      keepVersions = 2)(Seq((7L, 0.0)).toDF("user_id", "value"), 1L)
+    assert(Ingest.lookupUpsertTable(spark, table,
+      Seq(7L).toDF("user_id"), asOfBatch = Some(0L))
+      .select("value").as[Double].head() === 10.5)
+    assert(Ingest.lookupUpsertTable(spark, table, Seq(7L).toDF("user_id"))
+      .select("value").as[Double].head() === 0.0)
+    // a probe missing the key column fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.lookupUpsertTable(spark, table, Seq(1L).toDF("other"))
+    }
+    assert(ex.getMessage.contains("missing key column"), ex.getMessage)
+  }
+
   test("change feed is a pinned table property and retention-bounded") {
     import spark.implicits._
     val t1 = tmp() + "/cdf_holes"
