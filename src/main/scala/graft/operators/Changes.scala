@@ -417,6 +417,78 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** Widen-only SCHEMA EVOLUTION through the table format, end-to-end:
+    * batch 0 writes orders WITHOUT `o_orderpriority`; batches 1–3
+    * append it. The sink widens the pinned `_schema` (old files
+    * surface the new column as null — history is never rewritten), so
+    * customers whose latest change landed in batch 0 read a NULL
+    * priority, bucketed here as '(pre-widening)'. The DuckDB oracle
+    * derives the same thing from first principles: the global
+    * per-customer winner, with the priority nulled exactly when the
+    * winner's date-bucket is 0. Money sums run in exact integer cents
+    * so engine summation order can't nudge the hash.
+    */
+  val qUpsertEvolve: QuerySpec = QuerySpec(
+    "q_upsert_evolve",
+    Some("""WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+          CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+      log AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          (date_diff('day', b.d0, CAST(o_orderdate AS DATE)) * 4)
+            // (date_diff('day', b.d0, b.d1) + 1) AS bkt
+        FROM orders, b),
+      win AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM log)
+        WHERE rn = 1)
+      SELECT CASE WHEN bkt = 0 THEN '(pre-widening)'
+          ELSE o_orderpriority END AS prio,
+        count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend
+      FROM win GROUP BY 1 ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.{Ingest, Tables}
+      val base = graft.Scratch.dir("upsert-evolve") // tmpfs-backed
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val table = s"$base/table"
+      val log = Tables.load(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val bounds = log.agg(min(to_date(col("o_orderdate"))),
+        max(to_date(col("o_orderdate")))).head() // 2 scalars
+      val (d0, d1) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+      def latest(df: DataFrame): DataFrame = {
+        val payload = df.columns.filterNot(_ == "o_custkey")
+        df.groupBy("o_custkey")
+          .agg(max_by(struct(payload.map(col): _*),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+          .select(col("o_custkey") +: payload.map(c => col(s"m.$c").as(c)): _*)
+      }
+      EventOps.withStreamSizing(spark) {
+        (0 until 4).foreach { i =>
+          val chunk = log.filter(expr(
+            s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * 4 DIV $span") === i)
+          // the first wave predates the o_orderpriority column
+          val shaped = if (i == 0) chunk.drop("o_orderpriority") else chunk
+          Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8)(
+            latest(shaped), i.toLong)
+        }
+      }
+      Ingest.readUpsertTable(spark, table)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-widening)"))
+          .as("prio"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double") / 100).as("spend"))
+        .orderBy("prio")
+    })
+
   /** Incremental materialized-view maintenance for a per-customer
     * order summary: the standing aggregate (orders with key ≢0 mod 10)
     * and the new batch (keys ≡0 mod 10) are PARTIALLY aggregated
@@ -504,5 +576,5 @@ object Changes {
 
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
-      qUpsertLookup, qIncrementalAgg, qStreamMv)
+      qUpsertLookup, qUpsertEvolve, qIncrementalAgg, qStreamMv)
 }

@@ -354,10 +354,48 @@ object Ingest {
     // the table's DATA schema (tombstone marker excluded, bucket col
     // included) — pinned once so an empty snapshot stays readable:
     // spark.read with this schema over a version holding zero data
-    // files is a well-typed empty table, not an inference failure
+    // files is a well-typed empty table, not an inference failure.
+    // Schema EVOLUTION is widen-only: a later batch may APPEND new
+    // columns (old files simply read them as null through the pinned
+    // schema — no rewrite of history), but dropping or retyping a
+    // pinned column fails loudly — silent narrowing is how a table
+    // format corrupts its own history. The widened _schema is written
+    // (atomic rename) BEFORE the version build: if the build crashes,
+    // a widened schema over old data is still sound (all-null column).
     def dataOf(df: DataFrame): DataFrame = deleteCol.fold(df)(df.drop(_))
     val schemaF = new java.io.File(root, "_schema")
-    if (!schemaF.exists()) writeAtomic(root, "_schema", dataOf(bk).schema.json)
+    val batchSchema = dataOf(bk).schema
+    val tableSchema: StructType =
+      if (!schemaF.exists()) {
+        writeAtomic(root, "_schema", batchSchema.json)
+        batchSchema
+      } else {
+        val pinned = org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+        val pinnedByName = pinned.fields.map(f => f.name -> f.dataType).toMap
+        val batchByName = batchSchema.fields.map(f => f.name -> f.dataType).toMap
+        val missing = pinned.fieldNames.filterNot(batchByName.contains)
+        require(missing.isEmpty,
+          s"upsertParquet: batch $batchId is missing pinned column(s) " +
+            s"[${missing.mkString(",")}] — schema evolution is widen-only")
+        // catalogString compares the full type shape while ignoring
+        // top-level nullability flags (sameType is private[sql])
+        val retyped = pinned.fields.filter(f =>
+          batchByName(f.name).catalogString != f.dataType.catalogString)
+        require(retyped.isEmpty,
+          s"upsertParquet: batch $batchId retypes pinned column(s) " +
+            retyped.map(f => s"${f.name}: ${f.dataType.simpleString} -> " +
+              batchByName(f.name).simpleString).mkString("[", ", ", "]") +
+            " — schema evolution is widen-only")
+        val added = batchSchema.fields.filterNot(f => pinnedByName.contains(f.name))
+        if (added.isEmpty) pinned
+        else {
+          val widened = StructType(pinned.fields.toSeq ++ added)
+          writeAtomic(root, "_schema", widened.json)
+          widened
+        }
+      }
     def swapCurrent(): Unit = {
       writeAtomic(root, "CURRENT", vName)
     }
@@ -413,7 +451,11 @@ object Ingest {
       val upserts = dataOf(deleteCol.fold(bk)(c => bk.filter(!col(c))))
       val merged =
         if (touchedDirs.isEmpty) upserts
-        else spark.read.option("basePath", curDir.get.getPath)
+        // read old rows through the (possibly just-widened) table
+        // schema: files from before a widening surface the new columns
+        // as null, so survivors and upserts always union cleanly
+        else spark.read.schema(tableSchema)
+          .option("basePath", curDir.get.getPath)
           .parquet(touchedDirs.map(_.getPath): _*)
           .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
           .unionByName(upserts)
@@ -438,8 +480,9 @@ object Ingest {
           if (touchedDirs.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              dataOf(bk).schema)
-          else spark.read.option("basePath", curDir.get.getPath)
+              tableSchema)
+          else spark.read.schema(tableSchema)
+            .option("basePath", curDir.get.getPath)
             .parquet(touchedDirs.map(_.getPath): _*)
         // pre-images: the table rows this batch replaces or deletes —
         // ≤ batch-size rows by construction; checkpointed so the

@@ -420,6 +420,46 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.readTableChanges(spark, table, 2, 3).count() === 1)
   }
 
+  test("upsert schema evolution: widen-only, nulls backfill history") {
+    import spark.implicits._
+    val table = tmp() + "/evolve_table"
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 3)(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("user_id", "value"), 0L)
+    // batch 1 appends a column: old rows surface it as null
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 3)(
+      Seq((2L, 22.0, "b"), (3L, 3.0, "c")).toDF("user_id", "value", "tag"), 1L)
+    val cur = Ingest.readUpsertTable(spark, table).orderBy("user_id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(cur === Seq((1L, 1.0, None), (2L, 22.0, Some("b")),
+      (3L, 3.0, Some("c"))))
+    // time travel reads the PRE-widening snapshot through the table
+    // schema too — the schema is a table property, not a version one
+    assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+      .columns.toSeq === Seq("user_id", "value", "tag"))
+    assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+      .filter("tag IS NOT NULL").count() === 0)
+    // dropping a pinned column fails loudly
+    val exDrop = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4)(
+        Seq((4L, "d")).toDF("user_id", "tag"), 2L)
+    }
+    assert(exDrop.getMessage.contains("widen-only"), exDrop.getMessage)
+    // retyping fails loudly
+    val exType = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4)(
+        Seq((4L, "oops", "d")).toDF("user_id", "value", "tag"), 2L)
+    }
+    assert(exType.getMessage.contains("retypes"), exType.getMessage)
+    // the widened schema sticks for later batches and lookups
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 3)(
+      Seq((1L, 10.0, "a")).toDF("user_id", "value", "tag"), 2L)
+    assert(Ingest.lookupUpsertTable(spark, table, Seq(1L).toDF("user_id"))
+      .as[(Long, Double, Option[String])].head() === ((1L, 10.0, Some("a"))))
+  }
+
   test("bucket-pruned lookup equals full-scan filter and reads fewer files") {
     import spark.implicits._
     val table = tmp() + "/lookup_table"
