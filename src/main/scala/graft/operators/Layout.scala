@@ -389,6 +389,65 @@ object Layout {
         .toDF("rows_matching", "layouts_agree", "zorder_scans_less")
     })
 
+  /** Manifest-level FILE skipping composed with the Z-order layout —
+    * the [[graft.sources.StatsManifest]] contract row. The same (x, y)
+    * projection of orders as [[qZorderPruning]] is Z-clustered into 48
+    * range files and written WITH a per-file min/max manifest; the
+    * probe then runs twice: a full scan of all files, and a
+    * [[graft.sources.StatsManifest.prunedScan]] that consults ONLY the
+    * manifest to shrink the file list before any data I/O — the layer
+    * that saves a 100 TB table from opening a million parquet footers
+    * for a selective query. The row ENFORCES both halves of the
+    * contract in-query: the pruned file list is strictly smaller
+    * (`require` — fails loudly if skipping ever stops engaging) and
+    * the answers are identical (checked row-for-row on the collected
+    * probe ids, probe-sized). Oracle-checkable outputs: the probe
+    * count recomputed by DuckDB from the base table, plus the two
+    * contract booleans.
+    */
+  val qStatsPruning: QuerySpec = QuerySpec(
+    "q_stats_pruning",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS rows_matching,
+        true AS pruned_agrees, true AS skipping_engages
+      FROM orders
+      WHERE (o_custkey & 1023) BETWEEN 100 AND 400
+        AND (date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+          o_orderdate) & 1023) BETWEEN 200 AND 500"""),
+    (spark, dir) => {
+      import graft.sources.StatsManifest
+      val base = graft.Scratch.dir("stats-prune")
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").bitwiseAND(lit(1023L)).cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").bitwiseAND(lit(1023L)).as("y"))
+      // caller-controlled layout: Z-cluster so BOTH stats columns get
+      // tight per-file ranges, then let the manifest capture them
+      val clustered = orders
+        .withColumn("zkey", zkey2(col("x").bitwiseAND(lit(1023L)),
+          col("y").bitwiseAND(lit(1023L))))
+        .repartitionByRange(48, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+      StatsManifest.writeWithStats(clustered, s"$base/t", Seq("x", "y"))
+      val pred = (d: DataFrame) =>
+        d.filter(col("x").between(100, 400) && col("y").between(200, 500))
+      val full = pred(spark.read.parquet(s"$base/t"))
+      val pruned = pred(StatsManifest.prunedScan(spark, s"$base/t",
+        Seq(("x", 100L, 400L), ("y", 200L, 500L))))
+      val nAll = spark.read.parquet(s"$base/t").inputFiles.length
+      val nPruned = pruned.inputFiles.length
+      require(nPruned < nAll,
+        s"manifest skipping did not engage: probe scans $nPruned of $nAll files")
+      // probe-sized collects (~1 % of orders), bounded by the 2-D box
+      val fullIds = full.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val prunedIds = pruned.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      import spark.implicits._
+      Seq((fullIds.length.toLong, java.util.Arrays.equals(fullIds, prunedIds),
+          nPruned < nAll))
+        .toDF("rows_matching", "pruned_agrees", "skipping_engages")
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qZorderLayout, qZorder3Layout, qZorderPruning)
+    Seq(qZorderLayout, qZorder3Layout, qZorderPruning, qStatsPruning)
 }

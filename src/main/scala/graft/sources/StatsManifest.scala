@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data skipping — the manifest layer every
+  * lakehouse table format (Delta/Iceberg/Hudi) puts between the query
+  * and the file listing, and the consumer of the tight per-file value
+  * ranges that [[graft.operators.Layout]]'s Z-order write produces.
+  *
+  * Why it exists at 100 TB: parquet row-group stats prune WITHIN a
+  * file, but the reader still has to open every footer — a
+  * 100 TB table is millions of files, and footer-open round trips
+  * (object-store GETs) dominate a selective query. A manifest holds
+  * one row per file with min/max per stats column, so planning prunes
+  * the FILE LIST before any footer is touched: a 2-D range probe over
+  * a Z-clustered table goes from "open every footer" to "open the few
+  * files whose bounding box overlaps the probe".
+  *
+  * The manifest is derived, not authoritative — it is rebuilt from the
+  * data on write, lives under `_stats/` inside the table dir
+  * (underscore-prefixed, so Spark's file listing never surfaces it to
+  * snapshot reads), and a lost manifest degrades to a full scan, never
+  * a wrong answer (pruning is sound: a file is skipped only when its
+  * min/max range provably misses the predicate).
+  */
+object StatsManifest {
+
+  val ManifestDir = "_stats"
+
+  /** Write `df` as parquet at `path` — the caller controls layout
+    * (partitioning/sorting decide how tight the per-file ranges are;
+    * a Z-clustered input gives multi-column-tight boxes) — then build
+    * the per-file manifest for `statsCols`: one row per data file with
+    * `min_<c>` / `max_<c>` for each stats column.
+    *
+    * The stats pass re-reads ONLY the stats columns of the
+    * just-written files (column pruning makes this a narrow columnar
+    * scan) and reduces per file via one hash agg on
+    * `input_file_name()` — fully distributed, no driver-side footer
+    * walk. A production variant could lift the same numbers straight
+    * out of the parquet footers; deriving them from the data keeps the
+    * path engine-portable and exactly as correct.
+    */
+  def writeWithStats(df: DataFrame, path: String,
+                     statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "writeWithStats: no stats columns")
+    df.write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val written = spark.read.parquet(path)
+      .select(statsCols.map(col): _*)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    written
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one manifest row per data file — manifest is tiny
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** Scan `path` reading ONLY the files whose manifest range can
+    * contain a row matching every `(column, lo, hi)` bound — file-list
+    * pruning from the manifest, before any data (or footer) I/O. The
+    * returned frame still holds all rows OF THOSE FILES: callers apply
+    * their row-level predicate on top (skipping is a superset
+    * guarantee, like partition pruning).
+    *
+    * A file is kept iff `max_c >= lo AND min_c <= hi` for every bound —
+    * the bounding-box overlap test; an all-NULL stats column yields
+    * NULL min/max, which fails the overlap test exactly as 3-valued
+    * logic requires (no non-null row in that file can match a range).
+    * The only driver-side materialization is the surviving FILE LIST —
+    * bounded by file count, the same thing any manifest-based format's
+    * planner holds. An empty survivor set returns a typed empty scan.
+    */
+  def prunedScan(spark: SparkSession, path: String,
+                 bounds: Seq[(String, Any, Any)]): DataFrame = {
+    // the manifest dir is underscore-prefixed so TABLE reads never see
+    // it; reading it back therefore names its part files explicitly
+    // (a leading-underscore path handed to the reader is otherwise
+    // subject to the same hidden-file filtering that protects it)
+    val mparts = Option(new java.io.File(new java.io.File(path), ManifestDir)
+        .listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    require(mparts.nonEmpty, s"no stats manifest under $path/$ManifestDir " +
+      "— write the table with writeWithStats")
+    val manifest = spark.read.parquet(mparts: _*)
+    val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
+      m.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+    }
+    val files = keep.select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.option("basePath", path).parquet(files.toSeq: _*)
+  }
+}

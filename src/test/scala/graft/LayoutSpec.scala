@@ -100,4 +100,38 @@ class LayoutSpec extends AnyFunSuite {
       s"expected $expect files, got ${dataFiles(s"$base/compacted")}")
     assert(spark.read.parquet(s"$base/compacted").count() == n)
   }
+
+  test("stats manifest prunes the file list, never the answer") {
+    import graft.sources.StatsManifest
+    val base = java.nio.file.Files.createTempDirectory("manifest").toString
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(1023L)).cast("long").as("x"),
+        datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").bitwiseAND(lit(1023L)).as("y"))
+    val clustered = orders
+      .withColumn("zkey", Layout.zkey2(col("x"), col("y")))
+      .repartitionByRange(32, col("zkey"))
+      .sortWithinPartitions("zkey").drop("zkey")
+    StatsManifest.writeWithStats(clustered, s"$base/t", Seq("x", "y"))
+    // the manifest is invisible to a plain snapshot read
+    val plain = spark.read.parquet(s"$base/t")
+    assert(plain.columns.sorted.sameElements(Array("o_orderkey", "x", "y")))
+    assert(plain.count() == orders.count())
+    // pruning shrinks the file list and preserves the answer exactly
+    val pred = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("x").between(100, 400) && col("y").between(200, 500))
+    val pruned = pred(StatsManifest.prunedScan(spark, s"$base/t",
+      Seq(("x", 100L, 400L), ("y", 200L, 500L))))
+    assert(pruned.inputFiles.length < plain.inputFiles.length)
+    val want = pred(plain).select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val got = pruned.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+    // a probe outside every file's box survives NO files and still
+    // returns a typed empty frame
+    val none = StatsManifest.prunedScan(spark, s"$base/t",
+      Seq(("x", 5000L, 6000L)))
+    assert(none.schema.fieldNames.contains("o_orderkey"))
+    assert(none.count() == 0)
+  }
 }
