@@ -574,7 +574,121 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** Re-bucketing the table format under load — THE maintenance pass a
+    * hash-bucketed table needs as it grows (bucket count must track
+    * table size: merges cost O(touched buckets), lookups O(k)
+    * buckets). The CDC-built table (same 4-batch fold as
+    * [[qTableCdf]], 8 buckets) is rewritten by
+    * [[graft.sources.Ingest.rebucketUpsertTable]] to 16 buckets as a
+    * new GENERATION of the same committed batch — no new batchId, so a
+    * streaming writer's ids can never collide with maintenance. The
+    * row enforces the two physical contracts in-query (the
+    * per-priority aggregate is identical before/after — compared in
+    * exact integer cents; and a post-rebucket point lookup still
+    * prunes to fewer files than the full snapshot) while DuckDB
+    * hash-checks the data: the aggregate of the compacted changelog.
+    */
+  val qUpsertRebucket: QuerySpec = QuerySpec(
+    "q_upsert_rebucket",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend,
+        true AS rebucket_preserves, true AS lookup_pruned
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("upsert-rebucket"), n = 4, changeFeed = false)
+      // 5-row aggregate checksum, taken BEFORE the rewrite (the
+      // superseded generation's files are swept by the rebucket, so
+      // a lazy frame over them must not outlive it)
+      def aggOf(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      val beforeAgg = aggOf(Ingest.readUpsertTable(spark, table))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      Ingest.rebucketUpsertTable(spark, table, 16)
+      val after = Ingest.readUpsertTable(spark, table)
+      val afterAgg = aggOf(after)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val preserved = beforeAgg == afterAgg
+      import spark.implicits._
+      val probe = Seq(1L, 2L, 3L).toDF("o_custkey")
+      val pruned = Ingest.lookupUpsertTable(spark, table, probe)
+      val lookupPruned = pruned.inputFiles.length < after.inputFiles.length
+      require(preserved && lookupPruned,
+        s"rebucket contract broken: preserved=$preserved pruned=$lookupPruned")
+      aggOf(after)
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(preserved).as("rebucket_preserves"),
+          lit(lookupPruned).as("lookup_pruned"))
+        .orderBy("prio")
+    })
+
+  /** An incremental materialized view driven by the table format's
+    * CHANGE FEED — the composition [[qTableCdf]] exists for: instead
+    * of diffing snapshots, the consumer folds the feed's signed
+    * contributions (`insert`/`update_postimage` add a row's measures,
+    * `delete`/`update_preimage` subtract them) into the standing
+    * per-priority aggregate. Folding ALL batches from an empty start
+    * must land exactly on the final snapshot's aggregate — which is
+    * what the DuckDB oracle recomputes from raw orders, so the hash
+    * match proves feed-driven maintenance ≡ recompute (the contract a
+    * replica or MV refresher depends on). Money runs in exact integer
+    * cents so fold order can't nudge FP; a group whose contributions
+    * net to zero rows is dropped (it no longer exists in the view).
+    * Scale: the refresh cost is one scan of the RANGE'S feed + a hash
+    * agg keyed on the group key — the snapshot is never re-scanned.
+    */
+  val qCdfMv: QuerySpec = QuerySpec(
+    "q_cdf_mv",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val n = 4
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("cdf-mv"), n, changeFeed = true)
+      val sign = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      Ingest.readTableChanges(spark, table, 0L, (n - 1).toLong)
+        .select(col("o_orderpriority").as("prio"),
+          sign.as("s"),
+          (sign * round(col("o_totalprice") * 100, 0).cast("long")).as("sc"))
+        .groupBy("prio")
+        .agg(sum("s").as("n"), sum("sc").as("cents"))
+        .filter(col("n") =!= 0)
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"))
+        .orderBy("prio")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
-      qUpsertLookup, qUpsertEvolve, qIncrementalAgg, qStreamMv)
+      qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv,
+      qIncrementalAgg, qStreamMv)
 }

@@ -127,6 +127,108 @@ object Ingest {
     }
   }
 
+  /** Version-dir name: `v_<batchId>` (generation 0 — written by the
+    * upsert protocol itself; complete iff its batchId is in the
+    * ledger) or `v_<batchId>.<gen>` (gen ≥ 1 — a MAINTENANCE rewrite
+    * of the same committed state, e.g. [[rebucketUpsertTable]];
+    * complete iff the dir holds `_gen_commit`, written last). A
+    * maintenance pass never mints a batchId — the ledger stays the
+    * batch history, generations are physical re-layouts of one batch's
+    * state — so a streaming writer's monotone batchIds can never
+    * collide with maintenance commits.
+    */
+  private def parseVersion(name: String): Option[(Long, Int)] =
+    if (!name.startsWith("v_")) None
+    else name.stripPrefix("v_").split("\\.", 2) match {
+      case Array(b) => scala.util.Try(b.toLong).toOption.map(_ -> 0)
+      case Array(b, g) => for {
+        bb <- scala.util.Try(b.toLong).toOption
+        gg <- scala.util.Try(g.toInt).toOption
+      } yield (bb, gg)
+      case _ => None
+    }
+
+  private def versionName(b: Long, gen: Int): String =
+    if (gen == 0) s"v_$b" else s"v_$b.$gen"
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  private def readCurrentName(root: java.io.File): Option[String] = {
+    val currentF = new java.io.File(root, "CURRENT")
+    if (!currentF.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(currentF.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+  }
+
+  /** All version dirs under `root` as (dir, batchId, gen). */
+  private def versionDirs(root: java.io.File): Seq[(java.io.File, Long, Int)] =
+    Option(root.listFiles()).toSeq.flatten.filter(_.isDirectory)
+      .flatMap(f => parseVersion(f.getName).map { case (b, g) => (f, b, g) })
+
+  /** Is this dir a COMPLETE snapshot? Gen 0 completeness is the
+    * ledger's job (callers intersect with it); a gen ≥ 1 dir is
+    * complete iff CURRENT names it or its `_gen_commit` marker exists
+    * (written after data + feed + metadata, before the pointer swap) —
+    * a crashed maintenance rewrite is therefore never servable.
+    */
+  private def genComplete(f: java.io.File, gen: Int,
+                          cur: Option[String]): Boolean =
+    gen == 0 || cur.contains(f.getName) ||
+      new java.io.File(f, "_gen_commit").exists()
+
+  /** The servable dir for committed batch `b`: its highest COMPLETE
+    * generation (a maintenance rewrite holds the same state laid out
+    * better, so newest generation always wins).
+    */
+  private def servableDir(root: java.io.File, b: Long): Option[java.io.File] = {
+    val cur = readCurrentName(root)
+    versionDirs(root)
+      .collect { case (f, `b`, g) if genComplete(f, g, cur) => (f, g) }
+      .sortBy(-_._2).headOption.map(_._1)
+  }
+
+  /** Drop anything not referenced: crashed partial builds (a gen-0 dir
+    * whose batchId is NOT in the ledger, or a gen ≥ 1 dir with no
+    * `_gen_commit` that CURRENT doesn't name — garbage whatever its
+    * numbers; swept immediately under the single-writer contract), an
+    * orphaned pointer tmp, committed versions beyond the retention
+    * window (CURRENT plus the keepVersions-1 highest-batchId committed
+    * others, each represented by its highest complete generation), and
+    * superseded generations of a retained batch. `graceMs` hardens the
+    * reader/retention race: a complete COMMITTED dir younger (by build
+    * mtime) than the grace window survives even when out of retention,
+    * so deleting a snapshot from under a reader requires BOTH an
+    * out-of-retention snapshot AND a reader older than the grace.
+    */
+  private def cleanupStale(root: java.io.File, keepVersions: Int,
+                           graceMs: Long): Unit = {
+    val cur = readCurrentName(root)
+    val committed = readLedger(root)
+    val now = System.currentTimeMillis()
+    val vds = versionDirs(root)
+    val curBatch = cur.flatMap(parseVersion).map(_._1)
+    val retainedBatches = vds.map(_._2).distinct.filter(committed.contains)
+      .sorted(Ordering[Long].reverse).take(math.max(1, keepVersions)).toSet
+    // one keeper dir per retained batch: what CURRENT names for the
+    // current batch, the highest complete generation otherwise
+    val keep: Set[String] = retainedBatches.flatMap { b =>
+      if (curBatch.contains(b)) cur
+      else vds.collect { case (f, `b`, g) if genComplete(f, g, cur) => (f.getName, g) }
+        .sortBy(-_._2).headOption.map(_._1)
+    } ++ cur
+    vds.filterNot { case (f, _, _) => keep.contains(f.getName) }
+      .filterNot { case (f, b, g) =>
+        committed.contains(b) && genComplete(f, g, cur) &&
+          graceMs > 0 && now - f.lastModified < graceMs
+      }
+      .foreach { case (f, _, _) => rmTree(f) }
+    new java.io.File(root, "CURRENT.tmp").delete()
+    ()
+  }
+
   /** Atomic small-file write (tmp + rename) used for `_meta`, `_schema`
     * and the CURRENT pointer.
     */
@@ -270,7 +372,8 @@ object Ingest {
       require(have == metaStr,
         s"upsertParquet: table $tableDir was created with [${have.trim
           .replace('\n', ' ')}] but this call passed [${metaStr.trim
-          .replace('\n', ' ')}] — keys/buckets are immutable table properties")
+          .replace('\n', ' ')}] — keys are immutable; the bucket count " +
+          "changes only through rebucketUpsertTable (then pass the new count)")
     }
     // the change feed is a table property too: a feed with silent holes
     // (some batches recorded, some not) is worse than no feed, so the
@@ -287,50 +390,12 @@ object Ingest {
       s"upsertParquet: table $tableDir records a change feed — " +
         "pass changeFeed=true (a silent hole would corrupt the feed)")
 
-    def readCurrent(): Option[String] =
-      if (!currentF.exists()) None
-      else Some(new String(java.nio.file.Files.readAllBytes(currentF.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    // drop anything not referenced: crashed partial builds (any v_ dir
-    // NOT in the ledger — an uncommitted build is garbage whatever its
-    // batchId; swept immediately, grace does not apply under the
-    // single-writer contract), an orphaned pointer tmp, and committed
-    // versions beyond the retention window (CURRENT plus the
-    // keepVersions-1 highest-batchId committed others). `graceMs`
-    // hardens the reader/retention race the scaladoc documents: a
-    // committed version younger (by build mtime) than the grace window
-    // survives even when out of retention, so deleting a snapshot from
-    // under a reader requires BOTH an out-of-retention snapshot AND a
-    // reader older than the grace — not just an unlucky commit landing
-    // mid-read.
-    def cleanupStale(): Unit = {
-      val cur = readCurrent()
-      val committed = readLedger(root)
-      val now = System.currentTimeMillis()
-      val versions = Option(root.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      val retained = versions
-        .flatMap(f => scala.util.Try(f.getName.stripPrefix("v_").toLong).toOption)
-        .filter(committed.contains)
-        .sorted(Ordering[Long].reverse)
-        .take(math.max(1, keepVersions)).map(b => s"v_$b").toSet ++ cur
-      versions.filterNot(f => retained.contains(f.getName))
-        .filterNot { f =>
-          val isCommitted = scala.util.Try(
-            f.getName.stripPrefix("v_").toLong).toOption.exists(committed.contains)
-          isCommitted && graceMs > 0 && now - f.lastModified < graceMs
-        }
-        .foreach(rm)
-      new java.io.File(root, "CURRENT.tmp").delete()
-    }
+    def readCurrent(): Option[String] = readCurrentName(root)
+    def rm(f: java.io.File): Unit = rmTree(f)
     def commit(): Unit = {
       val out = new java.io.FileWriter(commits, true)
       try out.write(s"$batchId\n") finally out.close()
-      cleanupStale()
+      cleanupStale(root, keepVersions, graceMs)
     }
 
     val done: Set[Long] = readLedger(root)
@@ -442,6 +507,19 @@ object Ingest {
       rm(newV) // partial build from a previous crashed attempt
       newV.mkdirs()
       val curDir = readCurrent().map(new java.io.File(root, _))
+      // a rebucket that crashed between its pointer swap and its _meta
+      // update leaves CURRENT hashed with a different count than _meta
+      // — merging against it with this call's count would scope the
+      // rewrite to the WRONG buckets (the same key alive in two
+      // places). Fail loudly; re-running rebucketUpsertTable completes
+      // the protocol idempotently.
+      curDir.foreach { d =>
+        versionBuckets(d).foreach(vb => require(vb == nBuckets,
+          s"upsertParquet: CURRENT snapshot of $tableDir is hashed into " +
+            s"$vb buckets but this call passed $nBuckets — re-run " +
+            s"rebucketUpsertTable($vb) to complete the interrupted " +
+            "rebucket, then pass the new count"))
+      }
       val touchedDirs = curDir.toSeq.flatMap(d =>
         touched.toSeq.sorted.map(b => new java.io.File(d, s"$UpsertBucketCol=$b"))
           .filter(_.isDirectory))
@@ -537,25 +615,32 @@ object Ingest {
     */
   private def resolveVersionDir(root: java.io.File,
                                 asOfBatch: Option[Long]): java.io.File = {
-    val currentF = new java.io.File(root, "CURRENT")
-    require(currentF.exists(), s"upsert table has no CURRENT pointer: $root")
-    val v = asOfBatch match {
-      case None =>
-        new String(java.nio.file.Files.readAllBytes(currentF.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+    val cur = readCurrentName(root)
+    require(cur.nonEmpty, s"upsert table has no CURRENT pointer: $root")
+    asOfBatch match {
+      case None => new java.io.File(root, cur.get)
       case Some(b) =>
         val committed = readLedger(root)
-        val have = Option(root.listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-          .flatMap(f => scala.util.Try(f.getName.stripPrefix("v_").toLong).toOption)
-          .filter(committed.contains)
+        val have = versionDirs(root)
+          .collect { case (f, bb, g) if committed.contains(bb) &&
+            genComplete(f, g, cur) => bb }.distinct
         val eligible = have.filter(_ <= b)
         require(eligible.nonEmpty,
           s"upsert table has no retained committed snapshot at or before " +
             s"batch $b (retained: ${have.sorted.mkString(",")}) — raise keepVersions")
-        s"v_${eligible.max}"
+        servableDir(root, eligible.max).get
     }
-    new java.io.File(root, v)
+  }
+
+  /** A version dir's own bucket count annotation (`_nbuckets`),
+    * present on dirs written or stamped by [[rebucketUpsertTable]];
+    * absent means the table-level `_meta` count applies.
+    */
+  private def versionBuckets(vDir: java.io.File): Option[Int] = {
+    val f = new java.io.File(vDir, "_nbuckets")
+    if (!f.exists()) None
+    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
   }
 
   /** Reader with the table's pinned `_schema` applied, so an
@@ -602,16 +687,20 @@ object Ingest {
         case Array(k, v) => k -> v
       }.toMap
     val keys = meta("keys").split(",").toSeq
-    val nBuckets = meta("buckets").toInt
     keys.foreach(k => require(probe.columns.contains(k),
       s"lookup probe is missing key column '$k' (table keys: " +
         s"${keys.mkString(",")})"))
+    val vDir = resolveVersionDir(root, asOfBatch)
+    // the bucket count that hashed THIS version's layout: the dir's own
+    // `_nbuckets` annotation when present (stamped by rebucket — a
+    // retained pre-rebucket snapshot keeps its original count), the
+    // table-level `_meta` otherwise
+    val nBuckets = versionBuckets(vDir).getOrElse(meta("buckets").toInt)
     val probeKeys = probe.select(keys.map(col): _*).distinct()
     // ≤ nBuckets small ints — bounded by the table property, not data
     val buckets: Seq[Long] = probeKeys
       .select(pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val vDir = resolveVersionDir(root, asOfBatch)
     val bucketDirs = buckets
       .map(b => new java.io.File(vDir, s"$UpsertBucketCol=$b"))
       .filter(_.isDirectory)
@@ -626,6 +715,98 @@ object Ingest {
         .parquet(bucketDirs.map(_.getPath): _*)
     scan.join(broadcast(probeKeys), keys, "left_semi")
       .drop(UpsertBucketCol)
+  }
+
+  /** Re-bucket an [[upsertParquet]] table — THE maintenance operation a
+    * hash-bucketed table format needs as it grows: batch cost is
+    * O(touched buckets) and point lookups read O(k) buckets, so the
+    * bucket count must track table size (16 buckets is right for
+    * gigabytes and hopeless at 100 TB, where a bucket should stay a
+    * few GB). The CURRENT snapshot is rewritten under the NEW hash
+    * (`pmod(xxhash64(keys), newBuckets)`) as a new GENERATION of the
+    * same committed batch — `v_<b>.<gen+1>` — never a new batchId, so
+    * a streaming writer's monotone batchIds can't collide with
+    * maintenance commits and the ledger stays the pure batch history.
+    *
+    * Protocol order, crash-safe at every step:
+    *   1. stamp `_nbuckets` into every retained version dir that lacks
+    *      one (their layout was implied by `_meta`, which is about to
+    *      move — the annotation makes it explicit, so time-travel
+    *      point lookups keep pruning correctly);
+    *   2. build the new generation (data re-hashed + re-partitioned,
+    *      one file per bucket; the change feed hard-linked forward —
+    *      the feed lives inside its version);
+    *   3. `_gen_commit` marker (a gen dir without it is a crashed
+    *      build: never served, swept by the next cleanup);
+    *   4. atomic CURRENT swap;
+    *   5. `_meta` update to the new count (later writers must pass it
+    *      — the sink fails loudly on a count that doesn't match
+    *      CURRENT's `_nbuckets`, and re-running this op completes an
+    *      interrupted rebucket idempotently);
+    *   6. sweep the superseded generation (same reader race as
+    *      retention: single-writer, readers-on-retained-snapshots).
+    *
+    * Doubles as small-file compaction for the snapshot: the rewrite
+    * yields exactly one file per non-empty bucket.
+    */
+  def rebucketUpsertTable(spark: SparkSession, tableDir: String,
+                          newBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(newBuckets > 0, s"rebucketUpsertTable: bad bucket count $newBuckets")
+    val root = new java.io.File(tableDir)
+    val metaF = new java.io.File(root, "_meta")
+    require(metaF.exists(), s"not an upsert table (no _meta): $tableDir")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+    val keys = meta("keys").split(",").toSeq
+    val metaBuckets = meta("buckets").toInt
+    val curName = readCurrentName(root)
+    require(curName.nonEmpty, s"upsert table has no CURRENT pointer: $root")
+    val curDir = new java.io.File(root, curName.get)
+    def syncMeta(): Unit = writeAtomic(root, "_meta",
+      s"keys=${keys.mkString(",")}\nbuckets=$newBuckets\n")
+    if (versionBuckets(curDir).getOrElse(metaBuckets) == newBuckets) {
+      // no-op, or completing a rebucket that crashed after the pointer
+      // swap but before the _meta update
+      if (metaBuckets != newBuckets) syncMeta()
+      return
+    }
+    // step 1: make every complete retained dir's layout explicit
+    // before _meta moves out from under it
+    val cur = readCurrentName(root)
+    versionDirs(root).foreach { case (f, _, g) =>
+      if (genComplete(f, g, cur) && versionBuckets(f).isEmpty)
+        writeAtomic(f, "_nbuckets", s"$metaBuckets\n")
+    }
+    // step 2: the new generation
+    val (b, g) = parseVersion(curName.get).get
+    val newName = versionName(b, g + 1)
+    val newV = new java.io.File(root, newName)
+    rmTree(newV) // partial build from a previous crashed attempt
+    pinnedReader(spark, root).option("basePath", curDir.getPath)
+      .parquet(curDir.getPath)
+      .drop(UpsertBucketCol)
+      .withColumn(UpsertBucketCol,
+        pmod(xxhash64(keys.map(col): _*), lit(newBuckets.toLong)))
+      .repartition(newBuckets, col(UpsertBucketCol))
+      .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
+    val oldCh = new java.io.File(curDir, "_changes")
+    if (oldCh.isDirectory) {
+      val dst = new java.io.File(newV, "_changes")
+      dst.mkdirs()
+      Option(oldCh.listFiles()).toSeq.flatten.filter(_.isFile)
+        .foreach(linkOrCopy(_, dst))
+    }
+    writeAtomic(newV, "_nbuckets", s"$newBuckets\n")
+    // step 3: completeness marker — LAST thing inside the dir
+    writeAtomic(newV, "_gen_commit", "")
+    // steps 4–6
+    writeAtomic(root, "CURRENT", newName)
+    syncMeta()
+    rmTree(curDir)
   }
 
   /** Read the change-data-feed of an [[upsertParquet]] table written
@@ -661,14 +842,19 @@ object Ingest {
     val committed = readLedger(root)
       .filter(b => b >= fromBatch && b <= toBatch).toSeq.sorted
     val paths = committed.flatMap { b =>
-      val vDir = new java.io.File(root, s"v_$b")
-      val ch = new java.io.File(vDir, "_changes")
-      if (ch.isDirectory) Some(ch.getPath)
-      else if (vDir.isDirectory || emptyIds.contains(b)) None // zero changes
-      else throw new IllegalArgumentException(
-        s"change feed for batch $b of $tableDir is beyond the retention " +
-          "window (its version was swept) — raise keepVersions/graceMs " +
-          "or consume the feed before it ages out")
+      // generation-aware: a rebucketed version carries its feed forward
+      // (hard-linked into the new generation), so the servable dir is
+      // always where the batch's changes live
+      servableDir(root, b) match {
+        case Some(vDir) =>
+          val ch = new java.io.File(vDir, "_changes")
+          if (ch.isDirectory) Some(ch.getPath) else None // zero changes
+        case None if emptyIds.contains(b) => None // provably change-free
+        case None => throw new IllegalArgumentException(
+          s"change feed for batch $b of $tableDir is beyond the retention " +
+            "window (its version was swept) — raise keepVersions/graceMs " +
+            "or consume the feed before it ages out")
+      }
     }
     // schema pinned from the table's _schema (bucket col dropped) plus
     // the feed columns, so a zero-change range reads as a typed empty

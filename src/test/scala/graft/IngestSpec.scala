@@ -583,8 +583,97 @@ class IngestSpec extends AnyFunSuite {
       Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 16)(
         Seq(3L -> 3.0).toDF("user_id", "value"), 2L)
     }
-    assert(ex.getMessage.contains("immutable table properties"), ex.getMessage)
+    assert(ex.getMessage.contains("rebucketUpsertTable"), ex.getMessage)
     assert(Ingest.readUpsertTable(spark, table).count() === 2)
+  }
+
+  test("rebucket rewrites the snapshot under a new hash; data and lookups intact") {
+    import spark.implicits._
+    val table = tmp() + "/rb_table"
+    def bucketDirs(): Set[String] = {
+      val root = new java.io.File(table)
+      val cur = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(root, "CURRENT").toPath)).trim
+      Option(new java.io.File(root, cur).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+        .map(_.getName).toSet
+    }
+    Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10)(
+      (1L to 40L).map(k => k -> k.toDouble).toDF("k", "v"), 0L)
+    Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10)(
+      Seq(7L -> 70.0, 41L -> 41.0).toDF("k", "v"), 1L)
+    val before = Ingest.readUpsertTable(spark, table).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(bucketDirs().size <= 4)
+
+    Ingest.rebucketUpsertTable(spark, table, 16)
+
+    // same rows, new layout
+    assert(bucketDirs().size > 4)
+    val after = Ingest.readUpsertTable(spark, table).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(after === before)
+    // point lookup prunes against the NEW hash and finds the row
+    val probe = Seq(7L).toDF("k")
+    val lk = Ingest.lookupUpsertTable(spark, table, probe)
+    assert(lk.inputFiles.length <
+      Ingest.readUpsertTable(spark, table).inputFiles.length)
+    assert(lk.select("v").head.getDouble(0) === 70.0)
+    // time travel to batch 0 prunes with the OLD count: rebucket
+    // stamped _nbuckets into the retained pre-rebucket snapshot
+    assert(new java.io.File(table, "v_0/_nbuckets").exists())
+    val lk0 = Ingest.lookupUpsertTable(spark, table, probe, asOfBatch = Some(0L))
+    assert(lk0.select("v").head.getDouble(0) === 7.0)
+    // a writer still passing the old count fails loudly...
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10)(
+        Seq(2L -> 22.0).toDF("k", "v"), 2L)
+    }
+    assert(ex.getMessage.contains("rebucketUpsertTable"), ex.getMessage)
+    // ...and the new count merges against the rebucketed snapshot
+    Ingest.upsertParquet(table, Seq("k"), nBuckets = 16, keepVersions = 10)(
+      Seq(2L -> 22.0).toDF("k", "v"), 2L)
+    val end = Ingest.readUpsertTable(spark, table)
+    assert(end.filter(col("k") === 2).head.getDouble(1) === 22.0)
+    assert(end.count() === 41)
+  }
+
+  test("a crashed rebucket generation is never served and is swept") {
+    import spark.implicits._
+    val table = tmp() + "/rbc_table"
+    Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10)(
+      Seq(1L -> 1.0).toDF("k", "v"), 0L)
+    // fake a maintenance rewrite that died mid-build: a higher
+    // generation with garbage data and NO _gen_commit marker
+    val crashed = new java.io.File(table, "v_0.1/bkt=0")
+    crashed.mkdirs()
+    Files.writeString(new java.io.File(crashed, "part-garbage.parquet").toPath,
+      "NOT A PARQUET FILE")
+    // the pointer read and the as-of read both resolve the committed
+    // generation, never the partial one
+    assert(Ingest.readUpsertTable(spark, table).count() === 1)
+    assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+      .count() === 1)
+    // the next successful commit sweeps it
+    Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10)(
+      Seq(2L -> 2.0).toDF("k", "v"), 1L)
+    assert(!new java.io.File(table, "v_0.1").exists())
+  }
+
+  test("rebucket carries the change feed forward with the version") {
+    import spark.implicits._
+    val table = tmp() + "/rbf_table"
+    Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10,
+      changeFeed = true)(Seq(1L -> 1.0).toDF("k", "v"), 0L)
+    Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10,
+      changeFeed = true)(Seq(1L -> 2.0).toDF("k", "v"), 1L)
+    Ingest.rebucketUpsertTable(spark, table, 8)
+    // batch 0's feed lives in untouched v_0; batch 1's was hard-linked
+    // into the new generation — the full range still reads
+    val ch = Ingest.readTableChanges(spark, table, 0L, 1L)
+      .select("_batch_id", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === Set((0L, "insert"),
+      (1L, "update_preimage"), (1L, "update_postimage")))
   }
 
   test("upsert validates key-uniqueness on the batch and blames the batch") {
