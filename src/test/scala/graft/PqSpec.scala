@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, VectorOps}
+import graft.sources.Tables
+
+/** Product-quantization ANN: code-shape invariants, deterministic
+  * training, shortlist-dial recall, and the exactness limit.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("every vector encodes to m codes in range, plus its exact norm") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cb = Pq.trainCodebooks(emb)
+    // one centroid per surviving (sub, code); never more than m × ks
+    assert(cb.count() <= Pq.M.toLong * Pq.Ks)
+    assert(cb.groupBy("sub", "code").count().filter(col("count") > 1)
+      .count() === 0)
+    val codes = Pq.encode(emb, cb)
+    assert(codes.count() === emb.count())
+    // m codes per vector, each a valid codeword id
+    assert(codes.filter(size(col("codes")) =!= Pq.M).count() === 0)
+    assert(codes.filter(exists(col("codes"),
+      c => c < 0 || c >= Pq.Ks)).count() === 0)
+    // the stored norm is the true vector norm
+    val n1 = codes.filter(col("vec_id") === 0).head.getAs[Double]("cnorm")
+    val want = math.sqrt(
+      Tables.load(spark, sf, "embeddings").filter(col("vec_id") === 0)
+        .select(explode(col("embedding")).as("x"))
+        .agg(sum(col("x").cast("double") * col("x").cast("double")))
+        .head.getDouble(0))
+    assert(math.abs(n1 - want) < 1e-9)
+  }
+
+  test("training is deterministic: two runs produce identical codebooks") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    def flat() = Pq.trainCodebooks(emb).orderBy("sub", "code")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toVector)).toVector
+    assert(flat() === flat())
+  }
+
+  test("recall rises with shortlist depth and hits 1 at the corpus limit") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = VectorOps.topK(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = Pq.trainCodebooks(emb)
+    val codes = Pq.encode(emb, cb)
+    val recalls = Seq(10, 50, Int.MaxValue).map { s =>
+      val got = Pq.searchPq(emb, col("vec_id") < 10, 5, cb, codes, s)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      s -> brute.count(got.contains).toDouble / brute.size
+    }
+    info(recalls.map { case (s, r) => s"shortlist=$s: $r" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((s1, r1), (s2, r2)) =>
+      assert(r2 >= r1, s"recall dropped from $r1 (s=$s1) to $r2 (s=$s2)")
+    }
+    // a corpus-wide shortlist reranks every candidate exactly
+    assert(recalls.last._2 === 1.0, "corpus-wide shortlist must be exact")
+    // the operating point of the q_cosine_topk_pq row
+    assert(recalls(1)._2 >= 0.5, s"recall@shortlist=50 = ${recalls(1)._2}")
+  }
+
+  test("exact-limit PQ reports brute-force sims for shared pairs") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val bruteSim = VectorOps.topK(emb.filter(col("vec_id") < 10), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val (cb, codes) = (Pq.trainCodebooks(emb),
+      Pq.encode(emb, Pq.trainCodebooks(emb)))
+    Pq.searchPq(emb, col("vec_id") < 10, 5, cb, codes, Int.MaxValue)
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(bruteSim.contains(key), s"pair $key not in brute top-5")
+        assert(math.abs(bruteSim(key) - r.getDouble(2)) < 1e-9)
+      }
+  }
+}
