@@ -55,9 +55,12 @@ object Ivf {
       .select("vec_id", "embedding", "cid")
   }
 
-  /** Probe's candidate cells: nProbe nearest centroids per probe. */
-  private def probeCells(probes: DataFrame, centroids: DataFrame,
-                         nProbe: Int): DataFrame = {
+  /** Probe's candidate cells: nProbe nearest centroids per probe.
+    * Shared with [[Pq.searchIvfPq]] — the IVF coarse quantizer is the
+    * same whether the fine ranking is exact cosine or PQ codes.
+    */
+  private[operators] def probeCells(probes: DataFrame, centroids: DataFrame,
+                                    nProbe: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cid"))
     probes.select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
       .crossJoin(broadcast(centroids))

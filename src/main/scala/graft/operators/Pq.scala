@@ -146,26 +146,22 @@ object Pq {
     lut.join(norms, "probe_id")
   }
 
-  /** ADC top-k with exact rerank. The corpus side of the scan is the
-    * CODES table only — the probe LUTs broadcast onto it and the
-    * estimated cosine is m map lookups per pair, inside whole-stage
-    * codegen; true vectors are touched again only for the
-    * shortlist × probes rerank join. `shortlist >= corpus` makes the
-    * result exactly brute force (the rerank sees every candidate).
+  /** The ADC estimate for a frame carrying `codes`, `cnorm`, `lut`,
+    * `pnorm`: m map lookups per pair, summed inside whole-stage
+    * codegen, divided by the two exact norms.
     */
-  def searchPq(emb: DataFrame, probeFilter: Column, k: Int,
-               codebook: DataFrame, codes: DataFrame,
-               shortlist: Int, m: Int = M, ks: Int = Ks,
-               dim: Int = 64): DataFrame = {
-    GraftFunctions.register(emb.sparkSession)
-    val probes = emb.filter(probeFilter)
-    val luts = probeLuts(probes, codebook, m, ks, dim)
-    val adc = codes.crossJoin(broadcast(luts))
-      .filter(col("probe_id") =!= col("vec_id"))
-      .withColumn("approx",
-        expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, i) -> " +
-          s"acc + element_at(lut, i * $ks + element_at(codes, i + 1)))") /
-          (col("pnorm") * col("cnorm")))
+  private def adcApprox(m: Int, ks: Int): Column =
+    expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, i) -> " +
+      s"acc + element_at(lut, i * $ks + element_at(codes, i + 1)))") /
+      (col("pnorm") * col("cnorm"))
+
+  /** Shortlist the ADC-ranked pairs, then re-rank the survivors under
+    * EXACT cosine against the true vectors (a keyed join touching only
+    * shortlist × probes rows).
+    */
+  private def shortlistRerank(emb: DataFrame, probes: DataFrame,
+                              adc: DataFrame, k: Int,
+                              shortlist: Int): DataFrame = {
     val ws = Window.partitionBy("probe_id")
       .orderBy(col("approx").desc, col("vec_id"))
     val short = adc.withColumn("srk", row_number().over(ws))
@@ -182,6 +178,62 @@ object Pq {
     rerank.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("sim"), col("rk"))
+  }
+
+  /** ADC top-k with exact rerank. The corpus side of the scan is the
+    * CODES table only — the probe LUTs broadcast onto it and the
+    * estimated cosine is m map lookups per pair, inside whole-stage
+    * codegen; true vectors are touched again only for the
+    * shortlist × probes rerank join. `shortlist >= corpus` makes the
+    * result exactly brute force (the rerank sees every candidate).
+    */
+  def searchPq(emb: DataFrame, probeFilter: Column, k: Int,
+               codebook: DataFrame, codes: DataFrame,
+               shortlist: Int, m: Int = M, ks: Int = Ks,
+               dim: Int = 64): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val probes = emb.filter(probeFilter)
+    val luts = probeLuts(probes, codebook, m, ks, dim)
+    val adc = codes.crossJoin(broadcast(luts))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("approx", adcApprox(m, ks))
+    shortlistRerank(emb, probes, adc, k, shortlist)
+  }
+
+  /** IVF × PQ — the composed two-level index (the IVFPQ architecture
+    * of the FAISS line of work, public material): the IVF coarse
+    * quantizer prunes the corpus to the nProbe cells nearest each
+    * probe, PQ codes rank ONLY those candidates by ADC, and the
+    * shortlist reranks exactly. The knobs are now independent dials —
+    * nProbe buys candidate coverage, shortlist buys rank fidelity —
+    * and probing every cell with a corpus-wide shortlist must equal
+    * brute force (the composed exactness contract,
+    * `q_cosine_topk_ivfpq_exact`).
+    *
+    * Scale note: here the candidate set joins the codes table by
+    * vec_id for modularity (the IVF cells and the PQ codes are two
+    * independent artifacts); a production index stores each vector's
+    * codes INSIDE its cell file, making the cell scan shuffle-free —
+    * the composition below is how the contract is checked, not the
+    * physical layout prescription.
+    */
+  def searchIvfPq(emb: DataFrame, probeFilter: Column, k: Int,
+                  centroids: DataFrame, cells: DataFrame,
+                  codebook: DataFrame, codes: DataFrame,
+                  nProbe: Int, shortlist: Int, m: Int = M, ks: Int = Ks,
+                  dim: Int = 64): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val probes = emb.filter(probeFilter)
+    val cand = Ivf.probeCells(probes, centroids, nProbe)
+      .select("probe_id", "cid")
+      .join(cells.select(col("cid"), col("neighbor_id").as("vec_id")), "cid")
+      .select("probe_id", "vec_id")
+    val luts = probeLuts(probes, codebook, m, ks, dim)
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(luts), "probe_id")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("approx", adcApprox(m, ks))
+    shortlistRerank(emb, probes, adc, k, shortlist)
   }
 
   /** Train + encode once per fixture dir, reuse across the PQ rows
@@ -233,5 +285,46 @@ object Pq {
         .orderBy("probe_id", "rk")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qCosineTopKPq, qCosineTopKPqExact)
+  /** IVFPQ at its operating point: 4 of 16 cells probed, 50-deep
+    * shortlist. Approximate on BOTH axes → rows-only; recall measured
+    * in PqSpec, the exact twin hash-checked below.
+    */
+  val qCosineTopKIvfPq: QuerySpec = QuerySpec(
+    "q_cosine_topk_ivfpq",
+    None,
+    (spark, dir) => {
+      val (cb, codes) = indexFor(spark, dir)
+      val path = Ivf.ensureIndex(spark, dir)
+      val centroids = spark.read.parquet(s"$path/centroids")
+      val cells = spark.read.parquet(s"$path/cells")
+      val emb = Tables.load(spark, dir, "embeddings")
+      searchIvfPq(emb, col("vec_id") < 10, 5, centroids, cells, cb, codes,
+        nProbe = 4, shortlist = 50)
+        .orderBy("probe_id", "rk")
+    })
+
+  /** Composed exactness contract: every cell probed AND a corpus-wide
+    * shortlist → the two approximations both vanish, so IVFPQ must
+    * equal brute force bit-for-bit (shares q_cosine_topk's oracle). A
+    * hash match pins completeness ACROSS the composition: no vector
+    * lost between the cell partitioning, the codes table, the LUT
+    * join, and the rerank.
+    */
+  val qCosineTopKIvfPqExact: QuerySpec = QuerySpec(
+    "q_cosine_topk_ivfpq_exact",
+    VectorOps.qCosineTopK.oracle,
+    (spark, dir) => {
+      val (cb, codes) = indexFor(spark, dir)
+      val path = Ivf.ensureIndex(spark, dir)
+      val centroids = spark.read.parquet(s"$path/centroids")
+      val cells = spark.read.parquet(s"$path/cells")
+      val emb = Tables.load(spark, dir, "embeddings")
+      searchIvfPq(emb, col("vec_id") < 10, 5, centroids, cells, cb, codes,
+        nProbe = 16, shortlist = Int.MaxValue)
+        .orderBy("probe_id", "rk")
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qCosineTopKPq, qCosineTopKPqExact, qCosineTopKIvfPq,
+      qCosineTopKIvfPqExact)
 }

@@ -66,6 +66,46 @@ class PqSpec extends AnyFunSuite {
     assert(recalls(1)._2 >= 0.5, s"recall@shortlist=50 = ${recalls(1)._2}")
   }
 
+  test("IVFPQ: recall rises with nProbe; all cells + full shortlist is exact") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = VectorOps.topK(emb.filter(col("vec_id") < 10), emb, 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = Pq.trainCodebooks(emb)
+    val codes = Pq.encode(emb, cb)
+    val path = operators.Ivf.ensureIndex(spark, sf)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    // with the SHORTLIST unbounded, nProbe is a pure coverage dial
+    // (more cells only add exactly-reranked candidates) — recall is
+    // structurally monotone. NB: this does NOT hold at a fixed
+    // shortlist: extra candidates compete for the same ADC-ranked
+    // slots and mis-ranking can evict true neighbors (measured here:
+    // nProbe 2→4 at shortlist=50 DROPPED 0.86→0.80), which is why the
+    // two knobs are independent dials, not one.
+    val recalls = Seq(2, 4, 16).map { nProbe =>
+      val got = Pq.searchIvfPq(emb, col("vec_id") < 10, 5, centroids, cells,
+          cb, codes, nProbe, Int.MaxValue)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      nProbe -> brute.count(got.contains).toDouble / brute.size
+    }
+    info(recalls.map { case (n, r) => s"nProbe=$n: $r" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, s"recall dropped from $r1 (nProbe=$n1) to $r2 (nProbe=$n2)")
+    }
+    assert(recalls.last._2 === 1.0,
+      "all cells + corpus shortlist must equal brute force")
+    // the q_cosine_topk_ivfpq operating point still clears a floor
+    val op = Pq.searchIvfPq(emb, col("vec_id") < 10, 5, centroids, cells,
+        cb, codes, nProbe = 4, shortlist = 50)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val opRecall = brute.count(op.contains).toDouble / brute.size
+    info(s"operating point (nProbe=4, shortlist=50): $opRecall")
+    assert(opRecall >= 0.5, s"operating-point recall $opRecall")
+  }
+
   test("exact-limit PQ reports brute-force sims for shared pairs") {
     val emb = Tables.load(spark, sf, "embeddings")
     val bruteSim = VectorOps.topK(emb.filter(col("vec_id") < 10), emb, 5)
