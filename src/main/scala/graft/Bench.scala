@@ -57,7 +57,9 @@ object Bench {
       "kmeans_assign_build" ->
         (() => { graft.operators.Clustering.assignmentsFor(spark, sfDir).count(); () }),
       "cluster_cells_build" ->
-        (() => { graft.operators.Clustering.clusterCellsFor(spark, sfDir).count(); () })
+        (() => { graft.operators.Clustering.clusterCellsFor(spark, sfDir).count(); () }),
+      "pq_index_build" ->
+        (() => { graft.operators.Pq.indexFor(spark, sfDir)._2.count(); () })
     ).map { case (name, f) => name -> time(f()) }
     // failures tracked PER REP: one transient bad rep must not erase a
     // measurable query (ADVICE r3) — median of the successful reps is the
