@@ -59,7 +59,9 @@ object Bench {
       "cluster_cells_build" ->
         (() => { graft.operators.Clustering.clusterCellsFor(spark, sfDir).count(); () }),
       "pq_index_build" ->
-        (() => { graft.operators.Pq.indexFor(spark, sfDir)._2.count(); () })
+        (() => { graft.operators.Pq.indexFor(spark, sfDir)._2.count(); () }),
+      "cdc_table_build" ->
+        (() => { graft.operators.Changes.sharedCdcTable(spark, sfDir); () })
     ).map { case (name, f) => name -> time(f()) }
     // failures tracked PER REP: one transient bad rep must not erase a
     // measurable query (ADVICE r3) — median of the successful reps is the

