@@ -700,8 +700,95 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** The full derived-table pipeline, driven by the STREAMING engine
+    * exactly-once: the changelog streams into the change-feed upsert
+    * table ([[qStreamCdcTable]]'s path), and the SAME micro-batch
+    * callback then reads exactly that batch's feed slice
+    * (`readTableChanges(id, id)`) and folds its signed contributions
+    * into a SECOND upsert table — the materialized view, keyed on the
+    * group. Two tables, one batchId, each with its own idempotent
+    * ledger: a crash between the base commit and the MV fold replays
+    * the batch, the base table no-ops off its ledger, the feed slice
+    * is still readable (retention covers the stream's depth), and the
+    * MV fold commits — exactly-once end-to-end without a transaction
+    * spanning the tables. The final MV read must equal [[qCdfMv]]'s
+    * from-scratch fold, which must equal the snapshot recompute — the
+    * oracle is shared verbatim, so streaming-incremental ≡
+    * batch-incremental ≡ recompute is hash-checked as one chain.
+    * Scale: each fold costs one scan of ONE batch's feed + a hash agg
+    * on the group key + an O(touched buckets) MV merge — nothing
+    * rescans history.
+    */
+  val qStreamCdfMv: QuerySpec = QuerySpec(
+    "q_stream_cdf_mv",
+    qCdfMv.oracle,
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("stream-cdf-mv")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val table = s"$base/table"
+      val mv = s"$base/mv"
+      val log = orderChangelog(spark, dir)
+      val n = 4
+      val b = log.agg(min(to_date(col("o_orderdate"))),
+        max(to_date(col("o_orderdate")))).head() // 2 scalars
+      val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+      val sign = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      def writer(batch: DataFrame, id: Long): Unit = {
+        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+          keepVersions = n, deleteCol = Some("_deleted"),
+          changeFeed = true)(latestChangePerCustomer(batch), id)
+        // fold THIS batch's feed slice into the standing view
+        val delta = Ingest.readTableChanges(spark, table, id, id)
+          .select(col("o_orderpriority").as("prio"), sign.as("s"),
+            (sign * round(col("o_totalprice") * 100, 0).cast("long")).as("sc"))
+          .groupBy("prio").agg(sum("s").as("n"), sum("sc").as("cents"))
+        val merged =
+          if (!new java.io.File(mv, "CURRENT").exists()) delta
+          else Ingest.readUpsertTable(spark, mv)
+            .unionByName(delta)
+            .groupBy("prio").agg(sum("n").as("n"), sum("cents").as("cents"))
+        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 4)(merged, id)
+      }
+      val src = Ingest.readStreamFiles(spark, s"$in/*.parquet",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderkey BIGINT, " +
+            "o_totalprice DOUBLE, o_orderpriority STRING, op STRING"),
+        basePath = Some(in))
+      EventOps.withStreamSizing(spark) {
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until n).foreach { i =>
+          val tmp = s"$base/stage_$i"
+          log.filter(expr(
+            s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
+            === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head.toPath
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$in/c$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable() // each date-range chunk = one batch
+        } finally q.stop()
+      }
+      Ingest.readUpsertTable(spark, mv)
+        .filter(col("n") =!= 0) // a group whose rows all vanished
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"))
+        .orderBy("prio")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
-      qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv,
+      qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv, qStreamCdfMv,
       qIncrementalAgg, qStreamMv)
 }

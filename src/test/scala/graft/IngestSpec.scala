@@ -660,6 +660,53 @@ class IngestSpec extends AnyFunSuite {
     assert(!new java.io.File(table, "v_0.1").exists())
   }
 
+  test("two-table exactly-once: crash between base commit and MV fold replays clean") {
+    import spark.implicits._
+    val base = tmp()
+    val table = s"$base/t"
+    val mv = s"$base/mv"
+    val sign = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    def upsertBase(rows: Seq[(Long, String, Long)], id: Long): Unit =
+      Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 8,
+        changeFeed = true)(rows.toDF("k", "g", "cents"), id)
+    def foldMv(id: Long): Unit = {
+      val delta = Ingest.readTableChanges(spark, table, id, id)
+        .select(col("g"), sign.as("s"), (sign * col("cents")).as("sc"))
+        .groupBy("g").agg(sum("s").as("n"), sum("sc").as("cents"))
+      val merged =
+        if (!new java.io.File(mv, "CURRENT").exists()) delta
+        else Ingest.readUpsertTable(spark, mv).unionByName(delta)
+          .groupBy("g").agg(sum("n").as("n"), sum("cents").as("cents"))
+      Ingest.upsertParquet(mv, Seq("g"), nBuckets = 2)(merged, id)
+    }
+    def both(rows: Seq[(Long, String, Long)], id: Long): Unit = {
+      upsertBase(rows, id); foldMv(id)
+    }
+    both(Seq((1L, "a", 10L), (2L, "b", 20L)), 0L)
+    both(Seq((1L, "a", 15L), (3L, "a", 5L)), 1L) // update k=1, insert k=3
+    // CRASH WINDOW: batch 2 commits the base table, then dies before
+    // the MV fold
+    upsertBase(Seq((2L, "b", 99L)), 2L)
+    // redelivery of batch 2: the base no-ops off its ledger, the feed
+    // slice is still readable, and the MV folds it exactly once
+    both(Seq((2L, "b", 99L)), 2L)
+    def mvState(): Map[String, (Long, Long)] =
+      Ingest.readUpsertTable(spark, mv).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Map("a" -> (2L, 20L), "b" -> (1L, 99L))
+    assert(mvState() === want)
+    // a full second replay of every batch changes nothing anywhere
+    both(Seq((1L, "a", 10L), (2L, "b", 20L)), 0L)
+    both(Seq((2L, "b", 99L)), 2L)
+    assert(mvState() === want)
+    // and the MV equals the recompute from the final snapshot
+    val recompute = Ingest.readUpsertTable(spark, table)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mvState() === recompute)
+  }
+
   test("rebucket carries the change feed forward with the version") {
     import spark.implicits._
     val table = tmp() + "/rbf_table"
