@@ -978,7 +978,299 @@ object Relational {
           round(sum(rev), 2).as("total_revenue"))
     })
 
+  // --- round 10: the seven TPC-H shapes that were still missing, adapted
+  // to this fixture's reduced schema (no partsupp, no l_commitdate /
+  // l_receiptdate / l_shipmode — see TESTDATA.md). With these the suite
+  // covers all 22 TPC-H query SHAPES: 1,3,5 direct; 2,11,13..22 shaped in
+  // prior rounds; 4,6..10,12 here. Ref: the reference's MySQL 5.6 tier
+  // (mysql-persistent-template.json:68) serves exactly this ad-hoc
+  // analytic surface.
+
+  /** TPC-H Q4-shaped EXISTS-per-order (order priority checking). The
+    * original's "commit date < receipt date" late-line predicate becomes
+    * "shipped > 60 days after the order date" — same shape: a quarter of
+    * orders, an EXISTS-correlated lineitem probe with a NON-equi
+    * component on top of the orderkey equi-join, count by priority.
+    * Plan: the EXISTS is a LEFT SEMI join keyed on l_orderkey (the equi
+    * part shuffles, the date comparison rides along as a join residual)
+    * — never a per-order subquery. At 100 TB both sides partition on
+    * orderkey; the quarter filter is pushed to the orders scan.
+    */
+  val q4PriorityLate: QuerySpec = QuerySpec(
+    "q4_priority_late",
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (spark, dir) => {
+      val o = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                col("o_orderdate") < ts("1996-04-01 00:00:00"))
+      val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    })
+
+  /** TPC-H Q6 (forecasting revenue change) — fits the schema verbatim:
+    * one lineitem scan, three pushed predicates, a single global sum.
+    * Plan: Filter directly over the parquet scan (all three predicates
+    * in PushedFilters), partial+final agg, zero joins — the canonical
+    * "is pushdown working" probe. At 100 TB this is the query where a
+    * stats/Z-order layout (Layout.scala, StatsManifest.scala) turns a
+    * full scan into a few row groups.
+    */
+  val q6RevenueDelta: QuerySpec = QuerySpec(
+    "q6_revenue_delta",
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+    (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+                col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")))
+
+  /** TPC-H Q7-shaped (volume shipping): revenue flowing between two
+    * specific nations, both directions, by ship year. The supplier's
+    * nation and the customer's nation come through two independent
+    * broadcast joins of the same 25-row dimension; the disjunctive
+    * nation-pair predicate lands AFTER both (it references both sides).
+    * Plan: lineitem⋈orders⋈customer are the fact joins (AQE SMJ on the
+    * keys), supplier + both nation copies broadcast; one final 2-key
+    * group. 100 TB: nothing here shuffles more than the two fact joins
+    * the shape requires.
+    */
+  val q7NationVolume: QuerySpec = QuerySpec(
+    "q7_nation_volume",
+    Some("""SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              year(l_shipdate) AS l_year,
+              l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""),
+    (spark, dir) => {
+      val n1 = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .join(Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    })
+
+  /** TPC-H Q8-shaped (national market share): NATION_3's share of the
+    * EUROPE market's STANDARD-part volume, by order year. The share is a
+    * conditional-sum ratio per group — the same CASE/sum fusion as Q14
+    * (`qPromoShare`) but grouped, over a 7-table star. Plan: part /
+    * supplier / nation×2 / region broadcast; lineitem⋈orders⋈customer
+    * shuffle on their keys; ONE final agg computes numerator and
+    * denominator together (no second pass over the star).
+    */
+  val q8MarketShare: QuerySpec = QuerySpec(
+    "q8_market_share",
+    Some("""SELECT o_year,
+        round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+              / sum(volume), 4) AS mkt_share
+      FROM (SELECT year(o_orderdate) AS o_year,
+              l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+      GROUP BY o_year ORDER BY o_year"""),
+    (spark, dir) => {
+      val custNation = broadcast(Tables.load(spark, dir, "nation")
+        .join(Tables.load(spark, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey").as("c_nkey")))
+      val suppNation = broadcast(Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("nation")))
+      Tables.load(spark, dir, "lineitem")
+        .join(broadcast(Tables.load(spark, dir, "part")
+          .filter(col("p_type") === "STANDARD").select("p_partkey")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.load(spark, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                  col("o_orderdate") < ts("1998-01-01 00:00:00"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("c_custkey") === col("o_custkey"))
+        .join(custNation, col("c_nationkey") === col("c_nkey"), "left_semi")
+        .join(broadcast(Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("nation") === "NATION_3", revenue).otherwise(lit(0))) /
+            sum(revenue), 4).as("mkt_share"))
+        .orderBy("o_year")
+    })
+
+  /** TPC-H Q9-shaped (product type profit). The original prices cost
+    * from partsupp.ps_supplycost, which this fixture lacks; the adapted
+    * cost model is 60% of the part's retail price — same shape: a
+    * part-name pattern filter, profit = revenue − cost·qty, grouped by
+    * the SUPPLIER's nation and order year. Plan: part (filtered, 2 cols)
+    * and supplier + nation broadcast; lineitem⋈orders shuffles once on
+    * orderkey; single 2-key agg.
+    */
+  val q9NationProfit: QuerySpec = QuerySpec(
+    "q9_nation_profit",
+    Some("""SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              l_extendedprice * (1 - l_discount)
+                - 0.6 * p_retailprice * l_quantity AS amount
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%') profit
+      GROUP BY nation, o_year ORDER BY nation, o_year"""),
+    (spark, dir) => {
+      val amount = revenue - lit(0.6) * col("p_retailprice") * col("l_quantity")
+      Tables.load(spark, dir, "lineitem")
+        .join(broadcast(Tables.load(spark, dir, "part")
+          .filter(col("p_name").like("%red%"))
+          .select("p_partkey", "p_retailprice")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.load(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(amount), 2).as("sum_profit"))
+        .orderBy("nation", "o_year")
+    })
+
+  /** TPC-H Q10 (returned item reporting) — fits the schema directly
+    * minus the address/phone/comment columns: top 20 customers by
+    * revenue lost to returns ('R' lines) in a quarter. Plan: the
+    * orderdate quarter filter pushes to the orders scan, returnflag to
+    * lineitem; nation broadcasts; orderBy+limit plans as
+    * TakeOrderedAndProject (no global sort). The c_custkey tiebreak
+    * makes the top-20 cut deterministic across engines. Revenue sums
+    * per-row basis points (an exact BIGINT sum, order-independent) and
+    * divides once at the end — both summing doubles and RE-rounding the
+    * quotient diverge between engines at half boundaries, while
+    * integer/10000.0 is the same IEEE double everywhere.
+    */
+  val q10ReturnedItems: QuerySpec = QuerySpec(
+    "q10_returned_items",
+    Some("""SELECT c_custkey, c_name,
+        sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+          / 10000.0 AS revenue, c_acctbal, n_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.load(spark, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                  col("o_orderdate") < ts("1996-04-01 00:00:00"))
+          .select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(spark, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.load(spark, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((sum(round(revenue * 10000, 0).cast("long")) / 10000.0)
+          .as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20))
+
+  /** TPC-H Q12-shaped (shipping modes / order priority). The fixture has
+    * no l_shipmode or receipt date, so the "late" predicate becomes
+    * "shipped ≥ 30 days after the order date" and the partition column
+    * becomes l_returnflag — the shape is intact: a join with a non-equi
+    * residual, then fused conditional counts splitting critical
+    * (1-URGENT/2-HIGH) from other priorities per group.
+    */
+  val q12LatePriority: QuerySpec = QuerySpec(
+    "q12_late_priority",
+    Some("""SELECT l_returnflag,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS high_line_count,
+        sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        .join(Tables.load(spark, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(high, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
+    q4PriorityLate, q6RevenueDelta, q7NationVolume, q8MarketShare,
+    q9NationProfit, q10ReturnedItems, q12LatePriority,
     q1PricingSummary, q3ShippingPriority, q5RegionRevenue, qFilterPredicates,
     qJoinLeft, qJoinRight, qJoinFull, qJoinSemi, qJoinAnti, qJoinCross, qJoinTheta,
     qJoinWaiting, qQtyBelowAvg, qTopSupplier, qIdleRich,

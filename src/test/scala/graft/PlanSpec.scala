@@ -451,4 +451,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThan(l_shipdate"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("q6: all three predicate families reach the lineitem scan") {
+    // the canonical pushdown probe — a miss here means every selective
+    // scan in the suite is silently reading full row groups
+    // toString truncates long PushedFilters lists — read the scan node's
+    // metadata, not the rendered plan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = Relational.q6RevenueDelta.run(spark, sf)
+      .queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 1)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+  }
+
+  test("q4: EXISTS plans as one keyed semi join with the lateness residual") {
+    // the correlated EXISTS must become a LEFT SEMI hash/merge join on
+    // l_orderkey (date comparison as join filter) — never a per-order
+    // probe or nested loop; the quarter filter pushes to the orders scan
+    val p = plan(Relational.q4PriorityLate.run(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p.take(800))
+  }
+
+  test("q10: top-20 plans as TakeOrderedAndProject; quarter pushed to orders") {
+    // ORDER BY + LIMIT must not materialize a global sort of every
+    // customer group — at 100 TB the difference is a per-partition heap
+    // vs a full shuffle-and-sort of the aggregate
+    val p = plan(Relational.q10ReturnedItems.run(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p.take(800))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(800))
+  }
+
+  test("q8: dims broadcast; one aggregate computes share and total together") {
+    // the market-share ratio must come out of ONE pass over the star —
+    // two Aggregates over the fact side would double the dominant scan
+    val df = Relational.q8MarketShare.run(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.size === 1, df.queryExecution.optimizedPlan.treeString.take(800))
+  }
 }
