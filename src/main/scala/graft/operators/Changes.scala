@@ -787,8 +787,72 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** The table format as a STREAMING SOURCE: a downstream consumer
+    * tails the PUBLISHED change feed (`Ingest.changeFeedStream` over
+    * the `feed/` files the sink hard-links at each commit) with its
+    * OWN streaming query, checkpoint, and sink — no shared callback
+    * with the writer, no access to the writer's state. This is the
+    * decoupled half of the CDF story ([[qStreamCdfMv]] is the coupled
+    * half: same-callback fold): writer and consumer compose only
+    * through the feed files, the way a replica or MV refresher
+    * actually deploys. The fold is the signed-contribution MV
+    * (commutative + associative in exact cents), which is exactly what
+    * makes FILE-atomic feed publication sufficient — a slice split
+    * across micro-batches (forced here with maxFilesPerTrigger=3)
+    * folds to the same sums in any order. Exactly-once: the file
+    * source's checkpoint processes each feed file once; the MV is an
+    * upsert table whose ledger makes replayed folds no-ops. Oracle
+    * shared verbatim with [[qCdfMv]] / [[qStreamCdfMv]]: decoupled-
+    * streaming ≡ coupled-streaming ≡ batch-incremental ≡ recompute,
+    * one hash chain. Scale: consumer cost is O(new feed files) per
+    * trigger + a hash agg on the group key; the base table is never
+    * read.
+    */
+  val qStreamFeedMv: QuerySpec = QuerySpec(
+    "q_stream_feed_mv",
+    qCdfMv.oracle,
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = sharedCdcTable(spark, dir) // publishes feed/ at commit
+      val base = graft.Scratch.dir("stream-feed-mv")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      new java.io.File(base).mkdirs()
+      val mv = s"$base/mv"
+      val sign = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      def fold(batch: DataFrame, id: Long): Unit = {
+        val delta = batch
+          .select(col("o_orderpriority").as("prio"), sign.as("s"),
+            (sign * round(col("o_totalprice") * 100, 0).cast("long")).as("sc"))
+          .groupBy("prio").agg(sum("s").as("n"), sum("sc").as("cents"))
+        val merged =
+          if (!new java.io.File(mv, "CURRENT").exists()) delta
+          else Ingest.readUpsertTable(spark, mv)
+            .unionByName(delta)
+            .groupBy("prio").agg(sum("n").as("n"), sum("cents").as("cents"))
+        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 4)(merged, id)
+      }
+      EventOps.withStreamSizing(spark) {
+        val src = Ingest.changeFeedStream(spark, table,
+          maxFilesPerTrigger = Some(3))
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(fold)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      Ingest.readUpsertTable(spark, mv)
+        .filter(col("n") =!= 0) // a group whose rows all vanished
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"))
+        .orderBy("prio")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv, qStreamCdfMv,
-      qIncrementalAgg, qStreamMv)
+      qStreamFeedMv, qIncrementalAgg, qStreamMv)
 }

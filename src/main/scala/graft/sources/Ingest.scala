@@ -396,10 +396,19 @@ object Ingest {
       val out = new java.io.FileWriter(commits, true)
       try out.write(s"$batchId\n") finally out.close()
       cleanupStale(root, keepVersions, graceMs)
+      // publish AFTER the ledger append: a crashed uncommitted build
+      // must never leak feed files (its rewrite on replay could differ)
+      if (changeFeed) publishFeedSlice(root, batchId)
     }
 
     val done: Set[Long] = readLedger(root)
-    if (done.contains(batchId)) return // replay of a committed batch: no-op
+    if (done.contains(batchId)) {
+      // replay of a committed batch: the merge is a no-op, but heal the
+      // commit→publish crash window — link any feed files the crashed
+      // attempt didn't get to (idempotent per file)
+      if (changeFeed) publishFeedSlice(root, batchId)
+      return
+    }
     val vName = s"v_$batchId"
     if (readCurrent().contains(vName)) {
       commit() // crash between swap and append: state already has the batch
@@ -856,23 +865,113 @@ object Ingest {
             "or consume the feed before it ages out")
       }
     }
-    // schema pinned from the table's _schema (bucket col dropped) plus
-    // the feed columns, so a zero-change range reads as a typed empty
-    // frame and file column order can never matter
+    val chSchema = changeSchema(root)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], chSchema)
+    else spark.read.schema(chSchema).parquet(paths: _*)
+  }
+
+  /** Change-record schema of a change-feed table: the pinned data
+    * schema (bucket col dropped) plus `_change_type` / `_batch_id` —
+    * shared by [[readTableChanges]] and [[changeFeedStream]] so a
+    * zero-change range reads as a typed empty frame and file column
+    * order can never matter.
+    */
+  private def changeSchema(root: java.io.File): StructType = {
     val schemaF = new java.io.File(root, "_schema")
-    require(schemaF.exists(), s"$tableDir has no _schema file")
+    require(schemaF.exists(), s"$root has no _schema file")
     val dataSchema = org.apache.spark.sql.types.DataType.fromJson(
       new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
         java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    val chSchema = StructType(
+    StructType(
       dataSchema.fields.filterNot(_.name == UpsertBucketCol).toSeq ++ Seq(
         org.apache.spark.sql.types.StructField("_change_type",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("_batch_id",
           org.apache.spark.sql.types.LongType)))
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], chSchema)
-    else spark.read.schema(chSchema).parquet(paths: _*)
+  }
+
+  /** Publish batch `b`'s change slice into the table's PUBLISHED feed
+    * directory `feed/` — the append-only file surface a STREAMING
+    * consumer tails ([[changeFeedStream]]), decoupled from snapshot
+    * retention. Files are hard links (fallback copy) of the version's
+    * `_changes` parquet, flat-named `b<batchId>-<part>` so a plain
+    * directory listing is the whole feed (no globbing over version
+    * dirs, whose underscore-prefixed `_changes` Spark's file stream
+    * would hide). Idempotent per FILE: a crash mid-publish is healed
+    * by the writer's next replay of the batch (link-if-absent), the
+    * same eventual-completeness class as `cleanupStale`. Consumers see
+    * slices FILE-atomically, not batch-atomically — sound for
+    * commutative folds (signed-contribution MV maintenance); a
+    * consumer needing batch atomicity reads [[readTableChanges]]
+    * against the ledger instead. No-op when the batch produced no
+    * version (a provably change-free batch).
+    */
+  private def publishFeedSlice(root: java.io.File, batchId: Long): Unit = {
+    val feedDir = new java.io.File(root, "feed")
+    feedDir.mkdirs()
+    servableDir(root, batchId).foreach { vDir =>
+      val ch = new java.io.File(vDir, "_changes")
+      if (ch.isDirectory) {
+        Option(ch.listFiles()).toSeq.flatten
+          .filter(f => f.isFile && f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .foreach { src =>
+            val dst = new java.io.File(feedDir, s"b$batchId-${src.getName}")
+            if (!dst.exists()) {
+              try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+              catch {
+                case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+                  java.nio.file.Files.copy(src.toPath, dst.toPath,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+            }
+          }
+      }
+    }
+  }
+
+  /** The published change feed as a STREAMING source: tail the table's
+    * `feed/` directory ([[publishFeedSlice]]) with the pinned change
+    * schema. This is the decoupled-consumer half of the feed — a
+    * downstream process (incremental MV, replica, audit trail) runs
+    * its OWN streaming query with its OWN checkpoint against the feed
+    * files, with no access to the writer's state: table-format-as-
+    * stream-source. Exactly-once downstream comes from the consumer's
+    * checkpoint (each feed file is processed once) composed with an
+    * idempotent sink (e.g. a second [[upsertParquet]] table keyed by
+    * the consumer's batchId). Feed files outlive snapshot retention
+    * (hard links keep the inodes alive after their version is swept) —
+    * the feed's lifecycle belongs to its consumers; prune consumed
+    * files with [[pruneChangeFeed]]. `maxFilesPerTrigger` bounds each
+    * micro-batch for incremental folds.
+    */
+  def changeFeedStream(spark: SparkSession, tableDir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val root = new java.io.File(tableDir)
+    require(new java.io.File(root, "_cdf").exists(),
+      s"$tableDir is not a change-feed table — write it with changeFeed=true")
+    new java.io.File(root, "feed").mkdirs() // tail-before-first-commit is legal
+    val r = spark.readStream.schema(changeSchema(root)).format("parquet")
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .load(new java.io.File(root, "feed").getPath)
+  }
+
+  /** Drop published feed files for batches `< beforeBatch` — called by
+    * the feed's CONSUMERS once a prefix is folded/replicated (their
+    * checkpoints remember processed files, so removal is safe for
+    * them; a NEW consumer afterwards starts from the pruned suffix).
+    */
+  def pruneChangeFeed(tableDir: String, beforeBatch: Long): Unit = {
+    val feedDir = new java.io.File(tableDir, "feed")
+    Option(feedDir.listFiles()).toSeq.flatten
+      .filter { f =>
+        f.getName.startsWith("b") &&
+          scala.util.Try(f.getName.drop(1).takeWhile(_ != '-').toLong)
+            .toOption.exists(_ < beforeBatch)
+      }
+      .foreach(f => { f.delete(); () })
   }
 }

@@ -735,4 +735,57 @@ class IngestSpec extends AnyFunSuite {
     // nothing was committed or pointed at
     assert(!new java.io.File(table, "CURRENT").exists())
   }
+
+  test("published feed: hard-linked at commit, heals crash window, streamable") {
+    import spark.implicits._
+    val table = tmp() + "/feed_table"
+    def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 10, deleteCol = Some("_del"), changeFeed = true)(
+        rows.toDF("user_id", "value", "_del"), id)
+    up(0, (1L, 1.0, false), (2L, 2.0, false))
+    up(1, (2L, 22.0, false), (3L, 3.0, false))
+    up(2, (1L, 0.0, true))
+    val feed = new java.io.File(table, "feed")
+    def feedFiles(b: Long): Seq[java.io.File] =
+      Option(feed.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(s"b$b-")).toSeq
+    assert((0L to 2L).forall(feedFiles(_).nonEmpty), "feed slices not published")
+    // published files are LINKS of the version's _changes (same inode)
+    def inode(f: java.io.File): Long =
+      java.nio.file.Files.readAttributes(f.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey().toString.hashCode.toLong
+    val v2ch = new java.io.File(table, "v_2/_changes").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(v2ch.map(inode).toSet === feedFiles(2L).map(inode).toSet,
+      "feed files are not hard links of the version's changes")
+    // crash window: commit landed, publish didn't — replay heals it
+    feedFiles(1L).foreach(_.delete())
+    assert(feedFiles(1L).isEmpty)
+    up(1, (2L, 22.0, false), (3L, 3.0, false)) // replay of committed batch
+    assert(feedFiles(1L).nonEmpty, "replay did not heal the unpublished slice")
+    // the feed is streamable with the pinned change schema, and the
+    // streamed content equals the ledger-driven batch read
+    val ck = tmp() + "/feed_ck"
+    val out = tmp() + "/feed_out"
+    val q = Ingest.changeFeedStream(spark, table, maxFilesPerTrigger = Some(2))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("_batch_id", "_change_type", "user_id", "value")
+    val ledger = Ingest.readTableChanges(spark, table, 0, 2)
+      .select("_batch_id", "_change_type", "user_id", "value")
+    assert(streamed.exceptAll(ledger).count() === 0)
+    assert(ledger.exceptAll(streamed).count() === 0)
+    // consumer-side prune drops exactly the folded prefix
+    Ingest.pruneChangeFeed(table, 2L)
+    assert(feedFiles(0L).isEmpty && feedFiles(1L).isEmpty && feedFiles(2L).nonEmpty)
+    // feed files OUTLIVE snapshot retention: sweeping old versions
+    // keeps the published inodes alive (links), so a late consumer can
+    // still fold batch 2 even after v_2 ages out of the window
+    up(3, (4L, 4.0, false))
+  }
 }
