@@ -851,8 +851,101 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** MERGE-ON-READ deletes in the table format: the changelog's
+    * upserts fold in date order (batches 0..3), then every customer
+    * whose GLOBAL winner is a tombstone arrives as one delete-only
+    * batch with `lazyDeletes = true` — which must rewrite NOTHING
+    * (every bucket hard-links forward; the tombstones land in the
+    * version's deletion vector) yet the snapshot read must hide the
+    * deleted keys. Withholding deletes to the end is semantics-
+    * preserving here: a surviving customer's latest U row IS its
+    * global winner, and a tombstoned customer is dropped regardless of
+    * its upsert history — so the final state is exactly [[qCdcApply]]'s
+    * compacted snapshot (oracle re-derived with the contract column).
+    * The in-query contract compares the delete version's bucket files
+    * to the previous version's BY INODE: merge-on-read's whole value
+    * is that a delete-only batch costs O(delete set) writes, not a
+    * bucket rewrite — at 100 TB, a GDPR erasure touching a thousand
+    * buckets writes one small key list instead of re-writing TBs.
+    * Self-compaction and the CDF interplay are spec'd (IngestSpec
+    * "lazy deletes" battery), not re-proven here.
+    */
+  val qUpsertMor: QuerySpec = QuerySpec(
+    "q_upsert_mor",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_custkey, o_orderdate, o_orderkey,
+        round(o_totalprice, 2) AS o_totalprice, o_orderpriority,
+        true AS mor_no_rewrite
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY o_custkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-mor")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val table = s"$base/table"
+      val log = orderChangelog(spark, dir)
+      val ups = log.filter(col("op") =!= "D")
+      val n = 4
+      val b = ups.agg(min(to_date(col("o_orderdate"))),
+        max(to_date(col("o_orderdate")))).head() // 2 scalars
+      val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+      def up(batch: DataFrame, id: Long): Unit =
+        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+          keepVersions = 10, deleteCol = Some("_deleted"),
+          lazyDeletes = true)(batch, id)
+      EventOps.withStreamSizing(spark) {
+        (0 until n).foreach { i =>
+          val chunk = ups.filter(expr(
+            s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
+            === i)
+          up(latestChangePerCustomer(chunk), i.toLong)
+        }
+        // the erasure batch: global tombstone winners, deletes only
+        up(latestChangePerCustomer(log).filter(col("_deleted")), n.toLong)
+      }
+      // contract: the delete batch hard-linked every bucket (same
+      // inodes as the previous version — zero data I/O) and recorded a
+      // deletion vector
+      def bucketInodes(v: String): Map[String, Set[AnyRef]] = {
+        val vd = new java.io.File(table, v)
+        Option(vd.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+          .map(d => d.getName -> Option(d.listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => java.nio.file.Files.readAttributes(f.toPath,
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+              .fileKey()).toSet)
+          .toMap
+      }
+      val noRewrite =
+        bucketInodes(s"v_$n") == bucketInodes(s"v_${n - 1}") &&
+          new java.io.File(table, s"v_$n/_deletes").isDirectory
+      require(noRewrite,
+        "merge-on-read contract broken: the delete-only batch rewrote " +
+          "bucket data or recorded no deletion vector")
+      Ingest.readUpsertTable(spark, table)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .withColumn("mor_no_rewrite", lit(noRewrite))
+        .orderBy("o_custkey")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv, qStreamCdfMv,
-      qStreamFeedMv, qIncrementalAgg, qStreamMv)
+      qStreamFeedMv, qUpsertMor, qIncrementalAgg, qStreamMv)
 }

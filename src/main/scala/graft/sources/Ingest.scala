@@ -344,10 +344,31 @@ object Ingest {
     * rewrites only the buckets its keys hash to. This is the CDC apply
     * path: a `Changes`-style changelog (upserts + deletes) folds into
     * the table exactly-once.
+    *
+    * `lazyDeletes` (requires `deleteCol`) switches deletes to
+    * MERGE-ON-READ deletion vectors: a tombstone whose bucket gets no
+    * upserts in the same batch is recorded in the version's
+    * `_deletes/` key list instead of rewriting the bucket — the bucket
+    * hard-links forward untouched, so a delete-only batch costs
+    * O(delete set) writes instead of O(touched buckets) data rewrite
+    * (at 100 TB: a thousand-row GDPR erasure no longer rewrites a
+    * thousand multi-GB buckets). Readers ([[readUpsertTable]],
+    * [[lookupUpsertTable]], time travel) anti-join the snapshot
+    * against its own version's vector — each version carries exactly
+    * the vector that applies to its files. The debt self-compacts:
+    * whenever a later batch rewrites a bucket for its own upserts, any
+    * pending vector entries for that bucket are applied during the
+    * rewrite and leave the vector; [[rebucketUpsertTable]] applies and
+    * clears the whole vector (full rewrite). The change feed is
+    * unaffected: a lazy delete still records its `delete` pre-image
+    * (capture reads the bucket — read-only — without rewriting it),
+    * and vector-hidden rows are excluded from pre-images so a
+    * re-upsert of a lazily-deleted key correctly records `insert`.
     */
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
                     keepVersions: Int = 1, deleteCol: Option[String] = None,
-                    graceMs: Long = 0L, changeFeed: Boolean = false)
+                    graceMs: Long = 0L, changeFeed: Boolean = false,
+                    lazyDeletes: Boolean = false)
                    (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
       count, first, lit, max, pmod, when, xxhash64}
@@ -422,6 +443,8 @@ object Ingest {
         s"upsertParquet: deleteCol '$c' is not a column of the batch")
       require(!keys.contains(c), s"upsertParquet: deleteCol '$c' is a key")
     }
+    require(!lazyDeletes || deleteCol.nonEmpty,
+      "upsertParquet: lazyDeletes without deleteCol — there is nothing to defer")
     val bk = batch.withColumn(UpsertBucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -474,14 +497,18 @@ object Ingest {
       writeAtomic(root, "CURRENT", vName)
     }
     try {
-      // ONE aggregation job answers empty?, key-unique?, and the
-      // touched bucket set (≤ nBuckets small ints — the only
-      // driver-side collect in the sink); the cached batch then feeds
-      // the merge without recomputing its upstream per action
+      // ONE aggregation job answers empty?, key-unique?, the touched
+      // bucket set, AND which of those buckets have upserts (vs only
+      // tombstones — the lazy-delete split). ≤ 2·nBuckets small ints,
+      // the only driver-side collect in the sink; the cached batch then
+      // feeds the merge without recomputing its upstream per action
+      val delFlag = deleteCol.map(col).getOrElse(lit(false))
       val summary = bk
         .groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("cnt"), first(col(UpsertBucketCol)).as("b"))
-        .agg(max(col("cnt")).as("max_cnt"), collect_set(col("b")).as("bs"))
+        .agg(count(lit(1)).as("cnt"), first(col(UpsertBucketCol)).as("b"),
+          first(delFlag).as("isDel"))
+        .agg(max(col("cnt")).as("max_cnt"), collect_set(col("b")).as("bs"),
+          collect_set(when(!col("isDel"), col("b"))).as("ubs"))
         .head()
       if (summary.isNullAt(0)) { // empty batch
         if (changeFeed && readCurrent().nonEmpty) {
@@ -511,6 +538,11 @@ object Ingest {
             "(e.g. max_by on an ordering column; a key may appear as an " +
             "upsert OR a tombstone, not both)")
       val touched: Set[Long] = summary.getSeq[Long](1).toSet
+      val upsertBuckets: Set[Long] = summary.getSeq[Long](2).toSet
+      // buckets this batch REWRITES: all touched buckets — minus, in
+      // lazy mode, the delete-only buckets whose tombstones go to the
+      // deletion vector instead
+      val rewriteB: Set[Long] = if (lazyDeletes) upsertBuckets else touched
 
       val newV = new java.io.File(root, vName)
       rm(newV) // partial build from a previous crashed attempt
@@ -529,29 +561,46 @@ object Ingest {
             s"rebucketUpsertTable($vb) to complete the interrupted " +
             "rebucket, then pass the new count"))
       }
-      val touchedDirs = curDir.toSeq.flatMap(d =>
-        touched.toSeq.sorted.map(b => new java.io.File(d, s"$UpsertBucketCol=$b"))
-          .filter(_.isDirectory))
+      def dirsOf(d: java.io.File, bs: Set[Long]): Seq[java.io.File] =
+        bs.toSeq.sorted.map(b => new java.io.File(d, s"$UpsertBucketCol=$b"))
+          .filter(_.isDirectory)
+      val rewriteDirs = curDir.toSeq.flatMap(dirsOf(_, rewriteB))
+      // the prior version's deletion vector (keys + bucket), if any
+      val prevDv: Option[DataFrame] = curDir
+        .map(d => new java.io.File(d, "_deletes"))
+        .filter(d => d.isDirectory && Option(d.listFiles()).toSeq.flatten
+          .exists(_.getName.endsWith(".parquet")))
+        .map(d => spark.read.parquet(d.getPath))
+      val prevDvKeys = prevDv.map(_.select(keys.map(col): _*))
       // every batch key — upsert or tombstone — evicts its old row from
-      // the touched buckets; only non-tombstone rows are re-inserted.
+      // the rewritten buckets; only non-tombstone rows are re-inserted.
       // A delete is therefore just an eviction with no replacement.
       val upserts = dataOf(deleteCol.fold(bk)(c => bk.filter(!col(c))))
-      val merged =
-        if (touchedDirs.isEmpty) upserts
-        // read old rows through the (possibly just-widened) table
-        // schema: files from before a widening surface the new columns
-        // as null, so survivors and upserts always union cleanly
-        else spark.read.schema(tableSchema)
-          .option("basePath", curDir.get.getPath)
-          .parquet(touchedDirs.map(_.getPath): _*)
-          .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
-          .unionByName(upserts)
-      merged.repartition(touched.size, col(UpsertBucketCol))
+      val merged = {
+        val base =
+          if (rewriteDirs.isEmpty) upserts
+          // read old rows through the (possibly just-widened) table
+          // schema: files from before a widening surface the new columns
+          // as null, so survivors and upserts always union cleanly
+          else {
+            val survivors = spark.read.schema(tableSchema)
+              .option("basePath", curDir.get.getPath)
+              .parquet(rewriteDirs.map(_.getPath): _*)
+              .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
+            // pending vector entries for rewritten buckets are APPLIED
+            // here (and leave the vector below) — the debt self-compacts
+            prevDvKeys.fold(survivors)(dv =>
+              survivors.join(broadcast(dv), keys, "left_anti"))
+              .unionByName(upserts)
+          }
+        base
+      }
+      merged.repartition(math.max(1, rewriteB.size), col(UpsertBucketCol))
         .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
       curDir.foreach { d =>
         Option(d.listFiles()).toSeq.flatten
           .filter(f => f.isDirectory && f.getName.startsWith(s"$UpsertBucketCol=") &&
-            !touched.contains(f.getName.stripPrefix(s"$UpsertBucketCol=").toLong))
+            !rewriteB.contains(f.getName.stripPrefix(s"$UpsertBucketCol=").toLong))
           .foreach { bdir =>
             val dst = new java.io.File(newV, bdir.getName)
             dst.mkdirs()
@@ -559,18 +608,50 @@ object Ingest {
               .foreach(linkOrCopy(_, dst))
           }
       }
+      // the new version's deletion vector: entries carried for buckets
+      // NOT rewritten + this batch's lazily-deleted keys (tombstones in
+      // delete-only buckets). Written INSIDE the version dir, so it is
+      // atomic with the snapshot (pre-swap) and swept with it.
+      locally {
+        val dvCols = keys.map(col) :+ col(UpsertBucketCol)
+        val deleteOnlyB = touched -- upsertBuckets
+        val dvAdds =
+          if (lazyDeletes && deleteOnlyB.nonEmpty)
+            Some(bk.filter(delFlag &&
+              col(UpsertBucketCol).isin(deleteOnlyB.toSeq: _*))
+              .select(dvCols: _*))
+          else None
+        val dvCarry = prevDv.map { dvd =>
+          (if (rewriteB.isEmpty) dvd
+           else dvd.filter(!col(UpsertBucketCol).isin(rewriteB.toSeq: _*)))
+            .select(dvCols: _*)
+        }
+        (dvCarry.toSeq ++ dvAdds.toSeq).reduceOption(_.unionByName(_))
+          .map(_.distinct())
+          .filter(_.head(1).nonEmpty) // never write an empty _deletes dir
+          .foreach(_.coalesce(1).write
+            .parquet(new java.io.File(newV, "_deletes").getPath))
+      }
       if (changeFeed) {
         val dataCols = dataOf(bk).columns
           .filterNot(_ == UpsertBucketCol).map(col)
-        val flag = deleteCol.map(col).getOrElse(lit(false))
-        val old =
-          if (touchedDirs.isEmpty)
+        val flag = delFlag
+        // capture reads ALL touched buckets (including delete-only
+        // buckets the lazy path did not rewrite — read-only here), and
+        // excludes vector-hidden rows: they are logically deleted, so a
+        // re-upsert of such a key is an INSERT and a re-delete records
+        // nothing
+        val captureDirs = curDir.toSeq.flatMap(dirsOf(_, touched))
+        val rawOld =
+          if (captureDirs.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               tableSchema)
           else spark.read.schema(tableSchema)
             .option("basePath", curDir.get.getPath)
-            .parquet(touchedDirs.map(_.getPath): _*)
+            .parquet(captureDirs.map(_.getPath): _*)
+        val old = prevDvKeys.fold(rawOld)(dv =>
+          rawOld.join(broadcast(dv), keys, "left_anti"))
         // pre-images: the table rows this batch replaces or deletes —
         // ≤ batch-size rows by construction; checkpointed so the
         // classification join and the output union don't re-scan the
@@ -614,9 +695,44 @@ object Ingest {
                       asOfBatch: Option[Long] = None): DataFrame = {
     val root = new java.io.File(tableDir)
     val vDir = resolveVersionDir(root, asOfBatch)
-    pinnedReader(spark, root).option("basePath", vDir.getPath)
-      .parquet(vDir.getPath)
+    applyDeletes(spark, root, vDir,
+      pinnedReader(spark, root).option("basePath", vDir.getPath)
+        .parquet(vDir.getPath))
       .drop(UpsertBucketCol)
+  }
+
+  /** Apply a version's merge-on-read deletion vector (`_deletes/` —
+    * see `upsertParquet(lazyDeletes=true)`): anti-join the snapshot
+    * against the vector's keys. A version without a vector reads with
+    * zero overhead. The join is left to the planner rather than
+    * force-broadcast: the vector is churn-bounded (entries leave it at
+    * every bucket rewrite / rebucket), so it is normally broadcast by
+    * size stats, but a table carrying unbounded un-compacted delete
+    * debt degrades to a shuffle join instead of a driver OOM.
+    */
+  private def applyDeletes(spark: SparkSession, root: java.io.File,
+                           vDir: java.io.File, df: DataFrame): DataFrame = {
+    val dvDir = new java.io.File(vDir, "_deletes")
+    val hasDv = dvDir.isDirectory && Option(dvDir.listFiles()).toSeq.flatten
+      .exists(_.getName.endsWith(".parquet"))
+    if (!hasDv) df
+    else {
+      val keys = tableMeta(root)("keys").split(",").toSeq
+      df.join(spark.read.parquet(dvDir.getPath)
+        .select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+    }
+  }
+
+  /** Parse the pinned `_meta` table properties (keys, buckets). */
+  private def tableMeta(root: java.io.File): Map[String, String] = {
+    val metaF = new java.io.File(root, "_meta")
+    require(metaF.exists(), s"not an upsert table (no _meta): $root")
+    new String(java.nio.file.Files.readAllBytes(metaF.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
   }
 
   /** The snapshot dir for CURRENT / a committed as-of batch (the
@@ -688,13 +804,7 @@ object Ingest {
                         asOfBatch: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
     val root = new java.io.File(tableDir)
-    val metaF = new java.io.File(root, "_meta")
-    require(metaF.exists(), s"not an upsert table (no _meta): $tableDir")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .linesIterator.map(_.split("=", 2)).collect {
-        case Array(k, v) => k -> v
-      }.toMap
+    val meta = tableMeta(root)
     val keys = meta("keys").split(",").toSeq
     keys.foreach(k => require(probe.columns.contains(k),
       s"lookup probe is missing key column '$k' (table keys: " +
@@ -722,7 +832,8 @@ object Ingest {
           .filter(lit(false))
       else reader.option("basePath", vDir.getPath)
         .parquet(bucketDirs.map(_.getPath): _*)
-    scan.join(broadcast(probeKeys), keys, "left_semi")
+    applyDeletes(spark, root, vDir,
+      scan.join(broadcast(probeKeys), keys, "left_semi"))
       .drop(UpsertBucketCol)
   }
 
@@ -763,13 +874,7 @@ object Ingest {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(newBuckets > 0, s"rebucketUpsertTable: bad bucket count $newBuckets")
     val root = new java.io.File(tableDir)
-    val metaF = new java.io.File(root, "_meta")
-    require(metaF.exists(), s"not an upsert table (no _meta): $tableDir")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .linesIterator.map(_.split("=", 2)).collect {
-        case Array(k, v) => k -> v
-      }.toMap
+    val meta = tableMeta(root)
     val keys = meta("keys").split(",").toSeq
     val metaBuckets = meta("buckets").toInt
     val curName = readCurrentName(root)
@@ -795,8 +900,11 @@ object Ingest {
     val newName = versionName(b, g + 1)
     val newV = new java.io.File(root, newName)
     rmTree(newV) // partial build from a previous crashed attempt
-    pinnedReader(spark, root).option("basePath", curDir.getPath)
-      .parquet(curDir.getPath)
+    // the full rewrite applies (and therefore clears) any pending
+    // deletion vector — rebucket doubles as delete-debt compaction
+    applyDeletes(spark, root, curDir,
+      pinnedReader(spark, root).option("basePath", curDir.getPath)
+        .parquet(curDir.getPath))
       .drop(UpsertBucketCol)
       .withColumn(UpsertBucketCol,
         pmod(xxhash64(keys.map(col): _*), lit(newBuckets.toLong)))

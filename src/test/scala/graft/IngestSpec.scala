@@ -788,4 +788,104 @@ class IngestSpec extends AnyFunSuite {
     // still fold batch 2 even after v_2 ages out of the window
     up(3, (4L, 4.0, false))
   }
+
+  test("lazy deletes: delete-only batch links every bucket and hides rows via the vector") {
+    import spark.implicits._
+    val table = tmp() + "/mor_table"
+    def up(id: Long, lazyDel: Boolean, rows: (Long, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 10, deleteCol = Some("_del"), lazyDeletes = lazyDel)(
+        rows.toDF("user_id", "value", "_del"), id)
+    up(0, lazyDel = false,
+      (1L, 1.0, false), (2L, 2.0, false), (3L, 3.0, false), (4L, 4.0, false))
+    def buckets(m: Map[String, Set[Long]]): Map[String, Set[Long]] =
+      m.filter(_._1.startsWith("bkt=")) // ignore the _deletes dir itself
+    val before = buckets(inodesByBucket(table))
+    // batch 1: pure deletes, lazy — NO bucket may be rewritten
+    up(1, lazyDel = true, (2L, 0.0, true), (4L, 0.0, true))
+    assert(buckets(inodesByBucket(table)) === before,
+      "lazy delete-only batch rewrote bucket data")
+    assert(new java.io.File(table, "v_1/_deletes").isDirectory,
+      "no deletion vector written")
+    // snapshot read applies the vector
+    assert(Ingest.readUpsertTable(spark, table)
+      .select("user_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // point lookup applies it too
+    assert(Ingest.lookupUpsertTable(spark, table, Seq(2L, 3L).toDF("user_id"))
+      .select("user_id").as[Long].collect().toSeq === Seq(3L))
+    // time travel: the PRE-delete version has no vector and still serves
+    // the full table
+    assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+      .count() === 4)
+    // replaying the lazy batch is a no-op (inodes and vector unchanged)
+    up(1, lazyDel = true, (2L, 0.0, true), (4L, 0.0, true))
+    assert(buckets(inodesByBucket(table)) === before, "lazy replay rebuilt data")
+    assert(Ingest.readUpsertTable(spark, table).count() === 2)
+  }
+
+  test("lazy deletes self-compact: a later rewrite of the bucket applies its entries") {
+    import spark.implicits._
+    val table = tmp() + "/mor_compact"
+    def up(id: Long, lazyDel: Boolean, rows: (Long, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+        keepVersions = 10, deleteCol = Some("_del"), lazyDeletes = lazyDel)(
+        rows.toDF("user_id", "value", "_del"), id)
+    // find two keys in the SAME bucket and one in the other
+    val hash = (k: Long) => { // mirror pmod(xxhash64(user_id), 2)
+      val df = Seq(k).toDF("user_id")
+        .select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("user_id")),
+          lit(2L)).as("b"))
+      df.head().getLong(0)
+    }
+    val ks = (1L to 20L).groupBy(hash)
+    val b0 = ks.values.head.take(2) // two keys, same bucket
+    val other = ks.values.last.head
+    up(0, lazyDel = false,
+      (b0.head, 1.0, false), (b0(1), 2.0, false), (other, 3.0, false))
+    up(1, lazyDel = true, (b0.head, 0.0, true)) // vector entry in b0's bucket
+    assert(new java.io.File(table, "v_1/_deletes").isDirectory)
+    // batch 2 upserts the OTHER key of the same bucket: the rewrite must
+    // apply the pending entry and the new version must carry NO vector
+    up(2, lazyDel = true, (b0(1), 22.0, false))
+    assert(!new java.io.File(table, "v_2/_deletes").exists(),
+      "vector entry for a rewritten bucket was carried instead of applied")
+    val rows = Ingest.readUpsertTable(spark, table)
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+    assert(!rows.contains(b0.head) && rows(b0(1)) === 22.0 && rows(other) === 3.0)
+    // rebucket also compacts: add fresh lazy debt, then rebucket
+    up(3, lazyDel = true, (other, 0.0, true))
+    assert(new java.io.File(table, "v_3/_deletes").isDirectory)
+    Ingest.rebucketUpsertTable(spark, table, 4)
+    val cur = new java.io.File(table,
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(table, "CURRENT").toPath)).trim)
+    assert(!new java.io.File(cur, "_deletes").exists(),
+      "rebucket carried the vector instead of applying it")
+    assert(Ingest.readUpsertTable(spark, table)
+      .select("user_id").as[Long].collect().toSeq === Seq(b0(1)))
+  }
+
+  test("lazy deletes and the change feed: pre-images honest, re-upsert is an insert") {
+    import spark.implicits._
+    val table = tmp() + "/mor_cdf"
+    def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 10, deleteCol = Some("_del"), changeFeed = true,
+        lazyDeletes = true)(rows.toDF("user_id", "value", "_del"), id)
+    up(0, (1L, 1.0, false), (2L, 2.0, false))
+    up(1, (1L, 0.0, true)) // lazy delete: bucket not rewritten
+    up(2, (1L, 10.0, false)) // re-upsert of the lazily-deleted key
+    val ch = Ingest.readTableChanges(spark, table, 0, 2)
+      .orderBy("_batch_id", "user_id", "_change_type")
+      .select("_batch_id", "_change_type", "user_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(ch === Seq(
+      (0L, "insert", 1L, 1.0), (0L, "insert", 2L, 2.0),
+      (1L, "delete", 1L, 1.0),
+      (2L, "insert", 1L, 10.0)), s"feed was: $ch")
+    assert(Ingest.readUpsertTable(spark, table)
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+      === Map(1L -> 10.0, 2L -> 2.0))
+  }
 }

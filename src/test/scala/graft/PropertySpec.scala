@@ -1,5 +1,6 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -11,10 +12,17 @@ import graft.sources.Tables
   * the offline cache; sampling keeps runs deterministic anyway). Each
   * case round-trips a Spark job, so samples are few.
   */
-class PropertySpec extends AnyFunSuite {
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
   lazy val orders = Tables.load(spark, sf, "orders").cache()
+
+  // the cache MUST be dropped when this suite ends: Spark's cache
+  // manager substitutes InMemoryRelation for matching plan fragments
+  // SESSION-WIDE, so a leaked cached fixture table silently rewrites
+  // every later suite's orders scans (and erases the parquet
+  // PushedFilters that PlanSpec asserts on)
+  override def afterAll(): Unit = { orders.unpersist(blocking = true); () }
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
