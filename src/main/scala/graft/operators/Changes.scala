@@ -263,7 +263,9 @@ object Changes {
     */
   private def buildCdcUpsertTable(spark: SparkSession, dir: String,
                                   base: String, n: Int,
-                                  changeFeed: Boolean): String = {
+                                  changeFeed: Boolean,
+                                  sortCols: Seq[String] = Nil,
+                                  filesPerBucket: Int = 4): String = {
     import graft.sources.Ingest
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -283,7 +285,8 @@ object Changes {
           s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span") === i)
         Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
           keepVersions = n, deleteCol = Some("_deleted"),
-          changeFeed = changeFeed)(latestChangePerCustomer(chunk), i.toLong)
+          changeFeed = changeFeed, sortCols = sortCols,
+          filesPerBucket = filesPerBucket)(latestChangePerCustomer(chunk), i.toLong)
       }
     }
     table
@@ -944,8 +947,70 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** File-list data skipping INSIDE the table format: the table pins
+    * `sortCols = o_orderdate`, so every bucket rewrite range-slices
+    * its bucket into ~4 date-sorted files and commits a per-file
+    * min/max manifest with the version (fresh rows for rewritten
+    * buckets, carried+remapped rows for hard-linked ones — manifest
+    * maintenance rides the merge's O(touched)). A one-year probe then
+    * reads only the files whose date box overlaps (1999 — populated at
+    * every fixture SF yet a small fraction of the span) — the composition of
+    * hash-bucket-by-key (merge/lookup pruning) with sort-order-within-
+    * bucket (scan pruning) that production formats call bucket + sort
+    * order. In-query contract: the pruned read's file list is strictly
+    * smaller than the snapshot's; answers hash-checked against the
+    * window recompute. At 100 TB each bucket is multi-GB, and this is
+    * the difference between a selective scan reading a few slices per
+    * bucket vs every byte of every bucket ([[qStatsPruning]] proves
+    * the same layer on a plain dir; this row proves it through the
+    * format's version/link/vector machinery).
+    */
+  val qUpsertStatsPrune: QuerySpec = QuerySpec(
+    "q_upsert_stats_prune",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend, true AS pruned
+      FROM ranked
+      WHERE rn = 1 AND op <> 'D'
+        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("upsert-stats"), n = 4, changeFeed = false,
+        sortCols = Seq("o_orderdate"))
+      // 1999 is the selective band that is still populated at every
+      // fixture SF (winners are per-customer LATEST orders, so they
+      // cluster at the tail of the date range)
+      val lo = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val probe = Ingest.readUpsertTableWhere(spark, table,
+        Seq(("o_orderdate", lo, hi)))
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      val pruned = probe.inputFiles.length <
+        Ingest.readUpsertTable(spark, table).inputFiles.length
+      require(pruned, "stats manifest did not prune the format's file list")
+      probe.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(pruned).as("pruned"))
+        .orderBy("prio")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv, qStreamCdfMv,
-      qStreamFeedMv, qUpsertMor, qIncrementalAgg, qStreamMv)
+      qStreamFeedMv, qUpsertMor, qUpsertStatsPrune, qIncrementalAgg, qStreamMv)
 }

@@ -368,7 +368,9 @@ object Ingest {
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
                     keepVersions: Int = 1, deleteCol: Option[String] = None,
                     graceMs: Long = 0L, changeFeed: Boolean = false,
-                    lazyDeletes: Boolean = false)
+                    lazyDeletes: Boolean = false,
+                    sortCols: Seq[String] = Nil,
+                    filesPerBucket: Int = 4)
                    (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
       count, first, lit, max, pmod, when, xxhash64}
@@ -384,7 +386,12 @@ object Ingest {
     // First writer pins them in _meta (atomic rename); every later
     // call must match or fail loudly.
     val metaF = new java.io.File(root, "_meta")
-    val metaStr = s"keys=${keys.mkString(",")}\nbuckets=$nBuckets\n"
+    require(sortCols.forall(batch.columns.contains),
+      s"upsertParquet: sortCols ${sortCols.mkString(",")} not all present " +
+        s"in the batch (columns: ${batch.columns.mkString(",")})")
+    val metaStr = s"keys=${keys.mkString(",")}\nbuckets=$nBuckets\n" +
+      (if (sortCols.isEmpty) ""
+       else s"sort=${sortCols.mkString(",")}\nfpb=$filesPerBucket\n")
     if (!metaF.exists()) {
       writeAtomic(root, "_meta", metaStr)
     } else {
@@ -595,7 +602,21 @@ object Ingest {
           }
         base
       }
-      merged.repartition(math.max(1, rewriteB.size), col(UpsertBucketCol))
+      // layout of the rewritten buckets: hash-partitioned one-file-per-
+      // bucket by default; with pinned sortCols, RANGE-partitioned on
+      // (bucket, sortCols) into ~filesPerBucket slices per bucket and
+      // sorted within — each file then covers a tight sortCols range,
+      // which is what makes the per-file manifest below actually prune
+      // (hash buckets alone have full-range bounds on every column)
+      val laidOut =
+        if (sortCols.isEmpty)
+          merged.repartition(math.max(1, rewriteB.size), col(UpsertBucketCol))
+        else merged.repartitionByRange(
+          math.max(1, rewriteB.size * filesPerBucket),
+          (col(UpsertBucketCol) +: sortCols.map(col)): _*)
+          .sortWithinPartitions(
+            (col(UpsertBucketCol) +: sortCols.map(col)): _*)
+      laidOut
         .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
       curDir.foreach { d =>
         Option(d.listFiles()).toSeq.flatten
@@ -631,6 +652,52 @@ object Ingest {
           .filter(_.head(1).nonEmpty) // never write an empty _deletes dir
           .foreach(_.coalesce(1).write
             .parquet(new java.io.File(newV, "_deletes").getPath))
+      }
+      // per-file min/max manifest for the pinned sortCols — the
+      // file-LIST skipping layer (StatsManifest) composed into the
+      // format. Fresh rows come from a narrow scan of the REWRITTEN
+      // buckets only; rows for hard-linked buckets are CARRIED from
+      // the previous version's manifest with their paths remapped
+      // (same inodes, so the stats hold verbatim) — manifest cost
+      // rides the merge's O(touched), never a table scan. Written
+      // inside the version dir pre-swap: atomic with the snapshot,
+      // swept with it, invisible to snapshot reads (underscore).
+      if (sortCols.nonEmpty) {
+        import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+        val aggs = sortCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+          org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+        val freshDirs = rewriteB.toSeq.sorted
+          .map(b => new java.io.File(newV, s"$UpsertBucketCol=$b"))
+          .filter(_.isDirectory)
+        val fresh =
+          if (freshDirs.isEmpty) None
+          else Some(spark.read.schema(tableSchema)
+            .option("basePath", newV.getPath)
+            .parquet(freshDirs.map(_.getPath): _*)
+            .select(sortCols.map(col): _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*))
+        val carried = curDir
+          .map(d => new java.io.File(d, StatsManifest.ManifestDir))
+          .filter(_.isDirectory)
+          .flatMap { md =>
+            val parts = Option(md.listFiles()).toSeq.flatten
+              .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+            if (parts.isEmpty) None
+            else Some(spark.read.parquet(parts: _*)
+              .filter(!regexp_extract(col("file"),
+                s"/$UpsertBucketCol=(\\d+)/", 1).cast("long")
+                .isin(rewriteB.toSeq: _*))
+              .withColumn("file",
+                org.apache.spark.sql.functions.regexp_replace(col("file"),
+                  java.util.regex.Pattern.quote(s"/${curDir.get.getName}/"),
+                  s"/$vName/")))
+          }
+        (fresh.toSeq ++ carried.toSeq).reduceOption(_.unionByName(_))
+          .filter(_.head(1).nonEmpty)
+          .foreach(_.coalesce(1).write.parquet(
+            new java.io.File(newV, StatsManifest.ManifestDir).getPath))
       }
       if (changeFeed) {
         val dataCols = dataOf(bk).columns
@@ -699,6 +766,43 @@ object Ingest {
       pinnedReader(spark, root).option("basePath", vDir.getPath)
         .parquet(vDir.getPath))
       .drop(UpsertBucketCol)
+  }
+
+  /** Stats-pruned snapshot read: resolve the version like
+    * [[readUpsertTable]], then consult its `_stats/` manifest (written
+    * when the table pins `sortCols`) and read ONLY the files whose
+    * min/max bounding box can contain a row matching every
+    * `(column, lo, hi)` bound — file-LIST skipping before any footer
+    * I/O, composed with the format's snapshot/vector semantics. Like
+    * partition pruning this is a SUPERSET guarantee: the caller still
+    * applies the row-level predicate. A version without a manifest
+    * (table never pinned sortCols) degrades to the full snapshot scan
+    * — never a wrong answer. Why it works: with pinned sortCols the
+    * merge range-partitions each rewritten bucket into
+    * ~`filesPerBucket` sorted slices, so each file covers a tight
+    * sortCols range — a selective range probe then reads O(buckets)
+    * files instead of O(buckets × filesPerBucket) (and at 100 TB,
+    * "files the manifest discards" are object-store GETs that never
+    * happen). The deletion vector applies after pruning, exactly as
+    * in the full read.
+    */
+  def readUpsertTableWhere(spark: SparkSession, tableDir: String,
+                           bounds: Seq[(String, Any, Any)],
+                           asOfBatch: Option[Long] = None): DataFrame = {
+    val root = new java.io.File(tableDir)
+    val vDir = resolveVersionDir(root, asOfBatch)
+    StatsManifest.survivingFiles(spark,
+      new java.io.File(vDir, StatsManifest.ManifestDir), bounds) match {
+      case None => readUpsertTable(spark, tableDir, asOfBatch)
+      case Some(files) =>
+        val base = pinnedReader(spark, root).option("basePath", vDir.getPath)
+        val scan =
+          if (files.isEmpty)
+            base.parquet(vDir.getPath).filter(
+              org.apache.spark.sql.functions.lit(false))
+          else base.parquet(files: _*)
+        applyDeletes(spark, root, vDir, scan).drop(UpsertBucketCol)
+    }
   }
 
   /** Apply a version's merge-on-read deletion vector (`_deletes/` —
@@ -880,8 +984,13 @@ object Ingest {
     val curName = readCurrentName(root)
     require(curName.nonEmpty, s"upsert table has no CURRENT pointer: $root")
     val curDir = new java.io.File(root, curName.get)
+    // preserve pinned layout properties (sort/fpb) across the bucket-
+    // count change — dropping them would silently stop manifest builds
+    val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
+    val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
     def syncMeta(): Unit = writeAtomic(root, "_meta",
-      s"keys=${keys.mkString(",")}\nbuckets=$newBuckets\n")
+      s"keys=${keys.mkString(",")}\nbuckets=$newBuckets\n" +
+        (if (sortCols.isEmpty) "" else s"sort=${sortCols.mkString(",")}\nfpb=$fpb\n"))
     if (versionBuckets(curDir).getOrElse(metaBuckets) == newBuckets) {
       // no-op, or completing a rebucket that crashed after the pointer
       // swap but before the _meta update
@@ -902,14 +1011,37 @@ object Ingest {
     rmTree(newV) // partial build from a previous crashed attempt
     // the full rewrite applies (and therefore clears) any pending
     // deletion vector — rebucket doubles as delete-debt compaction
-    applyDeletes(spark, root, curDir,
+    val rehashed = applyDeletes(spark, root, curDir,
       pinnedReader(spark, root).option("basePath", curDir.getPath)
         .parquet(curDir.getPath))
       .drop(UpsertBucketCol)
       .withColumn(UpsertBucketCol,
         pmod(xxhash64(keys.map(col): _*), lit(newBuckets.toLong)))
-      .repartition(newBuckets, col(UpsertBucketCol))
+    // same layout discipline as the sink: range-sliced sorted files per
+    // bucket when sortCols are pinned (rebucket must not destroy the
+    // clustering the manifest depends on), one file per bucket otherwise
+    val rehashedLaid =
+      if (sortCols.isEmpty) rehashed.repartition(newBuckets, col(UpsertBucketCol))
+      else rehashed.repartitionByRange(newBuckets * fpb,
+          (col(UpsertBucketCol) +: sortCols.map(col)): _*)
+        .sortWithinPartitions((col(UpsertBucketCol) +: sortCols.map(col)): _*)
+    rehashedLaid
       .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
+    if (sortCols.nonEmpty) {
+      // fresh manifest for the fully-rewritten generation
+      import org.apache.spark.sql.functions.input_file_name
+      val aggs = sortCols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+        org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+      val m = pinnedReader(spark, root).option("basePath", newV.getPath)
+        .parquet(newV.getPath)
+        .select(sortCols.map(col): _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      if (m.head(1).nonEmpty)
+        m.coalesce(1).write.parquet(
+          new java.io.File(newV, StatsManifest.ManifestDir).getPath)
+    }
     val oldCh = new java.io.File(curDir, "_changes")
     if (oldCh.isDirectory) {
       val dst = new java.io.File(newV, "_changes")

@@ -79,19 +79,36 @@ object StatsManifest {
     // it; reading it back therefore names its part files explicitly
     // (a leading-underscore path handed to the reader is otherwise
     // subject to the same hidden-file filtering that protects it)
-    val mparts = Option(new java.io.File(new java.io.File(path), ManifestDir)
-        .listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
-    require(mparts.nonEmpty, s"no stats manifest under $path/$ManifestDir " +
-      "— write the table with writeWithStats")
-    val manifest = spark.read.parquet(mparts: _*)
-    val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
-      m.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
-    }
-    val files = keep.select("file").collect().map(_.getString(0))
+    val files = survivingFiles(spark,
+      new java.io.File(new java.io.File(path), ManifestDir), bounds)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no stats manifest under $path/$ManifestDir — write the table " +
+          "with writeWithStats"))
     if (files.isEmpty)
       spark.read.parquet(path).filter(lit(false))
     else
-      spark.read.option("basePath", path).parquet(files.toSeq: _*)
+      spark.read.option("basePath", path).parquet(files: _*)
+  }
+
+  /** The bounding-box overlap test against a manifest directory: the
+    * data files whose `[min_c, max_c]` range can contain a row
+    * matching every `(c, lo, hi)` bound. `None` when no manifest
+    * exists (caller decides whether that degrades to a full scan or
+    * fails). Shared by [[prunedScan]] and the upsert table's
+    * stats-pruned read (`Ingest.readUpsertTableWhere`). The only
+    * driver-side materialization is the surviving file list.
+    */
+  def survivingFiles(spark: SparkSession, manifestDir: java.io.File,
+                     bounds: Seq[(String, Any, Any)]): Option[Seq[String]] = {
+    val mparts = Option(manifestDir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    if (mparts.isEmpty) None
+    else {
+      val manifest = spark.read.parquet(mparts: _*)
+      val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
+        m.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      }
+      Some(keep.select("file").collect().map(_.getString(0)).toSeq)
+    }
   }
 }

@@ -888,4 +888,66 @@ class IngestSpec extends AnyFunSuite {
       .select("user_id", "value").as[(Long, Double)].collect().toMap
       === Map(1L -> 10.0, 2L -> 2.0))
   }
+
+  test("pinned sortCols: range-sliced bucket files, carried manifest, pruned reads") {
+    import spark.implicits._
+    val table = tmp() + "/stats_table"
+    def up(id: Long, rows: Seq[(Long, Long, Boolean)]): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+        keepVersions = 10, deleteCol = Some("_del"), lazyDeletes = true,
+        sortCols = Seq("value"), filesPerBucket = 3)(
+        rows.toDF("user_id", "value", "_del"), id)
+    up(0, (1L to 300L).map(i => (i, i, false)))
+    // range-sliced layout: each bucket dir holds MULTIPLE files
+    val v0 = new java.io.File(table, "v_0")
+    val perBucket = Option(v0.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket.nonEmpty && perBucket.forall(_ > 1),
+      s"expected range-sliced buckets, got files per bucket: $perBucket")
+    assert(new java.io.File(v0, "_stats").isDirectory, "no manifest")
+    // pruned read: fewer files, same rows as filter-on-full
+    val full = Ingest.readUpsertTable(spark, table)
+      .filter(col("value").between(10, 40))
+    val pruned = Ingest.readUpsertTableWhere(spark, table,
+      Seq(("value", 10L, 40L))).filter(col("value").between(10, 40))
+    assert(pruned.inputFiles.length <
+      Ingest.readUpsertTable(spark, table).inputFiles.length,
+      "stats pruning did not reduce the file list")
+    assert(pruned.exceptAll(full).count() === 0)
+    assert(full.exceptAll(pruned).count() === 0)
+    // a lazy delete-only batch carries the manifest (remapped paths)
+    // and the vector applies AFTER pruning
+    up(1, Seq((20L, 0L, true)))
+    val v1m = new java.io.File(table, "v_1/_stats")
+    assert(v1m.isDirectory, "manifest not carried to the linked version")
+    val afterDel = Ingest.readUpsertTableWhere(spark, table,
+      Seq(("value", 10L, 40L))).filter(col("value").between(10, 40))
+    assert(afterDel.select("user_id").as[Long].collect().toSet ===
+      (10L to 40L).toSet - 20L)
+    // carried manifest rows must point at files that exist
+    val carriedFiles = spark.read.parquet(
+      Option(v1m.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath): _*)
+      .select("file").as[String].collect()
+    assert(carriedFiles.nonEmpty && carriedFiles.forall(f =>
+      new java.io.File(new java.net.URI(f)).exists()), "stale manifest path")
+    // an upsert batch refreshes stats for its rewritten buckets only
+    up(2, Seq((10L, 1000L, false)))
+    val wide = Ingest.readUpsertTableWhere(spark, table,
+      Seq(("value", 999L, 2000L))).filter(col("value") >= 999L)
+    assert(wide.select("user_id").as[Long].collect().toSeq === Seq(10L))
+    // rebucket preserves the layout properties and rebuilds the manifest
+    Ingest.rebucketUpsertTable(spark, table, 4)
+    val cur = new java.io.File(table, new String(java.nio.file.Files
+      .readAllBytes(new java.io.File(table, "CURRENT").toPath)).trim)
+    assert(new java.io.File(cur, "_stats").isDirectory,
+      "rebucket dropped the manifest")
+    val again = Ingest.readUpsertTableWhere(spark, table,
+      Seq(("value", 10L, 40L))).filter(col("value").between(10, 40))
+    assert(again.select("user_id").as[Long].collect().toSet ===
+      (11L to 40L).toSet - 20L) // 10 was re-valued to 1000 in batch 2
+    assert(again.inputFiles.length <
+      Ingest.readUpsertTable(spark, table).inputFiles.length)
+  }
 }
