@@ -801,8 +801,9 @@ object Changes {
     * actually deploys. The fold is the signed-contribution MV
     * (commutative + associative in exact cents), which is exactly what
     * makes FILE-atomic feed publication sufficient — a slice split
-    * across micro-batches (forced here with maxFilesPerTrigger=3)
-    * folds to the same sums in any order. Exactly-once: the file
+    * across micro-batches (forced here with a maxFilesPerTrigger that
+    * does not divide the per-batch file count) folds to the same sums
+    * in any order. Exactly-once: the file
     * source's checkpoint processes each feed file once; the MV is an
     * upsert table whose ledger makes replayed folds no-ops. Oracle
     * shared verbatim with [[qCdfMv]] / [[qStreamCdfMv]]: decoupled-
@@ -840,8 +841,13 @@ object Changes {
         Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 4)(merged, id)
       }
       EventOps.withStreamSizing(spark) {
+        // 5 files per trigger: not a divisor of the per-batch feed file
+        // count, so slices still split across micro-batches (the
+        // file-atomicity property under test) at ~half the trigger
+        // count of smaller caps — trigger overhead, not data volume,
+        // dominates this row's cost
         val src = Ingest.changeFeedStream(spark, table,
-          maxFilesPerTrigger = Some(3))
+          maxFilesPerTrigger = Some(5))
         val q = Ingest.foreachBatchSink(src, s"$base/ck")(fold)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

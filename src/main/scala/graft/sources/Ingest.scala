@@ -364,13 +364,30 @@ object Ingest {
     * (capture reads the bucket — read-only — without rewriting it),
     * and vector-hidden rows are excluded from pre-images so a
     * re-upsert of a lazily-deleted key correctly records `insert`.
+    *
+    * `sortCols` + `filesPerBucket` pin an IN-BUCKET layout (table
+    * properties): each bucket rewrite range-slices its rows on
+    * (bucket, sortCols) into ~filesPerBucket sorted files and the
+    * version commits a per-file min/max `_stats/` manifest (fresh for
+    * rewritten buckets, carried+path-remapped for linked ones) — the
+    * bucket+sort-order layout [[readUpsertTableWhere]]'s file-list
+    * skipping depends on. [[optimizeUpsertTable]] restores it after
+    * churn.
+    *
+    * `constraints` (create-time, immutable) pin named CHECK
+    * expressions enforced on every batch's upsert rows with
+    * reject-batch semantics: a violating batch throws (blaming each
+    * broken constraint by name and row count) and writes NOTHING —
+    * the table never holds a row that fails its invariants. ANSI
+    * CHECK: NULL passes; spell NOT NULL as `c IS NOT NULL`.
     */
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
                     keepVersions: Int = 1, deleteCol: Option[String] = None,
                     graceMs: Long = 0L, changeFeed: Boolean = false,
                     lazyDeletes: Boolean = false,
                     sortCols: Seq[String] = Nil,
-                    filesPerBucket: Int = 4)
+                    filesPerBucket: Int = 4,
+                    constraints: Seq[(String, String)] = Nil)
                    (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
       count, first, lit, max, pmod, when, xxhash64}
@@ -417,6 +434,34 @@ object Ingest {
     require(!cdfF.exists() || changeFeed,
       s"upsertParquet: table $tableDir records a change feed — " +
         "pass changeFeed=true (a silent hole would corrupt the feed)")
+    // CHECK constraints are a create-time table property: pinned in
+    // `_constraints` before the first commit, enforced on every later
+    // batch whatever the caller passes (an invariant the table only
+    // sometimes holds is not an invariant). ANSI CHECK semantics: a
+    // row violates only when the expression is definitively FALSE —
+    // NULL passes (write `c IS NOT NULL` for NOT NULL).
+    val consF = new java.io.File(root, "_constraints")
+    val pinnedCons: Seq[(String, String)] =
+      if (consF.exists()) {
+        val have = new String(java.nio.file.Files.readAllBytes(consF.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.filter(_.nonEmpty)
+          .map(_.split("=", 2)).collect { case Array(n, e) => n -> e }.toSeq
+        require(constraints.isEmpty || constraints == have,
+          s"upsertParquet: table $tableDir pins constraints " +
+            s"[${have.map(_._1).mkString(",")}] — pass the same set or none " +
+            "(constraints are immutable table properties)")
+        have
+      } else if (constraints.nonEmpty) {
+        require(readLedger(root).isEmpty,
+          s"upsertParquet: table $tableDir has committed batches with no " +
+            "constraints — invariants cannot start mid-history")
+        require(constraints.forall(c => c._1.nonEmpty && !c._1.contains("=")),
+          "upsertParquet: constraint names must be non-empty and '='-free")
+        writeAtomic(root, "_constraints",
+          constraints.map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n"))
+        constraints
+      } else Nil
 
     def readCurrent(): Option[String] = readCurrentName(root)
     def rm(f: java.io.File): Unit = rmTree(f)
@@ -504,12 +549,37 @@ object Ingest {
       writeAtomic(root, "CURRENT", vName)
     }
     try {
+      val delFlag = deleteCol.map(col).getOrElse(lit(false))
+      if (pinnedCons.nonEmpty) {
+        // tombstones are exempt (their non-key columns are ignored by
+        // contract). Clean batches pay one scan of the CACHED batch;
+        // head(1) short-circuits on the first violating partition, and
+        // only the FAILURE path pays a second pass to blame the
+        // specific constraint(s) by name
+        import org.apache.spark.sql.functions.{expr, sum => fsum}
+        val upsertRows = deleteCol.fold(bk)(c => bk.filter(!col(c)))
+        val viol = pinnedCons.map { case (n, e) =>
+          n -> (expr(e) <=> lit(false))
+        }
+        if (upsertRows.filter(viol.map(_._2).reduce(_ || _)).head(1).nonEmpty) {
+          val counts = upsertRows.agg(
+            fsum(when(viol.head._2, 1L).otherwise(0L)).as(viol.head._1),
+            viol.tail.map { case (n, p) =>
+              fsum(when(p, 1L).otherwise(0L)).as(n) }: _*).head()
+          val broken = viol.indices
+            .filter(i => !counts.isNullAt(i) && counts.getLong(i) > 0)
+            .map(i => s"${viol(i)._1} (${counts.getLong(i)} rows)")
+          throw new IllegalArgumentException(
+            s"upsertParquet: batch $batchId violates pinned constraint(s) " +
+              s"${broken.mkString("[", ", ", "]")} of $tableDir — nothing " +
+              "was written (reject-batch semantics: fix or filter the feed)")
+        }
+      }
       // ONE aggregation job answers empty?, key-unique?, the touched
       // bucket set, AND which of those buckets have upserts (vs only
       // tombstones — the lazy-delete split). ≤ 2·nBuckets small ints,
       // the only driver-side collect in the sink; the cached batch then
       // feeds the merge without recomputing its upstream per action
-      val delFlag = deleteCol.map(col).getOrElse(lit(false))
       val summary = bk
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("cnt"), first(col(UpsertBucketCol)).as("b"),
@@ -974,7 +1044,30 @@ object Ingest {
     * yields exactly one file per non-empty bucket.
     */
   def rebucketUpsertTable(spark: SparkSession, tableDir: String,
-                          newBuckets: Int): Unit = {
+                          newBuckets: Int): Unit =
+    rewriteGeneration(spark, tableDir, newBuckets, forceSameCount = false)
+
+  /** OPTIMIZE for the table format: rewrite CURRENT as a new
+    * generation at the SAME bucket count — one maintenance pass that
+    * compacts each bucket's accumulated small files (range-slice churn
+    * from sorted merges, link history), applies and clears any pending
+    * merge-on-read deletion vector, restores the pinned in-bucket sort
+    * order, and rebuilds the stats manifest fresh. The crash-safe
+    * generation protocol (stamp → build → `_gen_commit` → swap → sweep)
+    * is [[rebucketUpsertTable]]'s — same committed batch, no batchId
+    * minted, idempotent completion — which is why this is one flag on
+    * the shared body, not a second protocol. At 100 TB this is the
+    * scheduled compaction job: run it when delete debt or file counts
+    * cross a threshold, at full-rewrite cost, deliberately and rarely.
+    */
+  def optimizeUpsertTable(spark: SparkSession, tableDir: String): Unit = {
+    val n = tableMeta(new java.io.File(tableDir))("buckets").toInt
+    rewriteGeneration(spark, tableDir, n, forceSameCount = true)
+  }
+
+  private def rewriteGeneration(spark: SparkSession, tableDir: String,
+                                newBuckets: Int,
+                                forceSameCount: Boolean): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(newBuckets > 0, s"rebucketUpsertTable: bad bucket count $newBuckets")
     val root = new java.io.File(tableDir)
@@ -991,7 +1084,8 @@ object Ingest {
     def syncMeta(): Unit = writeAtomic(root, "_meta",
       s"keys=${keys.mkString(",")}\nbuckets=$newBuckets\n" +
         (if (sortCols.isEmpty) "" else s"sort=${sortCols.mkString(",")}\nfpb=$fpb\n"))
-    if (versionBuckets(curDir).getOrElse(metaBuckets) == newBuckets) {
+    if (!forceSameCount &&
+        versionBuckets(curDir).getOrElse(metaBuckets) == newBuckets) {
       // no-op, or completing a rebucket that crashed after the pointer
       // swap but before the _meta update
       if (metaBuckets != newBuckets) syncMeta()

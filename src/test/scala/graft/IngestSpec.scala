@@ -950,4 +950,86 @@ class IngestSpec extends AnyFunSuite {
     assert(again.inputFiles.length <
       Ingest.readUpsertTable(spark, table).inputFiles.length)
   }
+
+  test("optimizeUpsertTable: same-count generation rewrite clears debt, keeps layout") {
+    import spark.implicits._
+    val table = tmp() + "/opt_table"
+    def up(id: Long, rows: Seq[(Long, Long, Boolean)]): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+        keepVersions = 10, deleteCol = Some("_del"), lazyDeletes = true,
+        sortCols = Seq("value"), filesPerBucket = 3)(
+        rows.toDF("user_id", "value", "_del"), id)
+    up(0, (1L to 120L).map(i => (i, i, false)))
+    up(1, Seq((7L, 0L, true), (8L, 0L, true))) // lazy: vector debt
+    assert(new java.io.File(table, "v_1/_deletes").isDirectory)
+    val before = Ingest.readUpsertTable(spark, table)
+      .select("user_id", "value").as[(Long, Long)].collect().toSet
+    Ingest.optimizeUpsertTable(spark, table)
+    def cur(): java.io.File = new java.io.File(table,
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(table, "CURRENT").toPath)).trim)
+    // new generation of the SAME batch: no batchId minted, debt applied
+    assert(cur().getName === "v_1.1", cur().getName)
+    assert(!new java.io.File(cur(), "_deletes").exists(),
+      "optimize did not apply the deletion vector")
+    assert(new java.io.File(cur(), "_stats").isDirectory,
+      "optimize dropped the stats manifest")
+    assert(Ingest.readUpsertTable(spark, table)
+      .select("user_id", "value").as[(Long, Long)].collect().toSet === before)
+    // pruned reads still work over the optimized layout
+    val pruned = Ingest.readUpsertTableWhere(spark, table,
+      Seq(("value", 100L, 110L))).filter(col("value").between(100, 110))
+    assert(pruned.inputFiles.length <
+      Ingest.readUpsertTable(spark, table).inputFiles.length)
+    assert(pruned.count() === 11)
+    // meta untouched (count and sort layout preserved); writers continue
+    up(2, Seq((9L, 900L, false)))
+    assert(Ingest.readUpsertTable(spark, table).count() === 118)
+    // optimize again: idempotent protocol, next generation
+    Ingest.optimizeUpsertTable(spark, table)
+    assert(cur().getName === "v_2.1")
+  }
+
+  test("pinned CHECK constraints: reject-batch semantics, ANSI null-passes, immutable") {
+    import spark.implicits._
+    val table = tmp() + "/cons_table"
+    val cons = Seq(
+      "value_nonneg" -> "value >= 0",
+      "name_not_null" -> "name IS NOT NULL")
+    def up(id: Long, cs: Seq[(String, String)], rows: (Long, Double, String)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 10, constraints = cs)(
+        rows.toDF("user_id", "value", "name"), id)
+    up(0, cons, (1L, 1.0, "a"), (2L, 2.0, "b"))
+    // a violating batch is rejected WHOLE, blamed by name, writes nothing
+    val e = intercept[IllegalArgumentException] {
+      up(1, Nil, (3L, -3.0, "c"), (4L, 4.0, null))
+    }
+    assert(e.getMessage.contains("value_nonneg") &&
+      e.getMessage.contains("name_not_null"), e.getMessage)
+    assert(Ingest.readUpsertTable(spark, table).count() === 2)
+    assert(!new java.io.File(table, "v_1").exists(), "rejected batch left a version")
+    // ANSI CHECK: a NULL value makes "value >= 0" NULL, which PASSES
+    // (only definitively-FALSE violates; NOT NULL must be spelled out)
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 10)(
+      Seq((5L, None: Option[Double], "e")).toDF("user_id", "value", "name"), 1L)
+    up(2, Nil, (6L, 6.0, "f"))
+    assert(Ingest.readUpsertTable(spark, table).count() === 4)
+    // constraints are immutable: a different set fails loudly
+    val e2 = intercept[IllegalArgumentException] {
+      up(3, Seq("other" -> "value < 100"), (7L, 7.0, "g"))
+    }
+    assert(e2.getMessage.contains("immutable"), e2.getMessage)
+    // and cannot start mid-history on an unconstrained table
+    val t2 = tmp() + "/cons_late"
+    Ingest.upsertParquet(t2, Seq("user_id"), nBuckets = 4)(
+      Seq((1L, 1.0, "a")).toDF("user_id", "value", "name"), 0L)
+    val e3 = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(t2, Seq("user_id"), nBuckets = 4,
+        constraints = cons)(
+        Seq((2L, 2.0, "b")).toDF("user_id", "value", "name"), 1L)
+    }
+    assert(e3.getMessage.contains("mid-history"), e3.getMessage)
+  }
 }
