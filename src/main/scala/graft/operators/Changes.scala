@@ -1015,8 +1015,170 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** OPTIMIZE over a debt-carrying table: the same changelog fold as
+    * [[qUpsertMor]] (upserts then a lazy erasure batch, sortCols
+    * pinned), then ONE `optimizeUpsertTable` pass — which must apply
+    * and clear the deletion vector, mint a new GENERATION of the same
+    * committed batch (no batchId — a concurrent streaming writer's ids
+    * can't collide with maintenance), and rebuild the sort layout +
+    * stats manifest so pruned reads keep engaging. In-query contracts
+    * pin all three (vector gone, `v_<b>.1` served, pruned file list
+    * strictly smaller); the oracle hash-checks that maintenance
+    * changed NOTHING observable — the compacted snapshot still equals
+    * the recompute. At 100 TB this is the scheduled compaction job's
+    * acceptance test: debt cleared, clustering restored, zero
+    * semantic drift.
+    */
+  val qUpsertOptimize: QuerySpec = QuerySpec(
+    "q_upsert_optimize",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_custkey, o_orderdate, o_orderkey,
+        round(o_totalprice, 2) AS o_totalprice, o_orderpriority,
+        true AS optimized
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY o_custkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-optimize")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val table = s"$base/table"
+      val log = orderChangelog(spark, dir)
+      val ups = log.filter(col("op") =!= "D")
+      val n = 4
+      val b = ups.agg(min(to_date(col("o_orderdate"))),
+        max(to_date(col("o_orderdate")))).head() // 2 scalars
+      val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+      def up(batch: DataFrame, id: Long): Unit =
+        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+          keepVersions = 10, deleteCol = Some("_deleted"),
+          lazyDeletes = true, sortCols = Seq("o_orderdate"))(batch, id)
+      EventOps.withStreamSizing(spark) {
+        (0 until n).foreach { i =>
+          up(latestChangePerCustomer(ups.filter(expr(
+            s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
+            === i)), i.toLong)
+        }
+        up(latestChangePerCustomer(log).filter(col("_deleted")), n.toLong)
+        require(new java.io.File(table, s"v_$n/_deletes").isDirectory,
+          "setup: the lazy erasure batch recorded no vector debt")
+        Ingest.optimizeUpsertTable(spark, table)
+      }
+      def cur(): java.io.File = new java.io.File(table,
+        new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(table, "CURRENT").toPath)).trim)
+      val genServed = cur().getName == s"v_$n.1"
+      val debtCleared = !new java.io.File(cur(), "_deletes").exists()
+      val lo = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val stillPrunes = Ingest.readUpsertTableWhere(spark, table,
+        Seq(("o_orderdate", lo, hi))).inputFiles.length <
+        Ingest.readUpsertTable(spark, table).inputFiles.length
+      require(genServed && debtCleared && stillPrunes,
+        s"optimize contract broken: gen=$genServed debt=$debtCleared " +
+          s"prune=$stillPrunes")
+      Ingest.readUpsertTable(spark, table)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .withColumn("optimized",
+          lit(genServed && debtCleared && stillPrunes))
+        .orderBy("o_custkey")
+    })
+
+  /** A SECONDARY INDEX maintained from the change feed — the lookup
+    * structure the reference's MySQL tier gives every non-key WHERE
+    * clause, re-expressed in the format's own primitives. The index IS
+    * an upsert table: keyed on (indexed value, primary key) so
+    * uniqueness holds per batch, with `sortCols = indexed value` so a
+    * value probe prunes by the stats manifest (value-sorted slices
+    * inside each bucket — keyed on the pair, the bucket hash alone
+    * could never serve a value-only probe). Maintenance is one fold of
+    * each base batch's feed slice: per (value, pk), a surviving
+    * post-image/insert upserts the entry, a net pre-image/delete
+    * tombstones it — updates that MOVE a pk between values write the
+    * tombstone under the old value and the upsert under the new one,
+    * exactly the two entries a B-tree would touch. Probe path: pruned
+    * index read → pk set → bucket-pruned base lookup, both reads
+    * O(relevant files). In-query contract: the index probe's file
+    * list is strictly smaller than the index scan's; the oracle
+    * hash-checks the urgent-priority winners against the recompute —
+    * proving the incrementally-maintained index serves exactly the
+    * rows a fresh scan would. At 100 TB: index maintenance cost rides
+    * the feed (O(batch)), never re-scans the base, and a value probe
+    * costs a few slices + k bucket reads instead of a table scan.
+    */
+  val qSecondaryIndex: QuerySpec = QuerySpec(
+    "q_secondary_index",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_custkey, o_orderdate, o_orderkey,
+        round(o_totalprice, 2) AS o_totalprice, o_orderpriority,
+        true AS via_index
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+        AND o_orderpriority = '1-URGENT'
+      ORDER BY o_custkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val n = 4
+      val table = sharedCdcTable(spark, dir) // feed-carrying base table
+      val idx = graft.Scratch.dir("secondary-index") + "/idx"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(idx))
+      EventOps.withStreamSizing(spark) {
+        (0L until n.toLong).foreach { b =>
+          val entries = Ingest.readTableChanges(spark, table, b, b)
+            .groupBy(col("o_orderpriority"), col("o_custkey"))
+            .agg(max(when(col("_change_type")
+              .isin("insert", "update_postimage"), 1).otherwise(0)).as("keep"))
+            .select(col("o_orderpriority"), col("o_custkey"),
+              (col("keep") === 0).as("_del"))
+          Ingest.upsertParquet(idx, Seq("o_orderpriority", "o_custkey"),
+            nBuckets = 8, keepVersions = 1, deleteCol = Some("_del"),
+            sortCols = Seq("o_orderpriority"))(entries, b)
+        }
+      }
+      // probe: stats-pruned index read → pk set → bucket-pruned base read
+      val probe = Ingest.readUpsertTableWhere(spark, idx,
+        Seq(("o_orderpriority", "1-URGENT", "1-URGENT")))
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val prunes = probe.inputFiles.length <
+        Ingest.readUpsertTable(spark, idx).inputFiles.length
+      require(prunes, "index probe did not prune the index's file list")
+      val pks = probe.select("o_custkey")
+      Ingest.lookupUpsertTable(spark, table, pks)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .withColumn("via_index", lit(prunes))
+        .orderBy("o_custkey")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv, qStreamCdfMv,
-      qStreamFeedMv, qUpsertMor, qUpsertStatsPrune, qIncrementalAgg, qStreamMv)
+      qStreamFeedMv, qUpsertMor, qUpsertStatsPrune, qUpsertOptimize,
+      qSecondaryIndex, qIncrementalAgg, qStreamMv)
 }
