@@ -1176,9 +1176,79 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** The secondary index maintained by a DECOUPLED STREAM over the
+    * published feed — [[qSecondaryIndex]]'s batch fold re-expressed the
+    * way a standalone index-maintenance service would run it
+    * (`changeFeedStream` + its own checkpoint, no writer coupling).
+    * The fold changes shape to survive FILE-atomic feed delivery: the
+    * batch row's per-(value, pk) net-keep needs a batch's pre and post
+    * images in the SAME view, which file slices split across triggers
+    * do not guarantee — so the streamed index stores a SIGNED COUNT
+    * per (value, pk) (+1 insert/post-image, −1 delete/pre-image),
+    * which is commutative/associative and lands on the same live set
+    * in any delivery order (a pk that leaves and returns to a value
+    * sums +1−1+1 = 1). Entries whose count nets 0 tombstone out of the
+    * index through the sink's own deleteCol — the dead (value, pk)
+    * pair physically leaves the table. Probe path and oracle are
+    * [[qSecondaryIndex]]'s verbatim: batch-maintained ≡
+    * stream-maintained, one hash chain, with the same in-query
+    * pruning contract.
+    */
+  val qStreamIndex: QuerySpec = QuerySpec(
+    "q_stream_index",
+    qSecondaryIndex.oracle,
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = sharedCdcTable(spark, dir) // publishes feed/ at commit
+      val base = graft.Scratch.dir("stream-index")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      new java.io.File(base).mkdirs()
+      val idx = s"$base/idx"
+      val sign = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      def fold(batch: DataFrame, id: Long): Unit = {
+        val delta = batch
+          .select(col("o_orderpriority"), col("o_custkey"), sign.as("s"))
+          .groupBy("o_orderpriority", "o_custkey").agg(sum("s").as("cnt"))
+        val merged =
+          if (!new java.io.File(idx, "CURRENT").exists()) delta
+          else Ingest.readUpsertTable(spark, idx)
+            .unionByName(delta)
+            .groupBy("o_orderpriority", "o_custkey").agg(sum("cnt").as("cnt"))
+        Ingest.upsertParquet(idx, Seq("o_orderpriority", "o_custkey"),
+          nBuckets = 8, deleteCol = Some("_dead"),
+          sortCols = Seq("o_orderpriority"))(
+          merged.withColumn("_dead", col("cnt") === 0), id)
+      }
+      EventOps.withStreamSizing(spark) {
+        val src = Ingest.changeFeedStream(spark, table,
+          maxFilesPerTrigger = Some(7))
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(fold)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val probe = Ingest.readUpsertTableWhere(spark, idx,
+        Seq(("o_orderpriority", "1-URGENT", "1-URGENT")))
+        .filter(col("o_orderpriority") === "1-URGENT" && col("cnt") > 0)
+      val prunes = probe.inputFiles.length <
+        Ingest.readUpsertTable(spark, idx).inputFiles.length
+      require(prunes, "streamed index probe did not prune the file list")
+      Ingest.lookupUpsertTable(spark, table, probe.select("o_custkey"))
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .withColumn("via_index", lit(prunes))
+        .orderBy("o_custkey")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv, qStreamCdfMv,
       qStreamFeedMv, qUpsertMor, qUpsertStatsPrune, qUpsertOptimize,
-      qSecondaryIndex, qIncrementalAgg, qStreamMv)
+      qSecondaryIndex, qStreamIndex, qIncrementalAgg, qStreamMv)
 }

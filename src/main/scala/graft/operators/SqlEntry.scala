@@ -223,10 +223,33 @@ object SqlEntry {
         ORDER BY snap, o_orderpriority""")
     })
 
+  /** The Q4-shaped EXISTS with interval arithmetic IN the correlated
+    * predicate as SQL TEXT: decorrelation must carry the
+    * `l_shipdate > o_orderdate + INTERVAL` comparison into the semi
+    * join as a residual (not a per-order subquery) — the one EXISTS
+    * variant q_join_waiting's equi-only probes don't cover.
+    */
+  val q4PriorityLateSql: QuerySpec = viaSql(
+    "q4_priority_late_sql", Relational.q4PriorityLate.oracle.get)
+
+  /** The Q8-shaped grouped conditional-ratio over a 7-table star as SQL
+    * TEXT — the widest join tree in the SQL band; parser → analyzer
+    * must produce the same one-aggregate share-and-total plan the DSL
+    * twin builds (PlanSpec pins the single Aggregate).
+    */
+  val q8MarketShareSql: QuerySpec = viaSql(
+    "q8_market_share_sql", Relational.q8MarketShare.oracle.get)
+
+  /** The Q12-shaped fused conditional counts with a non-equi join
+    * residual as SQL TEXT. */
+  val q12LatePrioritySql: QuerySpec = viaSql(
+    "q12_late_priority_sql", Relational.q12LatePriority.oracle.get)
+
   def specs: Seq[QuerySpec] =
     Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql,
       qTopSupplierSql, qIdleRichSql, qBasketRulesSql, qEventTransitionsSql,
       qMinCostSuppSql, qCustOrderDistSql, qBigOrdersSql, qConcentratedSuppSql,
       qDisjunctiveJoinSql, qSupplierVarietySql, qValuablePartsSql,
-      qPromoShareSql, qUpsertSql)
+      qPromoShareSql, qUpsertSql, q4PriorityLateSql, q8MarketShareSql,
+      q12LatePrioritySql)
 }
