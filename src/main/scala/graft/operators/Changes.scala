@@ -1246,9 +1246,29 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** The change feed through the SQL surface
+    * (`Tables.registerTableChanges` — the `table_changes(...)`-style
+    * view other formats expose): plain `spark.sql` text over the
+    * registered feed view, sharing [[qTableCdf]]'s oracle verbatim so
+    * API-read ≡ SQL-read of the feed is hash-checked as one chain.
+    */
+  val qTableCdfSql: QuerySpec = QuerySpec(
+    "q_table_cdf_sql",
+    qTableCdf.oracle,
+    (spark, dir) => {
+      val table = sharedCdcTable(spark, dir)
+      Tables.registerTableChanges(spark, "order_changes", table, 0L, 3L)
+      spark.sql("""SELECT _batch_id, _change_type, o_custkey, o_orderdate,
+          o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+          o_orderpriority
+        FROM order_changes
+        ORDER BY _batch_id, o_custkey, _change_type""")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
-      qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv, qStreamCdfMv,
-      qStreamFeedMv, qUpsertMor, qUpsertStatsPrune, qUpsertOptimize,
-      qSecondaryIndex, qStreamIndex, qIncrementalAgg, qStreamMv)
+      qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv,
+      qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
+      qUpsertOptimize, qSecondaryIndex, qStreamIndex, qIncrementalAgg,
+      qStreamMv)
 }

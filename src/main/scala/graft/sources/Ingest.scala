@@ -545,7 +545,26 @@ object Ingest {
           widened
         }
       }
+    // Optimistic concurrency: the sink is SINGLE-writer by contract
+    // (a streaming query's sequential batches), but a misconfigured
+    // second writer is a silent-corruption hazard — both read the same
+    // CURRENT, merge independently, and the second swap DROPS the
+    // first writer's batch from history. The merge records the
+    // snapshot it read; the swap re-checks CURRENT and fails loudly on
+    // a competing commit instead of publishing a lost-update. (On a
+    // plain filesystem the check-then-swap is best-effort — the window
+    // shrinks from the whole merge to microseconds; a conditional-put
+    // object store makes the same protocol airtight.)
+    var mergeBase: Option[String] = None
     def swapCurrent(): Unit = {
+      val now = readCurrent()
+      if (now != mergeBase)
+        throw new java.util.ConcurrentModificationException(
+          s"upsertParquet: CURRENT of $tableDir moved from " +
+            s"${mergeBase.getOrElse("<none>")} to ${now.getOrElse("<none>")} " +
+            s"while batch $batchId merged — a concurrent writer committed. " +
+            "This batch wrote nothing durable; replay it against the new " +
+            "snapshot (the sink is single-writer; fix the deployment)")
       writeAtomic(root, "CURRENT", vName)
     }
     try {
@@ -624,7 +643,8 @@ object Ingest {
       val newV = new java.io.File(root, vName)
       rm(newV) // partial build from a previous crashed attempt
       newV.mkdirs()
-      val curDir = readCurrent().map(new java.io.File(root, _))
+      mergeBase = readCurrent() // the snapshot this merge is based on
+      val curDir = mergeBase.map(new java.io.File(root, _))
       // a rebucket that crashed between its pointer swap and its _meta
       // update leaves CURRENT hashed with a different count than _meta
       // — merging against it with this call's count would scope the

@@ -298,4 +298,16 @@ object Tables {
                           asOfBatch: Option[Long] = None): Unit =
     Ingest.readUpsertTable(spark, tableDir, asOfBatch)
       .createOrReplaceTempView(name)
+
+  /** Expose an upsert table's change feed to SQL: registers
+    * `readTableChanges(from, to)` as a view (full change rows +
+    * `_change_type` / `_batch_id`), so audit/replica queries run as
+    * plain `spark.sql` over the feed — the `table_changes(...)`-style
+    * surface other formats expose, resolved at registration time.
+    */
+  def registerTableChanges(spark: SparkSession, name: String,
+                           tableDir: String, fromBatch: Long,
+                           toBatch: Long): Unit =
+    Ingest.readTableChanges(spark, tableDir, fromBatch, toBatch)
+      .createOrReplaceTempView(name)
 }

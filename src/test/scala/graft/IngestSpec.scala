@@ -1032,4 +1032,43 @@ class IngestSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("mid-history"), e3.getMessage)
   }
+
+  test("concurrent writer detection: a moved CURRENT fails the swap loudly") {
+    import spark.implicits._
+    val table = tmp() + "/occ_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 10)(rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0))
+    up(1, (2L, 2.0)) // CURRENT = v_1; this is the state A merges against
+    val cur = new java.io.File(table, "CURRENT")
+    // Writer A: a wide batch whose merge write takes long enough for a
+    // competing commit to land mid-flight. The watcher thread waits for
+    // A's write job to START (the _temporary dir inside v_2 appears,
+    // which is strictly after A recorded its merge base) and then plays
+    // writer B: moves CURRENT. A's swap must then detect the motion,
+    // throw, and commit nothing.
+    val big = spark.range(200000)
+      .select((col("id") + 10).as("user_id"), rand(7).as("value"))
+    val watcher = new Thread(() => {
+      val tmpDir = new java.io.File(table, "v_2/_temporary")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!tmpDir.exists() && System.nanoTime() < deadline)
+        Thread.sleep(1)
+      java.nio.file.Files.writeString(cur.toPath, "v_0") // B commits
+    })
+    watcher.start()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 10)(big, 2L)
+    }
+    watcher.join()
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // nothing durable from A: ledger has no batch 2
+    val ledger = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(table, "_commits").toPath))
+    assert(!ledger.linesIterator.contains("2"), ledger)
+    // the surviving pointer still serves a complete committed snapshot
+    assert(Ingest.readUpsertTable(spark, table).count() === 1)
+  }
 }
