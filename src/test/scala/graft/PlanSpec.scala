@@ -499,4 +499,15 @@ class PlanSpec extends AnyFunSuite {
     val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
     assert(aggs.size === 1, df.queryExecution.optimizedPlan.treeString.take(800))
   }
+
+  test("q8 through the SQL parser also plans ONE aggregate over the star") {
+    // the scaladoc's claim for the E1 twin: parser -> analyzer must
+    // reach the same one-pass share-and-total plan the DSL builds
+    import graft.operators.SqlEntry
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = SqlEntry.q8MarketShareSql.run(spark, sf)
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.size === 1, df.queryExecution.optimizedPlan.treeString.take(800))
+    assert(!plan(df).contains("CartesianProduct"))
+  }
 }
