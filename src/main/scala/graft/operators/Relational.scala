@@ -1204,7 +1204,7 @@ object Relational {
     "q10_returned_items",
     Some("""SELECT c_custkey, c_name,
         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-          / 10000.0 AS revenue, c_acctbal, n_name
+          / CAST(10000.0 AS DOUBLE) AS revenue, c_acctbal, n_name
       FROM customer JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
         JOIN nation ON c_nationkey = n_nationkey

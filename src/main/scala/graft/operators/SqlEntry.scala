@@ -245,11 +245,28 @@ object SqlEntry {
   val q12LatePrioritySql: QuerySpec = viaSql(
     "q12_late_priority_sql", Relational.q12LatePriority.oracle.get)
 
+  /** Q6/Q7/Q9/Q10 as SQL TEXT — with these, every one of the 22 TPC-H
+    * shapes the DSL covers also runs through the parser path (one
+    * oracle string, two engines): the canonical pushdown probe, the
+    * disjunctive nation-pair volume query, the profit rollup, and the
+    * exact-cents top-20 (whose basis-point sum must survive the SQL
+    * type path bit-identically too).
+    */
+  val q6RevenueDeltaSql: QuerySpec = viaSql(
+    "q6_revenue_delta_sql", Relational.q6RevenueDelta.oracle.get)
+  val q7NationVolumeSql: QuerySpec = viaSql(
+    "q7_nation_volume_sql", Relational.q7NationVolume.oracle.get)
+  val q9NationProfitSql: QuerySpec = viaSql(
+    "q9_nation_profit_sql", Relational.q9NationProfit.oracle.get)
+  val q10ReturnedItemsSql: QuerySpec = viaSql(
+    "q10_returned_items_sql", Relational.q10ReturnedItems.oracle.get)
+
   def specs: Seq[QuerySpec] =
     Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql,
       qTopSupplierSql, qIdleRichSql, qBasketRulesSql, qEventTransitionsSql,
       qMinCostSuppSql, qCustOrderDistSql, qBigOrdersSql, qConcentratedSuppSql,
       qDisjunctiveJoinSql, qSupplierVarietySql, qValuablePartsSql,
       qPromoShareSql, qUpsertSql, q4PriorityLateSql, q8MarketShareSql,
-      q12LatePrioritySql)
+      q12LatePrioritySql, q6RevenueDeltaSql, q7NationVolumeSql,
+      q9NationProfitSql, q10ReturnedItemsSql)
 }
