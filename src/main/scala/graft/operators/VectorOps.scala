@@ -437,8 +437,88 @@ object VectorOps {
         .orderBy("id1", "id2")
     })
 
+  // --- binary (1-bit) quantization ANN — the compressed-domain scan ---
+
+  /** Top-k via BINARY QUANTIZATION: 64 sign bits per vector (the same
+    * deterministic hyperplanes as the LSH band, fused in
+    * `graft.functions.LshSignature`), Hamming distance as the coarse
+    * score, exact cosine rerank of the per-probe shortlist. The
+    * quantization family's most aggressive point: 8 BYTES per corpus
+    * vector (32× smaller than int8, 32× than PQ's 8 codes+norm at
+    * these dims) — at 100 TB the coarse scan touches a sig-only
+    * projection (vec_id + one long; the true vectors are joined back
+    * for the SHORTLIST only, a keyed join on vec_id), probes
+    * broadcast, the corpus never shuffles, and XOR+POPCNT per
+    * candidate stays in whole-stage codegen. `shortlist = None`
+    * reranks the whole corpus — the exactness twin's configuration,
+    * which must reproduce brute force bit-for-bit.
+    */
+  def topKBinary(emb: DataFrame, probeFilter: Column, k: Int,
+                 shortlist: Option[Int]): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    // the compressed-domain table: 8 B of signature per corpus vector
+    val sigs = emb.select(col("vec_id").as("neighbor_id"),
+      GraftFunctions.lshSignature(col("embedding"), 64).as("sig"))
+    val probes = broadcast(emb.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        GraftFunctions.lshSignature(col("embedding"), 64).as("psig")))
+    val ham = probes.crossJoin(sigs)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("hd", bit_count(col("psig").bitwiseXOR(col("sig"))))
+    val short = shortlist.fold(ham) { s =>
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("hd"), col("neighbor_id"))
+      ham.withColumn("hrk", row_number().over(w)).filter(col("hrk") <= s)
+    }
+    // true vectors fetched for the shortlist only (keyed join)
+    val rer = short.join(
+        emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec")), Seq("neighbor_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
+    val w2 = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rer.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** The binary-quantization operating point (shortlist 64 of a ~1.2k
+    * corpus at sf0.01): rows-only by design — recall at a bounded
+    * shortlist is corpus-dependent — with the exactness twin below as
+    * its oracle-checked contract (the PQ/LSH discipline). Measured on
+    * this fixture (graft.tools.BqProbe, 50 probes @ sf0.01): recall@5
+    * = 0.28 / 0.43 / 0.63 at shortlist 16 / 32 / 64 — 64 sign bits
+    * order 64-dim SYNTHETIC near-uniform vectors only coarsely, the
+    * known BQ caveat (it sharpens on higher-dim real embeddings with
+    * anisotropic structure, and composes with IVF the same way PQ
+    * does). The honest tuning guidance a production user needs, pinned
+    * here the way PqSpec pins the nProbe/shortlist interaction.
+    */
+  val qCosineTopKBq: QuerySpec = QuerySpec(
+    "q_cosine_topk_bq",
+    None,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKBinary(emb, col("vec_id") < 10, 5, shortlist = Some(64))
+        .orderBy("probe_id", "rk")
+    })
+
+  /** Exactness contract: with a corpus-wide shortlist the Hamming
+    * stage reorders but discards nothing, so the rerank must equal
+    * brute force bit-for-bit — q_cosine_topk's oracle, shared
+    * verbatim, hash-checks the whole signature/XOR/rerank pipeline.
+    */
+  val qCosineTopKBqExact: QuerySpec = QuerySpec(
+    "q_cosine_topk_bq_exact",
+    qCosineTopK.oracle,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKBinary(emb, col("vec_id") < 10, 5, shortlist = None)
+        .orderBy("probe_id", "rk")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qEmbedQuantized,
       qCosineTopKLsh, qCosineTopKLshExact, qEmbedNearDupLsh,
-      qEmbedNearDupLshExact)
+      qEmbedNearDupLshExact, qCosineTopKBq, qCosineTopKBqExact)
 }
