@@ -1265,10 +1265,53 @@ object Changes {
         ORDER BY _batch_id, o_custkey, _change_type""")
     })
 
+  /** DESCRIBE HISTORY over the CDC-built table: one row per committed
+    * batch with the LIVE row count of that batch's retained snapshot
+    * (time-travel read). The oracle recomputes each count from first
+    * principles — the state after batch b is each customer's winner
+    * among date chunks ≤ b, counted where the winner survives — so a
+    * hash match proves the ledger, the retained versions, AND every
+    * historical snapshot's contents agree with what the folds actually
+    * did: the operational `DESCRIBE HISTORY` surface, oracle-checked.
+    * Scale: counts are distributed jobs over ≤ keepVersions
+    * snapshots; the driver holds only the summary rows.
+    */
+  val qUpsertHistory: QuerySpec = QuerySpec(
+    "q_upsert_history",
+    Some("""WITH bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+          date_diff('day', CAST(min(o_orderdate) AS DATE),
+            CAST(max(o_orderdate) AS DATE)) + 1 AS span
+        FROM orders),
+      log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+          CAST(date_diff('day', (SELECT d0 FROM bounds),
+            CAST(o_orderdate AS DATE)) AS BIGINT) * 4
+            // (SELECT span FROM bounds) AS b
+        FROM orders),
+      expanded AS (
+        SELECT l.*, v.bb
+        FROM log l JOIN (VALUES (0), (1), (2), (3)) AS v(bb) ON l.b <= v.bb),
+      winners AS (
+        SELECT bb, o_custkey, op,
+          row_number() OVER (PARTITION BY bb, o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM expanded)
+      SELECT bb AS batch_id, true AS retained,
+        count(*) FILTER (WHERE rn = 1 AND op = 'U') AS row_count,
+        bb = 3 AS is_current
+      FROM winners GROUP BY bb ORDER BY batch_id"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = sharedCdcTable(spark, dir) // keepVersions=4: all retained
+      Ingest.describeUpsertTable(spark, table).orderBy("batch_id")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
-      qUpsertOptimize, qSecondaryIndex, qStreamIndex, qIncrementalAgg,
-      qStreamMv)
+      qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
+      qIncrementalAgg, qStreamMv)
 }

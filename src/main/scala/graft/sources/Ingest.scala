@@ -895,6 +895,32 @@ object Ingest {
     }
   }
 
+  /** DESCRIBE HISTORY for an upsert table: one row per COMMITTED
+    * batch — (batch_id, retained, row_count, is_current) — the
+    * operational surface an operator/debugger reads before touching a
+    * table. `row_count` is the LIVE row count of that batch's
+    * snapshot (time-travel read, deletion vector applied; −1 for a
+    * committed batch whose version aged out of retention — history is
+    * ledger-complete even where data is not). The per-retained-version
+    * counts are distributed count() jobs; the driver holds only the
+    * ≤ keepVersions summary rows, so the call is retention-bounded,
+    * never table-bounded.
+    */
+  def describeUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val root = new java.io.File(tableDir)
+    val committed = readLedger(root).toSeq.sorted
+    val curBatch = readCurrentName(root).flatMap(parseVersion).map(_._1)
+    val rows = committed.map { b =>
+      val retained = servableDir(root, b).isDefined
+      val cnt =
+        if (retained) readUpsertTable(spark, tableDir, Some(b)).count()
+        else -1L
+      (b, retained, cnt, curBatch.contains(b))
+    }
+    import spark.implicits._
+    rows.toDF("batch_id", "retained", "row_count", "is_current")
+  }
+
   /** Apply a version's merge-on-read deletion vector (`_deletes/` —
     * see `upsertParquet(lazyDeletes=true)`): anti-join the snapshot
     * against the vector's keys. A version without a vector reads with

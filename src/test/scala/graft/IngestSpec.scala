@@ -1071,4 +1071,22 @@ class IngestSpec extends AnyFunSuite {
     // the surviving pointer still serves a complete committed snapshot
     assert(Ingest.readUpsertTable(spark, table).count() === 1)
   }
+
+  test("describeUpsertTable: ledger-complete history, -1 for swept snapshots") {
+    import spark.implicits._
+    val table = tmp() + "/hist_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+        keepVersions = 1)(rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0))
+    up(1, (2L, 2.0))
+    up(2, (3L, 3.0))
+    val h = Ingest.describeUpsertTable(spark, table)
+      .orderBy("batch_id")
+      .as[(Long, Boolean, Long, Boolean)].collect().toSeq
+    assert(h === Seq(
+      (0L, false, -1L, false), // committed, version aged out: history kept
+      (1L, false, -1L, false),
+      (2L, true, 3L, true)))
+  }
 }
