@@ -1308,10 +1308,58 @@ object Changes {
       Ingest.describeUpsertTable(spark, table).orderBy("batch_id")
     })
 
+  /** REPLICATION through the change feed — the third consumer shape
+    * the CDF exists for (after MV refresh and the secondary index): a
+    * replica table applies each base batch's feed slice as its own
+    * upsert batch. Per key per slice, a surviving
+    * insert/update_postimage is the upsert row and a `delete` is a
+    * tombstone (the sink's contract guarantees a key is one or the
+    * other per batch; `update_preimage` rows are the OLD images and
+    * are not applied). Same batchIds, own ledger — replica replay is
+    * exactly-once independently of the base. The replica's CURRENT
+    * must equal the base's CURRENT, which must equal the recompute:
+    * the oracle is [[qCdcApply]]'s verbatim, extending the hash chain
+    * to base-read ≡ replica-read. Scale: replication cost is one scan
+    * of each batch's feed slice + an O(touched-buckets) merge on the
+    * replica — the base is never re-read, and the replica can run a
+    * DIFFERENT layout (here: fewer buckets — a replica tuned for its
+    * own workload).
+    */
+  val qTableReplica: QuerySpec = QuerySpec(
+    "q_table_replica",
+    qCdcApply.oracle,
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val n = 4
+      val base = sharedCdcTable(spark, dir)
+      val rep = graft.Scratch.dir("table-replica") + "/rep"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(rep))
+      EventOps.withStreamSizing(spark) {
+        (0L until n.toLong).foreach { b =>
+          val slice = Ingest.readTableChanges(spark, base, b, b)
+          val entries = slice
+            .filter(col("_change_type") =!= "update_preimage")
+            .withColumn("_deleted", col("_change_type") === "delete")
+            .drop("_change_type", "_batch_id")
+          Ingest.upsertParquet(rep, Seq("o_custkey"), nBuckets = 4,
+            deleteCol = Some("_deleted"))(entries, b)
+        }
+      }
+      Ingest.readUpsertTable(spark, rep)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_custkey")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
-      qIncrementalAgg, qStreamMv)
+      qTableReplica, qIncrementalAgg, qStreamMv)
 }
