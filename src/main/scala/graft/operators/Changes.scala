@@ -1219,14 +1219,17 @@ object Changes {
           else Ingest.readUpsertTable(spark, idx)
             .unionByName(delta)
             .groupBy("o_orderpriority", "o_custkey").agg(sum("cnt").as("cnt"))
+        // 4 buckets, 2 slices each: the index is value-skewed tiny rows,
+        // so fewer, larger range slices cut per-trigger job count
+        // without touching the pruning contract
         Ingest.upsertParquet(idx, Seq("o_orderpriority", "o_custkey"),
-          nBuckets = 8, deleteCol = Some("_dead"),
-          sortCols = Seq("o_orderpriority"))(
+          nBuckets = 4, deleteCol = Some("_dead"),
+          sortCols = Seq("o_orderpriority"), filesPerBucket = 2)(
           merged.withColumn("_dead", col("cnt") === 0), id)
       }
       EventOps.withStreamSizing(spark) {
         val src = Ingest.changeFeedStream(spark, table,
-          maxFilesPerTrigger = Some(7))
+          maxFilesPerTrigger = Some(9))
         val q = Ingest.foreachBatchSink(src, s"$base/ck")(fold)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
