@@ -517,8 +517,81 @@ object VectorOps {
         .orderBy("probe_id", "rk")
     })
 
+  /** IVF × binary quantization — the coarse quantizer composed with
+    * the 1-bit fine ranking (the IVFPQ architecture with BQ in the
+    * fine stage): a probe visits its nProbe nearest cells, candidates
+    * are Hamming-ranked on 64-bit signatures, the shortlist reranks
+    * exactly. At 100 TB the signatures live INSIDE the cell files
+    * (computed here on the candidate set for contract modularity — the
+    * same two-artifact argument as IVFPQ, stated not hidden), so the
+    * fine scan is partition-pruned AND 8 B/candidate. `nProbe = all
+    * cells` + unbounded shortlist degrades to brute force — the
+    * exactness twin's configuration.
+    */
+  def topKIvfBinary(emb: DataFrame, probeFilter: Column, k: Int,
+                    centroids: DataFrame, cells: DataFrame,
+                    nProbe: Int, shortlist: Option[Int]): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val pc = Ivf.probeCells(emb.filter(probeFilter), centroids, nProbe)
+      .withColumn("psig", GraftFunctions.lshSignature(col("pvec"), 64))
+    val cellSigs = cells.withColumn("sig",
+      GraftFunctions.lshSignature(col("cvec"), 64))
+    val cand = pc.join(cellSigs, Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("hd", bit_count(col("psig").bitwiseXOR(col("sig"))))
+    val short = shortlist.fold(cand) { s =>
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("hd"), col("neighbor_id"))
+      cand.withColumn("hrk", row_number().over(w)).filter(col("hrk") <= s)
+    }
+    val w2 = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** IVF-BQ operating point (nProbe 4 of 16 cells, shortlist 64):
+    * rows-only — recall is corpus-dependent — with the exactness twin
+    * below as the oracle-checked contract.
+    */
+  val qCosineTopKIvfBq: QuerySpec = QuerySpec(
+    "q_cosine_topk_ivfbq",
+    None,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val path = Ivf.ensureIndex(spark, dir)
+      val centroids = spark.read.parquet(s"$path/centroids")
+      val cells = spark.read.parquet(s"$path/cells")
+      topKIvfBinary(emb, col("vec_id") < 10, 5, centroids, cells,
+        nProbe = 4, shortlist = Some(64))
+        .orderBy("probe_id", "rk")
+    })
+
+  /** Exactness contract for the composition: visiting ALL cells with
+    * an unbounded shortlist must reproduce brute force bit-for-bit
+    * (q_cosine_topk's oracle, shared) — the coarse partitioning and
+    * the Hamming stage may reorder but must never lose a candidate.
+    */
+  val qCosineTopKIvfBqExact: QuerySpec = QuerySpec(
+    "q_cosine_topk_ivfbq_exact",
+    qCosineTopK.oracle,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val path = Ivf.ensureIndex(spark, dir)
+      val centroids = spark.read.parquet(s"$path/centroids")
+      val cells = spark.read.parquet(s"$path/cells")
+      topKIvfBinary(emb, col("vec_id") < 10, 5, centroids, cells,
+        nProbe = 16, shortlist = None)
+        .orderBy("probe_id", "rk")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qEmbedQuantized,
       qCosineTopKLsh, qCosineTopKLshExact, qEmbedNearDupLsh,
-      qEmbedNearDupLshExact, qCosineTopKBq, qCosineTopKBqExact)
+      qEmbedNearDupLshExact, qCosineTopKBq, qCosineTopKBqExact,
+      qCosineTopKIvfBq, qCosineTopKIvfBqExact)
 }
