@@ -390,7 +390,7 @@ object Ingest {
                     constraints: Seq[(String, String)] = Nil)
                    (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
-      count, first, lit, max, pmod, when, xxhash64}
+      count, first, lit, max, pmod, sum, when, xxhash64}
     val spark = batch.sparkSession
     val root = new java.io.File(tableDir)
     root.mkdirs()
@@ -447,7 +447,10 @@ object Ingest {
           java.nio.charset.StandardCharsets.UTF_8)
           .linesIterator.filter(_.nonEmpty)
           .map(_.split("=", 2)).collect { case Array(n, e) => n -> e }.toSeq
-        require(constraints.isEmpty || constraints == have,
+        // set comparison (sorted by name): the pinned SET is immutable,
+        // the order a caller lists it in is not
+        require(constraints.isEmpty ||
+            constraints.sortBy(_._1) == have.sortBy(_._1),
           s"upsertParquet: table $tableDir pins constraints " +
             s"[${have.map(_._1).mkString(",")}] — pass the same set or none " +
             "(constraints are immutable table properties)")
@@ -604,14 +607,17 @@ object Ingest {
         .agg(count(lit(1)).as("cnt"), first(col(UpsertBucketCol)).as("b"),
           first(delFlag).as("isDel"))
         .agg(max(col("cnt")).as("max_cnt"), collect_set(col("b")).as("bs"),
-          collect_set(when(!col("isDel"), col("b"))).as("ubs"))
+          collect_set(when(!col("isDel"), col("b"))).as("ubs"),
+          sum(when(col("isDel").isNull, 1L).otherwise(0L)).as("null_flags"))
         .head()
       if (summary.isNullAt(0)) { // empty batch
-        if (changeFeed && readCurrent().nonEmpty) {
+        if (readCurrent().nonEmpty) {
           // a non-first empty batch commits no version; record it so
-          // readTableChanges can prove "zero changes" instead of
-          // confusing it with a retention-swept batch. Replay after a
-          // crash re-appends — duplicates are harmless (parsed as a set).
+          // readTableChanges can prove "zero changes" — and DESCRIBE
+          // HISTORY can report the batch's (unchanged) snapshot state —
+          // instead of confusing it with a retention-swept batch. Replay
+          // after a crash re-appends — duplicates are harmless (parsed
+          // as a set).
           val out = new java.io.FileWriter(new java.io.File(root, "_empty"), true)
           try out.write(s"$batchId\n") finally out.close()
         }
@@ -633,6 +639,14 @@ object Ingest {
             s"rows for one ${keys.mkString(",")} key — pre-reduce the batch " +
             "(e.g. max_by on an ordering column; a key may appear as an " +
             "upsert OR a tombstone, not both)")
+      // a NULL delete flag is neither an upsert nor a tombstone — the
+      // eager path would evict it while the lazy path would silently
+      // keep the old row. Fail loudly instead of diverging by mode.
+      if (summary.getLong(3) != 0L)
+        throw new IllegalArgumentException(
+          s"upsertParquet: batch $batchId has ${summary.getLong(3)} row(s) " +
+            s"with a NULL '${deleteCol.get}' flag — coalesce it to " +
+            "false (upsert) or true (delete) before writing")
       val touched: Set[Long] = summary.getSeq[Long](1).toSet
       val upsertBuckets: Set[Long] = summary.getSeq[Long](2).toSet
       // buckets this batch REWRITES: all touched buckets — minus, in
@@ -910,8 +924,14 @@ object Ingest {
     val root = new java.io.File(tableDir)
     val committed = readLedger(root).toSeq.sorted
     val curBatch = readCurrentName(root).flatMap(parseVersion).map(_._1)
+    val empties = emptyBatchIds(root)
     val rows = committed.map { b =>
-      val retained = servableDir(root, b).isDefined
+      // a committed EMPTY batch mints no version dir, but its snapshot
+      // state is fully known (identical to the preceding snapshot) and
+      // as-of reads serve it — report THAT, not a retention sweep
+      val retained = servableDir(root, b).isDefined ||
+        (empties.contains(b) &&
+          scala.util.Try(resolveVersionDir(root, Some(b))).isSuccess)
       val cnt =
         if (retained) readUpsertTable(spark, tableDir, Some(b)).count()
         else -1L
@@ -919,6 +939,21 @@ object Ingest {
     }
     import spark.implicits._
     rows.toDF("batch_id", "retained", "row_count", "is_current")
+  }
+
+  /** Batch ids committed with ZERO rows (`_empty` marker appends) —
+    * batches that minted no version dir yet whose snapshot state is
+    * known: identical to the preceding snapshot.
+    */
+  private def emptyBatchIds(root: java.io.File): Set[Long] = {
+    val emptyF = new java.io.File(root, "_empty")
+    if (!emptyF.exists()) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(emptyF)
+      try src.getLines()
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+      finally src.close()
+    }
   }
 
   /** Apply a version's merge-on-read deletion vector (`_deletes/` —
@@ -1192,7 +1227,19 @@ object Ingest {
     writeAtomic(newV, "_nbuckets", s"$newBuckets\n")
     // step 3: completeness marker — LAST thing inside the dir
     writeAtomic(newV, "_gen_commit", "")
-    // steps 4–6
+    // steps 4–6. Same optimistic-concurrency re-check as the sink's
+    // swapCurrent: a maintenance pass racing a committing writer must
+    // not point CURRENT back at the pre-commit snapshot (that would
+    // silently drop the writer's batch from history). Best-effort on a
+    // plain filesystem, airtight with a conditional-put store.
+    val nowName = readCurrentName(root)
+    if (nowName != curName)
+      throw new java.util.ConcurrentModificationException(
+        s"rewriteGeneration: CURRENT of $tableDir moved from " +
+          s"${curName.getOrElse("<none>")} to ${nowName.getOrElse("<none>")} " +
+          "while the new generation was built — a concurrent writer " +
+          "committed. Nothing was swapped (the crashed-build sweep " +
+          "reclaims the orphan generation); re-run against the new snapshot")
     writeAtomic(root, "CURRENT", newName)
     syncMeta()
     rmTree(curDir)
@@ -1219,15 +1266,7 @@ object Ingest {
     val root = new java.io.File(tableDir)
     require(new java.io.File(root, "_cdf").exists(),
       s"$tableDir is not a change-feed table — write it with changeFeed=true")
-    val emptyF = new java.io.File(root, "_empty")
-    val emptyIds: Set[Long] =
-      if (!emptyF.exists()) Set.empty
-      else {
-        val src = scala.io.Source.fromFile(emptyF)
-        try src.getLines()
-          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-        finally src.close()
-      }
+    val emptyIds: Set[Long] = emptyBatchIds(root)
     val committed = readLedger(root)
       .filter(b => b >= fromBatch && b <= toBatch).toSeq.sorted
     val paths = committed.flatMap { b =>

@@ -1050,19 +1050,40 @@ class IngestSpec extends AnyFunSuite {
     // throw, and commit nothing.
     val big = spark.range(200000)
       .select((col("id") + 10).as("user_id"), rand(7).as("value"))
+    @volatile var sawInFlight = false
     val watcher = new Thread(() => {
       val tmpDir = new java.io.File(table, "v_2/_temporary")
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (!tmpDir.exists() && System.nanoTime() < deadline)
         Thread.sleep(1)
-      java.nio.file.Files.writeString(cur.toPath, "v_0") // B commits
+      // only play writer B if A's write was actually observed in flight
+      // — a deadline expiry must fail the test below, not corrupt the
+      // table with an unconditional pointer write. B commits via the
+      // same atomic tmp+rename the sink uses, so A never reads a torn
+      // pointer mid-write.
+      if (tmpDir.exists()) {
+        sawInFlight = true
+        val t = new java.io.File(table, ".CURRENT.occ_b")
+        java.nio.file.Files.writeString(t.toPath, "v_0")
+        java.nio.file.Files.move(t.toPath, cur.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     })
     watcher.start()
-    val e = intercept[java.util.ConcurrentModificationException] {
+    val attempt = scala.util.Try {
       Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
         keepVersions = 10)(big, 2L)
     }
     watcher.join()
+    assert(sawInFlight,
+      "watcher never observed A's in-flight write within 30s — the race " +
+        "was not exercised (nothing was corrupted; A's merge " +
+        (if (attempt.isSuccess) "committed cleanly)" else "failed)"))
+    assert(attempt.isFailure,
+      "A committed despite B's competing commit — OCC detection missed the race")
+    val e = attempt.failed.get
+    assert(e.isInstanceOf[java.util.ConcurrentModificationException], e)
     assert(e.getMessage.contains("concurrent writer"), e.getMessage)
     // nothing durable from A: ledger has no batch 2
     val ledger = new String(java.nio.file.Files.readAllBytes(
