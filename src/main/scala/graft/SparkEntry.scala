@@ -15,7 +15,8 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ Scalars.specs ++ EventOps.specs ++
       TextOps.specs ++ Dedup.specs ++ VectorOps.specs ++ Multimodal.specs ++
-      Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Pq.specs ++ Splits.specs ++
+      Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Pq.specs ++
+      AnnIndex.specs ++ Splits.specs ++
       SqlEntry.specs ++ Contamination.specs ++ Search.specs ++ Scrub.specs ++
       Graph.specs ++ Changes.specs ++ Funnels.specs ++ Sketches.specs ++
       Clustering.specs ++ Series.specs ++ Audit.specs ++ Baskets.specs ++

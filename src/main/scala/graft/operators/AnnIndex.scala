@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.{Memo, QuerySpec}
+import graft.functions.GraftFunctions
+import graft.sources.{Ingest, LocalTableStore, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN index MAINTENANCE from the change feed (SURVEY.md §2.11 × §2.1a)
+  * — the composition the secondary index (`Changes.qSecondaryIndex`)
+  * demonstrates for B-tree-shaped indexes, applied to the IVF vector
+  * index: a corpus living behind the upsert format has a change feed,
+  * so its ANN index can be MAINTAINED incrementally instead of derived
+  * from scratch per corpus version ([[Ivf.ensureIndex]]'s shape).
+  *
+  * The index IS an upsert table — (vec_id → cid, embedding), keyed on
+  * the corpus key with `sortCols = cid` so every bucket's files are
+  * cell-range slices and a cell probe prunes by the stats manifest.
+  * Maintenance folds each base batch's feed slice:
+  *   - insert / update_postimage → re-assign the vector to its nearest
+  *     centroid (an update that MOVES a vector between cells is one
+  *     keyed upsert — the old entry is replaced, exactly the two
+  *     touches a posting-list index would make);
+  *   - delete → tombstone through the sink's own `deleteCol`.
+  * Fold cost rides the feed: O(batch × centroids) assignment work +
+  * O(touched buckets) index writes, never a corpus re-scan — at 100 TB
+  * the difference between "index refresh = nightly rebuild" and "index
+  * lags the table by one micro-batch".
+  *
+  * Centroids are the fixture-derived [[Ivf.ensureIndex]] set (the
+  * coarse quantizer is versioned with the corpus generation; re-train
+  * it at OPTIMIZE cadence, not per batch — centroid drift degrades
+  * recall, never correctness, because assignment stays
+  * nearest-centroid whatever the centroids are).
+  *
+  * Correctness gate: the maintained index's state — built through
+  * inserts, perturbed-then-corrected updates (which move cells), and
+  * deletes — must serve EXACTLY what a fresh build over the final
+  * corpus serves. Probing all cells makes IVF exhaustive, so both
+  * queries share `q_cosine_topk`'s brute-force DuckDB oracle,
+  * hash-checked. The in-query `require` pins the scale contract: a
+  * single-cell probe reads strictly fewer index files than the full
+  * index scan (manifest pruning over the cid sort).
+  */
+object AnnIndex {
+
+  /** Memoized embeddings-behind-the-format fixture: a 4-batch CDC
+    * history whose FINAL state equals the `embeddings` fixture exactly
+    * (so oracle queries over the fixture apply verbatim):
+    *   - batch 0 inserts every vector — a fifth of them PERTURBED
+    *     (reversed components: wrong cell, wrong neighbors) — plus
+    *     ghost vectors that exist in no fixture;
+    *   - batch 1 corrects the perturbed fifth (real cell moves);
+    *   - batch 2 deletes the ghosts;
+    *   - batch 3 re-upserts a seventh with unchanged values (update
+    *     events whose pre == post — the no-op-update edge).
+    */
+  private val embCdcMemo = Memo[(SparkSession, String), String]()
+
+  def sharedEmbCdcTable(spark: SparkSession, dir: String): String =
+    embCdcMemo.getOrElseUpdate((spark, dir), {
+      val base = graft.Scratch.dir("ann-emb-cdc")
+      LocalTableStore.deleteTree(base)
+      val table = s"$base/table"
+      val emb = Tables.load(spark, dir, "embeddings")
+      val perturbed = emb.filter(col("vec_id") % 5 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      val ghosts = emb.filter(col("vec_id") % 11 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val batches = Seq(
+        emb.filter(col("vec_id") % 5 =!= 0).unionByName(perturbed)
+          .unionByName(ghosts).withColumn("_del", lit(false)),
+        emb.filter(col("vec_id") % 5 === 0).withColumn("_del", lit(false)),
+        ghosts.withColumn("_del", lit(true)),
+        emb.filter(col("vec_id") % 7 === 0).withColumn("_del", lit(false)))
+      EventOps.withStreamSizing(spark) {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Ingest.upsertParquet(table, Seq("vec_id"), nBuckets = 4,
+            keepVersions = 8, deleteCol = Some("_del"), changeFeed = true)(
+            b, i.toLong)
+        }
+      }
+      table
+    })
+
+  /** One feed-fold step of the BATCH-maintained index: re-assign the
+    * batch's surviving images, tombstone its deletes (physical removal
+    * — sound here because ledger reads are batch-atomic and applied in
+    * batch order), upsert keyed on vec_id with cid-sorted layout.
+    */
+  private def foldSlice(slice: DataFrame, centroids: DataFrame,
+                        idx: String, batchId: Long): Unit = {
+    val live = Ivf.assign(
+      slice.filter(col("_change_type").isin("insert", "update_postimage"))
+        .select("vec_id", "embedding"), centroids)
+      .withColumn("_del", lit(false))
+    val dead = slice.filter(col("_change_type") === "delete")
+      .select(col("vec_id"), col("embedding"), lit(-1).as("cid"),
+        lit(true).as("_del"))
+    Ingest.upsertParquet(idx, Seq("vec_id"), nBuckets = 4,
+      keepVersions = 1, deleteCol = Some("_del"),
+      sortCols = Seq("cid"), filesPerBucket = 2)(
+      live.unionByName(dead), batchId)
+  }
+
+  /** Probe the maintained index through the shared IVF machinery,
+    * asserting the manifest-pruning contract on the way.
+    */
+  private def searchMaintained(spark: SparkSession, dir: String,
+                               state: DataFrame, idx: String,
+                               k: Int, nProbe: Int): DataFrame = {
+    val ivfPath = Ivf.ensureIndex(spark, dir)
+    val centroids = spark.read.parquet(s"$ivfPath/centroids")
+    // scale contract: a single-cell probe prunes the index's file list
+    // through the stats manifest (cid-sorted slices inside each bucket)
+    val oneCell = Ingest.readUpsertTableWhere(spark, idx, Seq(("cid", 0, 0)))
+    require(oneCell.inputFiles.length <
+        Ingest.readUpsertTable(spark, idx).inputFiles.length,
+      "maintained-index cell probe did not prune the file list")
+    val probes = state.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    Ivf.searchCells(centroids,
+      state.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"), col("cid")),
+      probes, k, nProbe)
+  }
+
+  val qAnnIndexMaintained: QuerySpec = QuerySpec(
+    "q_ann_index_maintained",
+    VectorOps.qCosineTopK.oracle, // maintained ≡ fresh ≡ brute force
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val table = sharedEmbCdcTable(spark, dir)
+      val ivfPath = Ivf.ensureIndex(spark, dir)
+      val centroids = spark.read.parquet(s"$ivfPath/centroids")
+      val idx = graft.Scratch.dir("ann-index-batch") + "/idx"
+      LocalTableStore.deleteTree(idx)
+      EventOps.withStreamSizing(spark) {
+        (0L until 4L).foreach { b =>
+          foldSlice(Ingest.readTableChanges(spark, table, b, b),
+            centroids, idx, b)
+        }
+      }
+      searchMaintained(spark, dir, Ingest.readUpsertTable(spark, idx),
+        idx, k = 5, nProbe = 16)
+        .orderBy("probe_id", "rk")
+    })
+
+  /** The index maintained by a DECOUPLED STREAM over the published feed
+    * — the standalone index-maintenance-service shape
+    * (`changeFeedStream` + its own checkpoint, no writer coupling).
+    * Feed delivery is FILE-atomic and file order is not batch order, so
+    * the streamed fold must be order-safe where the batch fold need
+    * not be: each entry carries its source `_batch_id`; a trigger's
+    * delta is merged against the CURRENT index rows for ONLY its keys
+    * (a bucket-pruned [[Ingest.lookupUpsertTable]] — O(trigger), never
+    * an index scan) keeping the highest batch id per key; and deletes
+    * become LOGICAL tombstones (`live = false`) rather than physical
+    * removals — a late-delivered older upsert then loses to the
+    * tombstone's higher batch id instead of resurrecting a deleted
+    * vector. (Dead logical entries leave the index at OPTIMIZE/vacuum
+    * cadence, the same debt-compaction story as deletion vectors.)
+    * Same search path filtered to live entries; same shared
+    * brute-force oracle — batch-maintained ≡ stream-maintained ≡
+    * fresh build, one hash chain.
+    */
+  val qStreamAnnIndex: QuerySpec = QuerySpec(
+    "q_stream_ann_index",
+    VectorOps.qCosineTopK.oracle,
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val table = sharedEmbCdcTable(spark, dir)
+      val ivfPath = Ivf.ensureIndex(spark, dir)
+      val centroids = spark.read.parquet(s"$ivfPath/centroids")
+      val base = graft.Scratch.dir("ann-index-stream")
+      LocalTableStore.deleteTree(base)
+      val idx = s"$base/idx"
+      def fold(batch: DataFrame, id: Long): Unit = {
+        // after the preimage filter a key has ONE record per base
+        // batch, so max_by over _batch_id is the per-key winner of
+        // whatever file slices this trigger happened to carry
+        val winners = batch.filter(col("_change_type") =!= "update_preimage")
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("embedding"), col("_change_type")),
+            col("_batch_id")).as("w"), max(col("_batch_id")).as("_bid"))
+          .select(col("vec_id"), col("w.embedding").as("embedding"),
+            (col("w._change_type") =!= "delete").as("live"), col("_bid"))
+        if (!winners.isEmpty) {
+          val delta = Ivf.assign(winners, centroids)
+            .select("vec_id", "embedding", "cid", "live", "_bid")
+          val merged =
+            if (!LocalTableStore.exists(s"$idx/CURRENT")) delta
+            else Ingest.lookupUpsertTable(spark, idx,
+                delta.select("vec_id"))
+              .unionByName(delta)
+              .groupBy("vec_id")
+              .agg(max_by(struct(col("embedding"), col("cid"), col("live")),
+                col("_bid")).as("w"), max(col("_bid")).as("_bid"))
+              .select(col("vec_id"), col("w.embedding").as("embedding"),
+                col("w.cid").as("cid"), col("w.live").as("live"), col("_bid"))
+          Ingest.upsertParquet(idx, Seq("vec_id"), nBuckets = 4,
+            keepVersions = 1, sortCols = Seq("cid"), filesPerBucket = 2)(
+            merged, id)
+        }
+      }
+      EventOps.withStreamSizing(spark) {
+        val src = Ingest.changeFeedStream(spark, table,
+          maxFilesPerTrigger = Some(3))
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(fold)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      searchMaintained(spark, dir,
+        Ingest.readUpsertTable(spark, idx).filter(col("live")),
+        idx, k = 5, nProbe = 16)
+        .orderBy("probe_id", "rk")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qAnnIndexMaintained, qStreamAnnIndex)
+}

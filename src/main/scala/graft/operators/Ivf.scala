@@ -44,15 +44,20 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-centroid assignment: (vec_id, embedding, cid). */
+  /** Nearest-centroid assignment: the input's columns plus `cid`
+    * (callers needing only the core triple project it; extra columns —
+    * e.g. the feed-maintained index's liveness/batch-id bookkeeping —
+    * ride through the argmin).
+    */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val inCols = emb.columns.toSeq
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    emb.select("vec_id", "embedding")
+    emb
       .crossJoin(broadcast(centroids))
       .withColumn("sim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("vec_id", "embedding", "cid")
+      .select((inCols :+ "cid").map(col): _*)
   }
 
   /** Probe's candidate cells: nProbe nearest centroids per probe.

@@ -116,16 +116,9 @@ object Ingest {
     * a `v_*` directory NOT in this set is a crashed partial build and
     * must never be served as a snapshot.
     */
-  private def readLedger(root: java.io.File): Set[Long] = {
-    val commits = new java.io.File(root, "_commits")
-    if (!commits.exists()) Set.empty
-    else {
-      val src = scala.io.Source.fromFile(commits)
-      try src.getLines()
-        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-      finally src.close()
-    }
-  }
+  private def readLedger(root: String)(implicit store: TableStore): Set[Long] =
+    store.readLog(store.child(root, "_commits"))
+      .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
 
   /** Version-dir name: `v_<batchId>` (generation 0 — written by the
     * upsert protocol itself; complete iff its batchId is in the
@@ -151,22 +144,15 @@ object Ingest {
   private def versionName(b: Long, gen: Int): String =
     if (gen == 0) s"v_$b" else s"v_$b.$gen"
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(); ()
-  }
+  private def readCurrentName(root: String)
+                             (implicit store: TableStore): Option[String] =
+    store.read(store.child(root, "CURRENT")).map(_.trim).filter(_.nonEmpty)
 
-  private def readCurrentName(root: java.io.File): Option[String] = {
-    val currentF = new java.io.File(root, "CURRENT")
-    if (!currentF.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(currentF.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
-  }
-
-  /** All version dirs under `root` as (dir, batchId, gen). */
-  private def versionDirs(root: java.io.File): Seq[(java.io.File, Long, Int)] =
-    Option(root.listFiles()).toSeq.flatten.filter(_.isDirectory)
-      .flatMap(f => parseVersion(f.getName).map { case (b, g) => (f, b, g) })
+  /** All version dirs under `root` as (dirName, batchId, gen). */
+  private def versionDirs(root: String)
+                         (implicit store: TableStore): Seq[(String, Long, Int)] =
+    store.listNames(root).filter(n => store.isDirectory(store.child(root, n)))
+      .flatMap(n => parseVersion(n).map { case (b, g) => (n, b, g) })
 
   /** Is this dir a COMPLETE snapshot? Gen 0 completeness is the
     * ledger's job (callers intersect with it); a gen ≥ 1 dir is
@@ -174,20 +160,22 @@ object Ingest {
     * (written after data + feed + metadata, before the pointer swap) —
     * a crashed maintenance rewrite is therefore never servable.
     */
-  private def genComplete(f: java.io.File, gen: Int,
-                          cur: Option[String]): Boolean =
-    gen == 0 || cur.contains(f.getName) ||
-      new java.io.File(f, "_gen_commit").exists()
+  private def genComplete(root: String, name: String, gen: Int,
+                          cur: Option[String])
+                         (implicit store: TableStore): Boolean =
+    gen == 0 || cur.contains(name) ||
+      store.exists(store.child(store.child(root, name), "_gen_commit"))
 
-  /** The servable dir for committed batch `b`: its highest COMPLETE
-    * generation (a maintenance rewrite holds the same state laid out
-    * better, so newest generation always wins).
+  /** The servable dir (full path) for committed batch `b`: its highest
+    * COMPLETE generation (a maintenance rewrite holds the same state
+    * laid out better, so newest generation always wins).
     */
-  private def servableDir(root: java.io.File, b: Long): Option[java.io.File] = {
+  private def servableDir(root: String, b: Long)
+                         (implicit store: TableStore): Option[String] = {
     val cur = readCurrentName(root)
     versionDirs(root)
-      .collect { case (f, `b`, g) if genComplete(f, g, cur) => (f, g) }
-      .sortBy(-_._2).headOption.map(_._1)
+      .collect { case (n, `b`, g) if genComplete(root, n, g, cur) => (n, g) }
+      .sortBy(-_._2).headOption.map(p => store.child(root, p._1))
   }
 
   /** Drop anything not referenced: crashed partial builds (a gen-0 dir
@@ -203,8 +191,9 @@ object Ingest {
     * so deleting a snapshot from under a reader requires BOTH an
     * out-of-retention snapshot AND a reader older than the grace.
     */
-  private def cleanupStale(root: java.io.File, keepVersions: Int,
-                           graceMs: Long): Unit = {
+  private def cleanupStale(root: String, keepVersions: Int,
+                           graceMs: Long)
+                          (implicit store: TableStore): Seq[String] = {
     val cur = readCurrentName(root)
     val committed = readLedger(root)
     val now = System.currentTimeMillis()
@@ -216,45 +205,25 @@ object Ingest {
     // current batch, the highest complete generation otherwise
     val keep: Set[String] = retainedBatches.flatMap { b =>
       if (curBatch.contains(b)) cur
-      else vds.collect { case (f, `b`, g) if genComplete(f, g, cur) => (f.getName, g) }
+      else vds.collect { case (n, `b`, g) if genComplete(root, n, g, cur) => (n, g) }
         .sortBy(-_._2).headOption.map(_._1)
     } ++ cur
-    vds.filterNot { case (f, _, _) => keep.contains(f.getName) }
-      .filterNot { case (f, b, g) =>
-        committed.contains(b) && genComplete(f, g, cur) &&
-          graceMs > 0 && now - f.lastModified < graceMs
+    val swept = vds.filterNot { case (n, _, _) => keep.contains(n) }
+      .filterNot { case (n, b, g) =>
+        committed.contains(b) && genComplete(root, n, g, cur) &&
+          graceMs > 0 && now - store.lastModified(store.child(root, n)) < graceMs
       }
-      .foreach { case (f, _, _) => rmTree(f) }
-    new java.io.File(root, "CURRENT.tmp").delete()
-    ()
+      .map { case (n, _, _) => store.deleteTree(store.child(root, n)); n }
+    store.delete(store.child(root, "CURRENT.tmp"))
+    swept
   }
 
-  /** Atomic small-file write (tmp + rename) used for `_meta`, `_schema`
-    * and the CURRENT pointer.
+  /** Hard-link `src` into `dstDir` under the same name (copy fallback —
+    * see [[TableStore.linkOrCopy]]'s contract).
     */
-  private def writeAtomic(root: java.io.File, name: String, body: String): Unit = {
-    val tmp = new java.io.File(root, name + ".tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, name).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Hard-link `src` into `dstDir` under the same name; on filesystems
-    * without hard-link support (some container volume drivers, network
-    * mounts) fall back to a plain copy — correctness is unaffected,
-    * only the zero-I/O sharing optimization is lost.
-    */
-  private def linkOrCopy(src: java.io.File, dstDir: java.io.File): Unit = {
-    val dst = new java.io.File(dstDir, src.getName).toPath
-    try java.nio.file.Files.createLink(dst, src.toPath)
-    catch {
-      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-        java.nio.file.Files.copy(src.toPath, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  private def linkInto(src: String, dstDir: String)
+                      (implicit store: TableStore): Unit =
+    store.linkOrCopy(src, store.child(dstDir, store.baseName(src)))
 
   /** Keyed MERGE/upsert for a [[foreachBatchSink]] body — a minimal
     * copy-on-write table format with the exactly-once REPLAY contract
@@ -380,6 +349,22 @@ object Ingest {
     * broken constraint by name and row count) and writes NOTHING —
     * the table never holds a row that fails its invariants. ANSI
     * CHECK: NULL passes; spell NOT NULL as `c IS NOT NULL`.
+    *
+    * `occRetries` sets the TWO-WRITER behavior. The sink is
+    * single-writer by default (`0`): a competing commit detected at
+    * the pointer CAS throws [[java.util.ConcurrentModificationException]]
+    * and this batch writes nothing durable — fix the deployment.
+    * With `occRetries > 0`, a detected conflict instead RE-MERGES the
+    * batch against the snapshot the competitor published and retries
+    * the CAS (up to the given number of times) — the optimistic-
+    * concurrency loop that lets two legitimate writers share a table
+    * without lost updates: each commit's merge base is the other's
+    * committed snapshot, never a stale read. The lost-update guarantee
+    * is exactly as strong as the store's [[TableStore.putConditional]]
+    * (airtight within one JVM and on conditional-put object stores;
+    * best-effort — microsecond window — across processes on a plain
+    * filesystem). Retries re-run the merge at full cost; contended
+    * tables should still prefer one writer per table.
     */
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
                     keepVersions: Int = 1, deleteCol: Option[String] = None,
@@ -387,34 +372,53 @@ object Ingest {
                     lazyDeletes: Boolean = false,
                     sortCols: Seq[String] = Nil,
                     filesPerBucket: Int = 4,
-                    constraints: Seq[(String, String)] = Nil)
-                   (batch: DataFrame, batchId: Long): Unit = {
+                    constraints: Seq[(String, String)] = Nil,
+                    occRetries: Int = 0)
+                   (batch: DataFrame, batchId: Long)
+                   (implicit store: TableStore): Unit =
+    try upsertOnce(tableDir, keys, nBuckets, keepVersions, deleteCol,
+      graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
+      constraints)(batch, batchId)
+    catch {
+      // a competing commit moved CURRENT mid-merge: nothing durable was
+      // written, the merge is replay-idempotent, so re-merging against
+      // the competitor's snapshot is a clean second attempt
+      case _: java.util.ConcurrentModificationException if occRetries > 0 =>
+        upsertParquet(tableDir, keys, nBuckets, keepVersions, deleteCol,
+          graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
+          constraints, occRetries - 1)(batch, batchId)
+    }
+
+  private def upsertOnce(tableDir: String, keys: Seq[String], nBuckets: Int,
+                    keepVersions: Int, deleteCol: Option[String],
+                    graceMs: Long, changeFeed: Boolean,
+                    lazyDeletes: Boolean,
+                    sortCols: Seq[String],
+                    filesPerBucket: Int,
+                    constraints: Seq[(String, String)])
+                   (batch: DataFrame, batchId: Long)
+                   (implicit store: TableStore): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
       count, first, lit, max, pmod, sum, when, xxhash64}
     val spark = batch.sparkSession
-    val root = new java.io.File(tableDir)
-    root.mkdirs()
-    val commits = new java.io.File(root, "_commits")
-    val currentF = new java.io.File(root, "CURRENT")
+    val root = tableDir
+    store.mkdirs(root)
+    val commitsPath = store.child(root, "_commits")
 
     // keys and bucket count are TABLE properties, not call options: a
     // batch hashed with a different nBuckets would scope its merge to
     // the wrong buckets and leave the same key alive in two places.
     // First writer pins them in _meta (atomic rename); every later
     // call must match or fail loudly.
-    val metaF = new java.io.File(root, "_meta")
     require(sortCols.forall(batch.columns.contains),
       s"upsertParquet: sortCols ${sortCols.mkString(",")} not all present " +
         s"in the batch (columns: ${batch.columns.mkString(",")})")
     val metaStr = s"keys=${keys.mkString(",")}\nbuckets=$nBuckets\n" +
       (if (sortCols.isEmpty) ""
        else s"sort=${sortCols.mkString(",")}\nfpb=$filesPerBucket\n")
-    if (!metaF.exists()) {
-      writeAtomic(root, "_meta", metaStr)
-    } else {
-      val have = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      require(have == metaStr,
+    store.read(store.child(root, "_meta")) match {
+      case None => store.writeAtomic(root, "_meta", metaStr)
+      case Some(have) => require(have == metaStr,
         s"upsertParquet: table $tableDir was created with [${have.trim
           .replace('\n', ' ')}] but this call passed [${metaStr.trim
           .replace('\n', ' ')}] — keys are immutable; the bucket count " +
@@ -424,14 +428,14 @@ object Ingest {
     // (some batches recorded, some not) is worse than no feed, so the
     // marker is pinned before the first commit and every later call
     // must agree with it
-    val cdfF = new java.io.File(root, "_cdf")
-    if (changeFeed && !cdfF.exists()) {
+    val cdfPath = store.child(root, "_cdf")
+    if (changeFeed && !store.exists(cdfPath)) {
       require(readLedger(root).isEmpty,
         s"upsertParquet: table $tableDir has committed batches with no " +
           "change feed — the feed cannot start mid-history")
-      writeAtomic(root, "_cdf", "")
+      store.writeAtomic(root, "_cdf", "")
     }
-    require(!cdfF.exists() || changeFeed,
+    require(!store.exists(cdfPath) || changeFeed,
       s"upsertParquet: table $tableDir records a change feed — " +
         "pass changeFeed=true (a silent hole would corrupt the feed)")
     // CHECK constraints are a create-time table property: pinned in
@@ -440,11 +444,10 @@ object Ingest {
     // sometimes holds is not an invariant). ANSI CHECK semantics: a
     // row violates only when the expression is definitively FALSE —
     // NULL passes (write `c IS NOT NULL` for NOT NULL).
-    val consF = new java.io.File(root, "_constraints")
     val pinnedCons: Seq[(String, String)] =
-      if (consF.exists()) {
-        val have = new String(java.nio.file.Files.readAllBytes(consF.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
+      store.read(store.child(root, "_constraints")) match {
+        case Some(pinned) =>
+        val have = pinned
           .linesIterator.filter(_.nonEmpty)
           .map(_.split("=", 2)).collect { case Array(n, e) => n -> e }.toSeq
         // set comparison (sorted by name): the pinned SET is immutable,
@@ -455,22 +458,21 @@ object Ingest {
             s"[${have.map(_._1).mkString(",")}] — pass the same set or none " +
             "(constraints are immutable table properties)")
         have
-      } else if (constraints.nonEmpty) {
+      case None if constraints.nonEmpty =>
         require(readLedger(root).isEmpty,
           s"upsertParquet: table $tableDir has committed batches with no " +
             "constraints — invariants cannot start mid-history")
         require(constraints.forall(c => c._1.nonEmpty && !c._1.contains("=")),
           "upsertParquet: constraint names must be non-empty and '='-free")
-        writeAtomic(root, "_constraints",
+        store.writeAtomic(root, "_constraints",
           constraints.map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n"))
         constraints
-      } else Nil
+      case None => Nil
+    }
 
     def readCurrent(): Option[String] = readCurrentName(root)
-    def rm(f: java.io.File): Unit = rmTree(f)
     def commit(): Unit = {
-      val out = new java.io.FileWriter(commits, true)
-      try out.write(s"$batchId\n") finally out.close()
+      store.appendLog(commitsPath, s"$batchId")
       cleanupStale(root, keepVersions, graceMs)
       // publish AFTER the ledger append: a crashed uncommitted build
       // must never leak feed files (its rewrite on replay could differ)
@@ -515,16 +517,15 @@ object Ingest {
     // (atomic rename) BEFORE the version build: if the build crashes,
     // a widened schema over old data is still sound (all-null column).
     def dataOf(df: DataFrame): DataFrame = deleteCol.fold(df)(df.drop(_))
-    val schemaF = new java.io.File(root, "_schema")
     val batchSchema = dataOf(bk).schema
     val tableSchema: StructType =
-      if (!schemaF.exists()) {
-        writeAtomic(root, "_schema", batchSchema.json)
+      store.read(store.child(root, "_schema")) match {
+        case None =>
+        store.writeAtomic(root, "_schema", batchSchema.json)
         batchSchema
-      } else {
-        val pinned = org.apache.spark.sql.types.DataType.fromJson(
-          new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
-            java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+        case Some(pinnedJson) =>
+        val pinned = org.apache.spark.sql.types.DataType.fromJson(pinnedJson)
+          .asInstanceOf[StructType]
         val pinnedByName = pinned.fields.map(f => f.name -> f.dataType).toMap
         val batchByName = batchSchema.fields.map(f => f.name -> f.dataType).toMap
         val missing = pinned.fieldNames.filterNot(batchByName.contains)
@@ -544,7 +545,7 @@ object Ingest {
         if (added.isEmpty) pinned
         else {
           val widened = StructType(pinned.fields.toSeq ++ added)
-          writeAtomic(root, "_schema", widened.json)
+          store.writeAtomic(root, "_schema", widened.json)
           widened
         }
       }
@@ -553,22 +554,23 @@ object Ingest {
     // second writer is a silent-corruption hazard — both read the same
     // CURRENT, merge independently, and the second swap DROPS the
     // first writer's batch from history. The merge records the
-    // snapshot it read; the swap re-checks CURRENT and fails loudly on
-    // a competing commit instead of publishing a lost-update. (On a
-    // plain filesystem the check-then-swap is best-effort — the window
-    // shrinks from the whole merge to microseconds; a conditional-put
-    // object store makes the same protocol airtight.)
+    // snapshot it read; the swap is a compare-and-set on the pointer
+    // ([[TableStore.putConditional]]) that fails loudly on a competing
+    // commit instead of publishing a lost-update. The CAS is as atomic
+    // as the store backend allows: airtight within one JVM and on
+    // conditional-put object stores, best-effort (microsecond window)
+    // across processes on a plain filesystem.
     var mergeBase: Option[String] = None
     def swapCurrent(): Unit = {
-      val now = readCurrent()
-      if (now != mergeBase)
+      if (!store.putConditional(root, "CURRENT", mergeBase, vName)) {
+        val now = readCurrent()
         throw new java.util.ConcurrentModificationException(
           s"upsertParquet: CURRENT of $tableDir moved from " +
             s"${mergeBase.getOrElse("<none>")} to ${now.getOrElse("<none>")} " +
             s"while batch $batchId merged — a concurrent writer committed. " +
             "This batch wrote nothing durable; replay it against the new " +
             "snapshot (the sink is single-writer; fix the deployment)")
-      writeAtomic(root, "CURRENT", vName)
+      }
     }
     try {
       val delFlag = deleteCol.map(col).getOrElse(lit(false))
@@ -618,17 +620,16 @@ object Ingest {
           // instead of confusing it with a retention-swept batch. Replay
           // after a crash re-appends — duplicates are harmless (parsed
           // as a set).
-          val out = new java.io.FileWriter(new java.io.File(root, "_empty"), true)
-          try out.write(s"$batchId\n") finally out.close()
+          store.appendLog(store.child(root, "_empty"), s"$batchId")
         }
         if (readCurrent().isEmpty) {
           // first-ever batch is empty: the table must still become
           // readable (foreachBatch legitimately delivers an empty batch
           // 0), so commit an EMPTY snapshot — _schema carries the type
-          val newV = new java.io.File(root, vName)
-          rm(newV)
+          val newV = store.child(root, vName)
+          store.deleteTree(newV)
           dataOf(bk).write.partitionBy(UpsertBucketCol)
-            .mode("overwrite").parquet(newV.getPath)
+            .mode("overwrite").parquet(newV)
           swapCurrent()
         }
         commit(); return
@@ -654,11 +655,11 @@ object Ingest {
       // deletion vector instead
       val rewriteB: Set[Long] = if (lazyDeletes) upsertBuckets else touched
 
-      val newV = new java.io.File(root, vName)
-      rm(newV) // partial build from a previous crashed attempt
-      newV.mkdirs()
+      val newV = store.child(root, vName)
+      store.deleteTree(newV) // partial build from a previous crashed attempt
+      store.mkdirs(newV)
       mergeBase = readCurrent() // the snapshot this merge is based on
-      val curDir = mergeBase.map(new java.io.File(root, _))
+      val curDir = mergeBase.map(store.child(root, _))
       // a rebucket that crashed between its pointer swap and its _meta
       // update leaves CURRENT hashed with a different count than _meta
       // — merging against it with this call's count would scope the
@@ -672,16 +673,15 @@ object Ingest {
             s"rebucketUpsertTable($vb) to complete the interrupted " +
             "rebucket, then pass the new count"))
       }
-      def dirsOf(d: java.io.File, bs: Set[Long]): Seq[java.io.File] =
-        bs.toSeq.sorted.map(b => new java.io.File(d, s"$UpsertBucketCol=$b"))
-          .filter(_.isDirectory)
+      def dirsOf(d: String, bs: Set[Long]): Seq[String] =
+        bs.toSeq.sorted.map(b => store.child(d, s"$UpsertBucketCol=$b"))
+          .filter(store.isDirectory)
       val rewriteDirs = curDir.toSeq.flatMap(dirsOf(_, rewriteB))
       // the prior version's deletion vector (keys + bucket), if any
       val prevDv: Option[DataFrame] = curDir
-        .map(d => new java.io.File(d, "_deletes"))
-        .filter(d => d.isDirectory && Option(d.listFiles()).toSeq.flatten
-          .exists(_.getName.endsWith(".parquet")))
-        .map(d => spark.read.parquet(d.getPath))
+        .map(d => store.child(d, "_deletes"))
+        .filter(d => store.listNames(d).exists(_.endsWith(".parquet")))
+        .map(d => spark.read.parquet(d))
       val prevDvKeys = prevDv.map(_.select(keys.map(col): _*))
       // every batch key — upsert or tombstone — evicts its old row from
       // the rewritten buckets; only non-tombstone rows are re-inserted.
@@ -695,8 +695,8 @@ object Ingest {
           // as null, so survivors and upserts always union cleanly
           else {
             val survivors = spark.read.schema(tableSchema)
-              .option("basePath", curDir.get.getPath)
-              .parquet(rewriteDirs.map(_.getPath): _*)
+              .option("basePath", curDir.get)
+              .parquet(rewriteDirs: _*)
               .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
             // pending vector entries for rewritten buckets are APPLIED
             // here (and leave the vector below) — the debt self-compacts
@@ -721,16 +721,19 @@ object Ingest {
           .sortWithinPartitions(
             (col(UpsertBucketCol) +: sortCols.map(col)): _*)
       laidOut
-        .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
+        .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV)
       curDir.foreach { d =>
-        Option(d.listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.startsWith(s"$UpsertBucketCol=") &&
-            !rewriteB.contains(f.getName.stripPrefix(s"$UpsertBucketCol=").toLong))
-          .foreach { bdir =>
-            val dst = new java.io.File(newV, bdir.getName)
-            dst.mkdirs()
-            Option(bdir.listFiles()).toSeq.flatten.filter(_.isFile)
-              .foreach(linkOrCopy(_, dst))
+        store.listNames(d)
+          .filter(n => n.startsWith(s"$UpsertBucketCol=") &&
+            store.isDirectory(store.child(d, n)) &&
+            !rewriteB.contains(n.stripPrefix(s"$UpsertBucketCol=").toLong))
+          .foreach { bname =>
+            val bdir = store.child(d, bname)
+            val dst = store.child(newV, bname)
+            store.mkdirs(dst)
+            store.listNames(bdir)
+              .filterNot(n => store.isDirectory(store.child(bdir, n)))
+              .foreach(n => linkInto(store.child(bdir, n), dst))
           }
       }
       // the new version's deletion vector: entries carried for buckets
@@ -755,7 +758,7 @@ object Ingest {
           .map(_.distinct())
           .filter(_.head(1).nonEmpty) // never write an empty _deletes dir
           .foreach(_.coalesce(1).write
-            .parquet(new java.io.File(newV, "_deletes").getPath))
+            .parquet(store.child(newV, "_deletes")))
       }
       // per-file min/max manifest for the pinned sortCols — the
       // file-LIST skipping layer (StatsManifest) composed into the
@@ -772,22 +775,22 @@ object Ingest {
           org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
           org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
         val freshDirs = rewriteB.toSeq.sorted
-          .map(b => new java.io.File(newV, s"$UpsertBucketCol=$b"))
-          .filter(_.isDirectory)
+          .map(b => store.child(newV, s"$UpsertBucketCol=$b"))
+          .filter(store.isDirectory)
         val fresh =
           if (freshDirs.isEmpty) None
           else Some(spark.read.schema(tableSchema)
-            .option("basePath", newV.getPath)
-            .parquet(freshDirs.map(_.getPath): _*)
+            .option("basePath", newV)
+            .parquet(freshDirs: _*)
             .select(sortCols.map(col): _*)
             .groupBy(input_file_name().as("file"))
             .agg(aggs.head, aggs.tail: _*))
         val carried = curDir
-          .map(d => new java.io.File(d, StatsManifest.ManifestDir))
-          .filter(_.isDirectory)
+          .map(d => store.child(d, StatsManifest.ManifestDir))
+          .filter(store.isDirectory)
           .flatMap { md =>
-            val parts = Option(md.listFiles()).toSeq.flatten
-              .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+            val parts = store.listNames(md)
+              .filter(_.endsWith(".parquet")).map(store.child(md, _))
             if (parts.isEmpty) None
             else Some(spark.read.parquet(parts: _*)
               .filter(!regexp_extract(col("file"),
@@ -795,13 +798,14 @@ object Ingest {
                 .isin(rewriteB.toSeq: _*))
               .withColumn("file",
                 org.apache.spark.sql.functions.regexp_replace(col("file"),
-                  java.util.regex.Pattern.quote(s"/${curDir.get.getName}/"),
+                  java.util.regex.Pattern.quote(
+                    s"/${store.baseName(curDir.get)}/"),
                   s"/$vName/")))
           }
         (fresh.toSeq ++ carried.toSeq).reduceOption(_.unionByName(_))
           .filter(_.head(1).nonEmpty)
           .foreach(_.coalesce(1).write.parquet(
-            new java.io.File(newV, StatsManifest.ManifestDir).getPath))
+            store.child(newV, StatsManifest.ManifestDir)))
       }
       if (changeFeed) {
         val dataCols = dataOf(bk).columns
@@ -819,8 +823,8 @@ object Ingest {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               tableSchema)
           else spark.read.schema(tableSchema)
-            .option("basePath", curDir.get.getPath)
-            .parquet(captureDirs.map(_.getPath): _*)
+            .option("basePath", curDir.get)
+            .parquet(captureDirs: _*)
         val old = prevDvKeys.fold(rawOld)(dv =>
           rawOld.join(broadcast(dv), keys, "left_anti"))
         // pre-images: the table rows this batch replaces or deletes —
@@ -841,7 +845,7 @@ object Ingest {
               .otherwise("insert").as("_change_type"): _*))
           .withColumn("_batch_id", lit(batchId))
         changes.coalesce(math.max(1, touched.size))
-          .write.parquet(new java.io.File(newV, "_changes").getPath)
+          .write.parquet(store.child(newV, "_changes"))
       }
       swapCurrent()
       commit()
@@ -863,12 +867,13 @@ object Ingest {
     * fails loudly rather than silently serving a newer state.
     */
   def readUpsertTable(spark: SparkSession, tableDir: String,
-                      asOfBatch: Option[Long] = None): DataFrame = {
-    val root = new java.io.File(tableDir)
+                      asOfBatch: Option[Long] = None)
+                     (implicit store: TableStore): DataFrame = {
+    val root = tableDir
     val vDir = resolveVersionDir(root, asOfBatch)
     applyDeletes(spark, root, vDir,
-      pinnedReader(spark, root).option("basePath", vDir.getPath)
-        .parquet(vDir.getPath))
+      pinnedReader(spark, root).option("basePath", vDir)
+        .parquet(vDir))
       .drop(UpsertBucketCol)
   }
 
@@ -892,17 +897,18 @@ object Ingest {
     */
   def readUpsertTableWhere(spark: SparkSession, tableDir: String,
                            bounds: Seq[(String, Any, Any)],
-                           asOfBatch: Option[Long] = None): DataFrame = {
-    val root = new java.io.File(tableDir)
+                           asOfBatch: Option[Long] = None)
+                          (implicit store: TableStore): DataFrame = {
+    val root = tableDir
     val vDir = resolveVersionDir(root, asOfBatch)
     StatsManifest.survivingFiles(spark,
-      new java.io.File(vDir, StatsManifest.ManifestDir), bounds) match {
+      store.child(vDir, StatsManifest.ManifestDir), bounds) match {
       case None => readUpsertTable(spark, tableDir, asOfBatch)
       case Some(files) =>
-        val base = pinnedReader(spark, root).option("basePath", vDir.getPath)
+        val base = pinnedReader(spark, root).option("basePath", vDir)
         val scan =
           if (files.isEmpty)
-            base.parquet(vDir.getPath).filter(
+            base.parquet(vDir).filter(
               org.apache.spark.sql.functions.lit(false))
           else base.parquet(files: _*)
         applyDeletes(spark, root, vDir, scan).drop(UpsertBucketCol)
@@ -920,8 +926,9 @@ object Ingest {
     * ≤ keepVersions summary rows, so the call is retention-bounded,
     * never table-bounded.
     */
-  def describeUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
-    val root = new java.io.File(tableDir)
+  def describeUpsertTable(spark: SparkSession, tableDir: String)
+                         (implicit store: TableStore): DataFrame = {
+    val root = tableDir
     val committed = readLedger(root).toSeq.sorted
     val curBatch = readCurrentName(root).flatMap(parseVersion).map(_._1)
     val empties = emptyBatchIds(root)
@@ -945,16 +952,10 @@ object Ingest {
     * batches that minted no version dir yet whose snapshot state is
     * known: identical to the preceding snapshot.
     */
-  private def emptyBatchIds(root: java.io.File): Set[Long] = {
-    val emptyF = new java.io.File(root, "_empty")
-    if (!emptyF.exists()) Set.empty
-    else {
-      val src = scala.io.Source.fromFile(emptyF)
-      try src.getLines()
-        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-      finally src.close()
-    }
-  }
+  private def emptyBatchIds(root: String)
+                           (implicit store: TableStore): Set[Long] =
+    store.readLog(store.child(root, "_empty"))
+      .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
 
   /** Apply a version's merge-on-read deletion vector (`_deletes/` —
     * see `upsertParquet(lazyDeletes=true)`): anti-join the snapshot
@@ -965,45 +966,44 @@ object Ingest {
     * size stats, but a table carrying unbounded un-compacted delete
     * debt degrades to a shuffle join instead of a driver OOM.
     */
-  private def applyDeletes(spark: SparkSession, root: java.io.File,
-                           vDir: java.io.File, df: DataFrame): DataFrame = {
-    val dvDir = new java.io.File(vDir, "_deletes")
-    val hasDv = dvDir.isDirectory && Option(dvDir.listFiles()).toSeq.flatten
-      .exists(_.getName.endsWith(".parquet"))
+  private def applyDeletes(spark: SparkSession, root: String,
+                           vDir: String, df: DataFrame)
+                          (implicit store: TableStore): DataFrame = {
+    val dvDir = store.child(vDir, "_deletes")
+    val hasDv = store.listNames(dvDir).exists(_.endsWith(".parquet"))
     if (!hasDv) df
     else {
-      val keys = tableMeta(root)("keys").split(",").toSeq
-      df.join(spark.read.parquet(dvDir.getPath)
+      val keys = tableMeta(root).apply("keys").split(",").toSeq
+      df.join(spark.read.parquet(dvDir)
         .select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
     }
   }
 
   /** Parse the pinned `_meta` table properties (keys, buckets). */
-  private def tableMeta(root: java.io.File): Map[String, String] = {
-    val metaF = new java.io.File(root, "_meta")
-    require(metaF.exists(), s"not an upsert table (no _meta): $root")
-    new String(java.nio.file.Files.readAllBytes(metaF.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
+  private def tableMeta(root: String)
+                       (implicit store: TableStore): Map[String, String] =
+    store.read(store.child(root, "_meta"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an upsert table (no _meta): $root"))
       .linesIterator.map(_.split("=", 2)).collect {
         case Array(k, v) => k -> v
       }.toMap
-  }
 
   /** The snapshot dir for CURRENT / a committed as-of batch (the
     * resolution rules documented on [[readUpsertTable]]).
     */
-  private def resolveVersionDir(root: java.io.File,
-                                asOfBatch: Option[Long]): java.io.File = {
+  private def resolveVersionDir(root: String, asOfBatch: Option[Long])
+                               (implicit store: TableStore): String = {
     val cur = readCurrentName(root)
     require(cur.nonEmpty, s"upsert table has no CURRENT pointer: $root")
     asOfBatch match {
-      case None => new java.io.File(root, cur.get)
+      case None => store.child(root, cur.get)
       case Some(b) =>
         val committed = readLedger(root)
         val have = versionDirs(root)
-          .collect { case (f, bb, g) if committed.contains(bb) &&
-            genComplete(f, g, cur) => bb }.distinct
+          .collect { case (n, bb, g) if committed.contains(bb) &&
+            genComplete(root, n, g, cur) => bb }.distinct
         val eligible = have.filter(_ <= b)
         require(eligible.nonEmpty,
           s"upsert table has no retained committed snapshot at or before " +
@@ -1016,24 +1016,23 @@ object Ingest {
     * present on dirs written or stamped by [[rebucketUpsertTable]];
     * absent means the table-level `_meta` count applies.
     */
-  private def versionBuckets(vDir: java.io.File): Option[Int] = {
-    val f = new java.io.File(vDir, "_nbuckets")
-    if (!f.exists()) None
-    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
-  }
+  private def versionBuckets(vDir: String)
+                            (implicit store: TableStore): Option[Int] =
+    store.read(store.child(vDir, "_nbuckets"))
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
 
   /** Reader with the table's pinned `_schema` applied, so an
     * all-deleted / empty-first-batch snapshot (zero data files) still
     * reads as a typed empty table.
     */
-  private def pinnedReader(spark: SparkSession, root: java.io.File) = {
-    val schemaF = new java.io.File(root, "_schema")
-    if (!schemaF.exists()) spark.read
-    else spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(
-      new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
-  }
+  private def pinnedReader(spark: SparkSession, root: String)
+                          (implicit store: TableStore) =
+    store.read(store.child(root, "_schema")) match {
+      case None => spark.read
+      case Some(json) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[StructType])
+    }
 
   /** Point-lookup read of an [[upsertParquet]] table: scan ONLY the
     * bucket dirs the probe keys hash to, then exact-match inside them.
@@ -1056,9 +1055,10 @@ object Ingest {
     */
   def lookupUpsertTable(spark: SparkSession, tableDir: String,
                         probe: DataFrame,
-                        asOfBatch: Option[Long] = None): DataFrame = {
+                        asOfBatch: Option[Long] = None)
+                       (implicit store: TableStore): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
-    val root = new java.io.File(tableDir)
+    val root = tableDir
     val meta = tableMeta(root)
     val keys = meta("keys").split(",").toSeq
     keys.foreach(k => require(probe.columns.contains(k),
@@ -1076,17 +1076,17 @@ object Ingest {
       .select(pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val bucketDirs = buckets
-      .map(b => new java.io.File(vDir, s"$UpsertBucketCol=$b"))
-      .filter(_.isDirectory)
+      .map(b => store.child(vDir, s"$UpsertBucketCol=$b"))
+      .filter(store.isDirectory)
     val reader = pinnedReader(spark, root)
     val scan =
       if (bucketDirs.isEmpty)
         // typed empty via the pinned schema over the (possibly empty)
         // version dir — same trick the snapshot read uses
-        reader.option("basePath", vDir.getPath).parquet(vDir.getPath)
+        reader.option("basePath", vDir).parquet(vDir)
           .filter(lit(false))
-      else reader.option("basePath", vDir.getPath)
-        .parquet(bucketDirs.map(_.getPath): _*)
+      else reader.option("basePath", vDir)
+        .parquet(bucketDirs: _*)
     applyDeletes(spark, root, vDir,
       scan.join(broadcast(probeKeys), keys, "left_semi"))
       .drop(UpsertBucketCol)
@@ -1125,7 +1125,8 @@ object Ingest {
     * yields exactly one file per non-empty bucket.
     */
   def rebucketUpsertTable(spark: SparkSession, tableDir: String,
-                          newBuckets: Int): Unit =
+                          newBuckets: Int)
+                         (implicit store: TableStore): Unit =
     rewriteGeneration(spark, tableDir, newBuckets, forceSameCount = false)
 
   /** OPTIMIZE for the table format: rewrite CURRENT as a new
@@ -1141,28 +1142,30 @@ object Ingest {
     * scheduled compaction job: run it when delete debt or file counts
     * cross a threshold, at full-rewrite cost, deliberately and rarely.
     */
-  def optimizeUpsertTable(spark: SparkSession, tableDir: String): Unit = {
-    val n = tableMeta(new java.io.File(tableDir))("buckets").toInt
+  def optimizeUpsertTable(spark: SparkSession, tableDir: String)
+                         (implicit store: TableStore): Unit = {
+    val n = tableMeta(tableDir).apply("buckets").toInt
     rewriteGeneration(spark, tableDir, n, forceSameCount = true)
   }
 
   private def rewriteGeneration(spark: SparkSession, tableDir: String,
                                 newBuckets: Int,
-                                forceSameCount: Boolean): Unit = {
+                                forceSameCount: Boolean)
+                               (implicit store: TableStore): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(newBuckets > 0, s"rebucketUpsertTable: bad bucket count $newBuckets")
-    val root = new java.io.File(tableDir)
+    val root = tableDir
     val meta = tableMeta(root)
     val keys = meta("keys").split(",").toSeq
     val metaBuckets = meta("buckets").toInt
     val curName = readCurrentName(root)
     require(curName.nonEmpty, s"upsert table has no CURRENT pointer: $root")
-    val curDir = new java.io.File(root, curName.get)
+    val curDir = store.child(root, curName.get)
     // preserve pinned layout properties (sort/fpb) across the bucket-
     // count change — dropping them would silently stop manifest builds
     val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
     val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
-    def syncMeta(): Unit = writeAtomic(root, "_meta",
+    def syncMeta(): Unit = store.writeAtomic(root, "_meta",
       s"keys=${keys.mkString(",")}\nbuckets=$newBuckets\n" +
         (if (sortCols.isEmpty) "" else s"sort=${sortCols.mkString(",")}\nfpb=$fpb\n"))
     if (!forceSameCount &&
@@ -1175,20 +1178,21 @@ object Ingest {
     // step 1: make every complete retained dir's layout explicit
     // before _meta moves out from under it
     val cur = readCurrentName(root)
-    versionDirs(root).foreach { case (f, _, g) =>
-      if (genComplete(f, g, cur) && versionBuckets(f).isEmpty)
-        writeAtomic(f, "_nbuckets", s"$metaBuckets\n")
+    versionDirs(root).foreach { case (n, _, g) =>
+      val d = store.child(root, n)
+      if (genComplete(root, n, g, cur) && versionBuckets(d).isEmpty)
+        store.writeAtomic(d, "_nbuckets", s"$metaBuckets\n")
     }
     // step 2: the new generation
     val (b, g) = parseVersion(curName.get).get
     val newName = versionName(b, g + 1)
-    val newV = new java.io.File(root, newName)
-    rmTree(newV) // partial build from a previous crashed attempt
+    val newV = store.child(root, newName)
+    store.deleteTree(newV) // partial build from a previous crashed attempt
     // the full rewrite applies (and therefore clears) any pending
     // deletion vector — rebucket doubles as delete-debt compaction
     val rehashed = applyDeletes(spark, root, curDir,
-      pinnedReader(spark, root).option("basePath", curDir.getPath)
-        .parquet(curDir.getPath))
+      pinnedReader(spark, root).option("basePath", curDir)
+        .parquet(curDir))
       .drop(UpsertBucketCol)
       .withColumn(UpsertBucketCol,
         pmod(xxhash64(keys.map(col): _*), lit(newBuckets.toLong)))
@@ -1201,48 +1205,50 @@ object Ingest {
           (col(UpsertBucketCol) +: sortCols.map(col)): _*)
         .sortWithinPartitions((col(UpsertBucketCol) +: sortCols.map(col)): _*)
     rehashedLaid
-      .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV.getPath)
+      .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV)
     if (sortCols.nonEmpty) {
       // fresh manifest for the fully-rewritten generation
       import org.apache.spark.sql.functions.input_file_name
       val aggs = sortCols.flatMap(c => Seq(
         org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
         org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
-      val m = pinnedReader(spark, root).option("basePath", newV.getPath)
-        .parquet(newV.getPath)
+      val m = pinnedReader(spark, root).option("basePath", newV)
+        .parquet(newV)
         .select(sortCols.map(col): _*)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
       if (m.head(1).nonEmpty)
         m.coalesce(1).write.parquet(
-          new java.io.File(newV, StatsManifest.ManifestDir).getPath)
+          store.child(newV, StatsManifest.ManifestDir))
     }
-    val oldCh = new java.io.File(curDir, "_changes")
-    if (oldCh.isDirectory) {
-      val dst = new java.io.File(newV, "_changes")
-      dst.mkdirs()
-      Option(oldCh.listFiles()).toSeq.flatten.filter(_.isFile)
-        .foreach(linkOrCopy(_, dst))
+    val oldCh = store.child(curDir, "_changes")
+    if (store.isDirectory(oldCh)) {
+      val dst = store.child(newV, "_changes")
+      store.mkdirs(dst)
+      store.listNames(oldCh)
+        .filterNot(n => store.isDirectory(store.child(oldCh, n)))
+        .foreach(n => linkInto(store.child(oldCh, n), dst))
     }
-    writeAtomic(newV, "_nbuckets", s"$newBuckets\n")
+    store.writeAtomic(newV, "_nbuckets", s"$newBuckets\n")
     // step 3: completeness marker — LAST thing inside the dir
-    writeAtomic(newV, "_gen_commit", "")
-    // steps 4–6. Same optimistic-concurrency re-check as the sink's
+    store.writeAtomic(newV, "_gen_commit", "")
+    // steps 4–6. Same optimistic-concurrency CAS as the sink's
     // swapCurrent: a maintenance pass racing a committing writer must
     // not point CURRENT back at the pre-commit snapshot (that would
-    // silently drop the writer's batch from history). Best-effort on a
-    // plain filesystem, airtight with a conditional-put store.
-    val nowName = readCurrentName(root)
-    if (nowName != curName)
+    // silently drop the writer's batch from history). Atomicity is the
+    // store backend's (airtight in-JVM / conditional-put, best-effort
+    // cross-process on a plain filesystem).
+    if (!store.putConditional(root, "CURRENT", curName, newName)) {
+      val nowName = readCurrentName(root)
       throw new java.util.ConcurrentModificationException(
         s"rewriteGeneration: CURRENT of $tableDir moved from " +
           s"${curName.getOrElse("<none>")} to ${nowName.getOrElse("<none>")} " +
           "while the new generation was built — a concurrent writer " +
           "committed. Nothing was swapped (the crashed-build sweep " +
           "reclaims the orphan generation); re-run against the new snapshot")
-    writeAtomic(root, "CURRENT", newName)
+    }
     syncMeta()
-    rmTree(curDir)
+    store.deleteTree(curDir)
   }
 
   /** Read the change-data-feed of an [[upsertParquet]] table written
@@ -1262,9 +1268,10 @@ object Ingest {
     * immediately (it never recorded changes).
     */
   def readTableChanges(spark: SparkSession, tableDir: String,
-                       fromBatch: Long, toBatch: Long): DataFrame = {
-    val root = new java.io.File(tableDir)
-    require(new java.io.File(root, "_cdf").exists(),
+                       fromBatch: Long, toBatch: Long)
+                      (implicit store: TableStore): DataFrame = {
+    val root = tableDir
+    require(store.exists(store.child(root, "_cdf")),
       s"$tableDir is not a change-feed table — write it with changeFeed=true")
     val emptyIds: Set[Long] = emptyBatchIds(root)
     val committed = readLedger(root)
@@ -1275,8 +1282,8 @@ object Ingest {
       // always where the batch's changes live
       servableDir(root, b) match {
         case Some(vDir) =>
-          val ch = new java.io.File(vDir, "_changes")
-          if (ch.isDirectory) Some(ch.getPath) else None // zero changes
+          val ch = store.child(vDir, "_changes")
+          if (store.isDirectory(ch)) Some(ch) else None // zero changes
         case None if emptyIds.contains(b) => None // provably change-free
         case None => throw new IllegalArgumentException(
           s"change feed for batch $b of $tableDir is beyond the retention " +
@@ -1297,12 +1304,13 @@ object Ingest {
     * zero-change range reads as a typed empty frame and file column
     * order can never matter.
     */
-  private def changeSchema(root: java.io.File): StructType = {
-    val schemaF = new java.io.File(root, "_schema")
-    require(schemaF.exists(), s"$root has no _schema file")
-    val dataSchema = org.apache.spark.sql.types.DataType.fromJson(
-      new String(java.nio.file.Files.readAllBytes(schemaF.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+  private def changeSchema(root: String)
+                          (implicit store: TableStore): StructType = {
+    val json = store.read(store.child(root, "_schema"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$root has no _schema file"))
+    val dataSchema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[StructType]
     StructType(
       dataSchema.fields.filterNot(_.name == UpsertBucketCol).toSeq ++ Seq(
         org.apache.spark.sql.types.StructField("_change_type",
@@ -1327,26 +1335,20 @@ object Ingest {
     * against the ledger instead. No-op when the batch produced no
     * version (a provably change-free batch).
     */
-  private def publishFeedSlice(root: java.io.File, batchId: Long): Unit = {
-    val feedDir = new java.io.File(root, "feed")
-    feedDir.mkdirs()
+  private def publishFeedSlice(root: String, batchId: Long)
+                              (implicit store: TableStore): Unit = {
+    val feedDir = store.child(root, "feed")
+    store.mkdirs(feedDir)
     servableDir(root, batchId).foreach { vDir =>
-      val ch = new java.io.File(vDir, "_changes")
-      if (ch.isDirectory) {
-        Option(ch.listFiles()).toSeq.flatten
-          .filter(f => f.isFile && f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .foreach { src =>
-            val dst = new java.io.File(feedDir, s"b$batchId-${src.getName}")
-            if (!dst.exists()) {
-              try java.nio.file.Files.createLink(dst.toPath, src.toPath)
-              catch {
-                case _: UnsupportedOperationException |
-                     _: java.nio.file.FileSystemException =>
-                  java.nio.file.Files.copy(src.toPath, dst.toPath,
-                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              }
-            }
+      val ch = store.child(vDir, "_changes")
+      if (store.isDirectory(ch)) {
+        store.listNames(ch)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet") &&
+            !store.isDirectory(store.child(ch, n)))
+          .foreach { n =>
+            val dst = store.child(feedDir, s"b$batchId-$n")
+            if (!store.exists(dst))
+              store.linkOrCopy(store.child(ch, n), dst)
           }
       }
     }
@@ -1368,14 +1370,15 @@ object Ingest {
     * micro-batch for incremental folds.
     */
   def changeFeedStream(spark: SparkSession, tableDir: String,
-                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val root = new java.io.File(tableDir)
-    require(new java.io.File(root, "_cdf").exists(),
+                       maxFilesPerTrigger: Option[Int] = None)
+                      (implicit store: TableStore): DataFrame = {
+    val root = tableDir
+    require(store.exists(store.child(root, "_cdf")),
       s"$tableDir is not a change-feed table — write it with changeFeed=true")
-    new java.io.File(root, "feed").mkdirs() // tail-before-first-commit is legal
+    store.mkdirs(store.child(root, "feed")) // tail-before-first-commit is legal
     val r = spark.readStream.schema(changeSchema(root)).format("parquet")
     maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
-      .load(new java.io.File(root, "feed").getPath)
+      .load(store.child(root, "feed"))
   }
 
   /** Drop published feed files for batches `< beforeBatch` — called by
@@ -1383,14 +1386,59 @@ object Ingest {
     * checkpoints remember processed files, so removal is safe for
     * them; a NEW consumer afterwards starts from the pruned suffix).
     */
-  def pruneChangeFeed(tableDir: String, beforeBatch: Long): Unit = {
-    val feedDir = new java.io.File(tableDir, "feed")
-    Option(feedDir.listFiles()).toSeq.flatten
-      .filter { f =>
-        f.getName.startsWith("b") &&
-          scala.util.Try(f.getName.drop(1).takeWhile(_ != '-').toLong)
+  def pruneChangeFeed(tableDir: String, beforeBatch: Long)
+                     (implicit store: TableStore): Seq[String] = {
+    val feedDir = store.child(tableDir, "feed")
+    store.listNames(feedDir)
+      .filter { n =>
+        n.startsWith("b") &&
+          scala.util.Try(n.drop(1).takeWhile(_ != '-').toLong)
             .toOption.exists(_ < beforeBatch)
       }
-      .foreach(f => { f.delete(); () })
+      .map { n => store.delete(store.child(feedDir, n)); n }
+  }
+
+  /** VACUUM for the table format — the one scheduled maintenance pass
+    * that reclaims everything a running table sheds, AUDITED: returns
+    * one row per removed object `(kind, name)` so an operator can see
+    * (and log) exactly what a pass reclaimed. Three sweeps in one call:
+    *
+    *   - `version`: crashed partial builds, superseded generations and
+    *     committed snapshots beyond `keepVersions` (the same rules the
+    *     sink's own post-commit cleanup applies — this is that sweep,
+    *     runnable out-of-band with its own, usually tighter, retention);
+    *   - `feed`: published change-feed slices for batches below
+    *     `feedBeforeBatch` — the CONSUMER-ACKNOWLEDGED watermark. The
+    *     consumer-still-reading race is governed by contract, not
+    *     detection: feed files are immutable and consumers checkpoint
+    *     processed files, so pruning strictly below the lowest
+    *     consumer's committed watermark can never remove a file a
+    *     consumer still needs — pass the MIN over consumers (or None
+    *     while any consumer's position is unknown, pruning nothing). A
+    *     late NEW consumer starts from the pruned suffix by design.
+    *   - `scratch`: an orphaned `CURRENT.tmp` from a crashed pointer
+    *     write (reported only when present).
+    *
+    * `graceMs` extends the same reader-isolation grace the sink's
+    * cleanup honors. Snapshot readers are isolated exactly as they are
+    * from the sink's own cleanup: retention plus grace bounds the race
+    * window, single-writer-plus-maintenance is the deployment contract.
+    */
+  def vacuumUpsertTable(spark: SparkSession, tableDir: String,
+                        keepVersions: Int,
+                        feedBeforeBatch: Option[Long] = None,
+                        graceMs: Long = 0L)
+                       (implicit store: TableStore): DataFrame = {
+    require(store.exists(store.child(tableDir, "_meta")),
+      s"not an upsert table (no _meta): $tableDir")
+    val hadTmp = store.exists(store.child(tableDir, "CURRENT.tmp"))
+    val sweptVersions = cleanupStale(tableDir, keepVersions, graceMs)
+    val sweptFeed = feedBeforeBatch.toSeq
+      .flatMap(b => pruneChangeFeed(tableDir, b))
+    import spark.implicits._
+    (sweptVersions.map("version" -> _) ++
+      sweptFeed.map("feed" -> _) ++
+      (if (hadTmp) Seq("scratch" -> "CURRENT.tmp") else Nil))
+      .toDF("kind", "name")
   }
 }

@@ -74,13 +74,13 @@ object StatsManifest {
     * planner holds. An empty survivor set returns a typed empty scan.
     */
   def prunedScan(spark: SparkSession, path: String,
-                 bounds: Seq[(String, Any, Any)]): DataFrame = {
+                 bounds: Seq[(String, Any, Any)])
+                (implicit store: TableStore): DataFrame = {
     // the manifest dir is underscore-prefixed so TABLE reads never see
     // it; reading it back therefore names its part files explicitly
     // (a leading-underscore path handed to the reader is otherwise
     // subject to the same hidden-file filtering that protects it)
-    val files = survivingFiles(spark,
-      new java.io.File(new java.io.File(path), ManifestDir), bounds)
+    val files = survivingFiles(spark, store.child(path, ManifestDir), bounds)
       .getOrElse(throw new IllegalArgumentException(
         s"no stats manifest under $path/$ManifestDir — write the table " +
           "with writeWithStats"))
@@ -98,10 +98,11 @@ object StatsManifest {
     * stats-pruned read (`Ingest.readUpsertTableWhere`). The only
     * driver-side materialization is the surviving file list.
     */
-  def survivingFiles(spark: SparkSession, manifestDir: java.io.File,
-                     bounds: Seq[(String, Any, Any)]): Option[Seq[String]] = {
-    val mparts = Option(manifestDir.listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+  def survivingFiles(spark: SparkSession, manifestDir: String,
+                     bounds: Seq[(String, Any, Any)])
+                    (implicit store: TableStore): Option[Seq[String]] = {
+    val mparts = store.listNames(manifestDir)
+      .filter(_.endsWith(".parquet")).map(store.child(manifestDir, _))
     if (mparts.isEmpty) None
     else {
       val manifest = spark.read.parquet(mparts: _*)

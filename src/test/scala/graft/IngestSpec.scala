@@ -1093,6 +1093,92 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.readUpsertTable(spark, table).count() === 1)
   }
 
+  test("occRetries: two interleaved writers both commit, no lost update") {
+    import spark.implicits._
+    val table = tmp() + "/occ_retry"
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 10)(Seq((1L, 1.0)).toDF("user_id", "value"), 0L)
+    // Writer A: a wide batch whose merge write is slow enough for a
+    // competing commit to land mid-flight. Writer B: a legitimate
+    // second writer committing through the sink while A's write runs.
+    // With occRetries, whichever writer loses the pointer CAS re-merges
+    // against the winner's snapshot and commits — BOTH batches must
+    // land, in either order, with no lost update.
+    val big = spark.range(100000)
+      .select((col("id") + 100).as("user_id"), rand(11).as("value"))
+    @volatile var bErr: Option[Throwable] = None
+    @volatile var sawInFlight = false
+    val writerB = new Thread(() => {
+      try {
+        val tmpDir = new java.io.File(table, "v_1/_temporary")
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!tmpDir.exists() && System.nanoTime() < deadline)
+          Thread.sleep(1)
+        if (tmpDir.exists()) {
+          sawInFlight = true
+          Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+            keepVersions = 10, occRetries = 2)(
+            Seq((2L, 2.0)).toDF("user_id", "value"), 7L)
+        }
+      } catch { case t: Throwable => bErr = Some(t) }
+    })
+    writerB.start()
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 10, occRetries = 2)(big, 1L)
+    writerB.join()
+    assert(sawInFlight,
+      "writer B never observed A's in-flight write — race not exercised")
+    assert(bErr.isEmpty, s"writer B failed: $bErr")
+    // both commits durable: ledger holds both ids, state holds both rows
+    val ledger = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(table, "_commits").toPath))
+    assert(ledger.linesIterator.toSet === Set("0", "1", "7"), ledger)
+    val state = Ingest.readUpsertTable(spark, table)
+    assert(state.count() === 100002)
+    assert(state.filter(col("user_id") === 2L).select("value")
+      .as[Double].head() === 2.0)
+  }
+
+  test("vacuumUpsertTable: audited sweep of versions, feed slices, scratch") {
+    import spark.implicits._
+    val table = tmp() + "/vac_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+        keepVersions = 10, changeFeed = true)(
+        rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0)); up(1, (2L, 2.0)); up(2, (1L, 1.5)); up(3, (3L, 3.0))
+    // a crashed partial build and an orphaned pointer tmp to reclaim
+    new java.io.File(table, "v_9").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$table/CURRENT.tmp"), "junk")
+    // consumers acknowledged through batch 1 → prune feed strictly below 2
+    val audit = Ingest.vacuumUpsertTable(spark, table, keepVersions = 2,
+      feedBeforeBatch = Some(2L))
+      .as[(String, String)].collect().toSet
+    assert(audit.contains(("version", "v_9")), audit) // crashed build
+    assert(audit.contains(("version", "v_0")) &&
+      audit.contains(("version", "v_1")), audit) // beyond retention
+    assert(audit.contains(("scratch", "CURRENT.tmp")), audit)
+    assert(audit.exists { case (k, n) => k == "feed" && n.startsWith("b0-") }, audit)
+    assert(audit.exists { case (k, n) => k == "feed" && n.startsWith("b1-") }, audit)
+    // nothing at or above the consumer watermark was touched
+    assert(!audit.exists { case (k, n) => k == "feed" && n.startsWith("b2-") }, audit)
+    assert(!audit.exists { case (k, n) => k == "feed" && n.startsWith("b3-") }, audit)
+    // the table still serves CURRENT and every retained as-of
+    assert(Ingest.readUpsertTable(spark, table).count() === 3)
+    assert(Ingest.readUpsertTable(spark, table, Some(2L)).count() === 2)
+    // change availability for the un-vacuumed suffix is intact
+    assert(Ingest.readTableChanges(spark, table, 2, 3)
+      .select("_batch_id").distinct().count() === 2)
+    // and the pruned prefix fails LOUDLY, never returns a hole
+    val e = intercept[IllegalArgumentException] {
+      Ingest.readTableChanges(spark, table, 0, 3).collect()
+    }
+    assert(e.getMessage.contains("retention"), e.getMessage)
+    // a second vacuum is a no-op: the audit is empty
+    assert(Ingest.vacuumUpsertTable(spark, table, keepVersions = 2,
+      feedBeforeBatch = Some(2L)).count() === 0)
+  }
+
   test("describeUpsertTable: ledger-complete history, -1 for swept snapshots") {
     import spark.implicits._
     val table = tmp() + "/hist_table"
