@@ -151,6 +151,43 @@ object Extended {
         .orderBy("c_mktsegment")
     })
 
+  /** Case-insensitive collation BREADTH (VERDICT r10 item 7): MySQL's
+    * `utf8_general_ci` default doesn't just compare equal case-blind —
+    * it GROUPS, de-duplicates and ORDERS case-blind. Exercised here on
+    * deliberately case-mangled data (priority strings upper/lowered by
+    * key parity): GROUP BY a `UTF8_LCASE`-collated key collapses the
+    * case variants into one group (5 groups, not 10), COUNT(DISTINCT
+    * raw) inside each group proves both variants were really present,
+    * and the ORDER BY sorts on the collated key. Output is normalized
+    * through `lower()` (a CI group's representative is whichever
+    * variant arrived first — unstable — so the stable projection is
+    * part of correct CI usage) and cast back to a default-collation
+    * string so the written schema matches the oracle's VARCHAR. DuckDB
+    * oracle via `lower()` normalization — the standard cross-engine
+    * encoding of ci semantics.
+    */
+  val qCollationCiFull: QuerySpec = QuerySpec(
+    "q_collation_ci_full",
+    Some("""WITH m AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                    ELSE lower(o_orderpriority) END AS prio_raw
+        FROM orders)
+      SELECT lower(prio_raw) AS prio, count(*) AS n,
+        count(DISTINCT prio_raw) AS case_variants
+      FROM m GROUP BY lower(prio_raw) ORDER BY prio"""),
+    (spark, dir) => {
+      val mangled = Tables.load(spark, dir, "orders")
+        .select(when(col("o_orderkey") % 2 === 0, upper(col("o_orderpriority")))
+          .otherwise(lower(col("o_orderpriority"))).as("prio_raw"))
+      mangled
+        .groupBy(collate(col("prio_raw"), "UTF8_LCASE").as("k"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("prio_raw")).as("case_variants"))
+        .orderBy(col("k")) // CI ordering on the collated key
+        .select(lower(col("k")).cast("string").as("prio"),
+          col("n"), col("case_variants"))
+    })
+
   // --- bivariate statistics (§2.4 depth): correlation, covariance,
   //     least-squares regression over price vs quantity per return
   //     flag. Aggregates of doubles → rounded (summation order varies
@@ -410,7 +447,8 @@ object Extended {
   def specs: Seq[QuerySpec] = Seq(
     qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qApproxPercentile,
     qGroupingSets,
-    qCollationCi, qCorrRegr, qWordCount, qArrayFns, qHashFns, qNullLogic,
+    qCollationCi, qCollationCiFull, qCorrRegr, qWordCount, qArrayFns,
+    qHashFns, qNullLogic,
     qMapFns, qIntersectAll, qExceptAll, qRegexp, qDateArith, qStringMore,
     qArrayMore)
 }

@@ -84,9 +84,8 @@ object Ivf {
     val joined = pc.join(cells, Seq("cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim", round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    joined.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // bounded per-probe selection — nothing sorts more than k rows
+    VectorOps.rankPerProbe(joined, "sim", k, largest = true)
       .select("probe_id", "neighbor_id", "sim", "rk")
   }
 

@@ -162,22 +162,23 @@ object Pq {
   private def shortlistRerank(emb: DataFrame, probes: DataFrame,
                               adc: DataFrame, k: Int,
                               shortlist: Int): DataFrame = {
-    val ws = Window.partitionBy("probe_id")
-      .orderBy(col("approx").desc, col("vec_id"))
-    val short = adc.withColumn("srk", row_number().over(ws))
-      .filter(col("srk") <= shortlist)
-      .select("probe_id", "vec_id")
+    // bounded per-probe selection on both stages (VERDICT r10 item 4):
+    // nothing sorts more than shortlist (then k) rows per probe
+    val selS = udaf(new graft.functions.TopByAgg(shortlist, largest = true),
+      graft.functions.TopByAgg.inputEncoder)
+    val short = adc.groupBy("probe_id")
+      .agg(selS(col("approx"), col("vec_id")).as("cands"))
+      .select(col("probe_id"), explode(col("cands._2")).as("vec_id"))
     val rerank = short
       .join(emb.select(col("vec_id"), col("embedding").as("cvec")), "vec_id")
       .join(broadcast(probes.select(col("vec_id").as("probe_id"),
         col("embedding").as("pvec"))), "probe_id")
       .withColumn("sim",
         round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    rerank.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("sim"), col("rk"))
+    VectorOps.rankPerProbe(
+        rerank.withColumnRenamed("vec_id", "neighbor_id"), "sim", k,
+        largest = true)
+      .select("probe_id", "neighbor_id", "sim", "rk")
   }
 
   /** ADC top-k with exact rerank. The corpus side of the scan is the

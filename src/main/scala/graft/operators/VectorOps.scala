@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QuerySpec
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TopByAgg}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -33,6 +33,42 @@ object VectorOps {
     dot / (sqrt(na) * sqrt(nb))
   }
 
+  /** Bounded per-probe rank selection: fold `(scoreCol, neighbor_id)`
+    * candidates into a size-`k` heap per probe (partial map-side
+    * aggregation — see [[graft.functions.TopByAgg]]), then explode the
+    * winners best-first with their 1-based rank. Replaces the
+    * `row_number().over(partitionBy(probe_id))` windows that sorted
+    * each probe's FULL candidate slice through the shuffle (VERDICT
+    * r10 item 4): the shuffle now moves partitions × k entries per
+    * probe instead of the candidate stream, and nothing sorts more
+    * than k rows. Ordering and tie-breaks are the windows' exactly —
+    * (score DESC|ASC, neighbor_id ASC) — pinned by the `_exact` twins'
+    * shared brute-force oracle.
+    */
+  private[operators] def rankPerProbe(cand: DataFrame, scoreCol: String,
+                                      k: Int, largest: Boolean): DataFrame = {
+    val sel = udaf(new TopByAgg(k, largest), TopByAgg.inputEncoder)
+    cand.groupBy("probe_id")
+      .agg(sel(col(scoreCol).cast("double"), col("neighbor_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("probe_id"), col("c._2").as("neighbor_id"),
+        col("c._1").as(scoreCol), (col("pos") + 1).as("rk"))
+  }
+
+  /** Bounded per-probe shortlist MEMBERSHIP (ids only, plus the probe
+    * vector carried for the rerank): the coarse-scan half of the
+    * two-stage ANN paths.
+    */
+  private[operators] def shortlistPerProbe(cand: DataFrame, scoreCol: String,
+                                           s: Int, largest: Boolean): DataFrame = {
+    val sel = udaf(new TopByAgg(s, largest), TopByAgg.inputEncoder)
+    cand.groupBy("probe_id")
+      .agg(first(col("pvec")).as("pvec"),
+        sel(col(scoreCol).cast("double"), col("neighbor_id")).as("cands"))
+      .select(col("probe_id"), col("pvec"),
+        explode(col("cands._2")).as("neighbor_id"))
+  }
+
   /** Brute-force top-k: per probe, k nearest corpus vectors by rounded
     * cosine (rounding before ranking keeps cross-engine rank stable).
     */
@@ -44,9 +80,7 @@ object VectorOps {
                                col("embedding").as("cvec")))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim", round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    joined.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    rankPerProbe(joined, "sim", k, largest = true)
       .select("probe_id", "neighbor_id", "sim", "rk")
   }
 
@@ -152,9 +186,7 @@ object VectorOps {
     val joined = probes.join(corpus, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim", round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    joined.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    rankPerProbe(joined, "sim", k, largest = true)
       .select("probe_id", "neighbor_id", "sim", "rk")
   }
 
@@ -466,9 +498,7 @@ object VectorOps {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("hd", bit_count(col("psig").bitwiseXOR(col("sig"))))
     val short = shortlist.fold(ham) { s =>
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("hd"), col("neighbor_id"))
-      ham.withColumn("hrk", row_number().over(w)).filter(col("hrk") <= s)
+      shortlistPerProbe(ham, "hd", s, largest = false)
     }
     // true vectors fetched for the shortlist only (keyed join)
     val rer = short.join(
@@ -476,9 +506,7 @@ object VectorOps {
           col("embedding").as("cvec")), Seq("neighbor_id"))
       .withColumn("sim",
         round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
-    val w2 = Window.partitionBy("probe_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    rer.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+    rankPerProbe(rer, "sim", k, largest = true)
       .select("probe_id", "neighbor_id", "sim", "rk")
   }
 
@@ -540,17 +568,15 @@ object VectorOps {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("hd", bit_count(col("psig").bitwiseXOR(col("sig"))))
     val short = shortlist.fold(cand) { s =>
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("hd"), col("neighbor_id"))
-      cand.withColumn("hrk", row_number().over(w)).filter(col("hrk") <= s)
+      // membership selection drops cvec; fetch the true vectors for the
+      // shortlist only (keyed join) — the same rerank shape as BQ
+      shortlistPerProbe(cand, "hd", s, largest = false)
+        .join(cells.select(col("neighbor_id"), col("cvec")),
+          Seq("neighbor_id"))
     }
-    val w2 = Window.partitionBy("probe_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    short
-      .withColumn("sim",
-        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= k)
+    val rer = short.withColumn("sim",
+      round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
+    rankPerProbe(rer, "sim", k, largest = true)
       .select("probe_id", "neighbor_id", "sim", "rk")
   }
 
