@@ -48,31 +48,50 @@ object Ivf {
     * (callers needing only the core triple project it; extra columns —
     * e.g. the feed-maintained index's liveness/batch-id bookkeeping —
     * ride through the argmin).
+    *
+    * The argmin is ONE hash aggregation (the `Clustering.kmeansCosine`
+    * pattern): `max` on a `(sim, -cid)` struct is lexicographic —
+    * highest sim, then LOWEST cid, the identical tie-break a
+    * `row_number().over(orderBy(sim.desc, cid))` window applies — and
+    * the partial agg combines map-side, so the shuffle moves one
+    * pre-reduced row per vector. The window form this replaces
+    * (VERDICT r11 item 2) shuffled the full corpus×k cross product —
+    * each row carrying the embedding k times — then sorted per key: at
+    * a realistic k=4096 cells that is a 4096× shuffle inflation in
+    * every build iteration and every maintenance fold.
     */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val inCols = emb.columns.toSeq
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val others = inCols.filterNot(_ == "vec_id")
     emb
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select((inCols :+ "cid").map(col): _*)
+      .groupBy("vec_id")
+      .agg(
+        max(struct(
+          GraftFunctions.cosineSim(col("embedding"), col("centroid")).as("sim"),
+          (-col("cid")).as("negcid"))).as("m"),
+        others.map(c => first(col(c)).as(c)): _*)
+      .select(inCols.map(col) :+ (-col("m.negcid")).as("cid"): _*)
   }
 
   /** Probe's candidate cells: nProbe nearest centroids per probe.
     * Shared with [[Pq.searchIvfPq]] — the IVF coarse quantizer is the
     * same whether the fine ranking is exact cosine or PQ codes.
+    * Bounded-heap selection ([[VectorOps.shortlistPerProbe]]) with the
+    * window's exact tie-break (sim DESC, cid ASC) — nothing sorts more
+    * than nProbe rows per probe, and the shuffle carries one
+    * pre-reduced row per probe instead of the probes×k cross product.
     */
   private[operators] def probeCells(probes: DataFrame, centroids: DataFrame,
                                     nProbe: Int): DataFrame = {
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cid"))
-    probes.select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val cand = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
       .crossJoin(broadcast(centroids))
       .withColumn("sim", GraftFunctions.cosineSim(col("pvec"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe)
-      .select("probe_id", "pvec", "cid")
+      .select(col("probe_id"), col("pvec"),
+        col("cid").cast("long").as("neighbor_id"), col("sim"))
+    VectorOps.shortlistPerProbe(cand, "sim", nProbe, largest = true)
+      .select(col("probe_id"), col("pvec"),
+        col("neighbor_id").cast("int").as("cid"))
   }
 
   /** ANN top-k against an in-memory (centroids, cells) pair. Same output
