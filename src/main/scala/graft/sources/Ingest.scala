@@ -109,6 +109,12 @@ object Ingest {
     */
   val UpsertBucketCol = "bkt"
 
+  /** How long a post-commit cleanup in two-writer OCC mode shields an
+    * UNCOMMITTED build dir (a competing writer's possibly-in-flight
+    * merge) before treating it as crashed — see [[cleanupStale]].
+    */
+  val OccInflightGraceMs: Long = 10L * 60 * 1000
+
   /** Committed batchIds of an upsert table. A torn/garbage line from a
     * crash mid-append degrades to "uncommitted" (safe: the merge is
     * idempotent), never a hard failure. Shared by the writer's replay
@@ -190,9 +196,21 @@ object Ingest {
     * mtime) than the grace window survives even when out of retention,
     * so deleting a snapshot from under a reader requires BOTH an
     * out-of-retention snapshot AND a reader older than the grace.
+    *
+    * `inflightGraceMs` (zero under the single-writer contract, where an
+    * uncommitted dir is by definition a crashed build and is swept
+    * immediately) additionally shields UNCOMMITTED gen-0 dirs younger
+    * than the window: in two-writer OCC mode the competing writer's
+    * `v_<batchId>` build is legitimately mid-write when this writer's
+    * post-commit cleanup runs, and deleting it would kill the
+    * competitor's Spark write with an arbitrary IOException instead of
+    * letting its pointer CAS lose cleanly. A genuinely crashed build
+    * then lingers one window before a later cleanup sweeps it — the
+    * price of not being able to distinguish "crashed" from "in flight"
+    * on a filesystem.
     */
   private def cleanupStale(root: String, keepVersions: Int,
-                           graceMs: Long)
+                           graceMs: Long, inflightGraceMs: Long = 0L)
                           (implicit store: TableStore): Seq[String] = {
     val cur = readCurrentName(root)
     val committed = readLedger(root)
@@ -212,6 +230,11 @@ object Ingest {
       .filterNot { case (n, b, g) =>
         committed.contains(b) && genComplete(root, n, g, cur) &&
           graceMs > 0 && now - store.lastModified(store.child(root, n)) < graceMs
+      }
+      .filterNot { case (n, b, g) =>
+        // possibly a competing OCC writer's in-flight build — see above
+        g == 0 && !committed.contains(b) && inflightGraceMs > 0 &&
+          now - store.lastModified(store.child(root, n)) < inflightGraceMs
       }
       .map { case (n, _, _) => store.deleteTree(store.child(root, n)); n }
     store.delete(store.child(root, "CURRENT.tmp"))
@@ -363,8 +386,14 @@ object Ingest {
     * is exactly as strong as the store's [[TableStore.putConditional]]
     * (airtight within one JVM and on conditional-put object stores;
     * best-effort — microsecond window — across processes on a plain
-    * filesystem). Retries re-run the merge at full cost; contended
-    * tables should still prefer one writer per table.
+    * filesystem). A conflict can also surface as an arbitrary I/O
+    * failure BEFORE the CAS (the competitor's post-commit cleanup
+    * sweeping this writer's in-flight build): with retries armed, any
+    * failure while CURRENT provably moved re-merges too, and each
+    * OCC-mode cleanup shields young uncommitted builds
+    * ([[OccInflightGraceMs]]) so the race is closed from both sides.
+    * Retries re-run the merge at full cost; contended tables should
+    * still prefer one writer per table.
     */
   def upsertParquet(tableDir: String, keys: Seq[String], nBuckets: Int = 16,
                     keepVersions: Int = 1, deleteCol: Option[String] = None,
@@ -375,19 +404,33 @@ object Ingest {
                     constraints: Seq[(String, String)] = Nil,
                     occRetries: Int = 0)
                    (batch: DataFrame, batchId: Long)
-                   (implicit store: TableStore): Unit =
+                   (implicit store: TableStore): Unit = {
+    val before = readCurrentName(tableDir)
+    def retry(): Unit =
+      upsertParquet(tableDir, keys, nBuckets, keepVersions, deleteCol,
+        graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
+        constraints, occRetries - 1)(batch, batchId)
     try upsertOnce(tableDir, keys, nBuckets, keepVersions, deleteCol,
       graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-      constraints)(batch, batchId)
+      constraints, occMode = occRetries > 0)(batch, batchId)
     catch {
       // a competing commit moved CURRENT mid-merge: nothing durable was
       // written, the merge is replay-idempotent, so re-merging against
       // the competitor's snapshot is a clean second attempt
       case _: java.util.ConcurrentModificationException if occRetries > 0 =>
-        upsertParquet(tableDir, keys, nBuckets, keepVersions, deleteCol,
-          graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-          constraints, occRetries - 1)(batch, batchId)
+        retry()
+      // any OTHER failure while CURRENT provably moved under us is the
+      // same conflict wearing a different exception: the competitor's
+      // post-commit cleanup may have swept this writer's in-flight
+      // v_<batchId> build (killing the Spark write with an arbitrary
+      // IOException before the CAS could lose cleanly). Our pointer
+      // never swapped — or swapped and the replay path below completes
+      // the commit idempotently — so a re-merge is safe either way.
+      case scala.util.control.NonFatal(_)
+          if occRetries > 0 && readCurrentName(tableDir) != before =>
+        retry()
     }
+  }
 
   private def upsertOnce(tableDir: String, keys: Seq[String], nBuckets: Int,
                     keepVersions: Int, deleteCol: Option[String],
@@ -395,7 +438,8 @@ object Ingest {
                     lazyDeletes: Boolean,
                     sortCols: Seq[String],
                     filesPerBucket: Int,
-                    constraints: Seq[(String, String)])
+                    constraints: Seq[(String, String)],
+                    occMode: Boolean)
                    (batch: DataFrame, batchId: Long)
                    (implicit store: TableStore): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
@@ -473,7 +517,10 @@ object Ingest {
     def readCurrent(): Option[String] = readCurrentName(root)
     def commit(): Unit = {
       store.appendLog(commitsPath, s"$batchId")
-      cleanupStale(root, keepVersions, graceMs)
+      // in two-writer OCC mode the other writer's uncommitted build may
+      // be legitimately in flight — shield young ones from this sweep
+      cleanupStale(root, keepVersions, graceMs,
+        inflightGraceMs = if (occMode) OccInflightGraceMs else 0L)
       // publish AFTER the ledger append: a crashed uncommitted build
       // must never leak feed files (its rewrite on replay could differ)
       if (changeFeed) publishFeedSlice(root, batchId)

@@ -98,6 +98,13 @@ trait TableStore {
     * content is `expect` (None = must not exist). Returns false —
     * publishing NOTHING — when the content moved. See the contract
     * above for the atomicity each backend must provide.
+    *
+    * The comparison is on WHITESPACE-TRIMMED content (and an
+    * empty-after-trim object equals None): callers build `expect` from
+    * a trimmed read, and a stray trailing newline from external
+    * tooling must degrade to a normal CAS, not a permanent
+    * "moved from X to X" conflict. Remote impls comparing by
+    * version/ETag instead of content satisfy this trivially.
     */
   def putConditional(dir: String, name: String,
                      expect: Option[String], body: String): Boolean
@@ -168,7 +175,9 @@ object LocalTableStore extends TableStore {
   override def putConditional(dir: String, name: String,
                               expect: Option[String], body: String): Boolean =
     synchronized {
-      if (read(child(dir, name)) != expect) false
+      // trimmed comparison per the trait contract
+      val have = read(child(dir, name)).map(_.trim).filter(_.nonEmpty)
+      if (have != expect.map(_.trim).filter(_.nonEmpty)) false
       else { writeAtomic(dir, name, body); true }
     }
 

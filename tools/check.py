@@ -27,7 +27,10 @@ import re
 
 def canon_type(t):
     # collapse 8/16/32/64-bit ints (handles nested types too: BIGINT[]);
-    # HUGEINT deliberately NOT in the list. Timestamps compare by family
+    # HUGEINT and UBIGINT deliberately NOT in the list — neither fits
+    # int64, so values above 2^63-1 would genuinely diverge from any
+    # Spark column and must surface as a dtype mismatch, not be papered
+    # over by width normalization. Timestamps compare by family
     # (unit divergence shows up in VALUES, which the row diff catches).
     t = re.sub(r"\b(TINYINT|SMALLINT|INTEGER|BIGINT|UTINYINT|USMALLINT|UINTEGER)\b",
                "INT", t)
