@@ -8,11 +8,50 @@ import graft.sources.{Ingest, Tables}
 import java.nio.file.Files
 
 /** Source/sink surface: CSV/JSON strict round-trips, partitioned parquet
-  * sink with pruning, streaming file source, idempotent foreachBatch.
+  * sink with pruning, streaming file source, idempotent foreachBatch —
+  * and the full upsert-table-format battery, PARAMETERIZED over the
+  * control-plane [[graft.sources.TableStore]]: [[IngestSpec]] runs it
+  * against POSIX semantics, [[IngestObjectStoreSpec]] against the
+  * strict object-store double (no append, no rename, no hard links,
+  * CAS-only pointer swaps) — the machine check that the format never
+  * reaches around the seam or silently relies on a POSIX power.
   */
-class IngestSpec extends AnyFunSuite {
+abstract class IngestSuiteBase extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
+
+  /** The control-plane store every format call in this suite runs
+    * through (shadows the default `TableStore.local` implicit).
+    */
+  implicit def store: graft.sources.TableStore
+
+  /** POSIX semantics: version-to-version sharing is hard links (same
+    * inode) — false under the object store, where sharing is copies.
+    */
+  def posixLinks: Boolean
+
+  /** Identity of a data file for rewrite detection: the inode under
+    * POSIX (pins the zero-I/O link sharing), a content digest under
+    * the object store (a copied file shares bytes, not inodes —
+    * bucket-scoping is then "untouched buckets byte-identical").
+    */
+  def fileId(f: java.io.File): String
+
+  protected def md5(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Simulate a crash mid-ledger-append: a torn/garbage trailing
+    * record that must parse as "committed or not" without bricking.
+    */
+  def tearLedger(table: String): Unit
+
+  /** Simulate the swap→append crash window: batchId's commit record is
+    * lost from the ledger (CURRENT already names its version).
+    */
+  def dropLedgerEntry(table: String, batchId: Long): Unit
 
   private def tmp(): String = Files.createTempDirectory("graft-ingest").toString
 
@@ -174,15 +213,17 @@ class IngestSpec extends AnyFunSuite {
       .filter(col("user_id") === 1).head.getAs[Double]("value") === 7.0)
   }
 
-  private def inodesByBucket(table: String): Map[String, Set[Long]] = {
+  private def currentName(table: String): String =
+    store.read(store.child(table, "CURRENT")).map(_.trim)
+      .getOrElse(fail(s"no CURRENT pointer under $table"))
+
+  private def inodesByBucket(table: String): Map[String, Set[String]] = {
     val root = new java.io.File(table)
-    val cur = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(root, "CURRENT").toPath)).trim
-    Option(new java.io.File(root, cur).listFiles()).toSeq.flatten
+    Option(new java.io.File(root, currentName(table)).listFiles())
+      .toSeq.flatten
       .filter(_.isDirectory).map { b =>
         b.getName -> Option(b.listFiles()).toSeq.flatten.filter(_.isFile)
-          .map(f => java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
-            .asInstanceOf[Long]).toSet
+          .map(fileId).toSet
       }.toMap
   }
 
@@ -221,20 +262,15 @@ class IngestSpec extends AnyFunSuite {
       Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4)(
         rows.toDF("user_id", "value"), id)
     up(0, 1L -> 1.0, 2L -> 2.0)
-    // torn line from a crash mid-append must degrade to "uncommitted",
-    // not NumberFormatException-brick the sink
-    val ledger = java.nio.file.Paths.get(table, "_commits")
-    java.nio.file.Files.writeString(ledger,
-      java.nio.file.Files.readString(ledger) + "9", // no trailing newline
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    // torn/garbage ledger record from a crash mid-append must degrade
+    // to "uncommitted", not NumberFormatException-brick the sink
+    tearLedger(table)
     up(1, 3L -> 3.0)
     assert(Ingest.readUpsertTable(spark, table).count() === 3)
     // crash window between pointer swap and ledger append: CURRENT names
     // v_1 but the ledger lost the record — replay must just re-commit,
     // not rebuild (inodes unchanged), and the table stays correct
-    val kept = java.nio.file.Files.readAllLines(ledger)
-    java.nio.file.Files.write(ledger,
-      java.util.List.of(kept.get(0))) // drop batch 1's record
+    dropLedgerEntry(table, 1L)
     val before = inodesByBucket(table)
     up(1, 3L -> 999.0) // replayed content is irrelevant; state already has it
     assert(inodesByBucket(table) === before, "lost-commit replay rebuilt data")
@@ -590,14 +626,11 @@ class IngestSpec extends AnyFunSuite {
   test("rebucket rewrites the snapshot under a new hash; data and lookups intact") {
     import spark.implicits._
     val table = tmp() + "/rb_table"
-    def bucketDirs(): Set[String] = {
-      val root = new java.io.File(table)
-      val cur = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(root, "CURRENT").toPath)).trim
-      Option(new java.io.File(root, cur).listFiles()).toSeq.flatten
+    def bucketDirs(): Set[String] =
+      Option(new java.io.File(table, currentName(table)).listFiles())
+        .toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
         .map(_.getName).toSet
-    }
     Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10)(
       (1L to 40L).map(k => k -> k.toDouble).toDF("k", "v"), 0L)
     Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 10)(
@@ -621,7 +654,7 @@ class IngestSpec extends AnyFunSuite {
     assert(lk.select("v").head.getDouble(0) === 70.0)
     // time travel to batch 0 prunes with the OLD count: rebucket
     // stamped _nbuckets into the retained pre-rebucket snapshot
-    assert(new java.io.File(table, "v_0/_nbuckets").exists())
+    assert(store.exists(store.child(table, "v_0/_nbuckets")))
     val lk0 = Ingest.lookupUpsertTable(spark, table, probe, asOfBatch = Some(0L))
     assert(lk0.select("v").head.getDouble(0) === 7.0)
     // a writer still passing the old count fails loudly...
@@ -675,7 +708,7 @@ class IngestSpec extends AnyFunSuite {
         .select(col("g"), sign.as("s"), (sign * col("cents")).as("sc"))
         .groupBy("g").agg(sum("s").as("n"), sum("sc").as("cents"))
       val merged =
-        if (!new java.io.File(mv, "CURRENT").exists()) delta
+        if (store.read(store.child(mv, "CURRENT")).isEmpty) delta
         else Ingest.readUpsertTable(spark, mv).unionByName(delta)
           .groupBy("g").agg(sum("n").as("n"), sum("cents").as("cents"))
       Ingest.upsertParquet(mv, Seq("g"), nBuckets = 2)(merged, id)
@@ -733,7 +766,7 @@ class IngestSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("batch 0"), ex.getMessage)
     assert(ex.getMessage.contains("pre-reduce"), ex.getMessage)
     // nothing was committed or pointed at
-    assert(!new java.io.File(table, "CURRENT").exists())
+    assert(store.read(store.child(table, "CURRENT")).isEmpty)
   }
 
   test("published feed: hard-linked at commit, heals crash window, streamable") {
@@ -751,15 +784,12 @@ class IngestSpec extends AnyFunSuite {
       Option(feed.listFiles()).toSeq.flatten
         .filter(_.getName.startsWith(s"b$b-")).toSeq
     assert((0L to 2L).forall(feedFiles(_).nonEmpty), "feed slices not published")
-    // published files are LINKS of the version's _changes (same inode)
-    def inode(f: java.io.File): Long =
-      java.nio.file.Files.readAttributes(f.toPath,
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-        .fileKey().toString.hashCode.toLong
+    // published files share the version's _changes content — same inode
+    // under POSIX (hard links), same bytes under the object store (copies)
     val v2ch = new java.io.File(table, "v_2/_changes").listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    assert(v2ch.map(inode).toSet === feedFiles(2L).map(inode).toSet,
-      "feed files are not hard links of the version's changes")
+    assert(v2ch.map(fileId).toSet === feedFiles(2L).map(fileId).toSet,
+      "feed files do not share the version's changes")
     // crash window: commit landed, publish didn't — replay heals it
     feedFiles(1L).foreach(_.delete())
     assert(feedFiles(1L).isEmpty)
@@ -798,7 +828,7 @@ class IngestSpec extends AnyFunSuite {
         rows.toDF("user_id", "value", "_del"), id)
     up(0, lazyDel = false,
       (1L, 1.0, false), (2L, 2.0, false), (3L, 3.0, false), (4L, 4.0, false))
-    def buckets(m: Map[String, Set[Long]]): Map[String, Set[Long]] =
+    def buckets(m: Map[String, Set[String]]): Map[String, Set[String]] =
       m.filter(_._1.startsWith("bkt=")) // ignore the _deletes dir itself
     val before = buckets(inodesByBucket(table))
     // batch 1: pure deletes, lazy — NO bucket may be rewritten
@@ -857,9 +887,7 @@ class IngestSpec extends AnyFunSuite {
     up(3, lazyDel = true, (other, 0.0, true))
     assert(new java.io.File(table, "v_3/_deletes").isDirectory)
     Ingest.rebucketUpsertTable(spark, table, 4)
-    val cur = new java.io.File(table,
-      new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(table, "CURRENT").toPath)).trim)
+    val cur = new java.io.File(table, currentName(table))
     assert(!new java.io.File(cur, "_deletes").exists(),
       "rebucket carried the vector instead of applying it")
     assert(Ingest.readUpsertTable(spark, table)
@@ -939,8 +967,7 @@ class IngestSpec extends AnyFunSuite {
     assert(wide.select("user_id").as[Long].collect().toSeq === Seq(10L))
     // rebucket preserves the layout properties and rebuilds the manifest
     Ingest.rebucketUpsertTable(spark, table, 4)
-    val cur = new java.io.File(table, new String(java.nio.file.Files
-      .readAllBytes(new java.io.File(table, "CURRENT").toPath)).trim)
+    val cur = new java.io.File(table, currentName(table))
     assert(new java.io.File(cur, "_stats").isDirectory,
       "rebucket dropped the manifest")
     val again = Ingest.readUpsertTableWhere(spark, table,
@@ -965,9 +992,7 @@ class IngestSpec extends AnyFunSuite {
     val before = Ingest.readUpsertTable(spark, table)
       .select("user_id", "value").as[(Long, Long)].collect().toSet
     Ingest.optimizeUpsertTable(spark, table)
-    def cur(): java.io.File = new java.io.File(table,
-      new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(table, "CURRENT").toPath)).trim)
+    def cur(): java.io.File = new java.io.File(table, currentName(table))
     // new generation of the SAME batch: no batchId minted, debt applied
     assert(cur().getName === "v_1.1", cur().getName)
     assert(!new java.io.File(cur(), "_deletes").exists(),
@@ -1008,7 +1033,7 @@ class IngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("value_nonneg") &&
       e.getMessage.contains("name_not_null"), e.getMessage)
     assert(Ingest.readUpsertTable(spark, table).count() === 2)
-    assert(!new java.io.File(table, "v_1").exists(), "rejected batch left a version")
+    assert(!store.exists(store.child(table, "v_1")), "rejected batch left a version")
     // ANSI CHECK: a NULL value makes "value >= 0" NULL, which PASSES
     // (only definitively-FALSE violates; NOT NULL must be spelled out)
     Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
@@ -1041,7 +1066,6 @@ class IngestSpec extends AnyFunSuite {
         keepVersions = 10)(rows.toDF("user_id", "value"), id)
     up(0, (1L, 1.0))
     up(1, (2L, 2.0)) // CURRENT = v_1; this is the state A merges against
-    val cur = new java.io.File(table, "CURRENT")
     // Writer A: a wide batch whose merge write takes long enough for a
     // competing commit to land mid-flight. The watcher thread waits for
     // A's write job to START (the _temporary dir inside v_2 appears,
@@ -1058,16 +1082,12 @@ class IngestSpec extends AnyFunSuite {
         Thread.sleep(1)
       // only play writer B if A's write was actually observed in flight
       // — a deadline expiry must fail the test below, not corrupt the
-      // table with an unconditional pointer write. B commits via the
-      // same atomic tmp+rename the sink uses, so A never reads a torn
-      // pointer mid-write.
+      // table with an unconditional pointer write. B commits through
+      // the store's own atomic whole-object put, so A never reads a
+      // torn pointer mid-write.
       if (tmpDir.exists()) {
         sawInFlight = true
-        val t = new java.io.File(table, ".CURRENT.occ_b")
-        java.nio.file.Files.writeString(t.toPath, "v_0")
-        java.nio.file.Files.move(t.toPath, cur.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        store.writeAtomic(table, "CURRENT", "v_0")
       }
     })
     watcher.start()
@@ -1086,9 +1106,8 @@ class IngestSpec extends AnyFunSuite {
     assert(e.isInstanceOf[java.util.ConcurrentModificationException], e)
     assert(e.getMessage.contains("concurrent writer"), e.getMessage)
     // nothing durable from A: ledger has no batch 2
-    val ledger = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(table, "_commits").toPath))
-    assert(!ledger.linesIterator.contains("2"), ledger)
+    val ledger = store.readLog(store.child(table, "_commits")).map(_.trim)
+    assert(!ledger.contains("2"), ledger)
     // the surviving pointer still serves a complete committed snapshot
     assert(Ingest.readUpsertTable(spark, table).count() === 1)
   }
@@ -1130,9 +1149,8 @@ class IngestSpec extends AnyFunSuite {
       "writer B never observed A's in-flight write — race not exercised")
     assert(bErr.isEmpty, s"writer B failed: $bErr")
     // both commits durable: ledger holds both ids, state holds both rows
-    val ledger = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(table, "_commits").toPath))
-    assert(ledger.linesIterator.toSet === Set("0", "1", "7"), ledger)
+    val ledger = store.readLog(store.child(table, "_commits")).map(_.trim)
+    assert(ledger.toSet === Set("0", "1", "7"), ledger)
     val state = Ingest.readUpsertTable(spark, table)
     assert(state.count() === 100002)
     assert(state.filter(col("user_id") === 2L).select("value")
@@ -1196,4 +1214,53 @@ class IngestSpec extends AnyFunSuite {
       (1L, false, -1L, false),
       (2L, true, 3L, true)))
   }
+}
+
+/** The battery against POSIX control-plane semantics (today's exact
+  * production path): O_APPEND ledgers, tmp+rename pointer swaps,
+  * hard-link version sharing — inode identity pins the zero-I/O
+  * sharing contract.
+  */
+class IngestSpec extends IngestSuiteBase {
+  implicit def store: graft.sources.TableStore = graft.sources.LocalTableStore
+  def posixLinks: Boolean = true
+  def fileId(f: java.io.File): String =
+    java.nio.file.Files.getAttribute(f.toPath, "unix:ino").toString
+  def tearLedger(table: String): Unit = {
+    // a crash mid-append leaves a torn trailing line (no newline); the
+    // NEXT append concatenates onto it — both must parse defensively
+    val ledger = java.nio.file.Paths.get(table, "_commits")
+    java.nio.file.Files.writeString(ledger,
+      java.nio.file.Files.readString(ledger) + "9",
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+  }
+  def dropLedgerEntry(table: String, batchId: Long): Unit = {
+    val ledger = java.nio.file.Paths.get(table, "_commits")
+    val kept = new java.util.ArrayList[String]()
+    java.nio.file.Files.readAllLines(ledger)
+      .forEach(l => if (l.trim != batchId.toString) kept.add(l))
+    java.nio.file.Files.write(ledger, kept)
+  }
+}
+
+/** The same battery against the STRICT object-store double
+  * ([[graft.sources.ObjectTableStore]]): control objects live only in
+  * memory (a seam bypass reads nothing and fails loudly), ledgers are
+  * one object per entry, pointer swaps are conditional puts, version
+  * sharing is server-side copies. Green here = the format's
+  * crash-safety and sharing semantics survive losing every POSIX
+  * crutch — the S3/HDFS portability claim, machine-checked.
+  */
+class IngestObjectStoreSpec extends IngestSuiteBase {
+  private val objStore = new graft.sources.ObjectTableStore
+  implicit def store: graft.sources.TableStore = objStore
+  def posixLinks: Boolean = false
+  def fileId(f: java.io.File): String = md5(f)
+  def tearLedger(table: String): Unit =
+    // no append on an object store — the torn-line analogue is a
+    // foreign/garbage ledger OBJECT, which must parse as "uncommitted"
+    objStore.appendLog(objStore.child(table, "_commits"), "torn#garbage")
+  def dropLedgerEntry(table: String, batchId: Long): Unit =
+    objStore.dropLogEntries(objStore.child(table, "_commits"),
+      batchId.toString)
 }
