@@ -125,6 +125,102 @@ object AnnIndex {
       probes, k, nProbe)
   }
 
+  /** Index OPTIMIZE — the coarse-quantizer retraining the maintenance
+    * scaladoc above defers to "OPTIMIZE cadence": retrain `numCells`
+    * centroids from the index's CURRENT live vectors
+    * ([[Ivf.buildCentroids]] — deterministic seeding, no RNG state)
+    * and re-assign every vector, restoring the recall that centroid
+    * drift erodes (assignment stays nearest-centroid whatever the
+    * centroids are, so drift degrades recall, never correctness — but
+    * after enough churn the cells no longer partition the corpus
+    * well). Commits as one full-corpus batch through the sink (the
+    * deliberate full-rewrite cost class of
+    * [[Ingest.optimizeUpsertTable]] — run it rarely, on a drift or
+    * recall threshold, at 100 TB as the scheduled nightly/weekly job
+    * while per-batch folds keep the index fresh in between). Returns
+    * the retrained centroids (localCheckpointed, k rows) — the caller
+    * persists them as the new coarse quantizer alongside the index.
+    * Operates on the batch-maintained index shape
+    * (vec_id, embedding, cid).
+    */
+  def optimizeIndex(spark: SparkSession, idx: String, batchId: Long,
+                    numCells: Int = 16, iters: Int = 2): DataFrame = {
+    val state = Ingest.readUpsertTable(spark, idx)
+    val centroids = Ivf.buildCentroids(
+      state.select("vec_id", "embedding"), numCells, iters).localCheckpoint()
+    val reassigned = Ivf.assign(state.select("vec_id", "embedding"), centroids)
+      .withColumn("_del", lit(false))
+    Ingest.upsertParquet(idx, Seq("vec_id"), nBuckets = 4,
+      keepVersions = 1, deleteCol = Some("_del"),
+      sortCols = Seq("cid"), filesPerBucket = 2)(reassigned, batchId)
+    centroids
+  }
+
+  /** OPTIMIZE after drift, gated by the shared brute-force oracle: the
+    * index is maintained with a STALE quantizer trained on the
+    * perturbed batch-0 corpus (a fifth of the vectors reversed, plus
+    * ghosts — real drift: the final corpus looks nothing like the
+    * training set), then [[optimizeIndex]] retrains from the current
+    * state and re-assigns. The all-cells probe over the optimized
+    * index must still hash-match brute force (completeness: retrain +
+    * re-assign lost or duplicated nothing); the RECALL restoration at
+    * a fixed small nProbe — the thing optimize exists for — is
+    * measured in IvfSpec against the same drifted fixture.
+    */
+  val qAnnIndexOptimize: QuerySpec = QuerySpec(
+    "q_ann_index_optimize",
+    VectorOps.qCosineTopK.oracle,
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val base = graft.Scratch.dir("ann-index-opt")
+      LocalTableStore.deleteTree(base)
+      val idx = s"$base/idx"
+      buildDriftedIndex(spark, dir, idx)
+      val fresh = EventOps.withStreamSizing(spark) {
+        optimizeIndex(spark, idx, batchId = 100L)
+      }
+      val state = Ingest.readUpsertTable(spark, idx)
+      val probes = state.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      Ivf.searchCells(fresh,
+        state.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec"), col("cid")),
+        probes, 5, nProbe = 16)
+        .orderBy("probe_id", "rk")
+    })
+
+  /** The DRIFTED coarse quantizer: trained on batch 0's corpus (the
+    * perturbed fifth and the ghosts included) — what a quantizer
+    * pinned at table creation looks like after the history has moved
+    * on. Shared by the optimize oracle row and IvfSpec's recall test.
+    */
+  private[graft] def staleCentroids(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    val table = sharedEmbCdcTable(spark, dir)
+    Ivf.buildCentroids(
+      Ingest.readTableChanges(spark, table, 0, 0)
+        .filter(col("_change_type") === "insert")
+        .select("vec_id", "embedding"),
+      16, 2).localCheckpoint()
+  }
+
+  /** Build the drifted maintained index (stale batch-0 quantizer) at
+    * `idx`, folding all four feed slices; returns the stale centroids.
+    * Shared by the optimize oracle row and IvfSpec's recall test.
+    */
+  private[graft] def buildDriftedIndex(spark: SparkSession, dir: String,
+                                       idx: String): DataFrame = {
+    val table = sharedEmbCdcTable(spark, dir)
+    val stale = staleCentroids(spark, dir)
+    EventOps.withStreamSizing(spark) {
+      (0L until 4L).foreach { b =>
+        foldSlice(Ingest.readTableChanges(spark, table, b, b),
+          stale, idx, b)
+      }
+    }
+    stale
+  }
+
   val qAnnIndexMaintained: QuerySpec = QuerySpec(
     "q_ann_index_maintained",
     VectorOps.qCosineTopK.oracle, // maintained ≡ fresh ≡ brute force
@@ -217,5 +313,74 @@ object AnnIndex {
         .orderBy("probe_id", "rk")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qAnnIndexMaintained, qStreamAnnIndex)
+  /** One feed-fold step of the maintained PQ CODES table — the
+    * compressed domain a 100-TB corpus actually serves ADC from,
+    * maintained incrementally like the IVF assignment instead of
+    * re-encoded per corpus version: surviving post-images encode with
+    * the PINNED codebooks (the fine quantizer is versioned with the
+    * corpus generation exactly like the coarse one — retrain at
+    * OPTIMIZE cadence), deletes tombstone through the sink. Fold cost
+    * is O(batch × m × ks) encode work + O(touched buckets) writes.
+    */
+  private def foldPqSlice(slice: DataFrame, codebook: DataFrame,
+                          codesTable: String, batchId: Long): Unit = {
+    val live = Pq.encode(
+      slice.filter(col("_change_type").isin("insert", "update_postimage"))
+        .select("vec_id", "embedding"), codebook)
+      .withColumn("_del", lit(false))
+    val dead = slice.filter(col("_change_type") === "delete")
+      .select(col("vec_id"),
+        lit(null).cast("array<int>").as("codes"),
+        lit(null).cast("double").as("cnorm"),
+        lit(true).as("_del"))
+    Ingest.upsertParquet(codesTable, Seq("vec_id"), nBuckets = 4,
+      keepVersions = 1, deleteCol = Some("_del"))(
+      live.unionByName(dead), batchId)
+  }
+
+  /** Feed-maintained PQ codes, gated on ONE hash chain: the maintained
+    * codes table — built through inserts, cell-moving corrections and
+    * deletes — must equal the fresh encode of the final corpus
+    * cell-for-cell (checked in-query before the search runs), and the
+    * corpus-wide-shortlist ADC search over it must equal brute force
+    * bit-for-bit (shares `q_cosine_topk`'s oracle with
+    * `q_cosine_topk_pq_exact`). Together: maintained ≡ fresh encode ≡
+    * brute force.
+    */
+  val qAnnIndexPqMaintained: QuerySpec = QuerySpec(
+    "q_ann_index_pq_maintained",
+    VectorOps.qCosineTopK.oracle,
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val table = sharedEmbCdcTable(spark, dir)
+      val (cb, freshCodes) = Pq.indexFor(spark, dir)
+      val base = graft.Scratch.dir("ann-index-pq")
+      LocalTableStore.deleteTree(base)
+      val codesTable = s"$base/codes"
+      EventOps.withStreamSizing(spark) {
+        (0L until 4L).foreach { b =>
+          foldPqSlice(Ingest.readTableChanges(spark, table, b, b),
+            cb, codesTable, b)
+        }
+      }
+      val maintained = Ingest.readUpsertTable(spark, codesTable)
+      val m2 = maintained.select(col("vec_id"), col("codes").as("mc"),
+        col("cnorm").as("mn"))
+      val f2 = freshCodes.select(col("vec_id"), col("codes").as("fc"),
+        col("cnorm").as("fn"))
+      val diverged = m2.join(f2, Seq("vec_id"), "full_outer")
+        .filter(col("mc").isNull || col("fc").isNull ||
+          col("mc") =!= col("fc") || col("mn") =!= col("fn"))
+      require(diverged.isEmpty,
+        "maintained PQ codes diverge from the fresh encode")
+      val emb = Tables.load(spark, dir, "embeddings")
+      Pq.searchPq(emb, col("vec_id") < 10, 5, cb,
+        maintained.select("vec_id", "codes", "cnorm"),
+        shortlist = Int.MaxValue)
+        .orderBy("probe_id", "rk")
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qAnnIndexMaintained, qStreamAnnIndex, qAnnIndexOptimize,
+      qAnnIndexPqMaintained)
 }

@@ -63,15 +63,23 @@ object Pq {
 
   /** Nearest codeword per (vector, subspace) by L2 — ties broken by
     * code id for determinism. Codebooks are k × m × dsub floats —
-    * broadcast, never a shuffle of the vectors.
+    * broadcast, never a shuffle of the vectors. The argmin is ONE hash
+    * aggregation (`min` on the lexicographic `(d, code)` struct — the
+    * identical tie-break the former `row_number().over(orderBy(d,
+    * code))` window applied) with map-side partials: the shuffle moves
+    * one pre-reduced row per (vector, subspace), not the ks-times
+    * exploded join — this runs in every Lloyd round AND every encode,
+    * so it is the PQ build path's hot argmin (the [[Ivf.assign]]
+    * conversion, applied here).
     */
-  private def assignCodes(sv: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("code"))
+  private def assignCodes(sv: DataFrame, codebook: DataFrame): DataFrame =
     sv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("d", l2D(col("subvec"), col("centroid")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "sub", "subvec", "code")
-  }
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(l2D(col("subvec"), col("centroid")).as("d"),
+          col("code"))).as("m"),
+        first(col("subvec")).as("subvec"))
+      .select(col("vec_id"), col("sub"), col("subvec"),
+        col("m.code").as("code"))
 
   /** Per-subspace codebooks (sub, code, centroid: array<float>),
     * trained with `iters` Lloyd rounds over the corpus subvectors.

@@ -2,8 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Ivf, VectorOps}
-import graft.sources.Tables
+import graft.operators.{AnnIndex, EventOps, Ivf, VectorOps}
+import graft.sources.{Ingest, LocalTableStore, Tables}
 
 /** IVF ANN: structural invariants + measured recall vs brute force. */
 class IvfSpec extends AnyFunSuite {
@@ -42,6 +42,43 @@ class IvfSpec extends AnyFunSuite {
       assert(r2 >= r1, s"recall dropped from $r1 (nProbe=$n1) to $r2 (nProbe=$n2)")
     }
     assert(recalls.last._2 === 1.0, "all-cells probe must be exhaustive")
+  }
+
+  test("ANN index OPTIMIZE: quantizer retrain restores recall after drift") {
+    // the maintained index's quantizer was trained on the perturbed
+    // batch-0 corpus (a fifth reversed, plus ghosts); after the history
+    // corrected itself, the stale cells partition the corpus badly and
+    // a small-nProbe search under-recalls. optimizeIndex retrains from
+    // the CURRENT state and re-assigns — same nProbe, better recall.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val brute = VectorOps.topK(probes, emb, 5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = graft.Scratch.dir("ivfspec-opt")
+    LocalTableStore.deleteTree(base)
+    val idx = s"$base/idx"
+    val stale = AnnIndex.buildDriftedIndex(spark, sf, idx)
+    def recallWith(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val state = Ingest.readUpsertTable(spark, idx)
+      val got = Ivf.searchCells(centroids,
+        state.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec"), col("cid")),
+        probes.select("vec_id", "embedding"), 5, nProbe = 2)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val before = recallWith(stale)
+    val fresh = AnnIndex.optimizeIndex(spark, idx, batchId = 100L)
+    val after = recallWith(fresh)
+    info(s"recall@5, nProbe=2: drifted=$before optimized=$after")
+    assert(after > before,
+      s"retrain did not improve fixed-nProbe recall ($before -> $after)")
+    // and the optimized index still holds every vector exactly once
+    val state = Ingest.readUpsertTable(spark, idx)
+    assert(state.count() === emb.count())
+    assert(state.select("vec_id").distinct().count() === emb.count())
   }
 
   test("IVF top-k recall vs brute force is measured and sane") {
