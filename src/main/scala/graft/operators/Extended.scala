@@ -188,6 +188,56 @@ object Extended {
           col("n"), col("case_variants"))
     })
 
+  /** Case-insensitive collation JOIN — the remaining `utf8_general_ci`
+    * surface after equality/GROUP/DISTINCT/ORDER: an equi-join whose
+    * key compares case-blind. Fact side carries parity-mangled
+    * priority strings (upper/lowered), the dim side a THIRD casing
+    * (initcap) with a rank attribute — no pair matches bytewise, every
+    * pair matches under `UTF8_LCASE`, so a correct CI join yields
+    * exactly the per-rank fact counts. Both keys are collated (mixing
+    * a collated and a binary key is an analysis error by design).
+    * PlanSpec pins that the collated join still plans as a HASH join —
+    * collation must change the comparison, not the join strategy (a
+    * collation-forced nested loop would be a scale-killer). DuckDB
+    * oracle via `lower()` normalization on both keys.
+    */
+  val qCollationCiJoin: QuerySpec = QuerySpec(
+    "q_collation_ci_join",
+    Some("""WITH l AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+               ELSE lower(o_orderpriority) END AS prio_raw
+        FROM orders),
+      d AS (
+        SELECT DISTINCT lower(o_orderpriority) AS prio_key,
+          CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_rank
+        FROM orders)
+      SELECT d.prio_rank AS prio_rank, count(*) AS n
+      FROM l JOIN d ON lower(l.prio_raw) = d.prio_key
+      GROUP BY d.prio_rank ORDER BY prio_rank"""),
+    (spark, dir) => ciJoinPlan(spark, dir))
+
+  /** The collated-join plan, shared by the oracle row and PlanSpec's
+    * hash-join guard.
+    */
+  def ciJoinPlan(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): org.apache.spark.sql.DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val mangled = orders.select(col("o_orderkey"),
+      when(col("o_orderkey") % 2 === 0, upper(col("o_orderpriority")))
+        .otherwise(lower(col("o_orderpriority"))).as("prio_raw"))
+    val dim = orders.select(
+        initcap(col("o_orderpriority")).as("prio_dim"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio_rank"))
+      .distinct()
+    mangled.join(dim,
+        collate(col("prio_raw"), "UTF8_LCASE") ===
+          collate(col("prio_dim"), "UTF8_LCASE"))
+      .groupBy("prio_rank")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prio_rank")
+  }
+
   // --- bivariate statistics (§2.4 depth): correlation, covariance,
   //     least-squares regression over price vs quantity per return
   //     flag. Aggregates of doubles → rounded (summation order varies
@@ -447,7 +497,8 @@ object Extended {
   def specs: Seq[QuerySpec] = Seq(
     qGroupConcat, qStatsAgg, qBitAgg, qApproxDistinct, qApproxPercentile,
     qGroupingSets,
-    qCollationCi, qCollationCiFull, qCorrRegr, qWordCount, qArrayFns,
+    qCollationCi, qCollationCiFull, qCollationCiJoin, qCorrRegr,
+    qWordCount, qArrayFns,
     qHashFns, qNullLogic,
     qMapFns, qIntersectAll, qExceptAll, qRegexp, qDateArith, qStringMore,
     qArrayMore)

@@ -26,6 +26,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("In(r_name, [ASIA,EUROPE])"), p.take(600))
   }
 
+  test("collated CI join stays a hash join — collation changes comparison, not strategy") {
+    // a collation-forced BroadcastNestedLoopJoin would turn every
+    // CI-keyed join into an O(n*m) scan at scale; UTF8_LCASE keys must
+    // still hash-partition/broadcast like binary ones
+    val p = plan(graft.operators.Extended.ciJoinPlan(spark, sf))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      p.take(800))
+  }
+
   test("q_join_waiting: dims broadcast, keyed semi/anti self-joins, no nested-loop") {
     // the Q21-shaped 6-relation query is the CBO stress case: the guard
     // pins the properties that keep it alive at 100 TB — small dims go
