@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf-scaling probe of the table-format band (SCALE.md's measured
+  * answer to "does batch cost ride churn, not table size?"): runs the
+  * `q_upsert_*` / `q_table_*` / format-streaming rows against the
+  * given fixture dir AND a `factor`× synthetic blow-up of it, printing
+  * per-row time ratios as a markdown table for SCALE.md.
+  *
+  * The blow-up derives strictly from the driver's fixture — `factor`
+  * shifted copies of `orders` (order/customer keys offset per copy so
+  * cardinalities scale with rows) and `events` (event/user ids offset,
+  * timestamps untouched so the date-range batching keeps the same
+  * shape). Every scaled batch therefore carries `factor`× the churn
+  * over a `factor`× table: a format whose merge cost is O(touched
+  * buckets' data) shows ~linear ratios here, while a hidden
+  * table-scan-per-batch (or anything quadratic in versions × rows)
+  * shows up immediately as a super-linear ratio.
+  *
+  * Usage: `runMain graft.ScaleProbe [srcDir] [factor]` — two timed
+  * runs per (query, scale), min taken (stall defense), fixture built
+  * once under target/scale-probe and reused.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaled = "target/scale-probe/" +
+      srcDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_x$factor"
+    if (!new java.io.File(s"$scaled/orders.parquet/_SUCCESS").exists() ||
+        !new java.io.File(s"$scaled/events.parquet/_SUCCESS").exists()) {
+      val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+      val oSpan = orders.agg(max("o_orderkey"), max("o_custkey")).head()
+      (0 until factor).map(i => orders
+          .withColumn("o_orderkey",
+            col("o_orderkey") + lit(i * (oSpan.getLong(0) + 1)))
+          .withColumn("o_custkey",
+            col("o_custkey") + lit(i * (oSpan.getLong(1) + 1))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+      val events = spark.read.parquet(s"$srcDir/events.parquet")
+      val eSpan = events.agg(max("event_id"), max("user_id")).head()
+      (0 until factor).map(i => events
+          .withColumn("event_id",
+            col("event_id") + lit(i * (eSpan.getLong(0) + 1)))
+          .withColumn("user_id",
+            col("user_id") + lit(i * (eSpan.getLong(1) + 1))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+    }
+
+    val band = Seq(
+      "q_stream_upsert", "q_upsert_lookup", "q_upsert_mor",
+      "q_upsert_evolve", "q_upsert_stats_prune", "q_upsert_optimize",
+      "q_upsert_rebucket", "q_upsert_history", "q_upsert_sql",
+      "q_table_cdf", "q_table_cdf_sql", "q_cdf_mv", "q_table_replica",
+      "q_secondary_index", "q_stream_cdc_table", "q_stream_cdf_mv",
+      "q_stream_feed_mv", "q_stream_index")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def runOnce(name: String, dir: String): Double =
+      time { SparkEntry.queries(name)(spark, dir).count(); () }
+
+    println(s"| query | base s ($srcDir) | x$factor s | ratio |")
+    println("| --- | --- | --- | --- |")
+    band.foreach { name =>
+      try {
+        val base = (1 to 2).map(_ => runOnce(name, srcDir)).min
+        val big = (1 to 2).map(_ => runOnce(name, scaled)).min
+        println(f"| $name | $base%.2f | $big%.2f | ${big / base}%.1fx |")
+      } catch {
+        case e: Throwable =>
+          println(s"| $name | ERR | ERR | ${e.getClass.getSimpleName} |")
+      }
+    }
+    Memo.clearAll()
+    spark.stop()
+  }
+}
