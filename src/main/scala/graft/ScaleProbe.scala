@@ -73,8 +73,19 @@ object ScaleProbe {
     def runOnce(name: String, dir: String): Double =
       time { SparkEntry.queries(name)(spark, dir).count(); () }
 
+    // the shared 4-batch CDC table build is memoized per dir — without
+    // a named row its fold cost (the heart of the scale question)
+    // would vanish into the first consumer's first rep and out of the
+    // min-of-2
+    def buildRow(dir: String): Double =
+      time { graft.operators.Changes.sharedCdcTable(spark, dir); () }
+
     println(s"| query | base s ($srcDir) | x$factor s | ratio |")
     println("| --- | --- | --- | --- |")
+    locally {
+      val b = buildRow(srcDir); val big = buildRow(scaled)
+      println(f"| setup:cdc_table_build (4 merges) | $b%.2f | $big%.2f | ${big / b}%.1fx |")
+    }
     band.foreach { name =>
       try {
         val base = (1 to 2).map(_ => runOnce(name, srcDir)).min

@@ -140,19 +140,42 @@ object AnnIndex {
     * while per-batch folds keep the index fresh in between). Returns
     * the retrained centroids (localCheckpointed, k rows) — the caller
     * persists them as the new coarse quantizer alongside the index.
-    * Operates on the batch-maintained index shape
-    * (vec_id, embedding, cid).
+    *
+    * Handles BOTH index shapes. Batch-maintained (vec_id, embedding,
+    * cid): every row retrains and re-assigns. Stream-maintained (+
+    * `live`, `_bid`): only LIVE rows retrain and re-assign; the
+    * logical tombstones the order-safe stream fold accumulates
+    * (`live = false` rows that physical removal would have let a
+    * late-delivered older upsert resurrect) are PHYSICALLY removed in
+    * the same pass — sound here because optimize reads the table's
+    * committed batch-atomic state, outside the file-atomic delivery
+    * window the logical tombstones defend against. This is the
+    * debt-compaction cadence the stream fold's scaladoc defers to.
     */
   def optimizeIndex(spark: SparkSession, idx: String, batchId: Long,
                     numCells: Int = 16, iters: Int = 2): DataFrame = {
     val state = Ingest.readUpsertTable(spark, idx)
+    val streamShape = state.columns.contains("live")
+    val live = if (streamShape) state.filter(col("live")) else state
     val centroids = Ivf.buildCentroids(
-      state.select("vec_id", "embedding"), numCells, iters).localCheckpoint()
-    val reassigned = Ivf.assign(state.select("vec_id", "embedding"), centroids)
-      .withColumn("_del", lit(false))
+      live.select("vec_id", "embedding"), numCells, iters).localCheckpoint()
+    val reassigned = Ivf.assign(live.select("vec_id", "embedding"), centroids)
+    val batch =
+      if (!streamShape) reassigned.withColumn("_del", lit(false))
+      else {
+        // live rows re-assigned (their _bid rides along — a later feed
+        // entry must still win on batch id); dead rows become REAL
+        // tombstones and leave the table
+        val keep = reassigned
+          .join(state.select("vec_id", "_bid"), "vec_id")
+          .withColumn("live", lit(true)).withColumn("_del", lit(false))
+        val drop = state.filter(!col("live"))
+          .withColumn("_del", lit(true))
+        keep.unionByName(drop.select(keep.columns.map(col): _*))
+      }
     Ingest.upsertParquet(idx, Seq("vec_id"), nBuckets = 4,
       keepVersions = 1, deleteCol = Some("_del"),
-      sortCols = Seq("cid"), filesPerBucket = 2)(reassigned, batchId)
+      sortCols = Seq("cid"), filesPerBucket = 2)(batch, batchId)
     centroids
   }
 

@@ -81,6 +81,47 @@ class IvfSpec extends AnyFunSuite {
     assert(state.select("vec_id").distinct().count() === emb.count())
   }
 
+  test("stream-index OPTIMIZE drops logical tombstones and retrains") {
+    // the order-safe stream fold accumulates live=false rows (physical
+    // removal would let a late-delivered older upsert resurrect a
+    // deleted vector); optimize runs outside the file-atomic delivery
+    // window, so it compacts them physically while retraining
+    val emb = Tables.load(spark, sf, "embeddings")
+    val stale = AnnIndex.staleCentroids(spark, sf)
+    val ghosts = emb.filter(col("vec_id") % 11 === 0)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    val liveRows = Ivf.assign(emb.select("vec_id", "embedding"), stale)
+      .withColumn("live", lit(true)).withColumn("_bid", lit(0L))
+    val deadRows = Ivf.assign(ghosts.select("vec_id", "embedding"), stale)
+      .withColumn("live", lit(false)).withColumn("_bid", lit(1L))
+    val base = graft.Scratch.dir("ivfspec-sopt")
+    LocalTableStore.deleteTree(base)
+    val idx = s"$base/idx"
+    graft.sources.Ingest.upsertParquet(idx, Seq("vec_id"), nBuckets = 4,
+      keepVersions = 1, sortCols = Seq("cid"), filesPerBucket = 2)(
+      liveRows.unionByName(deadRows), 0L)
+    assert(Ingest.readUpsertTable(spark, idx).count() ===
+      emb.count() + ghosts.count())
+    val fresh = AnnIndex.optimizeIndex(spark, idx, batchId = 10L)
+    val state = Ingest.readUpsertTable(spark, idx)
+    assert(state.count() === emb.count(), "tombstones not compacted")
+    assert(state.filter(!col("live")).count() === 0)
+    assert(state.select("vec_id").distinct().count() === emb.count())
+    // all-cells probe over the compacted index equals brute force
+    val probes = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "sim", "rk")
+        .orderBy("probe_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+    val brute = rows(VectorOps.topK(probes, emb, 5))
+    val got = rows(Ivf.searchCells(fresh,
+      state.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"), col("cid")),
+      probes.select("vec_id", "embedding"), 5, nProbe = 16))
+    assert(got === brute)
+  }
+
   test("IVF top-k recall vs brute force is measured and sane") {
     val emb = Tables.load(spark, sf, "embeddings")
     val brute = VectorOps.topK(emb.filter(col("vec_id") < 10), emb, 5)
