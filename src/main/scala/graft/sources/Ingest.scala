@@ -164,13 +164,33 @@ object Ingest {
     * ledger's job (callers intersect with it); a gen ≥ 1 dir is
     * complete iff CURRENT names it or its `_gen_commit` marker exists
     * (written after data + feed + metadata, before the pointer swap) —
-    * a crashed maintenance rewrite is therefore never servable.
+    * a crashed maintenance rewrite is therefore never servable. A dir
+    * carrying the `_sweeping` marker ([[sweepDir]]) is NEVER complete
+    * whatever its generation: a sweep died mid-delete, so the dir may
+    * be missing arbitrary files — serving it would return silently
+    * partial data (the one as-of crash window the marker closes).
     */
   private def genComplete(root: String, name: String, gen: Int,
                           cur: Option[String])
-                         (implicit store: TableStore): Boolean =
-    gen == 0 || cur.contains(name) ||
-      store.exists(store.child(store.child(root, name), "_gen_commit"))
+                         (implicit store: TableStore): Boolean = {
+    val dir = store.child(root, name)
+    !store.exists(store.child(dir, "_sweeping")) &&
+      (gen == 0 || cur.contains(name) ||
+        store.exists(store.child(dir, "_gen_commit")))
+  }
+
+  /** Delete a version dir crash-safely: stamp `_sweeping` FIRST (an
+    * atomic whole-object put), then delete the tree. A crash
+    * mid-delete leaves a half-deleted dir that [[genComplete]] then
+    * refuses to serve (an as-of read fails loudly as beyond-retention
+    * instead of silently returning the surviving fraction of the
+    * rows), and the next cleanup re-sweeps it idempotently — the
+    * marker is inside the dir, so completing the delete removes it.
+    */
+  private def sweepDir(dir: String)(implicit store: TableStore): Unit = {
+    store.writeAtomic(dir, "_sweeping", "")
+    store.deleteTree(dir)
+  }
 
   /** The servable dir (full path) for committed batch `b`: its highest
     * COMPLETE generation (a maintenance rewrite holds the same state
@@ -236,7 +256,7 @@ object Ingest {
         g == 0 && !committed.contains(b) && inflightGraceMs > 0 &&
           now - store.lastModified(store.child(root, n)) < inflightGraceMs
       }
-      .map { case (n, _, _) => store.deleteTree(store.child(root, n)); n }
+      .map { case (n, _, _) => sweepDir(store.child(root, n)); n }
     store.delete(store.child(root, "CURRENT.tmp"))
     swept
   }
@@ -1295,7 +1315,7 @@ object Ingest {
           "reclaims the orphan generation); re-run against the new snapshot")
     }
     syncMeta()
-    store.deleteTree(curDir)
+    sweepDir(curDir) // crash mid-delete leaves it marked, never served
   }
 
   /** Read the change-data-feed of an [[upsertParquet]] table written
