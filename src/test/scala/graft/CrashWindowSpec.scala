@@ -1,30 +1,32 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{Ingest, LocalTableStore, TableStore}
+import graft.sources.{Ingest, LocalTableStore, ObjectTableStore, TableStore}
 import java.nio.file.Files
 
-/** EXHAUSTIVE crash-window sweep of the upsert-table protocol: a
+/** EXHAUSTIVE crash-window sweep of the upsert-table protocols: a
   * delegating [[TableStore]] dies just before its k-th mutating
-  * control-plane op, for EVERY k until a batch completes uninjected —
-  * so every between-steps window of the real protocol order (meta
-  * pins, schema write, partial-build delete, bucket links, pointer
-  * CAS, ledger append, retention sweep incl. the `_sweeping` marker,
-  * feed publish links) is exercised, not just the hand-picked ones.
-  * After each crash the spec asserts the THREE durable guarantees the
-  * format's scaladoc argues in prose:
+  * control-plane op, for EVERY k until the operation completes
+  * uninjected — so every between-steps window of the real protocol
+  * order (meta pins, schema write, partial-build delete, bucket
+  * links, pointer CAS, ledger append, retention sweep incl. the
+  * `_sweeping` marker, feed publish links; for maintenance: the
+  * `_nbuckets` stamps, `_gen_commit`, generation swap, `_meta` sync,
+  * superseded-generation sweep) is exercised, not just the
+  * hand-picked ones. Swept against BOTH control-plane semantics —
+  * POSIX and the strict object-store double — because the windows
+  * differ (no tmp files, per-entry ledgers, copy-based links).
   *
-  *   1. the crashed table still serves a committed snapshot — exactly
-  *      the pre-batch state or (crash past the commit point) the
-  *      post-batch state, never a torn mixture and never a
-  *      half-deleted version's surviving fraction;
-  *   2. replaying the SAME batch id converges to the exact final
-  *      state — rows, ledger, and published feed all healed;
-  *   3. the change feed for the batch reads back complete.
+  * After each crash the spec asserts the durable guarantees the
+  * format's scaladoc argues in prose: the crashed table serves a
+  * committed snapshot (exactly pre- or post-op, never torn, never a
+  * half-deleted version's surviving fraction), and re-running the
+  * same operation converges to the exact final state — rows, ledger,
+  * published feed, layouts all healed.
   *
   * Data-plane writes (Spark parquet jobs) are not failpointed; their
   * crash story is the unreferenced-partial-build argument, which the
-  * k=partial-delete windows here do exercise on replay.
+  * partial-delete windows here do exercise on replay.
   */
 class CrashWindowSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -59,58 +61,177 @@ class CrashWindowSpec extends AnyFunSuite {
     override def deleteTree(p: String): Unit = { gate(); d.deleteTree(p) }
   }
 
-  test("every control-plane crash window serves committed state and replays clean") {
-    import spark.implicits._
+  private def withSmallShuffle[T](body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val s0 = Map(1L -> 1.0, 2L -> 2.0)
-      val s1 = Map(1L -> 11.0, 3L -> 3.0) // update 1, insert 3, delete 2
-      var k = 0
-      var exhausted = false
-      var windows = 0
-      while (!exhausted && k < 200) {
-        implicit val store: FailpointStore = new FailpointStore(LocalTableStore)
-        val table = Files.createTempDirectory("graft-crash").toString + "/t"
-        def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
-          Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
-            keepVersions = 1, deleteCol = Some("_del"), changeFeed = true)(
-            rows.toDF("user_id", "value", "_del"), id)
-        def state(): Map[Long, Double] =
-          Ingest.readUpsertTable(spark, table)
-            .select("user_id", "value").as[(Long, Double)].collect().toMap
-        up(0, (1L, 1.0, false), (2L, 2.0, false)) // uninjected seed commit
-        store.count = 0; store.limit = k
-        val crashed =
-          try { up(1, (1L, 11.0, false), (3L, 3.0, false), (2L, 0.0, true)); false }
-          catch { case _: InjectedCrash => true }
-        store.limit = Int.MaxValue
-        if (!crashed) exhausted = true // k exceeded the protocol's op count
-        else {
-          windows += 1
-          // 1. crashed state is committed — pre OR post, never torn
-          val mid = state()
-          assert(mid == s0 || mid == s1,
-            s"window $k served a torn state: $mid")
-          // 2. replay converges to the exact final state
-          up(1, (1L, 11.0, false), (3L, 3.0, false), (2L, 0.0, true))
-          assert(state() == s1, s"window $k replay diverged")
-          val committed = store.readLog(store.child(table, "_commits"))
-            .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-          assert(committed == Set(0L, 1L), s"window $k ledger: $committed")
-          // 3. batch 1's change feed is complete (pre+post for 1,
-          // insert for 3, delete for 2) and its slice was published
-          assert(Ingest.readTableChanges(spark, table, 1, 1).count() === 4,
-            s"window $k feed incomplete")
-          val feed = store.listNames(store.child(table, "feed"))
-          assert(Seq(0L, 1L).forall(b => feed.exists(_.startsWith(s"b$b-"))),
-            s"window $k published feed not healed: $feed")
-          LocalTableStore.deleteTree(table)
-        }
-        k += 1
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Sweep the SINK protocol (merge + commit + sweep + feed publish)
+    * for one delegate semantics; returns windows swept.
+    */
+  private def sweepSink(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    val s0 = Map(1L -> 1.0, 2L -> 2.0)
+    val s1 = Map(1L -> 11.0, 3L -> 3.0) // update 1, insert 3, delete 2
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 200) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val table = Files.createTempDirectory("graft-crash").toString + "/t"
+      def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+          keepVersions = 1, deleteCol = Some("_del"), changeFeed = true)(
+          rows.toDF("user_id", "value", "_del"), id)
+      def state(): Map[Long, Double] =
+        Ingest.readUpsertTable(spark, table)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+      up(0, (1L, 1.0, false), (2L, 2.0, false)) // uninjected seed commit
+      store.count = 0; store.limit = k
+      val crashed =
+        try { up(1, (1L, 11.0, false), (3L, 3.0, false), (2L, 0.0, true)); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true // k exceeded the protocol's op count
+      else {
+        windows += 1
+        // 1. crashed state is committed — pre OR post, never torn
+        val mid = state()
+        assert(mid == s0 || mid == s1, s"window $k served a torn state: $mid")
+        // 2. replay converges to the exact final state
+        up(1, (1L, 11.0, false), (3L, 3.0, false), (2L, 0.0, true))
+        assert(state() == s1, s"window $k replay diverged")
+        val committed = store.readLog(store.child(table, "_commits"))
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+        assert(committed == Set(0L, 1L), s"window $k ledger: $committed")
+        // 3. batch 1's change feed is complete (pre+post for 1, insert
+        // for 3, delete for 2) and both slices were published
+        assert(Ingest.readTableChanges(spark, table, 1, 1).count() === 4,
+          s"window $k feed incomplete")
+        val feed = store.listNames(store.child(table, "feed"))
+        assert(Seq(0L, 1L).forall(b => feed.exists(_.startsWith(s"b$b-"))),
+          s"window $k published feed not healed: $feed")
+        LocalTableStore.deleteTree(table)
       }
-      assert(exhausted, "sweep never ran past the protocol's op count")
-      info(s"$windows crash windows swept, all converged")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      k += 1
+    }
+    assert(exhausted, "sweep never ran past the protocol's op count")
+    windows
+  }
+
+  /** Sweep the MAINTENANCE protocol (rebucket generation rewrite) and
+    * a VACUUM pass; returns (rebucket windows, vacuum windows).
+    */
+  private def sweepMaintenance(delegate: () => TableStore): (Int, Int) = {
+    import spark.implicits._
+    val want = Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0)
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 200) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val table = Files.createTempDirectory("graft-crash-rb").toString + "/t"
+      def upAt(id: Long, buckets: Int, rows: (Long, Double)*): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = buckets,
+          keepVersions = 4, changeFeed = true)(
+          rows.toDF("user_id", "value"), id)
+      def up(id: Long, rows: (Long, Double)*): Unit = upAt(id, 4, rows: _*)
+      def state(): Map[Long, Double] =
+        Ingest.readUpsertTable(spark, table)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+      up(0, (1L, 1.0), (2L, 2.0))
+      up(1, (2L, 22.0), (3L, 3.0))
+      store.count = 0; store.limit = k
+      val crashed =
+        try { Ingest.rebucketUpsertTable(spark, table, 16); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        // same state whatever generation serves it; as-of intact too
+        assert(state() == want, s"rebucket window $k torn state")
+        assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+          .count() === 2, s"rebucket window $k as-of broken")
+        // completing the interrupted rebucket is idempotent
+        Ingest.rebucketUpsertTable(spark, table, 16)
+        assert(state() == want, s"rebucket window $k completion diverged")
+        // lookups prune with the NEW count and still find their rows
+        assert(Ingest.lookupUpsertTable(spark, table, Seq(2L).toDF("user_id"))
+          .select("value").as[Double].head() === 22.0)
+        // a writer at the new count proceeds; feed range still reads
+        upAt(2, 16, (4L, 4.0))
+        assert(Ingest.readTableChanges(spark, table, 0, 2).count() >= 5)
+        LocalTableStore.deleteTree(table)
+      }
+      k += 1
+    }
+    assert(exhausted, "rebucket sweep never ran past the protocol")
+
+    // VACUUM: crash anywhere in the audited sweep; re-run completes
+    var kv = 0
+    var vExhausted = false
+    var vWindows = 0
+    while (!vExhausted && kv < 100) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val table = Files.createTempDirectory("graft-crash-vac").toString + "/t"
+      def up(id: Long, rows: (Long, Double)*): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+          keepVersions = 8, changeFeed = true)(
+          rows.toDF("user_id", "value"), id)
+      (0 to 3).foreach(i => up(i.toLong, (i.toLong, i.toDouble)))
+      store.count = 0; store.limit = kv
+      val crashed =
+        try {
+          Ingest.vacuumUpsertTable(spark, table, keepVersions = 1,
+            feedBeforeBatch = Some(3L)).count(); false
+        } catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) vExhausted = true
+      else {
+        vWindows += 1
+        // CURRENT read unaffected by a half-done vacuum
+        assert(Ingest.readUpsertTable(spark, table).count() === 4,
+          s"vacuum window $kv broke the current read")
+        // re-run finishes the job; retained state intact
+        Ingest.vacuumUpsertTable(spark, table, keepVersions = 1,
+          feedBeforeBatch = Some(3L)).count()
+        assert(Ingest.readUpsertTable(spark, table).count() === 4)
+        assert(Ingest.readTableChanges(spark, table, 3, 3).count() === 1)
+        LocalTableStore.deleteTree(table)
+      }
+      kv += 1
+    }
+    assert(vExhausted, "vacuum sweep never ran past the protocol")
+    (windows, vWindows)
+  }
+
+  test("sink protocol: every crash window serves committed state and replays clean (POSIX)") {
+    withSmallShuffle {
+      val w = sweepSink(() => LocalTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("sink protocol: every crash window converges under object-store semantics") {
+    withSmallShuffle {
+      val w = sweepSink(() => new ObjectTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("maintenance protocol: rebucket + vacuum crash windows all recover (POSIX)") {
+    withSmallShuffle {
+      val (r, v) = sweepMaintenance(() => LocalTableStore)
+      info(s"$r rebucket + $v vacuum windows swept, all converged")
+    }
+  }
+
+  test("maintenance protocol: rebucket + vacuum crash windows recover on the object store") {
+    withSmallShuffle {
+      val (r, v) = sweepMaintenance(() => new ObjectTableStore)
+      info(s"$r rebucket + $v vacuum windows swept, all converged")
+    }
   }
 }
