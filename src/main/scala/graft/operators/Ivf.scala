@@ -40,10 +40,6 @@ object Ivf {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
-        // k tiny rows; materializing them truncates the lineage so
-        // iteration i+1 (and every later assign) does not lazily
-        // re-run iterations 1..i's broadcast joins
-        .localCheckpoint()
     }
     centroids
   }
