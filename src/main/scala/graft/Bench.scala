@@ -2,6 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args = query-name subset (local iteration only; the
+    // driver always runs the full suite). Subset runs skip setup too.
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // n>=3 runs with per-query MEDIAN: single-shot timings on a shared
@@ -33,7 +36,7 @@ object Bench {
     // build cost is a named setup entry — otherwise the alphabetically
     // first consuming query absorbs the whole build and every later
     // consumer looks free (VERDICT r2 item 2).
-    val setup = Seq[(String, () => Unit)](
+    val setupAll = Seq[(String, () => Unit)](
       "analyze" -> (() => graft.sources.Tables.analyzeAll(spark, sfDir)),
       "ivf_build" -> (() => graft.operators.Ivf.ensureIndex(spark, sfDir)),
       "jaccard_pairs_build" ->
@@ -62,13 +65,17 @@ object Bench {
         (() => { graft.operators.Pq.indexFor(spark, sfDir)._2.count(); () }),
       "cdc_table_build" ->
         (() => { graft.operators.Changes.sharedCdcTable(spark, sfDir); () })
-    ).map { case (name, f) => name -> time(f()) }
+    )
+    val setup = (if (only.isEmpty) setupAll else Nil)
+      .map { case (name, f) => name -> time(f()) }
     // failures tracked PER REP: one transient bad rep must not erase a
     // measurable query (ADVICE r3) — median of the successful reps is the
     // measurement; the -1 sentinel is reserved for all-reps-failed
     val allFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     val partialFailed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val ts = (1 to reps).flatMap { _ =>
         var ok = true
         val t = time(try { fn(spark, sfDir).count(); () }
