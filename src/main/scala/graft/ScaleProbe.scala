@@ -37,27 +37,21 @@ object ScaleProbe {
 
     val scaled = "target/scale-probe/" +
       srcDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_x$factor"
-    if (!new java.io.File(s"$scaled/orders.parquet/_SUCCESS").exists() ||
-        !new java.io.File(s"$scaled/events.parquet/_SUCCESS").exists()) {
-      val orders = spark.read.parquet(s"$srcDir/orders.parquet")
-      val oSpan = orders.agg(max("o_orderkey"), max("o_custkey")).head()
-      (0 until factor).map(i => orders
-          .withColumn("o_orderkey",
-            col("o_orderkey") + lit(i * (oSpan.getLong(0) + 1)))
-          .withColumn("o_custkey",
-            col("o_custkey") + lit(i * (oSpan.getLong(1) + 1))))
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
-      val events = spark.read.parquet(s"$srcDir/events.parquet")
-      val eSpan = events.agg(max("event_id"), max("user_id")).head()
-      (0 until factor).map(i => events
-          .withColumn("event_id",
-            col("event_id") + lit(i * (eSpan.getLong(0) + 1)))
-          .withColumn("user_id",
-            col("user_id") + lit(i * (eSpan.getLong(1) + 1))))
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+    // factor-shifted copies with every key column offset per copy, so
+    // cardinalities scale with rows (same builder for every table)
+    def blowUp(table: String, keyCols: Seq[String]): Unit = {
+      if (new java.io.File(s"$scaled/$table.parquet/_SUCCESS").exists()) return
+      val df = spark.read.parquet(s"$srcDir/$table.parquet")
+      val spans = df.agg(max(keyCols.head), keyCols.tail.map(max): _*).head()
+      (0 until factor).map { i =>
+        keyCols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+          d.withColumn(c, col(c) + lit(i * (spans.getLong(j) + 1)))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaled/$table.parquet")
     }
+    blowUp("orders", Seq("o_orderkey", "o_custkey"))
+    blowUp("events", Seq("event_id", "user_id"))
 
     val band = Seq(
       "q_stream_upsert", "q_upsert_lookup", "q_upsert_mor",

@@ -252,13 +252,36 @@ object Ingest {
           graceMs > 0 && now - store.lastModified(store.child(root, n)) < graceMs
       }
       .filterNot { case (n, b, g) =>
-        // possibly a competing OCC writer's in-flight build — see above
+        // possibly a competing OCC writer's in-flight build — see
+        // above. Liveness, not age: a directory's own mtime freezes
+        // the moment Spark creates `_temporary` under it, so a merge
+        // whose write outlives the grace window would lose its shield
+        // mid-write if we aged by the top-level stamp; the shallow
+        // walk sees task dirs churning under `_temporary/...`
         g == 0 && !committed.contains(b) && inflightGraceMs > 0 &&
-          now - store.lastModified(store.child(root, n)) < inflightGraceMs
+          now - newestMtime(store.child(root, n)) < inflightGraceMs
       }
       .map { case (n, _, _) => sweepDir(store.child(root, n)); n }
     store.delete(store.child(root, "CURRENT.tmp"))
     swept
+  }
+
+  /** Newest modification time anywhere SHALLOW in `dir` (depth-bounded
+    * walk): an in-flight Spark write keeps mutating task dirs under
+    * `_temporary/0/_temporary/attempt_...` long after the top dir's own
+    * mtime froze at creation — liveness detection must look below the
+    * surface. Bounded cost: called only for UNCOMMITTED sweep
+    * candidates (rare), depth ≤ 3 LIST calls deep.
+    */
+  private def newestMtime(dir: String, depth: Int = 3)
+                         (implicit store: TableStore): Long = {
+    val own = store.lastModified(dir)
+    if (depth == 0) own
+    else store.listNames(dir).map { n =>
+      val c = store.child(dir, n)
+      if (store.isDirectory(c)) newestMtime(c, depth - 1)
+      else store.lastModified(c)
+    }.foldLeft(own)(math.max)
   }
 
   /** Hard-link `src` into `dstDir` under the same name (copy fallback —
@@ -424,20 +447,40 @@ object Ingest {
                     constraints: Seq[(String, String)] = Nil,
                     occRetries: Int = 0)
                    (batch: DataFrame, batchId: Long)
+                   (implicit store: TableStore): Unit =
+    // occMode reflects "this TABLE is operated two-writer" and must
+    // survive the retry countdown: deriving it from retries-remaining
+    // would run the LAST retry's post-commit cleanup with no in-flight
+    // shield, re-opening the sweep race on exactly the attempt that
+    // can no longer re-merge
+    upsertWithRetry(tableDir, keys, nBuckets, keepVersions, deleteCol,
+      graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
+      constraints, occRetries, occMode = occRetries > 0)(batch, batchId)
+
+  private def upsertWithRetry(tableDir: String, keys: Seq[String],
+                    nBuckets: Int, keepVersions: Int,
+                    deleteCol: Option[String], graceMs: Long,
+                    changeFeed: Boolean, lazyDeletes: Boolean,
+                    sortCols: Seq[String], filesPerBucket: Int,
+                    constraints: Seq[(String, String)],
+                    retriesLeft: Int, occMode: Boolean)
+                   (batch: DataFrame, batchId: Long)
                    (implicit store: TableStore): Unit = {
-    val before = readCurrentName(tableDir)
+    // consulted only by the OCC conflict guard below — single-writer
+    // tables (the default, dominant path) skip the extra control read
+    val before = if (occMode) readCurrentName(tableDir) else None
     def retry(): Unit =
-      upsertParquet(tableDir, keys, nBuckets, keepVersions, deleteCol,
+      upsertWithRetry(tableDir, keys, nBuckets, keepVersions, deleteCol,
         graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-        constraints, occRetries - 1)(batch, batchId)
+        constraints, retriesLeft - 1, occMode)(batch, batchId)
     try upsertOnce(tableDir, keys, nBuckets, keepVersions, deleteCol,
       graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-      constraints, occMode = occRetries > 0)(batch, batchId)
+      constraints, occMode = occMode)(batch, batchId)
     catch {
       // a competing commit moved CURRENT mid-merge: nothing durable was
       // written, the merge is replay-idempotent, so re-merging against
       // the competitor's snapshot is a clean second attempt
-      case _: java.util.ConcurrentModificationException if occRetries > 0 =>
+      case _: java.util.ConcurrentModificationException if retriesLeft > 0 =>
         retry()
       // any OTHER failure while CURRENT provably moved under us is the
       // same conflict wearing a different exception: the competitor's
@@ -447,7 +490,7 @@ object Ingest {
       // never swapped — or swapped and the replay path below completes
       // the commit idempotently — so a re-merge is safe either way.
       case scala.util.control.NonFatal(_)
-          if occRetries > 0 && readCurrentName(tableDir) != before =>
+          if retriesLeft > 0 && readCurrentName(tableDir) != before =>
         retry()
     }
   }
@@ -1490,16 +1533,25 @@ object Ingest {
     * cleanup honors. Snapshot readers are isolated exactly as they are
     * from the sink's own cleanup: retention plus grace bounds the race
     * window, single-writer-plus-maintenance is the deployment contract.
+    *
+    * `inflightGraceMs`: on a table operated TWO-writer (`occRetries >
+    * 0` at the sink), pass [[OccInflightGraceMs]] (or larger) so an
+    * out-of-band vacuum shields a writer's young in-flight build the
+    * same way the sink's own OCC-mode cleanup does — the default 0
+    * keeps single-writer semantics, where an uncommitted dir is by
+    * definition a crashed build.
     */
   def vacuumUpsertTable(spark: SparkSession, tableDir: String,
                         keepVersions: Int,
                         feedBeforeBatch: Option[Long] = None,
-                        graceMs: Long = 0L)
+                        graceMs: Long = 0L,
+                        inflightGraceMs: Long = 0L)
                        (implicit store: TableStore): DataFrame = {
     require(store.exists(store.child(tableDir, "_meta")),
       s"not an upsert table (no _meta): $tableDir")
     val hadTmp = store.exists(store.child(tableDir, "CURRENT.tmp"))
-    val sweptVersions = cleanupStale(tableDir, keepVersions, graceMs)
+    val sweptVersions =
+      cleanupStale(tableDir, keepVersions, graceMs, inflightGraceMs)
     val sweptFeed = feedBeforeBatch.toSeq
       .flatMap(b => pruneChangeFeed(tableDir, b))
     import spark.implicits._

@@ -126,11 +126,16 @@ final class ObjectTableStore extends TableStore {
   }
 
   override def deleteTree(path: String): Unit = {
+    // DATA plane first, control objects LAST: the `_sweeping`
+    // half-delete marker (an in-memory control object here) must
+    // outlive every data file, so a crash mid-delete leaves the dir
+    // still marked and never servable — deleting control keys first
+    // would re-open the silently-partial as-of window the marker closes
+    fs.deleteTree(path)
     objects.remove(path)
     val p1 = path + "/"; val p2 = logPrefix(path)
     objects.keySet.asScala
       .filter(k => k.startsWith(p1) || k.startsWith(p2))
       .foreach(objects.remove)
-    fs.deleteTree(path)
   }
 }

@@ -209,7 +209,14 @@ object LocalTableStore extends TableStore {
 
   override def deleteTree(path: String): Unit = {
     def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+      if (x.isDirectory) {
+        val kids = Option(x.listFiles()).map(_.toSeq).getOrElse(Nil)
+        // the `_sweeping` half-delete marker goes LAST: listFiles()
+        // order is unspecified, and a crash mid-sweep must leave the
+        // dir still marked (Ingest.sweepDir's crash-safety argument)
+        val (markers, rest) = kids.partition(_.getName == "_sweeping")
+        (rest ++ markers).foreach(rm)
+      }
       x.delete(); ()
     }
     rm(f(path))

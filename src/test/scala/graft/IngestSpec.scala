@@ -343,6 +343,36 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     assert(Ingest.readUpsertTable(spark, table).count() === 5)
   }
 
+  test("a half-swept version (sweeping marker present) is never served") {
+    import spark.implicits._
+    val table = tmp() + "/halfswept_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 2)(rows.toDF("user_id", "value"), id)
+    up(0, 1L -> 1.0, 2L -> 2.0)
+    up(1, 3L -> 3.0)
+    // simulate a retention sweep that died mid-delete: the _sweeping
+    // marker was stamped (it is written FIRST and deleted LAST — both
+    // stores order it so) and some of v_0's data files are already gone
+    store.writeAtomic(store.child(table, "v_0"), "_sweeping", "")
+    val v0 = new java.io.File(table, "v_0")
+    Option(v0.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .take(1).foreach(b => b.listFiles().foreach(_.delete()))
+    // the as-of read must fail loudly as beyond-retention, never serve
+    // the surviving fraction of the half-deleted snapshot
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L)).count()
+    }
+    assert(ex.getMessage.contains("keepVersions"), ex.getMessage)
+    // CURRENT is unaffected
+    assert(Ingest.readUpsertTable(spark, table).count() === 3)
+    // and the next commit finishes the interrupted sweep
+    up(2, 4L -> 4.0)
+    assert(!store.exists(store.child(table, "v_0")),
+      "marked dir not re-swept")
+  }
+
   test("time travel never serves an uncommitted crashed build") {
     import spark.implicits._
     val table = tmp() + "/tt_crash_table"
