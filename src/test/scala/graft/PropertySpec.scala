@@ -27,6 +27,49 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("TopByState selection equals the window's ordering on adversarial doubles") {
+    // the heap replaces row_number().over(orderBy(score [DESC|ASC],
+    // id)) windows; equivalence must hold on the inputs Spark's SQL
+    // ordering makes tricky — NaN (largest, ties NaN), ±0.0 (equal),
+    // infinities, exact ties broken by id
+    val tricky = Gen.oneOf(
+      Gen.const(Double.NaN), Gen.const(0.0), Gen.const(-0.0),
+      Gen.const(Double.PositiveInfinity), Gen.const(Double.NegativeInfinity),
+      Gen.chooseNum(-3.0, 3.0), Gen.oneOf(1.0, 2.0, 2.0, 3.0))
+    val rows = Gen.listOfN(40, Gen.zip(tricky, Gen.chooseNum(0L, 19L)))
+    // Spark's SQL total order for doubles: NaN largest, NaN == NaN,
+    // -0.0 == 0.0 — the reference the window would have used
+    def sqlCompare(a: Double, b: Double): Int =
+      if (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b)) 0
+      else if (java.lang.Double.isNaN(a)) 1
+      else if (java.lang.Double.isNaN(b)) -1
+      else java.lang.Double.compare(a + 0.0, b + 0.0) // +0.0 folds -0.0
+    for {
+      input <- samples(rows, 8)
+      largest <- Seq(true, false)
+      cap <- Seq(1, 3, 7, 100)
+    } {
+      // reference: full sort under the window's (score, id) order
+      val want = input.sortWith { case ((sa, ia), (sb, ib)) =>
+        val c = sqlCompare(sa, sb)
+        if (c != 0) { if (largest) c > 0 else c < 0 } else ia < ib
+      }.take(cap)
+      // heap, folded in input order then merged from two halves (the
+      // partial-aggregation shape)
+      val (h1, h2) = input.splitAt(input.size / 2)
+      def fold(xs: Seq[(Double, Long)]) =
+        xs.foldLeft(new graft.functions.TopByState(cap, largest)) {
+          case (s, (sc, id)) => s.insert(sc, id)
+        }
+      val got = fold(h1).merge(fold(h2)).result
+      def key(p: (Double, Long)) =
+        (if (java.lang.Double.isNaN(p._1)) "NaN" else (p._1 + 0.0).toString,
+          p._2)
+      assert(got.map(key) === want.map(key),
+        s"largest=$largest cap=$cap input=$input")
+    }
+  }
+
   test("filter commutes with projection") {
     for (threshold <- samples(Gen.choose(1000.0, 400000.0), 5)) {
       val a = orders.filter(col("o_totalprice") > threshold)
