@@ -265,7 +265,9 @@ object Changes {
                                   base: String, n: Int,
                                   changeFeed: Boolean,
                                   sortCols: Seq[String] = Nil,
-                                  filesPerBucket: Int = 4): String = {
+                                  filesPerBucket: Int = 4)
+                                 (implicit tstore: graft.sources.TableStore)
+                                 : String = {
     import graft.sources.Ingest
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -291,6 +293,32 @@ object Changes {
     }
     table
   }
+
+  /** The SAME CDC fold and read, run end-to-end against the STRICT
+    * object-store control plane ([[graft.sources.ObjectTableStore]]:
+    * no append, no rename, no hard links, CAS-only pointer swaps) —
+    * the oracle-gated twin of the IngestObjectStoreSpec battery. The
+    * final table state must equal the compacted changelog
+    * ([[qCdcApply]]'s DuckDB oracle, shared verbatim): a format that
+    * silently relied on any POSIX crutch in the merge / commit /
+    * retention path would diverge or fail here. Everything else about
+    * the fold (date-range batches, per-batch winners, tombstones,
+    * change feed) is [[qStreamCdcTable]]'s.
+    */
+  val qUpsertObjectStore: QuerySpec = QuerySpec(
+    "q_upsert_objectstore",
+    qCdcApply.oracle,
+    (spark, dir) => {
+      implicit val objStore: graft.sources.TableStore =
+        new graft.sources.ObjectTableStore
+      val t = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("cdc-objstore"), n = 4, changeFeed = true)
+      graft.sources.Ingest.readUpsertTable(spark, t)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_custkey")
+    })
 
   /** One CDC-built change-feed table per fixture dir, shared by every
     * READ-ONLY table-format consumer ([[qTableCdf]], [[qCdfMv]],
@@ -1364,5 +1392,5 @@ object Changes {
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
-      qTableReplica, qIncrementalAgg, qStreamMv)
+      qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore)
 }
