@@ -136,35 +136,50 @@ object Bench {
       }
     }
     new java.io.File("target").mkdirs()
-    java.nio.file.Files.writeString(ctrlPath,
-      newBest.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n"))
+    // full runs only: a subset run (setup skipped, no suite-wide memory
+    // pressure) produces unreachable mins that would permanently poison
+    // the best-ever baseline and brand every later full run as inflated
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(ctrlPath,
+        newBest.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n"))
     // Self-healing on stalled hosts (the r10/r11 records both needed a
     // judge re-run to adjudicate): when the run is provably hot
     // (controls inflated > 1.3x their best-ever), a contaminated
     // query's MEDIAN is stall noise, not signal. Re-run each
     // contaminated query (median > 1.25x its own best rep) ONCE and
-    // publish the stall-free estimate — the min over its reps and the
-    // re-run, the same per-rep-min statistic judge adjudication
-    // already uses — as its measurement, named in `healed`. Bounded
-    // cost: one extra rep per hot query, only on provably-hot runs;
-    // clean runs skip this entirely and publish pure medians.
+    // publish min(median, max(rerun, minRep)) — the re-run ARBITRATES:
+    // a clean re-run confirms the stall and the estimate drops toward
+    // the stall-free value; a re-run that CONFIRMS the high time keeps
+    // it (a genuinely slow query must not be laundered into its
+    // fastest-ever fluke, which plain min-of-reps would do); a re-run
+    // that itself stalls changes nothing. Bounded cost: one extra rep
+    // per hot query, only on provably-hot runs; clean runs publish
+    // pure medians. The re-run also folds into queries_min so the
+    // record stays internally consistent.
+    val rerunMins = scala.collection.mutable.Map.empty[String, Double]
     val healed: Map[String, Double] =
       if (controlInflation <= 1.3) Map.empty
       else timings.flatMap { case (name, ts) =>
         val mn = if (ts.isEmpty) -1.0 else ts.min
-        if (ts.isEmpty || median(ts) <= 1.25 * mn) None
+        val med = if (ts.isEmpty) -1.0 else median(ts)
+        if (ts.isEmpty || med <= 1.25 * mn) None
         else {
           val fn = SparkEntry.queries(name)
           var ok = true
           val t = time(try { fn(spark, sfDir).count(); () }
                        catch { case _: Throwable => ok = false })
-          Some(name -> (if (ok) math.min(mn, t) else mn))
+          if (ok) {
+            rerunMins(name) = math.min(mn, t)
+            Some(name -> math.min(med, math.max(t, mn)))
+          } else None
         }
       }.toMap
+    val minsPublished = minsByName.map { case (n, v) =>
+      n -> math.min(v, rerunMins.getOrElse(n, v)) }
     val published = results.map { case (n, v) => n -> healed.getOrElse(n, v) }
     val qs = published.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qmins = minsByName.toSeq.sortBy(_._1)
+    val qmins = minsPublished.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val st = setup.map { case (k, v) => s"\"" + k + "\":" + v }

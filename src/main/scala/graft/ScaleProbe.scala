@@ -38,9 +38,17 @@ object ScaleProbe {
     val scaled = "target/scale-probe/" +
       srcDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_x$factor"
     // factor-shifted copies with every key column offset per copy, so
-    // cardinalities scale with rows (same builder for every table)
+    // cardinalities scale with rows (same builder for every table).
+    // Cached per SOURCE fingerprint (length+mtime — the Ivf.ensureIndex
+    // discipline): a regenerated fixture or a changed shift scheme must
+    // rebuild, or every published ratio would compare different data.
     def blowUp(table: String, keyCols: Seq[String]): Unit = {
-      if (new java.io.File(s"$scaled/$table.parquet/_SUCCESS").exists()) return
+      val src = new java.io.File(s"$srcDir/$table.parquet")
+      val fp = s"${src.length()}:${src.lastModified()}:$factor:${keyCols.mkString(",")}"
+      val marker = new java.io.File(s"$scaled/$table.fingerprint")
+      if (marker.exists() &&
+          java.nio.file.Files.readString(marker.toPath).trim == fp &&
+          new java.io.File(s"$scaled/$table.parquet/_SUCCESS").exists()) return
       val df = spark.read.parquet(s"$srcDir/$table.parquet")
       val spans = df.agg(max(keyCols.head), keyCols.tail.map(max): _*).head()
       (0 until factor).map { i =>
@@ -49,6 +57,9 @@ object ScaleProbe {
         }
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$scaled/$table.parquet")
+      new java.io.File(scaled).mkdirs()
+      java.nio.file.Files.writeString(marker.toPath, fp)
+      ()
     }
     blowUp("orders", Seq("o_orderkey", "o_custkey"))
     blowUp("events", Seq("event_id", "user_id"))

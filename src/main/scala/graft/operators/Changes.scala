@@ -269,11 +269,11 @@ object Changes {
                                  (implicit tstore: graft.sources.TableStore)
                                  : String = {
     import graft.sources.Ingest
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(base))
+    // wipe through the SAME seam the build uses: a raw filesystem rm
+    // would leave a non-POSIX store's control objects (CURRENT,
+    // ledger, _meta) alive behind the deleted data, and the rebuild
+    // would replay against a ledger for data that no longer exists
+    tstore.deleteTree(base)
     val table = s"$base/table"
     val log = orderChangelog(spark, dir)
     val bounds = log.agg(min(to_date(col("o_orderdate"))),

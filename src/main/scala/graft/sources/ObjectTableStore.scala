@@ -77,9 +77,15 @@ final class ObjectTableStore extends TableStore {
   override def read(path: String): Option[String] =
     Option(objects.get(path)).map(_._1) // control objects ONLY — no fs fallback
 
-  override def writeAtomic(dir: String, name: String, body: String): Unit = {
-    objects.put(child(dir, name), (body, System.currentTimeMillis())); ()
-  }
+  override def writeAtomic(dir: String, name: String, body: String): Unit =
+    // under the same monitor as putConditional: an unsynchronized put
+    // landing between the CAS's read and its write would let the CAS
+    // succeed against a stale read — the lost-update the conditional
+    // put exists to prevent (S3's If-Match serializes against plain
+    // PUTs server-side; the in-JVM double must too)
+    synchronized {
+      objects.put(child(dir, name), (body, System.currentTimeMillis())); ()
+    }
 
   override def putConditional(dir: String, name: String,
                               expect: Option[String], body: String): Boolean =

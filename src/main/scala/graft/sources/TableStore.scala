@@ -164,13 +164,19 @@ object LocalTableStore extends TableStore {
     else Some(new String(java.nio.file.Files.readAllBytes(p.toPath), utf8))
   }
 
-  override def writeAtomic(dir: String, name: String, body: String): Unit = {
-    val tmp = f(child(dir, name + ".tmp"))
-    java.nio.file.Files.write(tmp.toPath, body.getBytes(utf8))
-    java.nio.file.Files.move(tmp.toPath, f(child(dir, name)).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  override def writeAtomic(dir: String, name: String, body: String): Unit =
+    // under the same monitor as putConditional: an in-JVM writer
+    // racing the CAS's read+rename window would otherwise let the CAS
+    // succeed against a stale read (cross-process stays best-effort,
+    // as documented on the trait)
+    synchronized {
+      val tmp = f(child(dir, name + ".tmp"))
+      java.nio.file.Files.write(tmp.toPath, body.getBytes(utf8))
+      java.nio.file.Files.move(tmp.toPath, f(child(dir, name)).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
 
   override def putConditional(dir: String, name: String,
                               expect: Option[String], body: String): Boolean =
