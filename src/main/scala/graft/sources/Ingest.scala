@@ -1111,14 +1111,31 @@ object Ingest {
       case None => store.child(root, cur.get)
       case Some(b) =>
         val committed = readLedger(root)
-        val have = versionDirs(root)
+        val vds = versionDirs(root)
+        val have = vds
           .collect { case (n, bb, g) if committed.contains(bb) &&
             genComplete(root, n, g, cur) => bb }.distinct
         val eligible = have.filter(_ <= b)
         require(eligible.nonEmpty,
           s"upsert table has no retained committed snapshot at or before " +
             s"batch $b (retained: ${have.sorted.mkString(",")}) — raise keepVersions")
-        servableDir(root, eligible.max).get
+        val best = eligible.max
+        // a COMMITTED batch in (best, b] whose dir still exists but is
+        // incomplete is mid-sweep (or a crashed maintenance rewrite of
+        // an already-swept batch): a moment earlier it was the snapshot
+        // this read would rightfully serve, so silently answering with
+        // the older `best` state would be wrong data with no error.
+        // Fail loudly; once the interrupted sweep completes, the read
+        // gives the documented fallback or beyond-retention error.
+        val midSweep = vds.collect {
+          case (n, bb, g) if committed.contains(bb) && bb > best &&
+            bb <= b && !genComplete(root, n, g, cur) => bb
+        }.distinct
+        require(midSweep.isEmpty,
+          s"snapshot(s) for committed batch(es) ${midSweep.sorted.mkString(",")} " +
+            s"of $root are mid-sweep (interrupted retention/vacuum delete) — " +
+            "re-run the cleanup (any commit or vacuum) and retry the as-of read")
+        servableDir(root, best).get
     }
   }
 

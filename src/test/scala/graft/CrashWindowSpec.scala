@@ -194,6 +194,18 @@ class CrashWindowSpec extends AnyFunSuite {
         // CURRENT read unaffected by a half-done vacuum
         assert(Ingest.readUpsertTable(spark, table).count() === 4,
           s"vacuum window $kv broke the current read")
+        // as-of reads NEVER silently serve older state: each batch
+        // added one distinct key, so a successful asOf(b) must hold
+        // exactly b+1 rows — a half-swept batch fails loudly instead
+        (0L to 3L).foreach { b =>
+          scala.util.Try(
+            Ingest.readUpsertTable(spark, table, Some(b)).count()) match {
+            case scala.util.Success(n) =>
+              assert(n === b + 1,
+                s"vacuum window $kv: asOf($b) served older state ($n rows)")
+            case scala.util.Failure(_) => () // loud failure is correct
+          }
+        }
         // re-run finishes the job; retained state intact
         Ingest.vacuumUpsertTable(spark, table, keepVersions = 1,
           feedBeforeBatch = Some(3L)).count()
