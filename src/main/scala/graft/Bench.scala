@@ -64,7 +64,9 @@ object Bench {
       "pq_index_build" ->
         (() => { graft.operators.Pq.indexFor(spark, sfDir)._2.count(); () }),
       "cdc_table_build" ->
-        (() => { graft.operators.Changes.sharedCdcTable(spark, sfDir); () })
+        (() => { graft.operators.Changes.sharedCdcTable(spark, sfDir); () }),
+      "objectstore_cdc_build" ->
+        (() => { graft.operators.Changes.sharedObjectStoreCdcTable(spark, sfDir); () })
     )
     val setup = (if (only.isEmpty) setupAll else Nil)
       .map { case (name, f) => name -> time(f()) }
@@ -157,6 +159,11 @@ object Bench {
     // pure medians. The re-run also folds into queries_min so the
     // record stays internally consistent.
     val rerunMins = scala.collection.mutable.Map.empty[String, Double]
+    // arbitration evidence, persisted with the record (VERDICT r12
+    // item 8): the re-run time and the unhealed median per healed
+    // query, so a reader can audit the healing — and compare runs on
+    // a single estimator (the raw median) — without a re-run
+    val rerunTimes = scala.collection.mutable.Map.empty[String, Double]
     val healed: Map[String, Double] =
       if (controlInflation <= 1.3) Map.empty
       else timings.flatMap { case (name, ts) =>
@@ -170,10 +177,13 @@ object Bench {
                        catch { case _: Throwable => ok = false })
           if (ok) {
             rerunMins(name) = math.min(mn, t)
+            rerunTimes(name) = t
             Some(name -> math.min(med, math.max(t, mn)))
           } else None
         }
       }.toMap
+    val rawMedians: Map[String, Double] =
+      healed.keys.map(n => n -> results.toMap.getOrElse(n, -1.0)).toMap
     val minsPublished = minsByName.map { case (n, v) =>
       n -> math.min(v, rerunMins.getOrElse(n, v)) }
     val published = results.map { case (n, v) => n -> healed.getOrElse(n, v) }
@@ -188,11 +198,15 @@ object Bench {
     val partial = partialFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val healedArr = healed.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rawJs = rawMedians.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rerunJs = rerunTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = published.collect { case (_, v) if v >= 0 => v }.sum
     val setupTotal = setup.map(_._2).sum
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qmins,"control_inflation":$controlInflation,""" +
-      s""""healed":$healedArr,""" +
+      s""""healed":$healedArr,"queries_raw":$rawJs,"reruns":$rerunJs,""" +
       s""""setup":$st,"reps":$reps,"errors":$errs,"partial_failures":$partial,"sf":"$sfDir"}"""
     // self-record FIRST: the full per-query record lives in a file — the
     // driver's log capture keeps only the LAST 2000 chars of stdout

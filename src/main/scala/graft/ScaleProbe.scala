@@ -50,10 +50,15 @@ object ScaleProbe {
           java.nio.file.Files.readString(marker.toPath).trim == fp &&
           new java.io.File(s"$scaled/$table.parquet/_SUCCESS").exists()) return
       val df = spark.read.parquet(s"$srcDir/$table.parquet")
-      val spans = df.agg(max(keyCols.head), keyCols.tail.map(max): _*).head()
+      // explicit long casts: a regenerated fixture with IntegerType
+      // keys must scale (shifted back to the source type below), not
+      // throw ClassCastException after the expensive union write starts
+      val spans = df.agg(max(col(keyCols.head).cast("long")),
+        keyCols.tail.map(c => max(col(c).cast("long"))): _*).head()
       (0 until factor).map { i =>
         keyCols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
-          d.withColumn(c, col(c) + lit(i * (spans.getLong(j) + 1)))
+          d.withColumn(c, (col(c).cast("long") +
+            lit(i * (spans.getLong(j) + 1))).cast(df.schema(c).dataType))
         }
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$scaled/$table.parquet")

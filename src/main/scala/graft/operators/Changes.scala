@@ -305,14 +305,36 @@ object Changes {
     * the fold (date-range batches, per-batch winners, tombstones,
     * change feed) is [[qStreamCdcTable]]'s.
     */
+  /** Memoized object-store CDC fold: built ONCE per (session, fixture)
+    * like [[sharedCdcTable]] — the copy-based control plane (no hard
+    * links: every untouched bucket byte-copies forward) makes this the
+    * single most expensive build in the suite, and re-folding it per
+    * bench rep measured harness waste, not engine signal (VERDICT r12
+    * item 4). The store INSTANCE memoizes with the path: its control
+    * objects (CURRENT, ledger, `_meta`) live only in that instance's
+    * in-process map, so reads must go through the same seam that
+    * built it. Bench charges the build to `objectstore_cdc_build`.
+    */
+  private val objStoreMemo =
+    graft.Memo[(SparkSession, String),
+      (graft.sources.ObjectTableStore, String)]()
+
+  def sharedObjectStoreCdcTable(spark: SparkSession, dir: String)
+      : (graft.sources.ObjectTableStore, String) =
+    objStoreMemo.getOrElseUpdate((spark, dir), {
+      implicit val objStore: graft.sources.ObjectTableStore =
+        new graft.sources.ObjectTableStore
+      val t = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("cdc-objstore"), n = 4, changeFeed = true)
+      (objStore, t)
+    })
+
   val qUpsertObjectStore: QuerySpec = QuerySpec(
     "q_upsert_objectstore",
     qCdcApply.oracle,
     (spark, dir) => {
-      implicit val objStore: graft.sources.TableStore =
-        new graft.sources.ObjectTableStore
-      val t = buildCdcUpsertTable(spark, dir,
-        graft.Scratch.dir("cdc-objstore"), n = 4, changeFeed = true)
+      val (st, t) = sharedObjectStoreCdcTable(spark, dir)
+      implicit val objStore: graft.sources.TableStore = st
       graft.sources.Ingest.readUpsertTable(spark, t)
         .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"),

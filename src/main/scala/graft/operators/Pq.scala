@@ -4,7 +4,6 @@ import graft.{Memo, QuerySpec}
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-quantization (PQ) approximate nearest neighbor — the third
@@ -92,11 +91,24 @@ object Pq {
     val dsub = dim / m
     val train = subvecs(emb, m, dsub)
       .localCheckpoint() // reused every Lloyd round — cut the lineage
-    val seedW = Window.partitionBy("sub").orderBy("vec_id")
-    var codebook = train
-      .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= ks)
-      .select(col("sub"), (col("rn") - 1).as("code"),
-        col("subvec").as("centroid"))
+    // Seed selection: the ks SMALLEST vec_ids per subspace. The former
+    // `row_number().over(partitionBy(sub).orderBy(vec_id))` ranked the
+    // ENTIRE corpus's subvectors through m partitions to pick ks rows
+    // — a corpus-sized sort in the build path. Selection aggregates:
+    // a bounded min-heap per subspace (TopByAgg, the ANN-scan
+    // discipline) moves partitions × ks entries through the shuffle,
+    // and the tiny (m × ks) winner set broadcasts back to fetch its
+    // subvectors. Score IS the id (exact as a double for ids < 2^53 —
+    // far beyond any corpus id here), ascending, so position i is the
+    // identical rank the window assigned.
+    val selSeed = udaf(new graft.functions.TopByAgg(ks, largest = false),
+      graft.functions.TopByAgg.inputEncoder)
+    val seedIds = train.groupBy("sub")
+      .agg(selSeed(col("vec_id").cast("double"), col("vec_id")).as("seed"))
+      .select(col("sub"), posexplode(col("seed")).as(Seq("code", "s")))
+      .select(col("sub"), col("code"), col("s._2").as("vec_id"))
+    var codebook = train.join(broadcast(seedIds), Seq("sub", "vec_id"))
+      .select(col("sub"), col("code"), col("subvec").as("centroid"))
     for (_ <- 0 until iters) {
       codebook = assignCodes(train, codebook)
         .select(col("sub"), col("code"),
@@ -111,6 +123,22 @@ object Pq {
     }
     codebook
   }
+
+  /** Mean squared reconstruction error of `emb`'s subvectors under
+    * `codebook` — THE quantization-error metric of the PQ literature,
+    * and the DRIFT MONITOR a production deployment thresholds to
+    * trigger [[graft.operators.AnnIndex.optimizePqCodes]]: as the
+    * corpus drifts away from the training set this number climbs, ADC
+    * estimates blur, shortlist recall sags — retraining restores all
+    * three. One broadcast-join + hash-agg pass over the corpus, cheap
+    * enough to run per maintenance fold.
+    */
+  def quantizationError(emb: DataFrame, codebook: DataFrame,
+                        m: Int = M, dim: Int = 64): Double =
+    assignCodes(subvecs(emb, m, dim / m), codebook)
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .select(l2D(col("subvec"), col("centroid")).as("e"))
+      .agg(avg(col("e"))).head.getDouble(0)
 
   /** Encode the corpus: (vec_id, codes: array<int> of length m,
     * cnorm: double). The codes are the vector's entire search-time

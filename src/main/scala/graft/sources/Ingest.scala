@@ -261,25 +261,48 @@ object Ingest {
         g == 0 && !committed.contains(b) && inflightGraceMs > 0 &&
           now - newestMtime(store.child(root, n)) < inflightGraceMs
       }
+      // OLDEST FIRST — the crash-safety invariant of the whole sweep.
+      // Deleting in ascending (batchId, gen) order means a crash at
+      // ANY point leaves the still-present committed batches a
+      // contiguous SUFFIX of the ledger: a fully-vanished batch
+      // implies everything older is gone too, so an as-of read that
+      // would have served it fails loudly on the empty-eligible
+      // require (or the vanished-middle guard) instead of silently
+      // falling back to an older snapshot. Sweeping in listing order
+      // (UNSPECIFIED — observed v_1 before v_0) let a crash after a
+      // fully-deleted MIDDLE version hand asOf(1) batch-0 state with
+      // no error.
+      .sortBy { case (_, b, g) => (b, g) }
       .map { case (n, _, _) => sweepDir(store.child(root, n)); n }
     store.delete(store.child(root, "CURRENT.tmp"))
     swept
   }
 
-  /** Newest modification time anywhere SHALLOW in `dir` (depth-bounded
-    * walk): an in-flight Spark write keeps mutating task dirs under
+  /** Newest modification time anywhere in `dir`'s WRITE-ACTIVITY
+    * surface: an in-flight Spark write keeps mutating task dirs under
     * `_temporary/0/_temporary/attempt_...` long after the top dir's own
     * mtime froze at creation — liveness detection must look below the
-    * surface. Bounded cost: called only for UNCOMMITTED sweep
-    * candidates (rare), depth ≤ 3 LIST calls deep.
+    * surface. Outside `_temporary` the walk is depth-bounded (cheap
+    * LIST discipline); a `_temporary` subtree is walked WITHOUT a
+    * depth bound, because that is exactly where a long-running task's
+    * only churn lives — a single task writing one large file for
+    * longer than the grace window advances only leaf mtimes at depth
+    * 4+, and a bounded walk that missed them would expire the shield
+    * and let a competitor sweep a LIVE build mid-write (recoverable by
+    * the OCC re-merge, terminal on the last retry). Cost stays
+    * bounded: called only for UNCOMMITTED sweep candidates (rare), and
+    * `_temporary` holds only the in-flight attempt's files. A
+    * genuinely crashed build's `_temporary` mtimes are frozen, so the
+    * deep walk never delays its reaping past the grace window.
     */
   private def newestMtime(dir: String, depth: Int = 3)
                          (implicit store: TableStore): Long = {
     val own = store.lastModified(dir)
-    if (depth == 0) own
+    if (depth <= 0) own
     else store.listNames(dir).map { n =>
       val c = store.child(dir, n)
-      if (store.isDirectory(c)) newestMtime(c, depth - 1)
+      val childDepth = if (n == "_temporary") Int.MaxValue else depth - 1
+      if (store.isDirectory(c)) newestMtime(c, childDepth)
       else store.lastModified(c)
     }.foldLeft(own)(math.max)
   }
@@ -489,8 +512,16 @@ object Ingest {
       // IOException before the CAS could lose cleanly). Our pointer
       // never swapped — or swapped and the replay path below completes
       // the commit idempotently — so a re-merge is safe either way.
-      case scala.util.control.NonFatal(_)
-          if retriesLeft > 0 && readCurrentName(tableDir) != before =>
+      // EXCEPT the sink's own deterministic batch validation
+      // (IllegalArgumentException: constraint violations, NULL delete
+      // flags, duplicate keys, meta mismatches) — a permanently-bad
+      // batch fails identically against any snapshot, so re-merging
+      // because a competitor HAPPENED to commit concurrently would
+      // burn every retry at full merge cost and bury the real error
+      // until the last attempt.
+      case scala.util.control.NonFatal(e)
+          if retriesLeft > 0 && !e.isInstanceOf[IllegalArgumentException] &&
+            readCurrentName(tableDir) != before =>
         retry()
     }
   }
@@ -1120,21 +1151,35 @@ object Ingest {
           s"upsert table has no retained committed snapshot at or before " +
             s"batch $b (retained: ${have.sorted.mkString(",")}) — raise keepVersions")
         val best = eligible.max
-        // a COMMITTED batch in (best, b] whose dir still exists but is
-        // incomplete is mid-sweep (or a crashed maintenance rewrite of
-        // an already-swept batch): a moment earlier it was the snapshot
-        // this read would rightfully serve, so silently answering with
-        // the older `best` state would be wrong data with no error.
-        // Fail loudly; once the interrupted sweep completes, the read
-        // gives the documented fallback or beyond-retention error.
-        val midSweep = vds.collect {
-          case (n, bb, g) if committed.contains(bb) && bb > best &&
-            bb <= b && !genComplete(root, n, g, cur) => bb
-        }.distinct
-        require(midSweep.isEmpty,
-          s"snapshot(s) for committed batch(es) ${midSweep.sorted.mkString(",")} " +
-            s"of $root are mid-sweep (interrupted retention/vacuum delete) — " +
-            "re-run the cleanup (any commit or vacuum) and retry the as-of read")
+        // a COMMITTED batch in (best, b] — whether its dir still
+        // exists but is incomplete (mid-sweep: the `_sweeping` marker
+        // survived a crash mid-delete) or the dir has VANISHED
+        // entirely (a crash after a middle version's delete completed,
+        // before older ones were swept) — was, a moment earlier, the
+        // snapshot this read would rightfully serve; silently
+        // answering with the older `best` state would be wrong data
+        // with no error. Fail loudly. The ascending sweep order in
+        // [[cleanupStale]] makes the vanished case unreachable in a
+        // healthy table (retained batches stay a suffix of the
+        // ledger), so this is defense-in-depth against out-of-band
+        // deletion and pre-fix crash debris. Once a re-run cleanup
+        // completes, the read gives the documented fallback or the
+        // beyond-retention error.
+        val shadowed = committed.filter(bb => bb > best && bb <= b)
+        require(shadowed.isEmpty, {
+          val (midSweep, vanished) =
+            shadowed.partition(bb => vds.exists(_._2 == bb))
+          s"as-of read of $root at batch $b cannot safely fall back to " +
+            s"batch $best: committed batch(es) " +
+            (if (midSweep.nonEmpty)
+              s"${midSweep.toSeq.sorted.mkString(",")} are mid-sweep " +
+                "(interrupted retention/vacuum delete)" else "") +
+            (if (midSweep.nonEmpty && vanished.nonEmpty) " and " else "") +
+            (if (vanished.nonEmpty)
+              s"${vanished.toSeq.sorted.mkString(",")} have no snapshot dir " +
+                "while an older one survives (non-suffix deletion)" else "") +
+            " — re-run the cleanup (any commit or vacuum) and retry"
+        })
         servableDir(root, best).get
     }
   }
@@ -1517,12 +1562,18 @@ object Ingest {
                      (implicit store: TableStore): Seq[String] = {
     val feedDir = store.child(tableDir, "feed")
     store.listNames(feedDir)
-      .filter { n =>
-        n.startsWith("b") &&
-          scala.util.Try(n.drop(1).takeWhile(_ != '-').toLong)
-            .toOption.exists(_ < beforeBatch)
+      .flatMap { n =>
+        if (!n.startsWith("b")) None
+        else scala.util.Try(n.drop(1).takeWhile(_ != '-').toLong)
+          .toOption.filter(_ < beforeBatch).map(_ -> n)
       }
-      .map { n => store.delete(store.child(feedDir, n)); n }
+      // oldest batch first, same suffix invariant as the version
+      // sweep: a crash mid-prune leaves the surviving slices a
+      // contiguous batch suffix, so a batch-bounded feed read over the
+      // pruned range comes up visibly empty-at-the-front rather than
+      // gapped in the middle
+      .sortBy { case (b, n) => (b, n) }
+      .map { case (_, n) => store.delete(store.child(feedDir, n)); n }
   }
 
   /** VACUUM for the table format — the one scheduled maintenance pass

@@ -105,6 +105,17 @@ trait TableStore {
     * tooling must degrade to a normal CAS, not a permanent
     * "moved from X to X" conflict. Remote impls comparing by
     * version/ETag instead of content satisfy this trivially.
+    *
+    * POINTER-ONLY CONTRACT: that normalization makes "object absent"
+    * and "object exists but whitespace-empty" indistinguishable — a
+    * create-if-absent (`expect = None`) put overwrites an existing
+    * empty object. Safe for the one caller this method exists for
+    * (the `CURRENT` swap: pointer bodies are non-empty `v_<id>` names
+    * and an empty pointer is debris to reclaim), WRONG for a generic
+    * CAS where an empty object is meaningful state (e.g. a lock
+    * file). Do not grow new callers onto this method; a future
+    * generic CAS needs its own primitive with strict byte (or
+    * ETag/version) comparison.
     */
   def putConditional(dir: String, name: String,
                      expect: Option[String], body: String): Boolean

@@ -219,6 +219,199 @@ class CrashWindowSpec extends AnyFunSuite {
     (windows, vWindows)
   }
 
+  /** Sweep the OPTIMIZE protocol (same-count generation rewrite that
+    * applies pending merge-on-read deletion vectors and restores the
+    * sort layout); returns windows swept. The table carries REAL
+    * vector debt going in, so every window also proves the
+    * merge-on-read read path (state must exclude the lazily-deleted
+    * key whatever instant the crash froze) and the completed optimize
+    * proves debt clearance.
+    */
+  private def sweepOptimize(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    val want = Map(1L -> 1.0, 3L -> 3.0)
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 200) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val table = Files.createTempDirectory("graft-crash-opt").toString + "/t"
+      def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+          keepVersions = 4, deleteCol = Some("_del"), lazyDeletes = true,
+          changeFeed = true, sortCols = Seq("user_id"))(
+          rows.toDF("user_id", "value", "_del"), id)
+      def state(): Map[Long, Double] =
+        Ingest.readUpsertTable(spark, table)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+      up(0, (1L, 1.0, false), (2L, 2.0, false), (3L, 3.0, false))
+      up(1, (2L, 0.0, true)) // lazy delete: vector debt, no rewrite
+      store.count = 0; store.limit = k
+      val crashed =
+        try { Ingest.optimizeUpsertTable(spark, table); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        // merge-on-read stays honest mid-crash: the lazily-deleted key
+        // never reappears, whichever generation serves
+        assert(state() == want, s"optimize window $k torn state")
+        assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+          .count() === 3, s"optimize window $k as-of broken")
+        // completing the interrupted optimize is idempotent and
+        // CLEARS the vector debt in the served generation
+        Ingest.optimizeUpsertTable(spark, table)
+        assert(state() == want, s"optimize window $k completion diverged")
+        val cur = store.read(store.child(table, "CURRENT")).get.trim
+        assert(!store.exists(
+            store.child(store.child(table, cur), "_deletes")),
+          s"optimize window $k left vector debt after completion")
+        // a later writer proceeds; the feed still reads end-to-end
+        up(2, (4L, 4.0, false))
+        assert(Ingest.readTableChanges(spark, table, 0, 2).count() >= 5)
+        LocalTableStore.deleteTree(table)
+      }
+      k += 1
+    }
+    assert(exhausted, "optimize sweep never ran past the protocol")
+    windows
+  }
+
+  /** Sweep the FEED-FOLD protocol: a derived table (secondary-index
+    * shape — per-key net-keep folded from each base batch's feed
+    * slice) maintained on the failpointed store while the BASE table
+    * lives on a clean one. The sink windows inside the fold's upsert
+    * are the sink sweep's; what this pins is the FOLD's own replay
+    * contract — a consumer that crashed anywhere mid-fold re-runs the
+    * same slice and must converge on exactly the state a clean
+    * end-to-end fold produces, with no slice lost, double-applied, or
+    * torn across the index's ledger.
+    */
+  private def sweepFeedFold(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    // base table: clean POSIX store, 2 feed batches
+    val baseDir = Files.createTempDirectory("graft-crash-base").toString + "/b"
+    locally {
+      implicit val clean: TableStore = LocalTableStore
+      Ingest.upsertParquet(baseDir, Seq("user_id"), nBuckets = 2,
+        keepVersions = 8, deleteCol = Some("_del"), changeFeed = true)(
+        Seq((1L, 1.0, false), (2L, 2.0, false)).toDF("user_id", "value", "_del"), 0L)
+      Ingest.upsertParquet(baseDir, Seq("user_id"), nBuckets = 2,
+        keepVersions = 8, deleteCol = Some("_del"), changeFeed = true)(
+        Seq((1L, 11.0, false), (3L, 3.0, false), (2L, 0.0, true))
+          .toDF("user_id", "value", "_del"), 1L)
+    }
+    def foldSlice(idx: String, b: Long)(implicit st: TableStore): Unit = {
+      import org.apache.spark.sql.functions.{col, max, when}
+      val entries = Ingest.readTableChanges(spark, baseDir, b, b)(
+          graft.sources.TableStore.local)
+        .groupBy("user_id")
+        .agg(max(when(col("_change_type")
+            .isin("insert", "update_postimage"), 1).otherwise(0)).as("keep"),
+          max(when(col("_change_type").isin("insert", "update_postimage"),
+            col("value"))).as("value"))
+        .select(col("user_id"), col("value"),
+          (col("keep") === 0).as("_del"))
+      Ingest.upsertParquet(idx, Seq("user_id"), nBuckets = 2,
+        keepVersions = 1, deleteCol = Some("_del"))(entries, b)
+    }
+    // the clean reference: what an uninterrupted end-to-end fold serves
+    val wantState: Map[Long, Double] = {
+      implicit val clean: TableStore = LocalTableStore
+      val ref = Files.createTempDirectory("graft-crash-ref").toString + "/i"
+      (0L to 1L).foreach(b => foldSlice(ref, b))
+      val m = Ingest.readUpsertTable(spark, ref)
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      LocalTableStore.deleteTree(ref)
+      m
+    }
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 200) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val idx = Files.createTempDirectory("graft-crash-fold").toString + "/i"
+      foldSlice(idx, 0L) // uninjected first fold
+      store.count = 0; store.limit = k
+      val crashed =
+        try { foldSlice(idx, 1L); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        // the index's ledger is torn-free: it holds slice 0, and holds
+        // slice 1 only if the state already reflects it
+        val committed = store.readLog(store.child(idx, "_commits"))
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+        assert(committed.contains(0L), s"fold window $k lost slice 0")
+        // replaying the crashed slice converges on the clean reference
+        foldSlice(idx, 1L)
+        val got = Ingest.readUpsertTable(spark, idx)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+        assert(got == wantState, s"fold window $k diverged: $got")
+        LocalTableStore.deleteTree(idx)
+      }
+      k += 1
+    }
+    LocalTableStore.deleteTree(baseDir)
+    assert(exhausted, "feed-fold sweep never ran past the protocol")
+    windows
+  }
+
+  /** Sweep the TWO-WRITER OCC matrix: writer A dies just before its
+    * k-th control-plane op, writer B then commits through the SAME
+    * control plane (occ mode, so B's post-commit cleanup runs with the
+    * in-flight shield armed), and A finally replays its batch with
+    * retries armed. For EVERY window both batches must be durable —
+    * the lost-update guarantee the OCC scaladoc argues, pinned against
+    * a crash at every instant of A's protocol rather than the one
+    * hand-picked interleaving IngestSpec races.
+    */
+  private def sweepOccWriters(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    val want = Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 200) {
+      val shared = delegate() // ONE control plane for both writers
+      val table = Files.createTempDirectory("graft-crash-occ").toString + "/t"
+      def up(id: Long, rows: (Long, Double)*)(implicit st: TableStore): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+          keepVersions = 10, occRetries = 2)(
+          rows.toDF("user_id", "value"), id)
+      locally {
+        implicit val st: TableStore = shared
+        up(0, (1L, 1.0))
+      }
+      val aStore = new FailpointStore(shared)
+      aStore.count = 0; aStore.limit = k
+      val crashed =
+        try { up(1, (2L, 2.0))(aStore); false }
+        catch { case _: InjectedCrash => true }
+      aStore.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        implicit val st: TableStore = shared
+        up(7, (3L, 3.0)) // writer B commits over A's wreckage
+        up(1, (2L, 2.0)) // A replays its batch
+        val got = Ingest.readUpsertTable(spark, table)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+        assert(got == want, s"occ window $k lost an update: $got")
+        val committed = shared.readLog(shared.child(table, "_commits"))
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+        assert(committed == Set(0L, 1L, 7L), s"occ window $k ledger: $committed")
+        LocalTableStore.deleteTree(table)
+      }
+      k += 1
+    }
+    assert(exhausted, "occ sweep never ran past the protocol")
+    windows
+  }
+
   test("sink protocol: every crash window serves committed state and replays clean (POSIX)") {
     withSmallShuffle {
       val w = sweepSink(() => LocalTableStore)
@@ -244,6 +437,48 @@ class CrashWindowSpec extends AnyFunSuite {
     withSmallShuffle {
       val (r, v) = sweepMaintenance(() => new ObjectTableStore)
       info(s"$r rebucket + $v vacuum windows swept, all converged")
+    }
+  }
+
+  test("optimize protocol: crash windows keep merge-on-read honest and clear debt (POSIX)") {
+    withSmallShuffle {
+      val w = sweepOptimize(() => LocalTableStore)
+      info(s"$w optimize windows swept, all converged")
+    }
+  }
+
+  test("optimize protocol: crash windows recover on the object store") {
+    withSmallShuffle {
+      val w = sweepOptimize(() => new ObjectTableStore)
+      info(s"$w optimize windows swept, all converged")
+    }
+  }
+
+  test("feed-fold protocol: a consumer crash at any window replays to the clean fold (POSIX)") {
+    withSmallShuffle {
+      val w = sweepFeedFold(() => LocalTableStore)
+      info(s"$w fold windows swept, all converged")
+    }
+  }
+
+  test("feed-fold protocol: fold crash windows converge under object-store semantics") {
+    withSmallShuffle {
+      val w = sweepFeedFold(() => new ObjectTableStore)
+      info(s"$w fold windows swept, all converged")
+    }
+  }
+
+  test("two-writer OCC: writer A crashing at any window never loses either batch (POSIX)") {
+    withSmallShuffle {
+      val w = sweepOccWriters(() => LocalTableStore)
+      info(s"$w occ windows swept, both writers durable in each")
+    }
+  }
+
+  test("two-writer OCC: the crash matrix holds on the object store") {
+    withSmallShuffle {
+      val w = sweepOccWriters(() => new ObjectTableStore)
+      info(s"$w occ windows swept, both writers durable in each")
     }
   }
 }

@@ -1294,3 +1294,26 @@ class IngestObjectStoreSpec extends IngestSuiteBase {
     objStore.dropLogEntries(objStore.child(table, "_commits"),
       batchId.toString)
 }
+/** The same battery through [[graft.sources.HadoopTableStore]] — the
+  * REAL-WIRE remote control plane (Hadoop `FileSystem` API: the exact
+  * code path an `hdfs://` production deployment runs), bound here to
+  * `file:///` because the sandbox has no network: URI resolution,
+  * FileContext OVERWRITE renames, object-per-entry ledgers and the
+  * marker-last manual tree delete are all exercised for real; only
+  * the `FileSystem` implementation behind the API differs in
+  * production. Copy-based sharing ⇒ the object-store (`posixLinks =
+  * false`, content-digest file identity) regime.
+  */
+class IngestHadoopSpec extends IngestSuiteBase {
+  private val hStore = new graft.sources.HadoopTableStore()
+  implicit def store: graft.sources.TableStore = hStore
+  def posixLinks: Boolean = false
+  def fileId(f: java.io.File): String = md5(f)
+  def tearLedger(table: String): Unit =
+    // object-per-entry ledger: the torn-line analogue is a garbage
+    // entry object, which must parse as "uncommitted"
+    hStore.appendLog(hStore.child(table, "_commits"), "torn#garbage")
+  def dropLedgerEntry(table: String, batchId: Long): Unit =
+    hStore.dropLogEntries(hStore.child(table, "_commits"),
+      batchId.toString)
+}

@@ -119,4 +119,35 @@ class PqSpec extends AnyFunSuite {
         assert(math.abs(bruteSim(key) - r.getDouble(2)) < 1e-9)
       }
   }
+
+  test("codebook retrain at OPTIMIZE drops quantization error after drift") {
+    // the measurement behind q_ann_index_pq_optimize's hash gate: the
+    // drifted fixture's codebooks were trained on the perturbed
+    // batch-0 corpus (a fifth of the vectors reversed, plus ghosts),
+    // so the FINAL corpus reconstructs badly under them; retraining
+    // from the current live vectors must strictly improve the mean
+    // squared reconstruction error — the drift metric a production
+    // deployment thresholds to schedule this op.
+    val base = graft.Scratch.dir("pq-opt-spec")
+    graft.sources.LocalTableStore.deleteTree(base)
+    val codesTable = s"$base/codes"
+    val (staleCb, _) =
+      graft.operators.AnnIndex.buildDriftedPqCodes(spark, sf, codesTable)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val errStale = Pq.quantizationError(emb, staleCb)
+    val fresh = graft.operators.AnnIndex.optimizePqCodes(
+      spark, codesTable, emb, batchId = 100L)
+    val errFresh = Pq.quantizationError(emb, fresh)
+    info(f"quantization MSE: stale=$errStale%.6f retrained=$errFresh%.6f")
+    assert(errFresh < errStale,
+      s"retrain did not improve quantization error ($errStale -> $errFresh)")
+    // and the optimized table now holds codes minted by the NEW
+    // codebook for exactly the live corpus (no stale survivor rows)
+    val optimized = graft.sources.Ingest.readUpsertTable(spark, codesTable)
+    assert(optimized.count() === emb.count())
+    val reFresh = Pq.encode(emb, fresh)
+    assert(optimized.select("vec_id", "codes")
+      .join(reFresh.select(col("vec_id"), col("codes").as("want")), "vec_id")
+      .filter(col("codes") =!= col("want")).count() === 0)
+  }
 }
