@@ -504,7 +504,94 @@ object AnnIndex {
         .orderBy("probe_id", "rk")
     })
 
+  /** PQ codes maintained by a DECOUPLED STREAM over the published feed
+    * — [[qAnnIndexPqMaintained]]'s batch fold re-expressed the way the
+    * IVF assignment already is in [[qStreamAnnIndex]], completing the
+    * maintenance symmetry: both quantizer domains now fold from the
+    * feed in batch AND stream shape. Same order-safety obligations
+    * (feed delivery is FILE-atomic, file order is not batch order):
+    * per-key winners by source `_batch_id` within the trigger, a
+    * bucket-pruned merge against the CURRENT codes rows for ONLY the
+    * trigger's keys, and deletes as LOGICAL tombstones (`live =
+    * false`) so a late-delivered older upsert loses on batch id
+    * instead of resurrecting a deleted vector's codes (dead entries
+    * leave at OPTIMIZE cadence — [[optimizePqCodes]] on the live
+    * corpus is exactly that compaction for this table). Encode cost
+    * rides the trigger: O(delta × m × ks), never a corpus re-encode.
+    * Gate: one hash chain — stream-maintained live codes ≡ fresh
+    * encode cell-for-cell (checked in-query) AND corpus-wide ADC ≡
+    * brute force (shares `q_cosine_topk`'s oracle).
+    */
+  val qStreamAnnPq: QuerySpec = QuerySpec(
+    "q_stream_ann_pq",
+    VectorOps.qCosineTopK.oracle,
+    (spark, dir) => {
+      GraftFunctions.register(spark)
+      val table = sharedEmbCdcTable(spark, dir)
+      val (cb, freshCodes) = Pq.indexFor(spark, dir)
+      val base = graft.Scratch.dir("ann-pq-stream")
+      LocalTableStore.deleteTree(base)
+      val codesTable = s"$base/codes"
+      def fold(batch: DataFrame, id: Long): Unit = {
+        val winners = batch.filter(col("_change_type") =!= "update_preimage")
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("embedding"), col("_change_type")),
+            col("_batch_id")).as("w"), max(col("_batch_id")).as("_bid"))
+          .select(col("vec_id"), col("w.embedding").as("embedding"),
+            (col("w._change_type") =!= "delete").as("live"), col("_bid"))
+        if (!winners.isEmpty) {
+          val alive = Pq.encode(
+              winners.filter(col("live")).select("vec_id", "embedding"), cb)
+            .withColumn("live", lit(true))
+            .join(winners.select("vec_id", "_bid"), "vec_id")
+            .select("vec_id", "codes", "cnorm", "live", "_bid")
+          val dead = winners.filter(!col("live"))
+            .select(col("vec_id"),
+              lit(null).cast("array<int>").as("codes"),
+              lit(null).cast("double").as("cnorm"),
+              lit(false).as("live"), col("_bid"))
+          val delta = alive.unionByName(dead)
+          val merged =
+            if (!LocalTableStore.exists(s"$codesTable/CURRENT")) delta
+            else Ingest.lookupUpsertTable(spark, codesTable,
+                delta.select("vec_id"))
+              .unionByName(delta)
+              .groupBy("vec_id")
+              .agg(max_by(struct(col("codes"), col("cnorm"), col("live")),
+                col("_bid")).as("w"), max(col("_bid")).as("_bid"))
+              .select(col("vec_id"), col("w.codes").as("codes"),
+                col("w.cnorm").as("cnorm"), col("w.live").as("live"),
+                col("_bid"))
+          Ingest.upsertParquet(codesTable, Seq("vec_id"), nBuckets = 4,
+            keepVersions = 1)(merged, id)
+        }
+      }
+      EventOps.withStreamSizing(spark) {
+        val src = Ingest.changeFeedStream(spark, table,
+          maxFilesPerTrigger = Some(3))
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(fold)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val maintained = Ingest.readUpsertTable(spark, codesTable)
+        .filter(col("live"))
+      val diverged = maintained
+        .select(col("vec_id"), col("codes").as("mc"), col("cnorm").as("mn"))
+        .join(freshCodes.select(col("vec_id"), col("codes").as("fc"),
+          col("cnorm").as("fn")), Seq("vec_id"), "full_outer")
+        .filter(col("mc").isNull || col("fc").isNull ||
+          col("mc") =!= col("fc") || col("mn") =!= col("fn"))
+      require(diverged.isEmpty,
+        "stream-maintained PQ codes diverge from the fresh encode")
+      val emb = Tables.load(spark, dir, "embeddings")
+      Pq.searchPq(emb, col("vec_id") < 10, 5, cb,
+        maintained.select("vec_id", "codes", "cnorm"),
+        shortlist = Int.MaxValue)
+        .orderBy("probe_id", "rk")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qAnnIndexMaintained, qStreamAnnIndex, qAnnIndexOptimize,
-      qAnnIndexPqMaintained, qAnnIndexPqOptimize)
+      qAnnIndexPqMaintained, qAnnIndexPqOptimize, qStreamAnnPq)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{Ingest, LocalTableStore, ObjectTableStore, TableStore}
+import graft.sources.{HadoopTableStore, Ingest, LocalTableStore, ObjectTableStore, TableStore}
 import java.nio.file.Files
 
 /** EXHAUSTIVE crash-window sweep of the upsert-table protocols: a
@@ -479,6 +479,28 @@ class CrashWindowSpec extends AnyFunSuite {
     withSmallShuffle {
       val w = sweepOccWriters(() => new ObjectTableStore)
       info(s"$w occ windows swept, both writers durable in each")
+    }
+  }
+
+  // The Hadoop FileSystem control plane ([[HadoopTableStore]] bound to
+  // file:/// — the hdfs:// code path): sweep the sink and the
+  // maintenance protocols through its distinct windows (object-per-
+  // entry ledger puts, FileContext OVERWRITE renames, copy-based
+  // links, marker-last manual tree deletes). The optimize/fold/OCC
+  // sweeps exercise the same store ops, so the two protocol families
+  // here pin the remaining Hadoop-specific surface without doubling
+  // the suite's runtime.
+  test("sink protocol: crash windows converge through the Hadoop FileSystem store") {
+    withSmallShuffle {
+      val w = sweepSink(() => new HadoopTableStore())
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("maintenance protocol: rebucket + vacuum crash windows recover on the Hadoop store") {
+    withSmallShuffle {
+      val (r, v) = sweepMaintenance(() => new HadoopTableStore())
+      info(s"$r rebucket + $v vacuum windows swept, all converged")
     }
   }
 }
