@@ -520,4 +520,20 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs.size === 1, df.queryExecution.optimizedPlan.treeString.take(800))
     assert(!plan(df).contains("CartesianProduct"))
   }
+
+  test("PQ codebook build plans with no corpus-wide window or sort") {
+    // the trainCodebooks seed selection is a bounded-heap aggregation
+    // (TopByAgg) + broadcast fetch — the former row_number window
+    // ranked the WHOLE corpus's subvectors through m partitions to
+    // pick m x ks seed rows, a corpus-sized sort in the build path
+    import graft.operators.Pq
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cb = Pq.trainCodebooks(emb)
+    val opt = cb.queryExecution.optimizedPlan
+    assert(opt.collect { case w: Window => w }.isEmpty,
+      opt.treeString.take(800))
+    assert(opt.collect { case s: Sort => s }.isEmpty,
+      opt.treeString.take(800))
+  }
 }
