@@ -66,16 +66,32 @@ object ScaleProbe {
       java.nio.file.Files.writeString(marker.toPath, fp)
       ()
     }
-    blowUp("orders", Seq("o_orderkey", "o_custkey"))
-    blowUp("events", Seq("event_id", "user_id"))
+    // third arg selects the band: "format" (default) probes the
+    // keyed-table rows over scaled orders/events; "ann" probes the
+    // index-maintenance rows (IVF cells + PQ codes, batch + stream
+    // folds, both OPTIMIZE retrains) over a scaled embeddings corpus —
+    // factor× vectors AND factor× churn through the same 4-batch CDC
+    // history, so a fold hiding a corpus re-scan (or a retrain hiding
+    // quadratic assignment) shows as a super-linear ratio
+    val bandSel = args.lift(2).getOrElse("format")
+    if (bandSel == "ann") blowUp("embeddings", Seq("vec_id"))
+    else {
+      blowUp("orders", Seq("o_orderkey", "o_custkey"))
+      blowUp("events", Seq("event_id", "user_id"))
+    }
 
-    val band = Seq(
-      "q_stream_upsert", "q_upsert_lookup", "q_upsert_mor",
-      "q_upsert_evolve", "q_upsert_stats_prune", "q_upsert_optimize",
-      "q_upsert_rebucket", "q_upsert_history", "q_upsert_sql",
-      "q_table_cdf", "q_table_cdf_sql", "q_cdf_mv", "q_table_replica",
-      "q_secondary_index", "q_stream_cdc_table", "q_stream_cdf_mv",
-      "q_stream_feed_mv", "q_stream_index")
+    val band =
+      if (bandSel == "ann") Seq(
+        "q_ann_index_maintained", "q_stream_ann_index",
+        "q_ann_index_pq_maintained", "q_stream_ann_pq",
+        "q_ann_index_optimize", "q_ann_index_pq_optimize")
+      else Seq(
+        "q_stream_upsert", "q_upsert_lookup", "q_upsert_mor",
+        "q_upsert_evolve", "q_upsert_stats_prune", "q_upsert_optimize",
+        "q_upsert_rebucket", "q_upsert_history", "q_upsert_sql",
+        "q_table_cdf", "q_table_cdf_sql", "q_cdf_mv", "q_table_replica",
+        "q_secondary_index", "q_stream_cdc_table", "q_stream_cdf_mv",
+        "q_stream_feed_mv", "q_stream_index")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -88,13 +104,20 @@ object ScaleProbe {
     // would vanish into the first consumer's first rep and out of the
     // min-of-2
     def buildRow(dir: String): Double =
-      time { graft.operators.Changes.sharedCdcTable(spark, dir); () }
+      if (bandSel == "ann")
+        time { graft.operators.AnnIndex.sharedEmbCdcTable(spark, dir)
+               graft.operators.Ivf.ensureIndex(spark, dir)
+               graft.operators.Pq.indexFor(spark, dir); () }
+      else
+        time { graft.operators.Changes.sharedCdcTable(spark, dir); () }
 
     println(s"| query | base s ($srcDir) | x$factor s | ratio |")
     println("| --- | --- | --- | --- |")
     locally {
+      val label = if (bandSel == "ann")
+        "setup:emb_cdc+ivf+pq builds" else "setup:cdc_table_build (4 merges)"
       val b = buildRow(srcDir); val big = buildRow(scaled)
-      println(f"| setup:cdc_table_build (4 merges) | $b%.2f | $big%.2f | ${big / b}%.1fx |")
+      println(f"| $label | $b%.2f | $big%.2f | ${big / b}%.1fx |")
     }
     band.foreach { name =>
       try {
