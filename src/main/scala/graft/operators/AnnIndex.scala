@@ -390,9 +390,31 @@ object AnnIndex {
                       m: Int = Pq.M, ks: Int = Pq.Ks,
                       iters: Int = 3, dim: Int = 64): DataFrame = {
     val cb = Pq.trainCodebooks(corpus, m, ks, iters, dim).localCheckpoint()
-    Ingest.upsertParquet(codesTable, Seq("vec_id"), nBuckets = 4,
-      keepVersions = 1, deleteCol = Some("_del"))(
-      Pq.encode(corpus, cb, m, dim).withColumn("_del", lit(false)), batchId)
+    val fresh = Pq.encode(corpus, cb, m, dim)
+    val state = Ingest.readUpsertTable(spark, codesTable)
+    if (!state.columns.contains("live")) {
+      // batch shape: the fold tombstoned deletes physically, so the
+      // key set IS the live corpus — re-encode replaces every row
+      Ingest.upsertParquet(codesTable, Seq("vec_id"), nBuckets = 4,
+        keepVersions = 1, deleteCol = Some("_del"))(
+        fresh.withColumn("_del", lit(false)), batchId)
+    } else {
+      // stream shape ([[qStreamAnnPq]]): live rows re-encode (their
+      // `_bid` rides along — a later feed entry must still win on
+      // batch id), and the accumulated logical tombstones become REAL
+      // deletes and leave the table — sound here for the same reason
+      // as [[optimizeIndex]]'s stream leg: optimize reads committed
+      // batch-atomic state, outside the file-atomic delivery window
+      // the logical tombstones defend against. This is the compaction
+      // cadence the stream fold's scaladoc defers to.
+      val keep = fresh
+        .join(state.filter(col("live")).select("vec_id", "_bid"), "vec_id")
+        .withColumn("live", lit(true)).withColumn("_del", lit(false))
+      val drop = state.filter(!col("live")).withColumn("_del", lit(true))
+      Ingest.upsertParquet(codesTable, Seq("vec_id"), nBuckets = 4,
+        keepVersions = 1, deleteCol = Some("_del"))(
+        keep.unionByName(drop.select(keep.columns.map(col): _*)), batchId)
+    }
     cb
   }
 

@@ -150,4 +150,43 @@ class PqSpec extends AnyFunSuite {
       .join(reFresh.select(col("vec_id"), col("codes").as("want")), "vec_id")
       .filter(col("codes") =!= col("want")).count() === 0)
   }
+
+  test("stream-codes OPTIMIZE drops logical tombstones and retrains") {
+    // the order-safe stream fold (q_stream_ann_pq) accumulates
+    // live=false rows; optimizePqCodes' stream leg compacts them
+    // physically while retraining the fine quantizer from the live
+    // corpus — the same debt-compaction cadence as the IVF stream leg
+    import graft.operators.AnnIndex
+    import graft.sources.{Ingest, LocalTableStore}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val staleCb = Pq.trainCodebooks(
+      emb.withColumn("embedding", reverse(col("embedding"))))
+    val ghosts = emb.filter(col("vec_id") % 11 === 0)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    val liveRows = Pq.encode(emb, staleCb)
+      .withColumn("live", lit(true)).withColumn("_bid", lit(0L))
+    val deadRows = Pq.encode(ghosts, staleCb)
+      .withColumn("live", lit(false)).withColumn("_bid", lit(1L))
+    val base = graft.Scratch.dir("pqspec-sopt")
+    LocalTableStore.deleteTree(base)
+    val codesTable = s"$base/codes"
+    Ingest.upsertParquet(codesTable, Seq("vec_id"), nBuckets = 4,
+      keepVersions = 1)(liveRows.unionByName(deadRows), 0L)
+    assert(Ingest.readUpsertTable(spark, codesTable).count() ===
+      emb.count() + ghosts.count())
+    val freshCb = AnnIndex.optimizePqCodes(spark, codesTable, emb,
+      batchId = 10L)
+    val state = Ingest.readUpsertTable(spark, codesTable)
+    assert(state.count() === emb.count(), "tombstones not compacted")
+    assert(state.filter(!col("live")).count() === 0)
+    // codes now minted by the retrained codebook, _bid preserved
+    val want = Pq.encode(emb, freshCb)
+    assert(state.select("vec_id", "codes")
+      .join(want.select(col("vec_id"), col("codes").as("w")), "vec_id")
+      .filter(col("codes") =!= col("w")).count() === 0)
+    assert(state.filter(col("_bid") =!= 0L).count() === 0)
+    // and the retrain beat the reversed-corpus codebooks
+    assert(Pq.quantizationError(emb, freshCb) <
+      Pq.quantizationError(emb, staleCb))
+  }
 }
