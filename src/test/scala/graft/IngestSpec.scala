@@ -373,6 +373,30 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       "marked dir not re-swept")
   }
 
+  test("as-of never silently serves past a vanished middle snapshot") {
+    import spark.implicits._
+    val table = tmp() + "/vanish_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 3)(rows.toDF("user_id", "value"), id)
+    up(0, 1L -> 1.0); up(1, 2L -> 2.0); up(2, 3L -> 3.0)
+    // out-of-band deletion of a MIDDLE committed version (the ascending
+    // sweep order makes this unreachable via the format's own cleanup;
+    // this is the defense-in-depth guard for external interference and
+    // pre-fix crash debris): batch 1's dir vanishes entirely, batch 0
+    // survives — an asOf(1) read must fail loudly, never hand back
+    // batch-0 state as if it were batch 1's
+    store.deleteTree(store.child(table, "v_1"))
+    val e = intercept[IllegalArgumentException] {
+      Ingest.readUpsertTable(spark, table, asOfBatch = Some(1L)).count()
+    }
+    assert(e.getMessage.contains("non-suffix"), e.getMessage)
+    // reads that don't cross the hole still work
+    assert(Ingest.readUpsertTable(spark, table).count() === 3)
+    assert(Ingest.readUpsertTable(spark, table, Some(2L)).count() === 3)
+    assert(Ingest.readUpsertTable(spark, table, Some(0L)).count() === 1)
+  }
+
   test("time travel never serves an uncommitted crashed build") {
     import spark.implicits._
     val table = tmp() + "/tt_crash_table"
