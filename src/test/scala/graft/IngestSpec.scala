@@ -1341,3 +1341,48 @@ class IngestHadoopSpec extends IngestSuiteBase {
     hStore.dropLogEntries(hStore.child(table, "_commits"),
       batchId.toString)
 }
+
+/** The upsert format against a REAL remote filesystem over the wire —
+  * env-gated like the MySQL smoke: set GRAFT_REMOTE_FS_URL to a
+  * Spark-readable directory URL on a live cluster filesystem
+  * (e.g. hdfs://namenode:8020/tmp/graft-smoke) and the smoke runs the
+  * format end-to-end through [[graft.sources.HadoopTableStore]] with
+  * BOTH planes remote: control objects (pointer CAS, per-entry
+  * ledger, meta) and Spark parquet data land on the same remote
+  * scheme. Without the env var (this container has zero egress) the
+  * test CANCELS — skipped, never failed. The full battery
+  * ([[IngestHadoopSpec]]) already exercises the identical code path
+  * bound to file://; this smoke is the wire-level lights-on check.
+  */
+class IngestRemoteFsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("upsert format over a remote FileSystem (env-gated: GRAFT_REMOTE_FS_URL)") {
+    import spark.implicits._
+    val urlOpt = sys.env.get("GRAFT_REMOTE_FS_URL")
+    assume(urlOpt.nonEmpty,
+      "GRAFT_REMOTE_FS_URL not set — no remote filesystem in this environment")
+    val url = urlOpt.get.stripSuffix("/")
+    implicit val store: graft.sources.TableStore =
+      new graft.sources.HadoopTableStore(
+        spark.sparkContext.hadoopConfiguration)
+    val table = s"$url/t${System.nanoTime()}"
+    def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 2, deleteCol = Some("_del"), changeFeed = true)(
+        rows.toDF("user_id", "value", "_del"), id)
+    try {
+      up(0, (1L, 1.0, false), (2L, 2.0, false))
+      up(1, (1L, 11.0, false), (3L, 3.0, false), (2L, 0.0, true))
+      val state = Ingest.readUpsertTable(spark, table)
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(state === Map(1L -> 11.0, 3L -> 3.0))
+      assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+        .count() === 2)
+      assert(Ingest.readTableChanges(spark, table, 1, 1).count() === 4)
+      // replay is a no-op over the wire too
+      up(1, (1L, 11.0, false), (3L, 3.0, false), (2L, 0.0, true))
+      assert(Ingest.readUpsertTable(spark, table).count() === 2)
+    } finally store.deleteTree(table)
+  }
+}
