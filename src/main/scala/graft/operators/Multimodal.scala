@@ -773,13 +773,15 @@ object Multimodal {
 
   /** Minimal valid single-track MP4: `ftyp` + `mdat` (the samples,
     * concatenated) + `moov` with a full sample table — stts (constant
-    * `delta` ticks per sample), stsc (one chunk holding every sample),
-    * stsz (true per-sample sizes), stco (the mdat payload offset).
-    * mdat precedes moov so the chunk offset is known without a
-    * second pass (the classic non-faststart layout).
+    * `delta` ticks per sample), stsc/stco (the chunk layout: samples
+    * grouped `samplesPerChunk` at a time, a run-length stsc with a
+    * second run for a ragged final chunk — the general mapping the
+    * extractor implements), stsz (true per-sample sizes). mdat
+    * precedes moov so chunk offsets are known without a second pass
+    * (the classic non-faststart layout).
     */
   def buildMp4(samples: Seq[Array[Byte]], timescale: Int = 1000,
-               delta: Int = 40): Array[Byte] = {
+               delta: Int = 40, samplesPerChunk: Int = 0): Array[Byte] = {
     val ftyp = mp4Box("ftyp",
       "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
     val data = samples.foldLeft(Array.emptyByteArray)(_ ++ _)
@@ -787,6 +789,19 @@ object Multimodal {
     val n = samples.length
     val duration = n.toLong * delta
     val mdatPayloadOff = ftyp.length + 8 // first sample's file offset
+    val perChunk = if (samplesPerChunk <= 0) math.max(n, 1) else samplesPerChunk
+    val chunks: Seq[Seq[Array[Byte]]] = samples.grouped(perChunk).toSeq
+    val chunkOffs: Seq[Long] = chunks
+      .scanLeft(mdatPayloadOff.toLong)((off, c) => off + c.map(_.length).sum)
+      .dropRight(1)
+    // run-length stsc: one run for the full chunks, a second for a
+    // ragged final chunk (fewer samples than perChunk)
+    val stscRuns: Seq[(Long, Long)] =
+      if (chunks.isEmpty) Seq((1L, perChunk.toLong))
+      else if (chunks.last.length == perChunk) Seq((1L, perChunk.toLong))
+      else if (chunks.length == 1) Seq((1L, chunks.last.length.toLong))
+      else Seq((1L, perChunk.toLong),
+        (chunks.length.toLong, chunks.last.length.toLong))
     val mvhd = fullBox("mvhd", 0, 0,
       be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
         be32(0x00010000L) ++ Array[Byte](0x01, 0, 0, 0) ++
@@ -812,10 +827,13 @@ object Multimodal {
     val stsd = fullBox("stsd", 0, 0, be32(1) ++
       mp4Box("mp4v", new Array[Byte](8))) // bare entry: 6 reserved + dri
     val stts = fullBox("stts", 0, 0, be32(1) ++ be32(n) ++ be32(delta))
-    val stsc = fullBox("stsc", 0, 0, be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
+    val stsc = fullBox("stsc", 0, 0, be32(stscRuns.length) ++
+      stscRuns.flatMap { case (first, cnt) =>
+        be32(first) ++ be32(cnt) ++ be32(1) }.toArray)
     val stsz = fullBox("stsz", 0, 0,
       be32(0) ++ be32(n) ++ samples.flatMap(s => be32(s.length)).toArray)
-    val stco = fullBox("stco", 0, 0, be32(1) ++ be32(mdatPayloadOff))
+    val stco = fullBox("stco", 0, 0, be32(chunkOffs.length) ++
+      chunkOffs.flatMap(be32).toArray)
     val stbl = mp4Box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val minf = mp4Box("minf", vmhd ++ stbl)
     val mdia = mp4Box("mdia", mdhd ++ hdlr ++ minf)

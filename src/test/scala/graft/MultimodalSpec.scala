@@ -213,4 +213,29 @@ class MultimodalSpec extends AnyFunSuite {
     val m = Multimodal.parseMp4Meta(shifted).head()
     assert(m.getString(3) === "vide" && m.getLong(4) === 2L)
   }
+
+  test("MP4 multi-chunk layout: general stsc/stco mapping recovers every sample") {
+    import spark.implicits._
+    // 7 variable-size samples in chunks of 3 -> chunks of 3,3,1 with a
+    // two-run stsc (ragged final chunk) — the general mapping, not the
+    // single-chunk special case the document fixture uses
+    val samples = (1 to 7).map(i => Array.fill[Byte](i * 3)(i.toByte))
+    val payload = Multimodal.buildMp4(samples, samplesPerChunk = 3)
+    val media = Seq((5L, payload)).toDF("media_id", "payload")
+      .withColumn("mime", lit("video/mp4"))
+      .withColumn("meta", map())
+    val meta = Multimodal.parseMp4Meta(media).head()
+    assert(meta.getLong(4) === 7L)
+    assert(meta.getLong(5) === samples.map(_.length).sum.toLong)
+    val got = Multimodal.sampleMp4(media, stride = 1)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    assert(got.length === 7)
+    got.foreach { case (i, bytes) =>
+      assert(bytes === samples(i).toSeq, s"sample $i bytes diverge")
+    }
+    // stride-3 picks exactly indices 0, 3, 6 across chunk boundaries
+    assert(Multimodal.sampleMp4(media, stride = 3)
+      .select("frame_idx").as[Int].collect().sorted.toSeq === Seq(0, 3, 6))
+  }
 }
