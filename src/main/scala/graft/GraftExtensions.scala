@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.SimplifySelfCosine)
+    // answer aggregates from registered fresh materialized views
+    // (MvCatalog.register/materialize) — no-op while none are registered
+    ext.injectOptimizerRule(_ => graft.plans.RewriteToMv)
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.COSINE_SIM),
       info(GraftFunctions.COSINE_SIM,

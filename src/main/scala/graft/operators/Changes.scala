@@ -704,6 +704,94 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** RESTORE as a first-class table op
+    * ([[graft.sources.Ingest.restoreUpsertTable]]): roll the CDC-built
+    * table back to its batch-1 snapshot AS A NEW COMMIT, then verify
+    * the three contracts that make restore operationally safe —
+    * (a) the post-restore CURRENT read is row-identical to the as-of-1
+    * read (compared in exact integer cents), (b) the restore batch's
+    * CHANGE-FEED slice is exactly the diff between the pre-restore and
+    * target states (upsert rows = changed/re-inserted, deletes = keys
+    * added after batch 1) so every feed consumer converges at diff
+    * cost, and (c) history survives: the pre-restore batches are still
+    * described by DESCRIBE HISTORY. DuckDB hash-checks the restored
+    * state itself: the fold of chunks 0–1 of the date-partitioned
+    * changelog. Scale: the write rides the diff (only buckets holding
+    * changed keys rewrite) — restoring a 0.1%-churn day on a 100-TB
+    * table writes ~0.1% of buckets; crash safety is the sink
+    * protocol's, already failpoint-swept.
+    */
+  val qUpsertRestore: QuerySpec = QuerySpec(
+    "q_upsert_restore",
+    Some("""WITH bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+          date_diff('day', CAST(min(o_orderdate) AS DATE),
+            CAST(max(o_orderdate) AS DATE)) + 1 AS span
+        FROM orders),
+      log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+          CAST(date_diff('day', (SELECT d0 FROM bounds),
+            CAST(o_orderdate AS DATE)) AS BIGINT) * 4
+            // (SELECT span FROM bounds) AS b
+        FROM orders),
+      early AS (SELECT * FROM log WHERE b <= 1),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM early)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend,
+        true AS restore_matches_asof, true AS feed_slice_is_diff,
+        true AS history_survives
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("upsert-restore"), n = 4, changeFeed = true)
+      def canon(df: DataFrame): Set[(Long, Long, Long)] =
+        df.select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = canon(Ingest.readUpsertTable(spark, table, Some(1L)))
+      val pre = canon(Ingest.readUpsertTable(spark, table))
+      val restoreBatch = Ingest.restoreUpsertTable(spark, table, 1L,
+        keepVersions = 5)
+      val after = Ingest.readUpsertTable(spark, table)
+      val matchesAsOf = canon(after) == want
+      // the feed slice must be exactly the diff, as upserts + deletes
+      val slice = Ingest.readTableChanges(spark, table,
+        restoreBatch, restoreBatch)
+      val sliceUps = slice
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sliceDelKeys = slice.filter(col("_change_type") === "delete")
+        .select("o_custkey").collect().map(_.getLong(0)).toSet
+      val feedIsDiff = sliceUps == (want -- pre) &&
+        sliceDelKeys == pre.map(_._1) -- want.map(_._1)
+      // pre-restore history is still described (batches 0..4 present)
+      val described = Ingest.describeUpsertTable(spark, table)
+        .select("batch_id").collect().map(_.getLong(0)).toSet
+      val historySurvives = described == Set(0L, 1L, 2L, 3L, restoreBatch)
+      require(matchesAsOf && feedIsDiff && historySurvives,
+        s"restore contract broken: asof=$matchesAsOf feed=$feedIsDiff " +
+          s"history=$historySurvives")
+      after.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(matchesAsOf).as("restore_matches_asof"),
+          lit(feedIsDiff).as("feed_slice_is_diff"),
+          lit(historySurvives).as("history_survives"))
+        .orderBy("prio")
+    })
+
   /** An incremental materialized view driven by the table format's
     * CHANGE FEED — the composition [[qTableCdf]] exists for: instead
     * of diffing snapshots, the consumer folds the feed's signed
@@ -1411,7 +1499,8 @@ object Changes {
 
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
-      qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket, qCdfMv,
+      qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
+      qUpsertRestore, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore)

@@ -126,6 +126,15 @@ object Ingest {
     store.readLog(store.child(root, "_commits"))
       .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
 
+  /** Public read of the committed-batch ledger — the freshness token
+    * external derivations (e.g. [[graft.plans.MvCatalog.UpsertPin]])
+    * pin and re-check: any newer committed batch means state derived
+    * earlier may lag.
+    */
+  def committedBatchIds(tableDir: String)
+                       (implicit store: TableStore): Set[Long] =
+    readLedger(tableDir)
+
   /** Version-dir name: `v_<batchId>` (generation 0 — written by the
     * upsert protocol itself; complete iff its batchId is in the
     * ledger) or `v_<batchId>.<gen>` (gen ≥ 1 — a MAINTENANCE rewrite
@@ -1318,6 +1327,58 @@ object Ingest {
                          (implicit store: TableStore): Unit = {
     val n = tableMeta(tableDir).apply("buckets").toInt
     rewriteGeneration(spark, tableDir, n, forceSameCount = true)
+  }
+
+  /** RESTORE: make the table's state equal its committed snapshot at
+    * `toBatch` — as a NEW committed batch through the normal sink, not
+    * a history rewrite. History stays intact (the pre-restore batches
+    * remain time-travelable within retention), replay/crash safety is
+    * the sink protocol's (already failpoint-swept), and on a feed
+    * table the batch's change slice records exactly the rows that
+    * differ — so every downstream feed consumer (secondary index,
+    * incremental MV, replica, ANN fold) converges to the restored
+    * state by its ordinary fold, at diff cost.
+    *
+    * Cost: two snapshot scans for the diff (unavoidable — restore must
+    * know what changed), then a write that RIDES THE DIFF: only
+    * buckets holding changed/deleted keys rewrite. Restoring yesterday
+    * on a 100-TB table with 0.1% churn writes ~0.1% of the buckets.
+    * An identical snapshot (empty diff) commits an empty batch — feed
+    * contiguity is preserved rather than skipping a batchId.
+    *
+    * Returns the minted batchId.
+    */
+  def restoreUpsertTable(spark: SparkSession, tableDir: String, toBatch: Long,
+                         keepVersions: Int = 2, graceMs: Long = 0L)
+                        (implicit store: TableStore): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = tableMeta(tableDir)
+    val keys = meta("keys").split(",").toSeq
+    val nBuckets = meta("buckets").toInt
+    val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
+    val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
+    val feed = store.exists(store.child(tableDir, "_cdf"))
+    val committed = readLedger(tableDir)
+    require(committed.contains(toBatch),
+      s"restoreUpsertTable: batch $toBatch is not committed in $tableDir " +
+        s"(committed: ${committed.toSeq.sorted.mkString(",")})")
+    val newBatch = committed.max + 1
+    val target = readUpsertTable(spark, tableDir, Some(toBatch))
+    val current = readUpsertTable(spark, tableDir)
+    val flag = "_restore_deleted"
+    require(!target.columns.contains(flag),
+      s"restoreUpsertTable: table has a reserved column name $flag")
+    // rows to write: any target row differing from current (changed or
+    // re-inserted); keys to tombstone: present now, absent at toBatch
+    val ups = target.exceptAll(current).withColumn(flag, lit(false))
+    val dels = current
+      .join(target.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn(flag, lit(true))
+    upsertParquet(tableDir, keys, nBuckets = nBuckets,
+      keepVersions = keepVersions, deleteCol = Some(flag),
+      graceMs = graceMs, changeFeed = feed, sortCols = sortCols,
+      filesPerBucket = fpb)(ups.unionByName(dels), newBatch)
+    newBatch
   }
 
   private def rewriteGeneration(spark: SparkSession, tableDir: String,

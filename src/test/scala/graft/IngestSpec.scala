@@ -1268,6 +1268,57 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       (1L, false, -1L, false),
       (2L, true, 3L, true)))
   }
+
+  test("RESTORE: new commit equals the as-of snapshot, feed records the " +
+    "diff, history and later snapshots stay readable") {
+    import spark.implicits._
+    val table = tmp() + "/restore_table"
+    def up(id: Long, rows: (Long, String, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 8,
+        deleteCol = Some("_del"), changeFeed = true)(
+        rows.toDF("k", "g", "v", "_del"), id)
+    up(0, (1L, "a", 10.0, false), (2L, "b", 20.0, false),
+      (3L, "c", 30.0, false))
+    up(1, (2L, "b", 25.0, false), (4L, "d", 40.0, false))
+    up(2, (1L, "a", 0.0, true), (5L, "e", 50.0, false)) // delete 1, add 5
+    def state(asOf: Option[Long] = None): Set[(Long, Double)] =
+      Ingest.readUpsertTable(spark, table, asOf)
+        .select("k", "v").as[(Long, Double)].collect().toSet
+    val at1 = state(Some(1L))
+    assert(at1 === Set((1L, 10.0), (2L, 25.0), (3L, 30.0), (4L, 40.0)))
+    val preRestore = state()
+
+    val b = Ingest.restoreUpsertTable(spark, table, 1L, keepVersions = 8)
+    assert(b === 3L)
+    assert(state() === at1, "post-restore CURRENT must equal the target")
+    // the feed slice is exactly the diff: re-insert key 1, delete key 5
+    val slice = Ingest.readTableChanges(spark, table, b, b)
+    val ups = slice
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    val dels = slice.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSet
+    assert(ups === Set((1L, 10.0)))
+    assert(dels === Set(5L))
+    // history survives: all four batches described, pre-restore state
+    // still time-travelable
+    val ids = Ingest.describeUpsertTable(spark, table)
+      .select("batch_id").as[Long].collect().toSet
+    assert(ids === Set(0L, 1L, 2L, 3L))
+    assert(state(Some(2L)) === preRestore)
+
+    // restoring the CURRENT state = empty diff = an EMPTY batch commit
+    // (feed contiguity preserved, no hole)
+    val b2 = Ingest.restoreUpsertTable(spark, table, 3L, keepVersions = 8)
+    assert(b2 === 4L)
+    assert(state() === at1)
+    assert(Ingest.readTableChanges(spark, table, b2, b2).count() === 0L)
+
+    // a never-committed batch fails loudly
+    intercept[IllegalArgumentException] {
+      Ingest.restoreUpsertTable(spark, table, 99L)
+    }
+  }
 }
 
 /** The battery against POSIX control-plane semantics (today's exact
