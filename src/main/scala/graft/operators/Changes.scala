@@ -792,6 +792,61 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** Zero-copy CLONE as a query surface
+    * ([[graft.sources.Ingest.cloneUpsertTable]]): the CDC-built table
+    * is cloned, the SOURCE then moves on (a further batch), and the
+    * row reads THE CLONE — whose state must still be the fold at clone
+    * time, which is what DuckDB recomputes. In-query contracts pin the
+    * independence: the clone's aggregate is taken AFTER the source
+    * advanced (a shared file mutated in place would change it), and
+    * the source's post-advance state differs from the clone's.
+    * Scale: the clone itself moves zero data bytes under POSIX (hard
+    * links) and server-side copies elsewhere — the dev/test-sandbox op
+    * for a 100-TB table.
+    */
+  val qUpsertClone: QuerySpec = QuerySpec(
+    "q_upsert_clone",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend,
+        true AS clone_isolated
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-clone")
+      val table = buildCdcUpsertTable(spark, dir, base, n = 4,
+        changeFeed = false)
+      val clone = s"$base/clone"
+      Ingest.cloneUpsertTable(spark, table, clone)
+      // the source moves on: delete every 3rd customer key
+      val victims = Ingest.readUpsertTable(spark, table)
+        .filter(col("o_custkey") % 3 === 0)
+        .withColumn("_deleted", lit(true))
+      Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+        keepVersions = 4, deleteCol = Some("_deleted"))(victims, 4L)
+      val srcN = Ingest.readUpsertTable(spark, table).count()
+      val cloneDf = Ingest.readUpsertTable(spark, clone)
+      val isolated = cloneDf.count() != srcN
+      require(isolated, "source delete leaked into the clone")
+      cloneDf.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(isolated).as("clone_isolated"))
+        .orderBy("prio")
+    })
+
   /** An incremental materialized view driven by the table format's
     * CHANGE FEED — the composition [[qTableCdf]] exists for: instead
     * of diffing snapshots, the consumer folds the feed's signed
@@ -1500,7 +1555,7 @@ object Changes {
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
-      qUpsertRestore, qCdfMv,
+      qUpsertRestore, qUpsertClone, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore)

@@ -1381,6 +1381,64 @@ object Ingest {
     newBatch
   }
 
+  /** Shallow CLONE: a NEW table at `dstDir` whose batch-0 state is
+    * `srcDir`'s CURRENT snapshot, sharing data files through
+    * [[TableStore.linkOrCopy]] — hard links under POSIX (zero data
+    * I/O whatever the table size: the dev/test-sandbox op), server-side
+    * copies under an object store. The clone is fully independent
+    * afterwards: its first bucket rewrite breaks the sharing for
+    * exactly the touched buckets, and neither table's
+    * retention/vacuum can corrupt the other (links/copies, never
+    * shared control state).
+    *
+    * Deliberately NOT carried: history (the clone starts at batch 0 —
+    * time travel into the source's past belongs to the source) and the
+    * CHANGE FEED (`_cdf`): a feed must start at a table's history
+    * start, and batch 0 of a zero-copy clone has no change slice —
+    * writing one would cost a full data copy. A consumer needing a
+    * feed-bearing copy builds a replica through the feed instead
+    * ([[graft.operators.Changes]]'s replication) at data cost. Carried:
+    * `_meta` layout (keys/buckets/sort), pinned `_schema`,
+    * `_constraints`, the snapshot's `_nbuckets` annotation, stats
+    * manifest and any pending merge-on-read deletion vector (they ARE
+    * the state).
+    *
+    * Crash safety: `CURRENT` is written LAST — a half-built clone has
+    * no pointer and is not a table; re-running the clone clears the
+    * debris and completes. Fails loudly if `dstDir` already has a
+    * CURRENT pointer.
+    */
+  def cloneUpsertTable(spark: SparkSession, srcDir: String, dstDir: String)
+                      (implicit store: TableStore): Unit = {
+    require(tableMeta(srcDir).contains("keys"), // fails fast on non-tables
+      s"cloneUpsertTable: $srcDir has no pinned keys")
+    val curName = readCurrentName(srcDir)
+    require(curName.nonEmpty, s"upsert table has no CURRENT pointer: $srcDir")
+    require(readCurrentName(dstDir).isEmpty,
+      s"cloneUpsertTable: $dstDir is already a table (has CURRENT)")
+    store.deleteTree(dstDir) // clear any half-built clone debris
+    val srcV = store.child(srcDir, curName.get)
+    val dstV = store.child(dstDir, "v_0")
+    def linkTree(src: String, dst: String): Unit = {
+      store.mkdirs(dst)
+      store.listNames(src).foreach { n =>
+        val s = store.child(src, n)
+        if (store.isDirectory(s)) {
+          if (n != "_changes") linkTree(s, store.child(dst, n))
+        } else if (n != "_gen_commit") linkInto(s, dst)
+      }
+    }
+    linkTree(srcV, dstV)
+    store.writeAtomic(dstDir, "_meta",
+      store.read(store.child(srcDir, "_meta")).get)
+    store.read(store.child(srcDir, "_schema"))
+      .foreach(s => store.writeAtomic(dstDir, "_schema", s))
+    store.read(store.child(srcDir, "_constraints"))
+      .foreach(s => store.writeAtomic(dstDir, "_constraints", s))
+    store.appendLog(store.child(dstDir, "_commits"), "0")
+    store.writeAtomic(dstDir, "CURRENT", "v_0")
+  }
+
   private def rewriteGeneration(spark: SparkSession, tableDir: String,
                                 newBuckets: Int,
                                 forceSameCount: Boolean)

@@ -1319,6 +1319,79 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       Ingest.restoreUpsertTable(spark, table, 99L)
     }
   }
+
+  test("CLONE: zero-copy snapshot sharing, then full independence") {
+    import spark.implicits._
+    val src = tmp() + "/clone_src"
+    def up(table: String, id: Long, rows: (Long, String, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 2,
+        deleteCol = Some("_del"), lazyDeletes = true, changeFeed = true,
+        constraints = Seq("v_nonneg" -> "v >= 0 OR _del"))(
+        rows.toDF("k", "g", "v", "_del"), id)
+    up(src, 0, (1L, "a", 10.0, false), (2L, "b", 20.0, false),
+      (3L, "c", 30.0, false), (4L, "d", 40.0, false))
+    up(src, 1, (2L, "b", 25.0, false), (3L, "c", 0.0, true)) // lazy-delete 3
+    val dst = tmp() + "/clone_dst"
+    Ingest.cloneUpsertTable(spark, src, dst)
+    def state(t: String): Set[(Long, Double)] =
+      Ingest.readUpsertTable(spark, t)
+        .select("k", "v").as[(Long, Double)].collect().toSet
+    // state carried exactly, INCLUDING the pending merge-on-read
+    // deletion vector (key 3 stays hidden in the clone)
+    val want = Set((1L, 10.0), (2L, 25.0), (4L, 40.0))
+    assert(state(src) === want)
+    assert(state(dst) === want)
+    // zero-copy: every clone data file shares identity (inode under
+    // POSIX, content under copy-based stores) with a source file of
+    // the same name
+    // same part NAME recurs across bucket dirs of one write job, so
+    // identity is (parent-dir name, file name) relative to the version
+    def rel(f: java.io.File) = s"${f.getParentFile.getName}/${f.getName}"
+    val srcFiles = walkFiles(new java.io.File(src))
+      .filter(_.getName.endsWith(".parquet"))
+      .groupBy(rel)
+    val dstData = walkFiles(new java.io.File(dst, "v_0"))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dstData.nonEmpty)
+    dstData.foreach { f =>
+      val cands = srcFiles.getOrElse(rel(f),
+        fail(s"clone file ${rel(f)} has no source counterpart"))
+      assert(cands.exists(s => fileId(s) == fileId(f)), s"${rel(f)} not shared")
+    }
+    // clone writes carry NO feed flag (the clone is feed-less)
+    def upClone(id: Long, rows: (Long, String, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(dst, Seq("k"), nBuckets = 4, keepVersions = 2,
+        deleteCol = Some("_del"), lazyDeletes = true)(
+        rows.toDF("k", "g", "v", "_del"), id)
+    // independence 1: writing the clone leaves the source untouched
+    upClone(1, (5L, "e", 50.0, false))
+    assert(state(dst) === want + ((5L, 50.0)))
+    assert(state(src) === want)
+    // independence 2: the source moving on (and sweeping the cloned
+    // version under keepVersions=2 pressure) never corrupts the clone
+    up(src, 2, (6L, "f", 60.0, false))
+    up(src, 3, (7L, "g", 70.0, false))
+    assert(state(dst) === want + ((5L, 50.0)))
+    // pinned constraints travel: the clone rejects a violating batch
+    val e = intercept[IllegalArgumentException] {
+      upClone(2, (9L, "x", -1.0, false))
+    }
+    assert(e.getMessage.contains("v_nonneg"), e.getMessage)
+    // the change feed does NOT travel (a feed cannot start mid-history
+    // on a zero-copy batch 0) — reading it fails loudly
+    intercept[IllegalArgumentException] {
+      Ingest.readTableChanges(spark, dst, 0L, 0L)
+    }
+    // a second clone onto an existing table fails loudly
+    intercept[IllegalArgumentException] {
+      Ingest.cloneUpsertTable(spark, src, dst)
+    }
+  }
+
+  private def walkFiles(d: java.io.File): Seq[java.io.File] =
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap { f =>
+      if (f.isDirectory) walkFiles(f) else Seq(f)
+    }
 }
 
 /** The battery against POSIX control-plane semantics (today's exact
