@@ -412,6 +412,69 @@ class CrashWindowSpec extends AnyFunSuite {
     windows
   }
 
+  /** Sweep the CLONE protocol ([[Ingest.cloneUpsertTable]]): the
+    * source is seeded uninjected, then the clone is failpointed at
+    * every control-plane op. Per window: a half-built clone must NOT
+    * be readable (`CURRENT` is written last, so anything interrupted
+    * is not-a-table, never a partial snapshot), the SOURCE must be
+    * untouched, and re-running the clone must complete to the exact
+    * source state.
+    */
+  private def sweepClone(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 200) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val base = Files.createTempDirectory("graft-crash-clone").toString
+      val src = s"$base/s"
+      val dst = s"$base/d"
+      def state(t: String): Map[Long, Double] =
+        Ingest.readUpsertTable(spark, t)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+      Ingest.upsertParquet(src, Seq("user_id"), nBuckets = 4,
+        keepVersions = 1)(
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("user_id", "value"), 0L)
+      val want = state(src)
+      store.count = 0; store.limit = k
+      val crashed =
+        try { Ingest.cloneUpsertTable(spark, src, dst); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        // CURRENT is the protocol's last op, so a crashed clone can
+        // never read as a table — a Success here means some op ran
+        // after the pointer write, a protocol-order regression
+        assert(scala.util.Try(state(dst)).isFailure,
+          s"clone window $k left a readable partial clone")
+        assert(state(src) == want, s"clone window $k mutated the source")
+        Ingest.cloneUpsertTable(spark, src, dst) // re-run completes
+        assert(state(dst) == want, s"clone window $k re-run diverged")
+        LocalTableStore.deleteTree(base)
+      }
+      k += 1
+    }
+    assert(exhausted, "clone sweep never ran past the protocol's op count")
+    windows
+  }
+
+  test("clone protocol: no crash window leaves a readable partial clone (POSIX)") {
+    withSmallShuffle {
+      val w = sweepClone(() => LocalTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("clone protocol: crash windows recover on the object store") {
+    withSmallShuffle {
+      val w = sweepClone(() => new ObjectTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
   test("sink protocol: every crash window serves committed state and replays clean (POSIX)") {
     withSmallShuffle {
       val w = sweepSink(() => LocalTableStore)

@@ -193,6 +193,64 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvCatalog.deregister(spark, "mv_fresh")
   }
 
+  test("feed-maintained MV: incremental refresh from the change feed re-arms the rewrite") {
+    // the full loop a deployment runs: MV registered over an upsert
+    // table with UpsertPin → base commits → pin stale (rewrite off) →
+    // the MV is refreshed INCREMENTALLY from the batch's feed slice
+    // (signed contributions, no base rescan) → re-registered → the
+    // rewrite serves the updated values from the refreshed parquet
+    val t = java.nio.file.Files.createTempDirectory("mv-feed").toString
+    import spark.implicits._
+    def sink(rows: Seq[(Long, String, Double, Boolean)], b: Long): Unit =
+      Ingest.upsertParquet(s"$t/tbl", Seq("k"), nBuckets = 4,
+        keepVersions = 8, deleteCol = Some("_del"), changeFeed = true)(
+        rows.toDF("k", "g", "v", "_del"), b)
+    sink(Seq((1L, "a", 10.0, false), (2L, "b", 20.0, false),
+      (3L, "a", 30.0, false)), 0L)
+    val mvPath = graft.Scratch.dir("mv-feed-mv")
+    def defOverCurrent() = Ingest.readUpsertTable(spark, s"$t/tbl")
+      .groupBy("g").agg(sum("v").as("v_sum"), count(lit(1)).as("n"))
+    MvCatalog.materialize(spark, "mv_feed", defOverCurrent(), mvPath,
+      MvCatalog.UpsertPin(s"$t/tbl"))
+    def q() = Ingest.readUpsertTable(spark, s"$t/tbl")
+      .groupBy("g").agg(sum("v").as("v_sum"), count(lit(1)).as("n"))
+    try {
+      assert(readsOnly(q(), mvPath))
+      // base moves: update k=2 (b: 20→25), delete k=3 (a loses 30), add k=4 (c)
+      sink(Seq((2L, "b", 25.0, false), (3L, "a", 0.0, true),
+        (4L, "c", 40.0, false)), 1L)
+      assert(!q().inputFiles.forall(_.contains(mvPath)), "stale pin must gate")
+      // incremental refresh: fold slice 1's signed contributions into
+      // the stored MV — cost rides the slice, the base is not rescanned
+      val slice = Ingest.readTableChanges(spark, s"$t/tbl", 1L, 1L)
+      val delta = slice.select(col("g"),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            col("v")).otherwise(-col("v")).as("dv"),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            lit(1L)).otherwise(lit(-1L)).as("dn"))
+        .groupBy("g").agg(sum("dv").as("dv"), sum("dn").as("dn"))
+      val refreshed = spark.read.parquet(mvPath)
+        .join(delta, Seq("g"), "full_outer")
+        .select(col("g"),
+          (coalesce(col("v_sum"), lit(0.0)) + coalesce(col("dv"), lit(0.0)))
+            .as("v_sum"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+      val tmpOut = graft.Scratch.dir("mv-feed-refresh")
+      refreshed.write.mode("overwrite").parquet(tmpOut)
+      spark.read.parquet(tmpOut).write.mode("overwrite").parquet(mvPath)
+      // register WITHOUT materialize: the parquet now holds the
+      // incrementally-refreshed copy, and serving it (not a full
+      // recompute) is exactly what this test pins
+      MvCatalog.register(spark, "mv_feed", defOverCurrent(), mvPath,
+        MvCatalog.UpsertPin(s"$t/tbl"))
+      val served = q()
+      assert(readsOnly(served, mvPath), "refreshed pin must re-arm")
+      val got = served.orderBy("g").as[(String, Double, Long)].collect().toSeq
+      assert(got === Seq(("a", 10.0, 1L), ("b", 25.0, 1L), ("c", 40.0, 1L)))
+    } finally MvCatalog.deregister(spark, "mv_feed")
+  }
+
   test("registration rejects shapes the rule cannot match soundly") {
     val bad1 = li.select("l_returnflag") // no aggregate
     intercept[IllegalArgumentException] {
