@@ -792,6 +792,83 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** Multi-table atomic commit as a query surface
+    * ([[graft.sources.MultiCommit]]): two derived tables (per-priority
+    * and per-status summaries of orders) are committed through the
+    * coordinator in two txns, then a third txn TEARS mid-flight (the
+    * priority table commits garbage, the status table's write dies) —
+    * and the row reads through the COORDINATOR SNAPSHOT, which must
+    * still serve the last complete txn's pair: the clean full-orders
+    * fold DuckDB recomputes. The in-query contract pins the isolation
+    * the snapshot provides: the direct (read-committed) read of the
+    * priority table DOES see the torn txn's garbage while the
+    * snapshot read does not. Scale: the coordinator adds two ledger
+    * appends per txn — visibility cost is O(txns), data cost stays
+    * the sink's.
+    */
+  val qMultiCommit: QuerySpec = QuerySpec(
+    "q_multi_commit",
+    Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend,
+        (SELECT count(*) FROM orders) AS n_total,
+        true AS snapshot_isolated
+      FROM orders GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.MultiCommit
+      import graft.sources.MultiCommit.TxnPart
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("multi-commit")
+      val (pa, pb, coord) = (s"$base/prio", s"$base/status", s"$base/coord")
+      val orders = Tables.load(spark, dir, "orders")
+      def prioFold(half: Int): DataFrame = orders
+        .filter(col("o_orderkey") % 2 <= half)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      def statusFold(half: Int): DataFrame = orders
+        .filter(col("o_orderkey") % 2 <= half)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+      def upPrio(b: Long, df: DataFrame): Unit =
+        Ingest.upsertParquet(pa, Seq("prio"), nBuckets = 2,
+          keepVersions = 8)(df, b)
+      def upStatus(b: Long, df: DataFrame): Unit =
+        Ingest.upsertParquet(pb, Seq("status"), nBuckets = 2,
+          keepVersions = 8)(df, b)
+      // txn 0: half the orders; txn 1: the full fold (overwrite upserts)
+      MultiCommit.commit(coord, Seq(
+        TxnPart(pa, 0L, () => upPrio(0L, prioFold(0))),
+        TxnPart(pb, 0L, () => upStatus(0L, statusFold(0)))))
+      MultiCommit.commit(coord, Seq(
+        TxnPart(pa, 1L, () => upPrio(1L, prioFold(1))),
+        TxnPart(pb, 1L, () => upStatus(1L, statusFold(1)))))
+      // txn 2 tears: garbage lands in the priority table, the status
+      // part dies before committing — and is never recovered
+      val garbage = prioFold(1).withColumn("n", lit(-1L))
+      try MultiCommit.commit(coord, Seq(
+        TxnPart(pa, 2L, () => upPrio(2L, garbage)),
+        TxnPart(pb, 2L, () => sys.error("simulated crash"))))
+      catch { case e: RuntimeException
+        if e.getMessage.contains("simulated crash") => () }
+      // direct read is read-committed (sees the garbage)…
+      val directSeesTear = Ingest.readUpsertTable(spark, pa)
+        .filter(col("n") === -1L).count() > 0
+      // …the coordinator snapshot does not
+      val snapA = MultiCommit.read(spark, coord, pa)
+      val snapClean = snapA.filter(col("n") === -1L).count() == 0
+      val isolated = directSeesTear && snapClean
+      require(isolated, s"snapshot isolation broken: " +
+        s"direct=$directSeesTear snapClean=$snapClean")
+      val nTotal = MultiCommit.read(spark, coord, pb)
+        .agg(sum("n")).head().getLong(0)
+      snapA.select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(nTotal).as("n_total"),
+          lit(isolated).as("snapshot_isolated"))
+        .orderBy("prio")
+    })
+
   /** Zero-copy CLONE as a query surface
     * ([[graft.sources.Ingest.cloneUpsertTable]]): the CDC-built table
     * is cloned, the SOURCE then moves on (a further batch), and the
@@ -1555,7 +1632,7 @@ object Changes {
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
-      qUpsertRestore, qUpsertClone, qCdfMv,
+      qUpsertRestore, qUpsertClone, qMultiCommit, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore)

@@ -461,6 +461,88 @@ class CrashWindowSpec extends AnyFunSuite {
     windows
   }
 
+  /** Sweep the MULTI-TABLE TXN protocol ([[graft.sources.MultiCommit]]):
+    * txn 0 seeds two tables uninjected, then txn 1 is failpointed at
+    * every control-plane op — coordinator ledger appends AND both
+    * tables' full sink protocols run through the same gated store.
+    * Per window: the coordinator snapshot must be the txn-0 pair or
+    * the txn-1 pair, NEVER torn (one table's new batch visible with
+    * the other's old); if it claims txn 1, both tables must really
+    * hold batch 1; and re-running the same commit (the documented
+    * recovery) must converge on the txn-1 pair with both snapshot
+    * reads serving the new states.
+    */
+  private def sweepMultiCommit(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    import graft.sources.MultiCommit
+    import graft.sources.MultiCommit.TxnPart
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 300) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val base = Files.createTempDirectory("graft-crash-txn").toString
+      val (a, b, coord) = (s"$base/a", s"$base/b", s"$base/c")
+      def upA(id: Long, rows: (Long, Double)*): Unit =
+        Ingest.upsertParquet(a, Seq("k"), nBuckets = 2, keepVersions = 8)(
+          rows.toDF("k", "v"), id)
+      def upB(id: Long, rows: (Long, Double)*): Unit =
+        Ingest.upsertParquet(b, Seq("k"), nBuckets = 2, keepVersions = 8)(
+          rows.toDF("k", "v"), id)
+      def txn(id: Long): Seq[TxnPart] = Seq(
+        TxnPart(a, id, () => upA(id, (10 * id + 1, id + 1.0))),
+        TxnPart(b, id, () => upB(id, (10 * id + 2, id + 2.0))))
+      MultiCommit.commit(coord, txn(0)) // uninjected seed txn
+      store.count = 0; store.limit = k
+      val crashed =
+        try { MultiCommit.commit(coord, txn(1)); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        val snap0 = Map(a -> 0L, b -> 0L)
+        val snap1 = Map(a -> 1L, b -> 1L)
+        val mid = MultiCommit.snapshot(coord)
+        assert(mid == snap0 || mid == snap1,
+          s"txn window $k: torn snapshot $mid")
+        if (mid == snap1) {
+          assert(Ingest.committedBatchIds(a).contains(1L) &&
+            Ingest.committedBatchIds(b).contains(1L),
+            s"txn window $k: snapshot claims txn 1 before both committed")
+        }
+        MultiCommit.commit(coord, txn(1)) // recovery run
+        assert(MultiCommit.snapshot(coord) == snap1,
+          s"txn window $k: recovery did not land txn 1")
+        val gotA = MultiCommit.read(spark, coord, a)
+          .select("k", "v").as[(Long, Double)].collect().toMap
+        val gotB = MultiCommit.read(spark, coord, b)
+          .select("k", "v").as[(Long, Double)].collect().toMap
+        assert(gotA == Map(1L -> 1.0, 11L -> 2.0) &&
+          gotB == Map(2L -> 2.0, 12L -> 3.0),
+          s"txn window $k: recovered pair diverged: $gotA / $gotB")
+        LocalTableStore.deleteTree(base)
+      }
+      k += 1
+    }
+    assert(exhausted, "multi-commit sweep never ran past the protocol")
+    windows
+  }
+
+  test("multi-table txn: no crash window tears the coordinator snapshot (POSIX)") {
+    withSmallShuffle {
+      val w = sweepMultiCommit(() => LocalTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("multi-table txn: the crash matrix holds on the object store") {
+    withSmallShuffle {
+      val w = sweepMultiCommit(() => new ObjectTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
   test("clone protocol: no crash window leaves a readable partial clone (POSIX)") {
     withSmallShuffle {
       val w = sweepClone(() => LocalTableStore)

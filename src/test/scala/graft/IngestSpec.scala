@@ -1388,6 +1388,63 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     }
   }
 
+  test("multi-table txn: snapshot reads are all-or-nothing; recovery rolls forward") {
+    import spark.implicits._
+    import graft.sources.MultiCommit
+    import graft.sources.MultiCommit.TxnPart
+    val base = tmp()
+    val (a, b, coord) = (s"$base/a", s"$base/b", s"$base/coord")
+    def upA(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(a, Seq("k"), nBuckets = 2, keepVersions = 8)(
+        rows.toDF("k", "v"), id)
+    def upB(id: Long, rows: (Long, String)*): Unit =
+      Ingest.upsertParquet(b, Seq("k"), nBuckets = 2, keepVersions = 8)(
+        rows.toDF("k", "s"), id)
+    def stateA(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("k", "v").as[(Long, Double)].collect().toMap
+
+    val t0 = MultiCommit.commit(coord, Seq(
+      TxnPart(a, 0L, () => upA(0, (1L, 1.0))),
+      TxnPart(b, 0L, () => upB(0, (1L, "x")))))
+    assert(MultiCommit.snapshot(coord) === Map(a -> 0L, b -> 0L))
+    assert(stateA(MultiCommit.read(spark, coord, a)) === Map(1L -> 1.0))
+
+    // txn 1 tears: A commits, then B's write dies before committing
+    val boom = intercept[RuntimeException] {
+      MultiCommit.commit(coord, Seq(
+        TxnPart(a, 1L, () => upA(1, (2L, 2.0))),
+        TxnPart(b, 1L, () => throw new RuntimeException("crash before B"))))
+    }
+    assert(boom.getMessage.contains("crash before B"))
+    // direct read of A is read-committed (sees the new batch)…
+    assert(stateA(Ingest.readUpsertTable(spark, a)) ===
+      Map(1L -> 1.0, 2L -> 2.0))
+    // …but the coordinator snapshot still serves the pre-txn pair
+    assert(MultiCommit.snapshot(coord) === Map(a -> 0L, b -> 0L))
+    assert(stateA(MultiCommit.read(spark, coord, a)) === Map(1L -> 1.0))
+
+    // recovery = re-running the same txn: adopts the SAME txn id,
+    // A's part no-ops (already committed), B's fills the gap
+    val t1 = MultiCommit.commit(coord, Seq(
+      TxnPart(a, 1L, () => upA(1, (2L, 2.0))),
+      TxnPart(b, 1L, () => upB(1, (2L, "y")))))
+    assert(t1 === t0 + 1)
+    assert(MultiCommit.snapshot(coord) === Map(a -> 1L, b -> 1L))
+    assert(stateA(MultiCommit.read(spark, coord, a)) ===
+      Map(1L -> 1.0, 2L -> 2.0))
+    assert(MultiCommit.read(spark, coord, b).count() === 2L)
+
+    // a part that returns without committing its batch is miswired
+    val e = intercept[IllegalArgumentException] {
+      MultiCommit.commit(coord, Seq(TxnPart(a, 7L, () => ())))
+    }
+    assert(e.getMessage.contains("miswired"), e.getMessage)
+    // an uncovered table fails loudly at snapshot read
+    intercept[IllegalArgumentException] {
+      MultiCommit.read(spark, coord, s"$base/nope")
+    }
+  }
+
   private def walkFiles(d: java.io.File): Seq[java.io.File] =
     Option(d.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap { f =>
       if (f.isDirectory) walkFiles(f) else Seq(f)
