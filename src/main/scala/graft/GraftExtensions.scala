@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // answer aggregates from registered fresh materialized views
     // (MvCatalog.register/materialize) — no-op while none are registered
     ext.injectOptimizerRule(_ => graft.plans.RewriteToMv)
+    // SQL spellings for table-format maintenance (GRAFT RESTORE/CLONE/
+    // OPTIMIZE/REBUCKET/VACUUM/DESCRIBE HISTORY); everything else goes
+    // verbatim to the delegate parser
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.COSINE_SIM),
       info(GraftFunctions.COSINE_SIM,

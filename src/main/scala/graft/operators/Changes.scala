@@ -774,10 +774,11 @@ object Changes {
         .select("o_custkey").collect().map(_.getLong(0)).toSet
       val feedIsDiff = sliceUps == (want -- pre) &&
         sliceDelKeys == pre.map(_._1) -- want.map(_._1)
-      // pre-restore history is still described (batches 0..4 present)
-      val described = Ingest.describeUpsertTable(spark, table)
-        .select("batch_id").collect().map(_.getLong(0)).toSet
-      val historySurvives = described == Set(0L, 1L, 2L, 3L, restoreBatch)
+      // pre-restore history survives in the ledger (0..3 + the restore
+      // batch; the cheap check — per-batch recounts belong to
+      // q_upsert_history, not here)
+      val historySurvives =
+        Ingest.committedBatchIds(table) == Set(0L, 1L, 2L, 3L, restoreBatch)
       require(matchesAsOf && feedIsDiff && historySurvives,
         s"restore contract broken: asof=$matchesAsOf feed=$feedIsDiff " +
           s"history=$historySurvives")

@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
+
+import graft.sources.{Ingest, TableStore}
+
+/** SQL spellings for the table-format operations — the surface a
+  * SQL-first user (the reference deploys a SQL database) drives
+  * maintenance from, injected through `SparkSessionExtensions
+  * .injectParser` so `spark.sql(...)` just works:
+  *
+  * {{{
+  *   GRAFT DESCRIBE HISTORY '<table dir>'
+  *   GRAFT RESTORE '<table dir>' TO BATCH <n> [KEEP <k> VERSIONS]
+  *   GRAFT CLONE '<src dir>' TO '<dst dir>'
+  *   GRAFT OPTIMIZE '<table dir>'
+  *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
+  *   GRAFT VACUUM '<table dir>' KEEP <k> VERSIONS [GRACE <ms> MS]
+  * }}}
+  *
+  * Anything not starting with the `GRAFT` keyword goes verbatim to the
+  * delegate parser — the extension can never change the meaning of
+  * standard SQL. Each command compiles to a `LeafRunnableCommand`
+  * (driver-side control-plane work returning its audit rows), so the
+  * SQL route shares every contract — crash windows, OCC, retention —
+  * with the API route it delegates to; the grammar is a thin skin,
+  * deliberately hand-parsed (six fixed productions, quoted paths, no
+  * expression sub-language) rather than a second ANTLR grammar.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlCommands.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private[plans] object GraftSqlCommands {
+
+  // 'single-quoted' path with '' as the escaped quote (SQL convention)
+  private val P = "'((?:[^']|'')*)'"
+  private def unq(s: String): String = s.replace("''", "'")
+
+  private val History =
+    s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*""".r
+  private val Restore =
+    s"""(?is)\\s*GRAFT\\s+RESTORE\\s+$P\\s+TO\\s+BATCH\\s+(\\d+)(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
+  private val Clone =
+    s"""(?is)\\s*GRAFT\\s+CLONE\\s+$P\\s+TO\\s+$P\\s*;?\\s*""".r
+  private val Optimize =
+    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P\\s*;?\\s*""".r
+  private val Rebucket =
+    s"""(?is)\\s*GRAFT\\s+REBUCKET\\s+$P\\s+TO\\s+(\\d+)\\s+BUCKETS\\s*;?\\s*""".r
+  private val Vacuum =
+    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$P\\s+KEEP\\s+(\\d+)\\s+VERSIONS(?:\\s+GRACE\\s+(\\d+)\\s+MS)?\\s*;?\\s*""".r
+
+  def parse(sql: String): Option[LogicalPlan] = sql match {
+    case History(d) => Some(HistoryCommand(unq(d)))
+    case Restore(d, b, k) => Some(RestoreCommand(unq(d), b.toLong,
+      Option(k).map(_.toInt).getOrElse(2)))
+    case Clone(s, d) => Some(CloneCommand(unq(s), unq(d)))
+    case Optimize(d) => Some(OptimizeCommand(unq(d)))
+    case Rebucket(d, n) => Some(RebucketCommand(unq(d), n.toInt))
+    case Vacuum(d, k, g) => Some(VacuumCommand(unq(d), k.toInt,
+      Option(g).map(_.toLong).getOrElse(0L)))
+    case _ => None
+  }
+
+  private def attr(n: String, t: org.apache.spark.sql.types.DataType,
+                   nullable: Boolean = false): AttributeReference =
+    AttributeReference(n, t, nullable)()
+
+  /** `GRAFT DESCRIBE HISTORY` — the same rows as
+    * [[Ingest.describeUpsertTable]].
+    */
+  final case class HistoryCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("batch_id", LongType), attr("retained", BooleanType),
+      attr("row_count", LongType), attr("is_current", BooleanType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.describeUpsertTable(spark, dir)
+        .orderBy("batch_id").collect().toSeq
+    }
+  }
+
+  final case class RestoreCommand(dir: String, toBatch: Long, keep: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("restored_as_batch", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Seq(Row(Ingest.restoreUpsertTable(spark, dir, toBatch,
+        keepVersions = keep)))
+    }
+  }
+
+  final case class CloneCommand(src: String, dst: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("cloned_to", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.cloneUpsertTable(spark, src, dst)
+      Seq(Row(dst))
+    }
+  }
+
+  final case class OptimizeCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("optimized", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.optimizeUpsertTable(spark, dir)
+      Seq(Row(dir))
+    }
+  }
+
+  final case class RebucketCommand(dir: String, buckets: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("rebucketed_to", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.rebucketUpsertTable(spark, dir, buckets)
+      Seq(Row(buckets.toLong))
+    }
+  }
+
+  /** `GRAFT VACUUM` — returns the audit rows the API returns. */
+  final case class VacuumCommand(dir: String, keep: Int, graceMs: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("kind", StringType), attr("name", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.vacuumUpsertTable(spark, dir, keepVersions = keep,
+        graceMs = graceMs).collect().toSeq
+    }
+  }
+}
