@@ -925,6 +925,88 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** Selective COMPACTION as a query surface
+    * ([[graft.sources.Ingest.compactUpsertTable]]): the CDC-built
+    * table takes a LAZY delete batch (merge-on-read: the tombstones
+    * land in the deletion vector, no bucket rewrites), then COMPACT
+    * runs with a threshold no bucket's file count exceeds — so the
+    * only rewrite driver is the delete DEBT, and only the buckets the
+    * deleted keys hash to rewrite. In-query contracts pin the op's
+    * whole point: (a) the vector existed before and is PHYSICALLY
+    * drained after (no `_deletes` in the new generation), (b) the
+    * rewrite was selective (strictly fewer buckets than the table
+    * has — cost rode the debt, not the table), (c) a second pass is
+    * a true no-op (no new generation minted). DuckDB hash-checks the
+    * compacted state: the changelog fold minus the five smallest
+    * surviving customer keys. Scale: THIS is the cadence op a 100-TB
+    * table schedules — 99% of buckets move zero data bytes (links),
+    * debt drains at O(debt-buckets) write cost; crash windows are the
+    * generation protocol's, already failpoint-swept.
+    */
+  val qUpsertCompact: QuerySpec = QuerySpec(
+    "q_upsert_compact",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log),
+      live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+      victims AS (
+        SELECT o_custkey FROM live ORDER BY o_custkey LIMIT 5)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend,
+        true AS debt_drained, true AS compact_selective,
+        true AS second_pass_noop
+      FROM live WHERE o_custkey NOT IN (SELECT o_custkey FROM victims)
+      GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.{Ingest, TableStore}
+      val store = TableStore.local
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("upsert-compact"), n = 3, changeFeed = false,
+        sortCols = Seq("o_orderdate"), filesPerBucket = 6)
+      // lazy tombstones for the 5 smallest surviving keys: pure
+      // vector debt, no bucket rewrite at merge time
+      val victims = Ingest.readUpsertTable(spark, table)
+        .orderBy("o_custkey").limit(5)
+        .withColumn("_deleted", lit(true))
+      Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+        keepVersions = 3, deleteCol = Some("_deleted"),
+        lazyDeletes = true, sortCols = Seq("o_orderdate"),
+        filesPerBucket = 6)(victims, 3L)
+      def curDeletes: String = {
+        val cur = store.read(store.child(table, "CURRENT")).get.trim
+        store.child(store.child(table, cur), "_deletes")
+      }
+      val debtBefore = store.isDirectory(curDeletes)
+      // no bucket holds > 6 files (filesPerBucket), so the ONLY
+      // rewrite driver at this threshold is the deletion vector
+      val rewritten = Ingest.compactUpsertTable(spark, table,
+        filesOver = 6)
+      val selective = rewritten.nonEmpty && rewritten.size < 8
+      val drained = debtBefore && !store.isDirectory(curDeletes)
+      val noop = Ingest.compactUpsertTable(spark, table, filesOver = 6)
+        .isEmpty
+      require(selective && drained && noop,
+        s"compact contract broken: selective=$selective (rewrote " +
+          s"${rewritten.size}/8) drained=$drained noop=$noop")
+      Ingest.readUpsertTable(spark, table)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(drained).as("debt_drained"),
+          lit(selective).as("compact_selective"),
+          lit(noop).as("second_pass_noop"))
+        .orderBy("prio")
+    })
+
   /** An incremental materialized view driven by the table format's
     * CHANGE FEED — the composition [[qTableCdf]] exists for: instead
     * of diffing snapshots, the consumer folds the feed's signed
@@ -1633,7 +1715,7 @@ object Changes {
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
-      qUpsertRestore, qUpsertClone, qMultiCommit, qCdfMv,
+      qUpsertRestore, qUpsertClone, qUpsertCompact, qMultiCommit, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore)

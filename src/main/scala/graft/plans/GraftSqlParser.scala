@@ -20,6 +20,7 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT RESTORE '<table dir>' TO BATCH <n> [KEEP <k> VERSIONS]
   *   GRAFT CLONE '<src dir>' TO '<dst dir>'
   *   GRAFT OPTIMIZE '<table dir>'
+  *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
   *   GRAFT VACUUM '<table dir>' KEEP <k> VERSIONS [GRACE <ms> MS]
   * }}}
@@ -70,6 +71,8 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+CLONE\\s+$P\\s+TO\\s+$P\\s*;?\\s*""".r
   private val Optimize =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P\\s*;?\\s*""".r
+  private val Compact =
+    s"""(?is)\\s*GRAFT\\s+COMPACT\\s+$P(?:\\s+OVER\\s+(\\d+)\\s+FILES)?\\s*;?\\s*""".r
   private val Rebucket =
     s"""(?is)\\s*GRAFT\\s+REBUCKET\\s+$P\\s+TO\\s+(\\d+)\\s+BUCKETS\\s*;?\\s*""".r
   private val Vacuum =
@@ -81,6 +84,8 @@ private[plans] object GraftSqlCommands {
       Option(k).map(_.toInt).getOrElse(2)))
     case Clone(s, d) => Some(CloneCommand(unq(s), unq(d)))
     case Optimize(d) => Some(OptimizeCommand(unq(d)))
+    case Compact(d, n) => Some(CompactCommand(unq(d),
+      Option(n).map(_.toInt).getOrElse(4)))
     case Rebucket(d, n) => Some(RebucketCommand(unq(d), n.toInt))
     case Vacuum(d, k, g) => Some(VacuumCommand(unq(d), k.toInt,
       Option(g).map(_.toLong).getOrElse(0L)))
@@ -131,6 +136,19 @@ private[plans] object GraftSqlCommands {
       implicit val store: TableStore = TableStore.local
       Ingest.optimizeUpsertTable(spark, dir)
       Seq(Row(dir))
+    }
+  }
+
+  /** `GRAFT COMPACT '<dir>' [OVER <n> FILES]` — selective compaction;
+    * one row per rewritten bucket (no rows = nothing needed doing).
+    */
+  final case class CompactCommand(dir: String, filesOver: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("rewritten_bucket", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.compactUpsertTable(spark, dir, filesOver)
+        .map(b => Row(b.toLong))
     }
   }
 

@@ -1329,6 +1329,142 @@ object Ingest {
     rewriteGeneration(spark, tableDir, n, forceSameCount = true)
   }
 
+  /** Selective COMPACTION: rewrite ONLY the buckets that need it —
+    * file count above `filesOver`, or carrying merge-on-read delete
+    * debt — and carry every other bucket's files forward as
+    * links/copies. [[optimizeUpsertTable]] is the full-rewrite pass
+    * (restores global layout, rebuilds everything); THIS is the
+    * cadence op a 100-TB table actually schedules: cost rides the
+    * small-file/delete DEBT, not the table. A bucket accumulating
+    * range-slice churn compacts to its pinned layout; the other 99%
+    * of the table moves zero data bytes (hard links under POSIX).
+    *
+    * Protocol is the generation rewrite's, unchanged: build
+    * `v_<b>.<g+1>` (rewritten buckets written, carried buckets
+    * linked, stats-manifest rows carried with their paths re-rooted +
+    * rebuilt fresh for rewritten buckets, feed slice linked),
+    * `_gen_commit` last, CAS swap, sweep the superseded generation —
+    * so the crash windows are the ones CrashWindowSpec already
+    * sweeps. The deletion vector is fully applied (its buckets are
+    * forced into the rewrite set) and NOT carried forward.
+    *
+    * Returns the bucket ids rewritten — empty means no debt anywhere
+    * and NO new generation was minted (a true no-op).
+    */
+  def compactUpsertTable(spark: SparkSession, tableDir: String,
+                         filesOver: Int = 4)
+                        (implicit store: TableStore): Seq[Int] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(filesOver >= 1, s"compactUpsertTable: bad threshold $filesOver")
+    val root = tableDir
+    val meta = tableMeta(root)
+    val keys = meta("keys").split(",").toSeq
+    val curName = readCurrentName(root)
+    require(curName.nonEmpty, s"upsert table has no CURRENT pointer: $root")
+    val curDir = store.child(root, curName.get)
+    val nBuckets = versionBuckets(curDir).getOrElse(meta("buckets").toInt)
+    val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
+
+    def bucketOf(name: String): Option[Int] =
+      if (name.startsWith(s"$UpsertBucketCol="))
+        scala.util.Try(name.stripPrefix(s"$UpsertBucketCol=").toInt).toOption
+      else None
+    val bucketDirs: Seq[(Int, String)] = store.listNames(curDir)
+      .flatMap(n => bucketOf(n).map(_ -> store.child(curDir, n)))
+    def parquetsIn(d: String): Seq[String] =
+      store.listNames(d).filter(_.endsWith(".parquet"))
+        .filterNot(n => store.isDirectory(store.child(d, n)))
+    val overgrown = bucketDirs
+      .filter { case (_, d) => parquetsIn(d).size > filesOver }
+      .map(_._1).toSet
+    // delete debt forces its buckets in: compaction is how the vector
+    // drains, and a partial apply would tear it
+    val delDir = store.child(curDir, "_deletes")
+    val debt: Set[Int] =
+      if (!store.isDirectory(delDir)) Set.empty
+      else spark.read.parquet(delDir)
+        .select(pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    val rewrite = overgrown ++ debt
+    if (rewrite.isEmpty) return Nil
+
+    val (b, g) = parseVersion(curName.get).get
+    val newName = versionName(b, g + 1)
+    val newV = store.child(root, newName)
+    store.deleteTree(newV)
+    store.mkdirs(newV)
+    // rewritten buckets collapse to ONE sorted file each — maximum
+    // compaction, and the reason a second pass is a guaranteed no-op.
+    // (A single file's manifest bounds span the whole bucket; the
+    // full-rewrite OPTIMIZE is the pass that restores the fpb-slice
+    // layout when tight per-file pruning matters more than file count.)
+    val selected = applyDeletes(spark, root, curDir,
+      pinnedReader(spark, root).option("basePath", curDir).parquet(curDir))
+      .filter(col(UpsertBucketCol).isin(rewrite.toSeq.map(_.toLong): _*))
+    val laid = selected
+      .repartition(math.max(1, rewrite.size), col(UpsertBucketCol))
+      .sortWithinPartitions((col(UpsertBucketCol) +: sortCols.map(col)): _*)
+    laid.write.partitionBy(UpsertBucketCol).mode("append").parquet(newV)
+    // carried buckets: links, zero data movement
+    bucketDirs.filterNot { case (bk, _) => rewrite.contains(bk) }
+      .foreach { case (bk, d) =>
+        val dst = store.child(newV, s"$UpsertBucketCol=$bk")
+        store.mkdirs(dst)
+        parquetsIn(d).foreach(n => linkInto(store.child(d, n), dst))
+      }
+    if (sortCols.nonEmpty) {
+      // manifest: carried rows re-rooted to the new generation's
+      // paths, fresh rows scanned only for the rewritten buckets
+      import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
+      val aggs = sortCols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+        org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+      val freshSrc = pinnedReader(spark, root).option("basePath", newV)
+        .parquet(newV)
+        .filter(col(UpsertBucketCol).isin(rewrite.toSeq.map(_.toLong): _*))
+      val fresh = freshSrc.select(sortCols.map(col): _*)
+        .groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+      val oldMan = store.child(curDir, StatsManifest.ManifestDir)
+      val carriedOpt =
+        if (!store.isDirectory(oldMan)) None
+        else {
+          val dropPat = rewrite.toSeq.sorted
+            .map(bk => java.util.regex.Pattern
+              .quote(s"/$UpsertBucketCol=$bk/")).mkString("|")
+          Some(spark.read.parquet(oldMan)
+            .filter(!col("file").rlike(dropPat))
+            .withColumn("file", regexp_replace(col("file"),
+              java.util.regex.Pattern.quote(curDir),
+              java.util.regex.Matcher.quoteReplacement(newV))))
+        }
+      val manifest = carriedOpt.fold(fresh)(c => fresh.unionByName(c))
+      if (manifest.head(1).nonEmpty)
+        manifest.coalesce(1).write.parquet(
+          store.child(newV, StatsManifest.ManifestDir))
+    }
+    val oldCh = store.child(curDir, "_changes")
+    if (store.isDirectory(oldCh)) {
+      val dst = store.child(newV, "_changes")
+      store.mkdirs(dst)
+      store.listNames(oldCh)
+        .filterNot(n => store.isDirectory(store.child(oldCh, n)))
+        .foreach(n => linkInto(store.child(oldCh, n), dst))
+    }
+    store.writeAtomic(newV, "_nbuckets", s"$nBuckets\n")
+    store.writeAtomic(newV, "_gen_commit", "")
+    if (!store.putConditional(root, "CURRENT", curName, newName)) {
+      val nowName = readCurrentName(root)
+      throw new java.util.ConcurrentModificationException(
+        s"compactUpsertTable: CURRENT of $tableDir moved from " +
+          s"${curName.getOrElse("<none>")} to ${nowName.getOrElse("<none>")} " +
+          "while the compacted generation was built — a concurrent writer " +
+          "committed. Nothing was swapped; re-run against the new snapshot")
+    }
+    sweepDir(curDir)
+    rewrite.toSeq.sorted
+  }
+
   /** RESTORE: make the table's state equal its committed snapshot at
     * `toBatch` — as a NEW committed batch through the normal sink, not
     * a history rewrite. History stays intact (the pre-restore batches

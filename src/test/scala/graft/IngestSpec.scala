@@ -1307,6 +1307,29 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     assert(ids === Set(0L, 1L, 2L, 3L))
     assert(state(Some(2L)) === preRestore)
 
+    // the restore WRITE rides the diff: the only touched buckets are
+    // key 1's (re-insert) and key 5's (tombstone) — every other
+    // bucket's files are carried forward as links/copies, unchanged
+    val touched = spark.sql(
+      "SELECT pmod(xxhash64(CAST(1 AS BIGINT)), 4), " +
+        "pmod(xxhash64(CAST(5 AS BIGINT)), 4)")
+      .head().toSeq.map(_.asInstanceOf[Long]).toSet
+    assert(touched.size < 4, "fixture degenerated: every bucket touched")
+    (0 until 4).filterNot(bk => touched.contains(bk.toLong)).foreach { bk =>
+      val pre = new java.io.File(s"$table/v_2/bkt=$bk")
+      val post = new java.io.File(s"$table/v_3/bkt=$bk")
+      if (post.exists()) {
+        val preIds = Option(pre.listFiles()).getOrElse(Array())
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> fileId(f)).toMap
+        Option(post.listFiles()).getOrElse(Array())
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            assert(preIds.get(f.getName).contains(fileId(f)),
+              s"untouched bucket $bk was rewritten by the restore")
+          }
+      }
+    }
+
     // restoring the CURRENT state = empty diff = an EMPTY batch commit
     // (feed contiguity preserved, no hole)
     val b2 = Ingest.restoreUpsertTable(spark, table, 3L, keepVersions = 8)
@@ -1386,6 +1409,75 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Ingest.cloneUpsertTable(spark, src, dst)
     }
+  }
+
+  test("selective COMPACT rides the debt: only fragmented/debt buckets rewrite") {
+    import spark.implicits._
+    val t = tmp() + "/compact_table"
+    // bucket assignment the sink will use (pmod(xxhash64(k), 8))
+    val bucketOfKey: Map[Long, Int] = spark.range(0, 400)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(8L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val byBucket = bucketOfKey.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+    // two DENSE buckets (many keys → many range slices), one SPARSE
+    // bucket with a single key (1 file, will carry), rest empty
+    val denseB = byBucket.filter(_._2.size >= 30).keys.toSeq.sorted.take(2)
+    val sparseB = byBucket.keys.toSeq.sorted
+      .filterNot(denseB.contains).head
+    val dense = denseB.flatMap(b => byBucket(b).take(30))
+    val sparseKey = byBucket(sparseB).head
+    def up(id: Long, rows: Seq[(Long, Double, Boolean)]): Unit =
+      Ingest.upsertParquet(t, Seq("k"), nBuckets = 8, keepVersions = 2,
+        deleteCol = Some("_del"), lazyDeletes = true,
+        sortCols = Seq("k"), filesPerBucket = 4)(
+        rows.toDF("k", "v", "_del"), id)
+    up(0, (dense :+ sparseKey).map(k => (k, k * 1.0, false)))
+    // delete-only batch: the vector takes the debt, no bucket rewrite
+    up(1, Seq((sparseKey, 0.0, true)))
+
+    def filesPerBucket(v: String): Map[Int, Seq[java.io.File]] =
+      (0 until 8).flatMap { b =>
+        val d = new java.io.File(s"$t/$v/bkt=$b")
+        Option(d.listFiles()).map(fs => b ->
+          fs.filter(_.getName.endsWith(".parquet")).toSeq)
+      }.toMap
+    val before = filesPerBucket("v_1")
+    val fragmented = before.collect { case (b, fs) if fs.size > 2 => b }.toSet
+    assert(fragmented.nonEmpty, s"premise: no fragmented bucket in " +
+      before.view.mapValues(_.size).toMap.toString)
+    val carriedExpected = before.keySet -- fragmented - sparseB
+    assert(carriedExpected.nonEmpty || before(sparseB).size <= 2,
+      "premise: nothing left to carry")
+    val expectRewrite = (fragmented + sparseB).toSeq.sorted
+
+    val rewritten = Ingest.compactUpsertTable(spark, t, filesOver = 2)
+    assert(rewritten === expectRewrite)
+    // state: all dense keys live, the deleted key stays gone
+    val got = Ingest.readUpsertTable(spark, t)
+      .select("k").as[Long].collect().toSet
+    assert(got === dense.toSet)
+    // the vector drained PHYSICALLY: no _deletes in the new generation
+    assert(!new java.io.File(s"$t/v_1.1/_deletes").exists())
+    // carried buckets share file identity; rewritten ones are fresh
+    carriedExpected.foreach { b =>
+      val pre = before(b).map(f => f.getName -> fileId(f)).toMap
+      filesPerBucket("v_1.1")(b).foreach { f =>
+        assert(pre.get(f.getName).contains(fileId(f)),
+          s"carried bucket $b was rewritten")
+      }
+    }
+    // the manifest covers exactly the new generation's data files
+    val manDir = s"$t/v_1.1/${graft.sources.StatsManifest.ManifestDir}"
+    val manFiles = spark.read.parquet(manDir)
+      .select("file").as[String].collect().toSet
+    val diskFiles = filesPerBucket("v_1.1").values.flatten
+      .map(_.getAbsolutePath).toSet
+    assert(manFiles.map(f => new java.net.URI(f).getPath) === diskFiles,
+      "manifest out of sync with the compacted generation")
+    // nothing left to do: a second pass is a true no-op (no new gen)
+    assert(Ingest.compactUpsertTable(spark, t, filesOver = 2) === Nil)
+    assert(new java.io.File(s"$t/v_1.1").exists())
+    assert(!new java.io.File(s"$t/v_1.2").exists())
   }
 
   test("multi-table txn: snapshot reads are all-or-nothing; recovery rolls forward") {

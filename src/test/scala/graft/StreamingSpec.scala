@@ -192,6 +192,84 @@ class StreamingSpec extends AnyFunSuite {
       afterA.agg(sum("n")).head.getLong(0))
   }
 
+  test("foreachBatch + MultiCommit: crash between tables recovers exactly-once on restart") {
+    // the streaming face of the multi-table txn: one micro-batch
+    // writes TWO tables through the coordinator; the first attempt at
+    // batch 1 dies AFTER table A committed, the restarted query
+    // replays batch 1 with the same id, and MultiCommit's roll-forward
+    // makes the pair land exactly once — no lost batch, no double
+    // apply, and the coordinator snapshot never shows the tear
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.{Ingest, MultiCommit}
+    import graft.sources.MultiCommit.TxnPart
+    import org.apache.spark.sql.types.{StructType, LongType, DoubleType}
+    val base = graft.Scratch.dir("txn-stream")
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val (a, b, coord, ck) = (s"$base/a", s"$base/b", s"$base/coord", s"$base/ck")
+    val schema = new StructType().add("k", LongType).add("v", DoubleType)
+    @volatile var crashArmed = true
+    def stage(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$in/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def drain(): Unit = {
+      val q = Ingest.readStreamFiles(spark, s"$in/*.parquet", schema)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (bd: DataFrame, id: Long) =>
+          val batch = bd.persist()
+          try {
+            MultiCommit.commit(coord, Seq(
+              TxnPart(a, id, () => Ingest.upsertParquet(a, Seq("k"),
+                nBuckets = 2, keepVersions = 8)(batch, id)),
+              TxnPart(b, id, () => {
+                if (crashArmed && id >= 1L)
+                  sys.error("injected crash between tables")
+                Ingest.upsertParquet(b, Seq("k"), nBuckets = 2,
+                  keepVersions = 8)(
+                  batch.withColumn("v", col("v") * 10), id)
+              })))
+            ()
+          } finally { batch.unpersist(); () }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def stateOf(t: String): Map[Long, Double] =
+      Ingest.readUpsertTable(spark, t)
+        .select("k", "v").as[(Long, Double)].collect().toMap
+    stage("f0", Seq((1L, 1.0), (2L, 2.0)))
+    drain() // batch 0 lands in both tables
+    assert(MultiCommit.snapshot(coord) === Map(a -> 0L, b -> 0L))
+    stage("f1", Seq((3L, 3.0)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(ex.getMessage.contains("injected crash") ||
+      Option(ex.getCause).exists(_.getMessage.contains("injected crash")))
+    // torn mid-state: A is ahead (read-committed), the snapshot is not
+    assert(stateOf(a) === Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    assert(stateOf(b) === Map(1L -> 10.0, 2L -> 20.0))
+    assert(MultiCommit.snapshot(coord) === Map(a -> 0L, b -> 0L))
+    // restart from the same checkpoint: batch 1 replays with the SAME
+    // id, A no-ops, B fills the gap, the txn completes
+    crashArmed = false
+    drain()
+    assert(MultiCommit.snapshot(coord) === Map(a -> 1L, b -> 1L))
+    assert(stateOf(a) === Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    assert(stateOf(b) === Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // exactly-once at the ledgers too: one commit per batch per table
+    assert(Ingest.committedBatchIds(a) === Set(0L, 1L))
+    assert(Ingest.committedBatchIds(b) === Set(0L, 1L))
+  }
+
   test("stream-stream join state is BOUNDED: watermark eviction measured") {
     // The 100 TB streaming claim, measured instead of argued: feed the
     // fixture time-ordered in 6 micro-batches through the outer join
