@@ -278,6 +278,68 @@ class CrashWindowSpec extends AnyFunSuite {
     windows
   }
 
+  /** Sweep the selective-COMPACT protocol (debt-driven generation
+    * rewrite: only the deletion vector's buckets rewrite, the rest
+    * carry as links). Crash recovery differs from optimize in one way
+    * worth pinning: a post-CAS crash leaves the vector already
+    * drained, so the re-run must be a clean NO-OP (not a second
+    * rewrite), while a pre-CAS crash leaves the debt standing and the
+    * re-run must drain it — either way the table converges to the
+    * same debt-free state and a further pass mints no generation.
+    */
+  private def sweepCompact(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    val want = Map(1L -> 1.0, 3L -> 3.0)
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 200) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val table = Files.createTempDirectory("graft-crash-cmp").toString + "/t"
+      def up(id: Long, rows: (Long, Double, Boolean)*): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+          keepVersions = 4, deleteCol = Some("_del"), lazyDeletes = true,
+          changeFeed = true, sortCols = Seq("user_id"))(
+          rows.toDF("user_id", "value", "_del"), id)
+      def state(): Map[Long, Double] =
+        Ingest.readUpsertTable(spark, table)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+      up(0, (1L, 1.0, false), (2L, 2.0, false), (3L, 3.0, false))
+      up(1, (2L, 0.0, true)) // lazy delete: vector debt, no rewrite
+      store.count = 0; store.limit = k
+      val crashed =
+        try { Ingest.compactUpsertTable(spark, table, filesOver = 8); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        // merge-on-read stays honest whichever generation serves
+        assert(state() == want, s"compact window $k torn state")
+        assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L))
+          .count() === 3, s"compact window $k as-of broken")
+        // the re-run converges: drains standing debt OR no-ops on an
+        // already-swapped generation — never tears
+        Ingest.compactUpsertTable(spark, table, filesOver = 8)
+        assert(state() == want, s"compact window $k completion diverged")
+        val cur = store.read(store.child(table, "CURRENT")).get.trim
+        assert(!store.exists(
+            store.child(store.child(table, cur), "_deletes")),
+          s"compact window $k left vector debt after completion")
+        assert(Ingest.compactUpsertTable(spark, table, filesOver = 8)
+            .isEmpty,
+          s"compact window $k not converged: third pass found work")
+        // a later writer proceeds; the feed still reads end-to-end
+        up(2, (4L, 4.0, false))
+        assert(Ingest.readTableChanges(spark, table, 0, 2).count() >= 5)
+        LocalTableStore.deleteTree(table)
+      }
+      k += 1
+    }
+    assert(exhausted, "compact sweep never ran past the protocol")
+    windows
+  }
+
   /** Sweep the FEED-FOLD protocol: a derived table (secondary-index
     * shape — per-key net-keep folded from each base batch's feed
     * slice) maintained on the failpointed store while the BASE table
@@ -596,6 +658,20 @@ class CrashWindowSpec extends AnyFunSuite {
     withSmallShuffle {
       val w = sweepOptimize(() => new ObjectTableStore)
       info(s"$w optimize windows swept, all converged")
+    }
+  }
+
+  test("compact protocol: crash windows converge to the drained no-op state (POSIX)") {
+    withSmallShuffle {
+      val w = sweepCompact(() => LocalTableStore)
+      info(s"$w compact windows swept, all converged")
+    }
+  }
+
+  test("compact protocol: crash windows recover on the object store") {
+    withSmallShuffle {
+      val w = sweepCompact(() => new ObjectTableStore)
+      info(s"$w compact windows swept, all converged")
     }
   }
 
