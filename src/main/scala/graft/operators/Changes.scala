@@ -1712,10 +1712,90 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** Write-audit-publish as a query surface
+    * ([[graft.sources.Ingest.branchUpsertTable]] /
+    * [[graft.sources.Ingest.publishUpsertTable]]): the CDC-built table
+    * is BRANCHED (zero-copy fork), a risky rewrite lands on the branch
+    * (drop every 5th customer, double every surviving 7th customer's
+    * total), the audit verifies the source never saw it, and PUBLISH
+    * folds the audited diff back as one committed batch — whose state
+    * DuckDB recomputes from raw orders. In-query contracts pin the
+    * workflow: the source is untouched between branch and publish, the
+    * publish batch's change-feed slice is non-empty (downstream
+    * consumers ride the diff), and a re-publish mints nothing.
+    * Scale: branch is the clone's zero-data-I/O op; publish costs two
+    * snapshot scans + a write riding the diff (only buckets holding
+    * the ~1/5 + ~1/7 touched keys rewrite).
+    */
+  val qUpsertWap: QuerySpec = QuerySpec(
+    "q_upsert_wap",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log),
+      cur AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+      published AS (
+        SELECT o_orderpriority,
+          CASE WHEN o_custkey % 7 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS px
+        FROM cur WHERE o_custkey % 5 <> 0)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(px * 100) AS BIGINT)) AS DOUBLE) / 100 AS spend,
+        true AS audit_isolated, true AS feed_rides_diff,
+        true AS republish_noop
+      FROM published GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-wap")
+      val table = buildCdcUpsertTable(spark, dir, base, n = 4,
+        changeFeed = true)
+      val branch = s"$base/branch"
+      Ingest.branchUpsertTable(spark, table, branch)
+      def spend(t: String): Long = Ingest.readUpsertTable(spark, t)
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")))
+        .head().getLong(0)
+      val srcPre = spend(table)
+      // the risky rewrite lands on the BRANCH only
+      val touched = Ingest.readUpsertTable(spark, branch)
+        .filter(col("o_custkey") % 5 === 0 || col("o_custkey") % 7 === 0)
+        .withColumn("o_totalprice",
+          when(col("o_custkey") % 5 =!= 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .withColumn("_deleted", col("o_custkey") % 5 === 0)
+      Ingest.upsertParquet(branch, Seq("o_custkey"), nBuckets = 8,
+        keepVersions = 4, deleteCol = Some("_deleted"))(touched, 1L)
+      val auditIsolated = spend(table) == srcPre && spend(branch) != srcPre
+      val pub = Ingest.publishUpsertTable(spark, branch, keepVersions = 4)
+      require(pub.nonEmpty, "publish found no diff to apply")
+      val feedRidesDiff = Ingest.readTableChanges(spark, table,
+        pub.get, pub.get).count() > 0
+      val republishNoop =
+        Ingest.publishUpsertTable(spark, branch, keepVersions = 4).isEmpty
+      require(auditIsolated && feedRidesDiff && republishNoop,
+        s"WAP contract broken: isolated=$auditIsolated " +
+          s"feed=$feedRidesDiff noop=$republishNoop")
+      Ingest.readUpsertTable(spark, table)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(auditIsolated).as("audit_isolated"),
+          lit(feedRidesDiff).as("feed_rides_diff"),
+          lit(republishNoop).as("republish_noop"))
+        .orderBy("prio")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
-      qUpsertRestore, qUpsertClone, qUpsertCompact, qMultiCommit, qCdfMv,
+      qUpsertRestore, qUpsertClone, qUpsertWap, qUpsertCompact,
+      qMultiCommit, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore)

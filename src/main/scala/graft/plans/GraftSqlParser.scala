@@ -19,6 +19,8 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT DESCRIBE HISTORY '<table dir>'
   *   GRAFT RESTORE '<table dir>' TO BATCH <n> [KEEP <k> VERSIONS]
   *   GRAFT CLONE '<src dir>' TO '<dst dir>'
+  *   GRAFT BRANCH '<src dir>' TO '<branch dir>'
+  *   GRAFT PUBLISH '<branch dir>' [KEEP <k> VERSIONS] [FORCE]
   *   GRAFT OPTIMIZE '<table dir>'
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
@@ -69,6 +71,10 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+RESTORE\\s+$P\\s+TO\\s+BATCH\\s+(\\d+)(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private val Clone =
     s"""(?is)\\s*GRAFT\\s+CLONE\\s+$P\\s+TO\\s+$P\\s*;?\\s*""".r
+  private val Branch =
+    s"""(?is)\\s*GRAFT\\s+BRANCH\\s+$P\\s+TO\\s+$P\\s*;?\\s*""".r
+  private val Publish =
+    s"""(?is)\\s*GRAFT\\s+PUBLISH\\s+$P(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?(\\s+FORCE)?\\s*;?\\s*""".r
   private val Optimize =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P\\s*;?\\s*""".r
   private val Compact =
@@ -83,6 +89,9 @@ private[plans] object GraftSqlCommands {
     case Restore(d, b, k) => Some(RestoreCommand(unq(d), b.toLong,
       Option(k).map(_.toInt).getOrElse(2)))
     case Clone(s, d) => Some(CloneCommand(unq(s), unq(d)))
+    case Branch(s, d) => Some(BranchCommand(unq(s), unq(d)))
+    case Publish(d, k, f) => Some(PublishCommand(unq(d),
+      Option(k).map(_.toInt).getOrElse(2), f != null))
     case Optimize(d) => Some(OptimizeCommand(unq(d)))
     case Compact(d, n) => Some(CompactCommand(unq(d),
       Option(n).map(_.toInt).getOrElse(4)))
@@ -127,6 +136,34 @@ private[plans] object GraftSqlCommands {
       implicit val store: TableStore = TableStore.local
       Ingest.cloneUpsertTable(spark, src, dst)
       Seq(Row(dst))
+    }
+  }
+
+  /** `GRAFT BRANCH '<src>' TO '<branch>'` — WAP fork; returns the base
+    * batch the branch can later be published against.
+    */
+  final case class BranchCommand(src: String, dst: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("branched_to", StringType), attr("base_batch", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Seq(Row(dst, Ingest.branchUpsertTable(spark, src, dst)))
+    }
+  }
+
+  /** `GRAFT PUBLISH '<branch>' [KEEP <k> VERSIONS] [FORCE]` — applies
+    * the audited branch diff to the source as one committed batch;
+    * NULL `published_batch` = the source already equals the branch.
+    */
+  final case class PublishCommand(dir: String, keep: Int, force: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("published_batch", LongType, nullable = true))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Seq(Row(Ingest.publishUpsertTable(spark, dir, keepVersions = keep,
+        force = force).map(java.lang.Long.valueOf).orNull))
     }
   }
 

@@ -447,6 +447,12 @@ object Ingest {
     * broken constraint by name and row count) and writes NOTHING —
     * the table never holds a row that fails its invariants. ANSI
     * CHECK: NULL passes; spell NOT NULL as `c IS NOT NULL`.
+    * Expressions must reference TABLE columns only: tombstones are
+    * exempt by contract (the check filters them out first), so the
+    * delete flag is never needed — and op-generated batches (RESTORE,
+    * PUBLISH) carry their own flag name, so an expression naming the
+    * creating batch's flag would fail to resolve on them (it throws a
+    * clear error, nothing is written).
     *
     * `occRetries` sets the TWO-WRITER behavior. The sink is
     * single-writer by default (`0`): a competing commit detected at
@@ -732,9 +738,27 @@ object Ingest {
         // specific constraint(s) by name
         import org.apache.spark.sql.functions.{expr, sum => fsum}
         val upsertRows = deleteCol.fold(bk)(c => bk.filter(!col(c)))
-        val viol = pinnedCons.map { case (n, e) =>
-          n -> (expr(e) <=> lit(false))
-        }
+        val viol =
+          try pinnedCons.map { case (n, e) =>
+            // resolve eagerly so a constraint referencing a column this
+            // batch lacks blames the CONSTRAINT, not the merge plan.
+            // The one legitimate-looking offender is the delete flag:
+            // tombstones are exempt by contract, so constraints must
+            // reference TABLE columns only — op-generated batches
+            // (RESTORE, PUBLISH) carry their own flag name and would
+            // fail to resolve the creating batch's
+            val p = n -> (expr(e) <=> lit(false))
+            upsertRows.filter(p._2).queryExecution.analyzed
+            p
+          } catch {
+            case ae: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"upsertParquet: a pinned constraint of $tableDir does not " +
+                  s"resolve against batch $batchId (${ae.getMessage.linesIterator
+                    .next()}). Constraints must reference table columns " +
+                  "only — tombstones are exempt by contract, so the delete " +
+                  "flag is never needed in a constraint expression", ae)
+          }
         if (upsertRows.filter(viol.map(_._2).reduce(_ || _)).head(1).nonEmpty) {
           val counts = upsertRows.agg(
             fsum(when(viol.head._2, 1L).otherwise(0L)).as(viol.head._1),
@@ -1546,6 +1570,21 @@ object Ingest {
     */
   def cloneUpsertTable(spark: SparkSession, srcDir: String, dstDir: String)
                       (implicit store: TableStore): Unit = {
+    cloneInto(spark, srcDir, dstDir, lineage = None)
+    ()
+  }
+
+  /** Shared clone body ([[cloneUpsertTable]] / [[branchUpsertTable]]):
+    * links the source's CURRENT snapshot into `dstDir`, writing the
+    * optional `_branch_base` lineage file BEFORE the pointer so a
+    * crash never yields a pointered table with half its identity.
+    * Returns the cloned source version name (its batch id is the
+    * branch base — race-free: read from the linked snapshot itself,
+    * not a separate ledger fetch a concurrent writer could outrun).
+    */
+  private def cloneInto(spark: SparkSession, srcDir: String, dstDir: String,
+                        lineage: Option[String => String])
+                       (implicit store: TableStore): String = {
     require(tableMeta(srcDir).contains("keys"), // fails fast on non-tables
       s"cloneUpsertTable: $srcDir has no pinned keys")
     val curName = readCurrentName(srcDir)
@@ -1571,9 +1610,157 @@ object Ingest {
       .foreach(s => store.writeAtomic(dstDir, "_schema", s))
     store.read(store.child(srcDir, "_constraints"))
       .foreach(s => store.writeAtomic(dstDir, "_constraints", s))
+    lineage.foreach(f =>
+      store.writeAtomic(dstDir, "_branch_base", f(curName.get)))
     store.appendLog(store.child(dstDir, "_commits"), "0")
     store.writeAtomic(dstDir, "CURRENT", "v_0")
+    curName.get
   }
+
+  /** Write-audit-publish BRANCH: a zero-copy [[cloneUpsertTable]] that
+    * additionally records its lineage (`_branch_base`: the source root
+    * and the batch id of the cloned snapshot) so [[publishUpsertTable]]
+    * can later fast-forward the source to the audited branch state.
+    * The WAP workflow this enables on a 100-TB table: branch (zero
+    * data I/O under POSIX links, server-side copies elsewhere), write
+    * the risky batches to the BRANCH through the ordinary sink
+    * (constraints travel with the clone, so they screen the branch
+    * writes too), audit with any query against the branch, then
+    * publish — or discard the branch dir and the source never saw any
+    * of it. Returns the base batch id the branch forked from.
+    */
+  def branchUpsertTable(spark: SparkSession, srcDir: String, branchDir: String)
+                       (implicit store: TableStore): Long = {
+    val srcV = cloneInto(spark, srcDir, branchDir,
+      lineage = Some(v => s"src=$srcDir\nbatch=${parseVersion(v).get._1}\n"))
+    parseVersion(srcV).get._1
+  }
+
+  /** PUBLISH the audited state of a WAP branch back to its source:
+    * computes the branch-vs-source diff and applies it as ONE new
+    * committed batch through the normal sink — so crash safety is the
+    * (failpoint-swept) sink protocol's, the source's pinned
+    * constraints screen the publish, and on a feed table the batch's
+    * change slice is exactly the diff (every downstream consumer —
+    * index, MV, replica, ANN fold — converges at diff cost).
+    *
+    * Concurrency: fails loudly (`ConcurrentModificationException`)
+    * when the source advanced past the branch base — the audit ran
+    * against a snapshot that is no longer the head, so silently
+    * clobbering the newer commits would un-audit them; `force = true`
+    * overrides with MERGE semantics: the diff applied is the branch's
+    * OWN changes (branch CURRENT vs its batch-0 fork snapshot, which
+    * must still be retained on the branch), so keys the source gained
+    * or changed concurrently survive unless the branch touched the
+    * same key (branch wins on contested keys). When the source never
+    * moved the two diffs are identical by construction. A publish
+    * that finds the source already equal to the branch returns None
+    * without minting a batch, which makes publish convergent: a
+    * re-run after a crash that landed the commit (or a publish of an
+    * untouched branch) is a clean no-op, not a duplicate.
+    *
+    * Cost decomposes exactly like [[restoreUpsertTable]]: two snapshot
+    * scans for the diff, then a write that rides the diff (only
+    * buckets holding changed/deleted keys rewrite). Returns the minted
+    * batch id, or None when the source already equals the branch.
+    */
+  def publishUpsertTable(spark: SparkSession, branchDir: String,
+                         keepVersions: Int = 2, graceMs: Long = 0L,
+                         force: Boolean = false)
+                        (implicit store: TableStore): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lineage = store.read(store.child(branchDir, "_branch_base"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"publishUpsertTable: $branchDir is not a WAP branch " +
+          "(no _branch_base lineage — was it created by branchUpsertTable?)"))
+    val kv = lineage.split('\n').map(_.trim).filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val srcDir = kv("src")
+    require(readLedger(branchDir).contains(0L), // branch batch 0 = the fork
+      s"publishUpsertTable: branch $branchDir has no committed fork batch")
+    val meta = tableMeta(srcDir)
+    val keys = meta("keys").split(",").toSeq
+    val nBuckets = meta("buckets").toInt
+    val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
+    val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
+    val feed = store.exists(store.child(srcDir, "_cdf"))
+    val flag = "_publish_deleted"
+    val target = readUpsertTable(spark, branchDir)
+    // heal a swap-to-append crash window FIRST: a previous publish that
+    // died between the pointer CAS and the ledger append left CURRENT
+    // on a complete-but-uncommitted version. The sink replays that
+    // batch id into its commit-completion path (readCurrent == vName →
+    // commit-and-return, the batch frame untouched); skipping straight
+    // to the empty-diff no-op would strand the version uncommitted —
+    // invisible to as-of reads and bait for the retention sweep
+    readCurrentName(srcDir).flatMap(parseVersion).map(_._1)
+      .filterNot(readLedger(srcDir).contains).foreach { b =>
+        upsertParquet(srcDir, keys, nBuckets = nBuckets,
+          keepVersions = keepVersions, graceMs = graceMs,
+          changeFeed = feed, sortCols = sortCols, filesPerBucket = fpb)(
+          target.limit(0).withColumn(flag, lit(false)), b)
+      }
+    require(!target.columns.contains(flag),
+      s"publishUpsertTable: table has a reserved column name $flag")
+    // full-state diff of the branch vs a reference snapshot: upsert
+    // rows = branch rows the reference lacks (changed or inserted),
+    // tombstones = reference keys the branch dropped. The branch may
+    // have WIDENED (the sink's evolution path publishes the new
+    // columns); the reference side aligns with typed nulls.
+    def diffVs(ref0: DataFrame): DataFrame = {
+      require(ref0.columns.forall(target.columns.contains),
+        s"publishUpsertTable: branch $branchDir dropped columns " +
+          s"${ref0.columns.filterNot(target.columns.contains).mkString(",")} " +
+          "— the format's evolution is widen-only")
+      val ref = target.columns.filterNot(ref0.columns.contains)
+        .foldLeft(ref0)((d, c) =>
+          d.withColumn(c, lit(null).cast(target.schema(c).dataType)))
+        .select(target.columns.map(col): _*)
+      val ups = target.exceptAll(ref).withColumn(flag, lit(false))
+      val dels = ref
+        .join(target.select(keys.map(col): _*), keys, "left_anti")
+        .withColumn(flag, lit(true))
+      ups.unionByName(dels)
+    }
+    // already in sync (a re-run after a committed publish, or a branch
+    // the source caught up with) → convergent no-op
+    val syncDiff = diffVs(readUpsertTable(spark, srcDir))
+    if (syncDiff.isEmpty) return None
+    val head = readLedger(srcDir).max
+    if (!force && head != baseOf(branchDir, srcDir))
+      throw new java.util.ConcurrentModificationException(
+        s"publishUpsertTable: $srcDir advanced past the branch base " +
+          s"(base=${baseOf(branchDir, srcDir)}, head=$head) — the audit ran " +
+          "against a stale snapshot; re-branch and re-audit, or pass " +
+          "force=true to merge the branch's own changes over the head")
+    // non-force: head == base, so the source CURRENT *is* the fork
+    // snapshot and the two diffs coincide; force: diff the branch
+    // against its OWN fork (batch 0, must still be retained) so
+    // concurrent source commits survive on uncontested keys
+    val diff =
+      if (force) diffVs(readUpsertTable(spark, branchDir, Some(0L)))
+      else syncDiff
+    if (force && diff.isEmpty) return None // untouched branch, src moved
+    val newBatch = head + 1
+    upsertParquet(srcDir, keys, nBuckets = nBuckets,
+      keepVersions = keepVersions, deleteCol = Some(flag),
+      graceMs = graceMs, changeFeed = feed, sortCols = sortCols,
+      filesPerBucket = fpb)(diff, newBatch)
+    Some(newBatch)
+  }
+
+  /** The batch id a WAP branch forked from — the `batch=` line
+    * [[branchUpsertTable]] recorded in `_branch_base`, taken from the
+    * source CURRENT's version name at clone time (race-free: the
+    * linked snapshot names its own batch).
+    */
+  private def baseOf(branchDir: String, srcDir: String)
+                    (implicit store: TableStore): Long =
+    store.read(store.child(branchDir, "_branch_base")).flatMap {
+      _.split('\n').map(_.trim).find(_.startsWith("batch="))
+        .map(_.drop("batch=".length).toLong)
+    }.getOrElse(throw new IllegalStateException(
+      s"publishUpsertTable: $branchDir's _branch_base records no fork batch"))
 
   private def rewriteGeneration(spark: SparkSession, tableDir: String,
                                 newBuckets: Int,

@@ -523,6 +523,64 @@ class CrashWindowSpec extends AnyFunSuite {
     windows
   }
 
+  /** Sweep the WAP PUBLISH protocol: branch + the audited branch write
+    * run uninjected, then `publishUpsertTable` is failpointed at every
+    * store op. The data-path invariants are the sink protocol's
+    * (already swept); what is NEW and pinned here is convergence — the
+    * source serves either the pre-publish or the audited state (never
+    * torn), the re-run lands the audited state, and however the crash
+    * fell the source gains EXACTLY ONE publish batch (a crash after
+    * the commit must re-run as a no-op, not a duplicate).
+    */
+  private def sweepPublish(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 400) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val base = Files.createTempDirectory("graft-crash-pub").toString
+      val src = s"$base/s"
+      val br = s"$base/b"
+      def up(t: String, id: Long, rows: (Long, Double, Boolean)*): Unit =
+        Ingest.upsertParquet(t, Seq("user_id"), nBuckets = 2,
+          keepVersions = 4, deleteCol = Some("_del"))(
+          rows.toDF("user_id", "value", "_del"), id)
+      def state(t: String): Map[Long, Double] =
+        Ingest.readUpsertTable(spark, t)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+      up(src, 0, (1L, 1.0, false), (2L, 2.0, false), (3L, 3.0, false))
+      Ingest.branchUpsertTable(spark, src, br)
+      up(br, 1, (2L, 20.0, false), (3L, 0.0, true), (4L, 4.0, false))
+      val pre = Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
+      val audited = Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0)
+      store.count = 0; store.limit = k
+      val crashed =
+        try { Ingest.publishUpsertTable(spark, br, keepVersions = 4); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        val mid = state(src)
+        assert(mid == pre || mid == audited,
+          s"publish window $k torn source state: $mid")
+        Ingest.publishUpsertTable(spark, br, keepVersions = 4)
+        assert(state(src) == audited, s"publish window $k re-run diverged")
+        assert(Ingest.committedBatchIds(src) == Set(0L, 1L),
+          s"publish window $k duplicated the publish batch: " +
+            s"${Ingest.committedBatchIds(src)}")
+        // converged: a third publish mints nothing
+        assert(Ingest.publishUpsertTable(spark, br).isEmpty,
+          s"publish window $k not converged")
+        LocalTableStore.deleteTree(base)
+      }
+      k += 1
+    }
+    assert(exhausted, "publish sweep never ran past the protocol")
+    windows
+  }
+
   /** Sweep the MULTI-TABLE TXN protocol ([[graft.sources.MultiCommit]]):
     * txn 0 seeds two tables uninjected, then txn 1 is failpointed at
     * every control-plane op — coordinator ledger appends AND both
@@ -615,6 +673,20 @@ class CrashWindowSpec extends AnyFunSuite {
   test("clone protocol: crash windows recover on the object store") {
     withSmallShuffle {
       val w = sweepClone(() => new ObjectTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("publish protocol: crash windows converge to one audited batch (POSIX)") {
+    withSmallShuffle {
+      val w = sweepPublish(() => LocalTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("publish protocol: crash windows recover on the object store") {
+    withSmallShuffle {
+      val w = sweepPublish(() => new ObjectTableStore)
       info(s"$w crash windows swept, all converged")
     }
   }

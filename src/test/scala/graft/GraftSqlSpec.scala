@@ -58,6 +58,26 @@ class GraftSqlSpec extends AnyFunSuite {
       Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0))
   }
 
+  test("GRAFT BRANCH / GRAFT PUBLISH drive the WAP workflow") {
+    import spark.implicits._
+    val t = freshTable()
+    val br = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/b"
+    val fork = spark.sql(s"GRAFT BRANCH ${q(t)} TO ${q(br)}").head()
+    assert(fork.getString(0) === br)
+    assert(fork.getLong(1) === 1L)
+    // audit batch on the branch; publish folds it back as batch 2
+    Ingest.upsertParquet(br, Seq("k"), nBuckets = 4, keepVersions = 8)(
+      Seq((3L, 33.0)).toDF("k", "v"), 1L)
+    val pub = spark.sql(s"GRAFT PUBLISH ${q(br)} KEEP 8 VERSIONS")
+    assert(pub.columns.toSeq === Seq("published_batch"))
+    assert(pub.head().getLong(0) === 2L)
+    assert(Ingest.readUpsertTable(spark, t)
+      .select("k", "v").as[(Long, Double)].collect().toMap ===
+      Map(1L -> 1.0, 2L -> 22.0, 3L -> 33.0))
+    // republish: NULL batch (no-op); FORCE parses
+    assert(spark.sql(s"GRAFT PUBLISH ${q(br)} FORCE").head().isNullAt(0))
+  }
+
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
     val t = freshTable()
     // threshold 0 files is invalid grammar-side? no — API requires >=1;

@@ -1349,7 +1349,7 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     def up(table: String, id: Long, rows: (Long, String, Double, Boolean)*): Unit =
       Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = 2,
         deleteCol = Some("_del"), lazyDeletes = true, changeFeed = true,
-        constraints = Seq("v_nonneg" -> "v >= 0 OR _del"))(
+        constraints = Seq("v_nonneg" -> "v >= 0"))(
         rows.toDF("k", "g", "v", "_del"), id)
     up(src, 0, (1L, "a", 10.0, false), (2L, "b", 20.0, false),
       (3L, "c", 30.0, false), (4L, "d", 40.0, false))
@@ -1409,6 +1409,93 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Ingest.cloneUpsertTable(spark, src, dst)
     }
+  }
+
+  test("WAP: branch, audit on the branch, publish the diff; conflicts " +
+    "detected, force merges, republish is a no-op") {
+    import spark.implicits._
+    val src = tmp() + "/wap_src"
+    // the source is feed-bearing; branches are feed-less (clone
+    // semantics: a feed cannot start on a zero-copy batch 0)
+    def upAs(feed: Boolean)(table: String, id: Long, keep: Int,
+                            rows: (Long, String, Double, Boolean)*): Unit =
+      Ingest.upsertParquet(table, Seq("k"), nBuckets = 4, keepVersions = keep,
+        deleteCol = Some("_del"), changeFeed = feed,
+        constraints = Seq("v_nonneg" -> "v >= 0"))(
+        rows.toDF("k", "g", "v", "_del"), id)
+    def up(table: String, id: Long, keep: Int,
+           rows: (Long, String, Double, Boolean)*): Unit =
+      upAs(feed = true)(table, id, keep, rows: _*)
+    def upBr(table: String, id: Long, keep: Int,
+             rows: (Long, String, Double, Boolean)*): Unit =
+      upAs(feed = false)(table, id, keep, rows: _*)
+    up(src, 0, 8, (1L, "a", 10.0, false), (2L, "b", 20.0, false),
+      (3L, "c", 30.0, false))
+    up(src, 1, 8, (4L, "d", 40.0, false))
+    def state(t: String): Set[(Long, Double)] =
+      Ingest.readUpsertTable(spark, t)
+        .select("k", "v").as[(Long, Double)].collect().toSet
+
+    val br = tmp() + "/wap_branch"
+    assert(Ingest.branchUpsertTable(spark, src, br) === 1L)
+    // publishing an untouched branch mints nothing
+    assert(Ingest.publishUpsertTable(spark, br).isEmpty)
+    assert(Ingest.committedBatchIds(src) === Set(0L, 1L))
+
+    // the risky batch lands on the BRANCH: update 2, delete 3, insert 5
+    upBr(br, 1, 8, (2L, "b", 25.0, false), (3L, "c", 0.0, true),
+      (5L, "e", 50.0, false))
+    // pinned constraints traveled with the branch: the audit gate is
+    // already screening branch writes
+    intercept[IllegalArgumentException] { upBr(br, 2, 8, (9L, "x", -1.0, false)) }
+    val audited = state(br)
+    assert(audited === Set((1L, 10.0), (2L, 25.0), (4L, 40.0), (5L, 50.0)))
+    assert(state(src) ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)),
+      "branch writes must not leak into the source")
+
+    // publish: exactly one new committed batch; source == audited state
+    assert(Ingest.publishUpsertTable(spark, br, keepVersions = 8)
+      === Some(2L))
+    assert(state(src) === audited)
+    // the source's feed slice for the publish batch is exactly the diff
+    val slice = Ingest.readTableChanges(spark, src, 2L, 2L)
+    assert(slice.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("k", "v").as[(Long, Double)].collect().toSet
+      === Set((2L, 25.0), (5L, 50.0)))
+    assert(slice.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSet === Set(3L))
+    // re-publish converges: no duplicate batch
+    assert(Ingest.publishUpsertTable(spark, br).isEmpty)
+    assert(Ingest.committedBatchIds(src) === Set(0L, 1L, 2L))
+
+    // conflict: the source advances after the fork → publish refuses
+    val br2 = tmp() + "/wap_branch2"
+    assert(Ingest.branchUpsertTable(spark, src, br2) === 2L)
+    upBr(br2, 1, 8, (1L, "a", 11.0, false), (4L, "d", 0.0, true))
+    up(src, 3, 8, (6L, "f", 60.0, false), (1L, "a", 12.0, false))
+    intercept[java.util.ConcurrentModificationException] {
+      Ingest.publishUpsertTable(spark, br2, keepVersions = 8)
+    }
+    // force = MERGE: the branch's own changes win on contested keys
+    // (1: branch 11.0 over src 12.0; 4: branch delete), the source's
+    // concurrent uncontested key 6 survives
+    assert(Ingest.publishUpsertTable(spark, br2, keepVersions = 8,
+      force = true) === Some(4L))
+    assert(state(src) ===
+      Set((1L, 11.0), (2L, 25.0), (5L, 50.0), (6L, 60.0)))
+
+    // a plain clone is not publishable; a forced publish of an
+    // untouched conflicted branch is a no-op
+    val dst = tmp() + "/wap_clone"
+    Ingest.cloneUpsertTable(spark, src, dst)
+    intercept[IllegalArgumentException] {
+      Ingest.publishUpsertTable(spark, dst)
+    }
+    val br3 = tmp() + "/wap_branch3"
+    Ingest.branchUpsertTable(spark, src, br3)
+    up(src, 5, 8, (7L, "g", 70.0, false))
+    assert(Ingest.publishUpsertTable(spark, br3, force = true).isEmpty)
   }
 
   test("selective COMPACT rides the debt: only fragmented/debt buckets rewrite") {
