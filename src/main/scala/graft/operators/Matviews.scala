@@ -162,5 +162,77 @@ object Matviews {
       q
     })
 
-  def specs: Seq[QuerySpec] = Seq(qMvRewrite, qMvRewriteExact)
+  /** The star-schema summary MV: fact×dim pre-joined, per-(priority,
+    * flag) partials. Matching a JOIN base is width-independent
+    * subtree comparison ([[graft.plans.MvCatalog.stripInnerProjects]]),
+    * so the query builds the identical join from fresh reads.
+    */
+  private def starMvDef(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(
+        sum("l_quantity").as("qty_sum"),
+        sum(revenue).as("rev_sum"),
+        count(lit(1)).as("n_rows"))
+
+  private val registeredStar =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ensureStarMv(spark: SparkSession, dir: String): String =
+    registeredStar.getOrElseUpdate(
+      (System.identityHashCode(spark).toHexString, dir), {
+        val path = graft.Scratch.dir("mv-star")
+        MvCatalog.materialize(spark, s"mv_star_$dir",
+          starMvDef(spark, dir), path)
+        path
+      })
+
+  /** Join-base (star-schema) MV rewrite: the MV pre-joins the fact
+    * table with its dimension and stores per-(priority, flag)
+    * partials; a later roll-up over the SAME join — written against
+    * the base tables — is answered from the MV with the join gone from
+    * the plan entirely. In-query contracts: every input file is an MV
+    * file (no fact or dim scan survives) and the values match the
+    * rule-off run; DuckDB recomputes the join + aggregate from the raw
+    * tables. Scale rationale: this is the rewrite that removes a
+    * fact-dim SHUFFLE, not just a scan — at 100 TB the join dominates
+    * the roll-up even when both scans prune well.
+    */
+  val qMvRewriteJoin: QuerySpec = QuerySpec(
+    "q_mv_rewrite_join",
+    Some("""SELECT o_orderpriority,
+      round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_rev,
+      count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (spark, dir) => {
+      val mvPath = ensureStarMv(spark, dir)
+      def rollup: DataFrame = Tables.load(spark, dir, "lineitem")
+        .join(Tables.load(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(revenue), 2).as("sum_rev"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+      val q = rollup
+      val files = q.inputFiles
+      require(files.nonEmpty && files.forall(_.contains(mvPath)),
+        s"join-base MV rewrite did not fire: plan reads " +
+          files.take(3).mkString(","))
+      val withMv = q.collect()
+      spark.conf.set("graft.mv.rewrite.enabled", "false")
+      val baseline =
+        try rollup.collect()
+        finally spark.conf.set("graft.mv.rewrite.enabled", "true")
+      require(sameRows(withMv, baseline),
+        "join-base MV rewrite changed results vs the rule-off plan")
+      q
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qMvRewrite, qMvRewriteExact, qMvRewriteJoin)
 }

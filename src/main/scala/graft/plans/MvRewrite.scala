@@ -102,6 +102,23 @@ object MvCatalog {
     case other => other
   }
 
+  /** The same stripping applied THROUGHOUT the base subtree — for a
+    * JOIN base (a star-schema MV), column pruning lands attr-only
+    * Projects inside each join leg at whatever width that side of the
+    * match needs, so the raw subtrees never `sameResult` even when the
+    * joins are identical. Stripping restores every leg to its
+    * full-width relation (V1 logical plans prune at physical planning,
+    * not in the relation), making the comparison width-independent.
+    * Comparison-only: the normalized plan is never executed, and
+    * exprIds are untouched so the positional output mapping stays
+    * valid.
+    */
+  private[plans] def stripInnerProjects(p: LogicalPlan): LogicalPlan =
+    p.transformUp {
+      case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        ch
+    }
+
   /** (filter conjuncts, base-below-filters), both Project-stripped. */
   private[plans] def decompose(p: LogicalPlan): (Seq[Expression], LogicalPlan) =
     stripAttrProjects(p) match {
@@ -132,7 +149,8 @@ object MvCatalog {
     }
     require(out.forall(_.deterministic),
       s"MV '$name' has a non-deterministic output — not rewritable")
-    val (conj, base) = decompose(child)
+    val (conj, base0) = decompose(child)
+    val base = stripInnerProjects(base0)
     val groupOut = out.collect {
       case ne if !ne.exists(_.isInstanceOf[AggregateExpression]) =>
         (stripAlias(ne), ne.name)
@@ -233,7 +251,8 @@ object RewriteToMv extends Rule[LogicalPlan] {
     if (!d.freshness.fresh()) return None
 
     // ---- base + filter subsumption --------------------------------
-    val (qConj, qBase) = MvCatalog.decompose(agg.child)
+    val (qConj, qBase0) = MvCatalog.decompose(agg.child)
+    val qBase = MvCatalog.stripInnerProjects(qBase0)
     if (!qBase.sameResult(d.base)) return None
     // positional attr map: sameResult ⇒ outputs correspond 1:1
     val attrMap: Map[ExprId, Attribute] =

@@ -105,6 +105,37 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("join-base MV: a star roll-up over the same join is answered " +
+    "from the MV; a different join condition declines") {
+    // the MV pre-joins fact×dim and stores per-(priority, flag)
+    // partials — the star-schema summary. Matching is sameResult on
+    // the whole join subtree, so an independently-built identical
+    // join on the query side must hit, and any semantic difference
+    // (here: a different equi-condition) must decline.
+    val orders = Tables.load(spark, sf, "orders")
+    def joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+    val path = graft.Scratch.dir("mvspec-join")
+    MvCatalog.materialize(spark, "mv_join", joined
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(sum("l_quantity").as("qty_sum"), count(lit(1)).as("n_rows")),
+      path)
+    try {
+      val q = joined.groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+      assert(readsOnly(q, path), "join-base roll-up must read only the MV")
+      spark.conf.set("graft.mv.rewrite.enabled", "false")
+      val base = try q.orderBy("o_orderpriority").collect()
+        finally spark.conf.set("graft.mv.rewrite.enabled", "true")
+      assert(q.orderBy("o_orderpriority").collect() === base)
+      // a semantically different join below the same-shaped aggregate
+      // must NOT be answered from the MV
+      val other = li.join(orders, col("l_partkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+      assert(!other.inputFiles.forall(_.contains(path)),
+        "rewrite fired across a different join condition")
+    } finally MvCatalog.deregister(spark, "mv_join")
+  }
+
   test("does NOT fire: group key outside the MV") {
     withMv("mv_badkey") { path =>
       val q = li.filter(col("l_shipdate") <= ts(cutoff))
