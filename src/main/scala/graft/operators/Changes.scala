@@ -1791,10 +1791,82 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** Row-level SQL DML on the table format
+    * ([[graft.sources.Ingest.updateWhere]] / `deleteWhere`, spelled
+    * `GRAFT UPDATE … SET … WHERE …` / `GRAFT DELETE … WHERE …` through
+    * the injected parser): an UPDATE doubles every urgent customer's
+    * total and a DELETE drops every third customer — both as ordinary
+    * committed batches through the (failpoint-swept) sink, so history
+    * survives, constraints screen, and the feed records exactly the
+    * touched rows. DuckDB recomputes the final state from raw orders.
+    * Scale: each statement costs one snapshot scan to find its rows
+    * plus a write riding the match — selectivity-proportional bucket
+    * rewrites, never a table rewrite.
+    */
+  val qUpsertDml: QuerySpec = QuerySpec(
+    "q_upsert_dml",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log),
+      cur AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+      mutated AS (
+        SELECT o_orderpriority,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+               ELSE o_totalprice END AS px
+        FROM cur WHERE o_custkey % 3 <> 0)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(px * 100) AS BIGINT)) AS DOUBLE) / 100 AS spend,
+        true AS feed_records_dml, true AS history_survives
+      FROM mutated GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-dml")
+      val table = buildCdcUpsertTable(spark, dir, base, n = 4,
+        changeFeed = true)
+      def sq(s: String) = spark.sql(s).head()
+      val upd = sq(s"GRAFT UPDATE '$table' KEEP 6 VERSIONS " +
+        "SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      val del = sq(s"GRAFT DELETE '$table' KEEP 6 VERSIONS " +
+        "WHERE o_custkey % 3 = 0")
+      require(!upd.isNullAt(0) && !del.isNullAt(0),
+        "DML statements matched nothing — fixture degenerated")
+      // the feed records exactly the DML rows: the update batch's
+      // postimages are the urgent customers, the delete batch's
+      // tombstones are the dropped keys
+      val uN = Ingest.readTableChanges(spark, table,
+        upd.getLong(0), upd.getLong(0))
+        .filter(col("_change_type") === "update_postimage").count()
+      val dN = Ingest.readTableChanges(spark, table,
+        del.getLong(0), del.getLong(0))
+        .filter(col("_change_type") === "delete").count()
+      val feedRecords = uN == upd.getLong(1) && dN == del.getLong(1)
+      // pre-DML state stays time-travelable
+      val historySurvives = Ingest.readUpsertTable(spark, table,
+        Some(3L)).count() > Ingest.readUpsertTable(spark, table).count()
+      require(feedRecords && historySurvives,
+        s"DML contract broken: feed=$feedRecords history=$historySurvives")
+      Ingest.readUpsertTable(spark, table)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(feedRecords).as("feed_records_dml"),
+          lit(historySurvives).as("history_survives"))
+        .orderBy("prio")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
-      qUpsertRestore, qUpsertClone, qUpsertWap, qUpsertCompact,
+      qUpsertRestore, qUpsertClone, qUpsertWap, qUpsertDml, qUpsertCompact,
       qMultiCommit, qCdfMv,
       qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,

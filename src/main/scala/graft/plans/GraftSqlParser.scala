@@ -21,6 +21,8 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT CLONE '<src dir>' TO '<dst dir>'
   *   GRAFT BRANCH '<src dir>' TO '<branch dir>'
   *   GRAFT PUBLISH '<branch dir>' [KEEP <k> VERSIONS] [FORCE]
+  *   GRAFT DELETE '<table dir>' [KEEP <k> VERSIONS] WHERE <predicate>
+  *   GRAFT UPDATE '<table dir>' [KEEP <k> VERSIONS] SET c = expr, … WHERE <predicate>
   *   GRAFT OPTIMIZE '<table dir>'
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
@@ -75,6 +77,10 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+BRANCH\\s+$P\\s+TO\\s+$P\\s*;?\\s*""".r
   private val Publish =
     s"""(?is)\\s*GRAFT\\s+PUBLISH\\s+$P(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?(\\s+FORCE)?\\s*;?\\s*""".r
+  private val Delete =
+    s"""(?is)\\s*GRAFT\\s+DELETE\\s+$P(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
+  private val Update =
+    s"""(?is)\\s*GRAFT\\s+UPDATE\\s+$P(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
   private val Optimize =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P\\s*;?\\s*""".r
   private val Compact =
@@ -92,6 +98,10 @@ private[plans] object GraftSqlCommands {
     case Branch(s, d) => Some(BranchCommand(unq(s), unq(d)))
     case Publish(d, k, f) => Some(PublishCommand(unq(d),
       Option(k).map(_.toInt).getOrElse(2), f != null))
+    case Delete(d, k, w) => Some(DeleteCommand(unq(d),
+      Option(k).map(_.toInt).getOrElse(2), w))
+    case Update(d, k, s, w) => Some(UpdateCommand(unq(d),
+      Option(k).map(_.toInt).getOrElse(2), splitAssignments(s), w))
     case Optimize(d) => Some(OptimizeCommand(unq(d)))
     case Compact(d, n) => Some(CompactCommand(unq(d),
       Option(n).map(_.toInt).getOrElse(4)))
@@ -104,6 +114,36 @@ private[plans] object GraftSqlCommands {
   private def attr(n: String, t: org.apache.spark.sql.types.DataType,
                    nullable: Boolean = false): AttributeReference =
     AttributeReference(n, t, nullable)()
+
+  /** Split an UPDATE's SET clause into (column, expression) pairs:
+    * top-level commas separate assignments (commas inside parens,
+    * brackets, or quoted strings belong to the expression), and the
+    * FIRST '=' of each assignment separates column from expression
+    * (later '='s are the expression's own comparisons).
+    */
+  private[plans] def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch; cur += ch
+        case '(' | '[' => depth += 1; cur += ch
+        case ')' | ']' => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.result(); cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    parts.toSeq.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"GRAFT UPDATE: malformed assignment '$a' " +
+        "(expected column = expression)")
+      (a.take(i).trim.stripPrefix("`").stripSuffix("`"), a.drop(i + 1).trim)
+    }
+  }
 
   /** `GRAFT DESCRIBE HISTORY` — the same rows as
     * [[Ingest.describeUpsertTable]].
@@ -164,6 +204,41 @@ private[plans] object GraftSqlCommands {
       implicit val store: TableStore = TableStore.local
       Seq(Row(Ingest.publishUpsertTable(spark, dir, keepVersions = keep,
         force = force).map(java.lang.Long.valueOf).orNull))
+    }
+  }
+
+  /** `GRAFT DELETE '<dir>' WHERE <pred>` — row-level DML through the
+    * sink; NULL batch = nothing matched, nothing minted.
+    */
+  final case class DeleteCommand(dir: String, keep: Int, predicate: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("batch_id", LongType, nullable = true),
+      attr("rows_deleted", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.deleteWhere(spark, dir, predicate, keepVersions = keep) match {
+        case Some((b, n)) => Seq(Row(b, n))
+        case None => Seq(Row(null, 0L))
+      }
+    }
+  }
+
+  /** `GRAFT UPDATE '<dir>' SET c = e, … WHERE <pred>` — row-level DML
+    * through the sink; no-op assignments mint nothing (NULL batch).
+    */
+  final case class UpdateCommand(dir: String, keep: Int,
+                                 set: Seq[(String, String)], predicate: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("batch_id", LongType, nullable = true),
+      attr("rows_updated", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.updateWhere(spark, dir, set, predicate, keepVersions = keep) match {
+        case Some((b, n)) => Seq(Row(b, n))
+        case None => Seq(Row(null, 0L))
+      }
     }
   }
 

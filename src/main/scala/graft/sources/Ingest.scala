@@ -1749,6 +1749,106 @@ object Ingest {
     Some(newBatch)
   }
 
+  /** Row-level DELETE as SQL-style DML on the table format: tombstone
+    * every CURRENT row matching `predicate` (a SQL boolean expression
+    * over the table's columns) as ONE new committed batch through the
+    * normal sink — crash safety, OCC, constraints and the change feed
+    * are all the sink's. The write rides the match: only buckets
+    * holding matched keys rewrite (`lazyDeletes = true` defers even
+    * that to a merge-on-read vector). No matches → None, nothing
+    * minted. Returns (minted batch id, rows deleted).
+    *
+    * Scale: one snapshot scan to find victims (predicate pushed to the
+    * pinned-schema parquet read), then the sink's diff-riding write —
+    * a 0.1%-selectivity delete on a 100-TB table rewrites ~0.1% of
+    * buckets, or zero data with lazyDeletes.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String, predicate: String,
+                  keepVersions: Int = 2, graceMs: Long = 0L,
+                  lazyDeletes: Boolean = false)
+                 (implicit store: TableStore): Option[(Long, Long)] =
+    dmlBatch(spark, tableDir, keepVersions, graceMs, lazyDeletes) { cur =>
+      import org.apache.spark.sql.functions.{expr, lit}
+      cur.filter(expr(predicate)).withColumn(DmlFlag, lit(true))
+    }
+
+  /** Row-level UPDATE as SQL-style DML on the table format: for every
+    * CURRENT row matching `predicate`, apply the `set` assignments
+    * (column → SQL expression over the row's columns — ALL of them
+    * reading the pre-update row, standard SQL UPDATE semantics) and
+    * commit the changed rows as ONE batch through the normal sink.
+    * Key columns
+    * cannot be assigned (an update that moves a key is a delete +
+    * insert — spell it as one). Rows whose assignments produce the
+    * values they already hold are skipped, so a no-op update mints
+    * nothing (None). Returns (minted batch id, rows updated).
+    */
+  def updateWhere(spark: SparkSession, tableDir: String,
+                  set: Seq[(String, String)], predicate: String,
+                  keepVersions: Int = 2, graceMs: Long = 0L)
+                 (implicit store: TableStore): Option[(Long, Long)] = {
+    val keys = tableMeta(tableDir).apply("keys").split(",").toSeq
+    set.foreach { case (c, _) =>
+      require(!keys.contains(c),
+        s"updateWhere: cannot assign key column '$c' — an update that " +
+          "moves a key is a delete + insert; run them as two statements")
+    }
+    dmlBatch(spark, tableDir, keepVersions, graceMs, lazyDel = false) { cur =>
+      import org.apache.spark.sql.functions.{expr, lit}
+      require(set.nonEmpty, "updateWhere: empty SET list")
+      set.foreach { case (c, _) =>
+        require(cur.columns.contains(c),
+          s"updateWhere: '$c' is not a column of $tableDir")
+      }
+      require(set.map(_._1).distinct.size == set.size,
+        s"updateWhere: duplicate assignment in ${set.map(_._1).mkString(",")}")
+      val matched = cur.filter(expr(predicate))
+      // SQL UPDATE semantics: every assignment expression reads the
+      // PRE-update row — one select evaluates them all against the
+      // input, never each other
+      val updated = matched.select(cur.columns.map { c =>
+        set.find(_._1 == c) match {
+          case Some((_, e)) => expr(e).cast(cur.schema(c).dataType).as(c)
+          case None => org.apache.spark.sql.functions.col(c)
+        }
+      }: _*)
+      // no-op assignments write nothing: only rows that actually
+      // changed ride into the sink (bag semantics are safe — keys are
+      // unique in a snapshot, so exceptAll here is a keyed set diff)
+      updated.exceptAll(matched).withColumn(DmlFlag, lit(false))
+    }
+  }
+
+  private val DmlFlag = "_dml_deleted"
+
+  /** Shared DML shell: build the change set from CURRENT, mint nothing
+    * when it is empty, else commit it as `head + 1` through the sink
+    * (feed-aware, layout-preserving).
+    */
+  private def dmlBatch(spark: SparkSession, tableDir: String,
+                       keepVersions: Int, graceMs: Long, lazyDel: Boolean)
+                      (change: DataFrame => DataFrame)
+                      (implicit store: TableStore): Option[(Long, Long)] = {
+    val meta = tableMeta(tableDir)
+    val keys = meta("keys").split(",").toSeq
+    val nBuckets = meta("buckets").toInt
+    val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
+    val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
+    val feed = store.exists(store.child(tableDir, "_cdf"))
+    val cur = readUpsertTable(spark, tableDir)
+    require(!cur.columns.contains(DmlFlag),
+      s"DML: table has a reserved column name $DmlFlag")
+    val batch = change(cur)
+    val n = batch.count()
+    if (n == 0) return None
+    val newBatch = readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1
+    upsertParquet(tableDir, keys, nBuckets = nBuckets,
+      keepVersions = keepVersions, deleteCol = Some(DmlFlag),
+      graceMs = graceMs, changeFeed = feed, lazyDeletes = lazyDel,
+      sortCols = sortCols, filesPerBucket = fpb)(batch, newBatch)
+    Some((newBatch, n))
+  }
+
   /** The batch id a WAP branch forked from — the `batch=` line
     * [[branchUpsertTable]] recorded in `_branch_base`, taken from the
     * source CURRENT's version name at clone time (race-free: the

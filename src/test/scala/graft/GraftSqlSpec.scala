@@ -78,6 +78,42 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"GRAFT PUBLISH ${q(br)} FORCE").head().isNullAt(0))
   }
 
+  test("GRAFT UPDATE / GRAFT DELETE: row-level DML with commas and " +
+    "'=' inside expressions, NULL batch on no-ops") {
+    import spark.implicits._
+    val t = freshTable() // k: 1->1.0, 2->22.0, 3->3.0
+    def vals(): Map[Long, Double] = Ingest.readUpsertTable(spark, t)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    // SET list with a comma-bearing function call and a WHERE with '='
+    val upd = spark.sql(s"GRAFT UPDATE ${q(t)} KEEP 8 VERSIONS " +
+      "SET v = round(v + 0.44, 1) WHERE k = 1").head()
+    assert(upd.getLong(0) === 2L && upd.getLong(1) === 1L)
+    assert(vals() === Map(1L -> 1.4, 2L -> 22.0, 3L -> 3.0))
+    // two assignments, the second referencing the first's COLUMN (SQL
+    // semantics: both read the pre-update row — w gets the OLD v)
+    val t2 = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/t"
+    Ingest.upsertParquet(t2, Seq("k"), nBuckets = 4, keepVersions = 8)(
+      Seq((2L, 22.0, 0.0)).toDF("k", "v", "w"), 0L)
+    spark.sql(s"GRAFT UPDATE ${q(t2)} KEEP 8 VERSIONS " +
+      "SET v = v * 10, w = v + 0 WHERE k = 2")
+    val r = Ingest.readUpsertTable(spark, t2).filter(col("k") === 2)
+      .select("v", "w").head()
+    assert(r.getDouble(0) === 220.0)
+    assert(r.getDouble(1) === 22.0)
+    // an unknown SET column is the engine's loud failure, post-parse
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT UPDATE ${q(t)} SET nope = 1 WHERE k = 1").collect()
+    }
+    // DELETE with a no-match predicate: NULL batch, zero rows
+    val miss = spark.sql(s"GRAFT DELETE ${q(t)} WHERE v > 1000000").head()
+    assert(miss.isNullAt(0) && miss.getLong(1) === 0L)
+    // DELETE that lands: rows gone, batch minted
+    val del = spark.sql(s"GRAFT DELETE ${q(t)} KEEP 8 VERSIONS " +
+      "WHERE v >= 3.0").head()
+    assert(del.getLong(0) === 3L && del.getLong(1) === 2L)
+    assert(vals() === Map(1L -> 1.4))
+  }
+
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
     val t = freshTable()
     // threshold 0 files is invalid grammar-side? no — API requires >=1;

@@ -1498,6 +1498,60 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     assert(Ingest.publishUpsertTable(spark, br3, force = true).isEmpty)
   }
 
+  test("DML: deleteWhere tombstones matches, updateWhere rewrites " +
+    "changed rows only, no-ops mint nothing, key assignment refused") {
+    import spark.implicits._
+    val t = tmp() + "/dml_table"
+    def up(id: Long, rows: (Long, String, Double)*): Unit =
+      Ingest.upsertParquet(t, Seq("k"), nBuckets = 4, keepVersions = 8,
+        changeFeed = true)(rows.toDF("k", "g", "v"), id)
+    up(0, (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+    def state(): Map[Long, (String, Double)] =
+      Ingest.readUpsertTable(spark, t)
+        .select("k", "g", "v").as[(Long, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // UPDATE: only matched rows change; the minted batch is exactly one
+    val u = Ingest.updateWhere(spark, t,
+      Seq("v" -> "v * 2"), "g = 'a'", keepVersions = 8)
+    assert(u === Some((1L, 2L)))
+    val ub = u.get._1
+    assert(state() === Map(1L -> ("a", 20.0), 2L -> ("b", 20.0),
+      3L -> ("a", 60.0), 4L -> ("c", 40.0)))
+    // the feed slice carries exactly the two updated keys
+    val uSlice = Ingest.readTableChanges(spark, t, ub, ub)
+    assert(uSlice.filter(col("_change_type") === "update_postimage")
+      .select("k").as[Long].collect().toSet === Set(1L, 3L))
+
+    // a no-op UPDATE (assignments produce current values) mints NOTHING
+    assert(Ingest.updateWhere(spark, t,
+      Seq("v" -> "v * 1"), "g = 'a'", keepVersions = 8).isEmpty)
+    assert(Ingest.committedBatchIds(t) === Set(0L, 1L))
+    // ...and neither does an UPDATE matching no rows
+    assert(Ingest.updateWhere(spark, t,
+      Seq("v" -> "v * 2"), "g = 'zzz'", keepVersions = 8).isEmpty)
+
+    // key columns cannot be assigned
+    intercept[IllegalArgumentException] {
+      Ingest.updateWhere(spark, t, Seq("k" -> "k + 100"), "true")
+    }
+
+    // DELETE: tombstones ride the sink; the feed records them
+    val d = Ingest.deleteWhere(spark, t, "v >= 40.0", keepVersions = 8)
+    assert(d === Some((2L, 2L)))
+    val db = d.get._1
+    assert(state() === Map(1L -> ("a", 20.0), 2L -> ("b", 20.0)))
+    assert(Ingest.readTableChanges(spark, t, db, db)
+      .filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSet === Set(3L, 4L))
+    // nothing matches → nothing minted
+    assert(Ingest.deleteWhere(spark, t, "v > 1e9").isEmpty)
+    assert(Ingest.committedBatchIds(t) === Set(0L, 1L, 2L))
+
+    // history: pre-DML state stays time-travelable
+    assert(Ingest.readUpsertTable(spark, t, Some(0L)).count() === 4)
+  }
+
   test("selective COMPACT rides the debt: only fragmented/debt buckets rewrite") {
     import spark.implicits._
     val t = tmp() + "/compact_table"
