@@ -23,6 +23,8 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT PUBLISH '<branch dir>' [KEEP <k> VERSIONS] [FORCE]
   *   GRAFT DELETE '<table dir>' [KEEP <k> VERSIONS] WHERE <predicate>
   *   GRAFT UPDATE '<table dir>' [KEEP <k> VERSIONS] SET c = expr, … WHERE <predicate>
+  *   GRAFT UPSERT '<table dir>' [KEYS c1, c2] [BUCKETS <n>] [DELETE COL <c>]
+  *                [KEEP <k> VERSIONS] FROM <query>
   *   GRAFT OPTIMIZE '<table dir>'
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
@@ -81,6 +83,10 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+DELETE\\s+$P(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
   private val Update =
     s"""(?is)\\s*GRAFT\\s+UPDATE\\s+$P(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
+  private val Upsert =
+    (s"""(?is)\\s*GRAFT\\s+UPSERT\\s+$P(?:\\s+KEYS\\s+([\\w`]+(?:\\s*,\\s*[\\w`]+)*))?""" +
+      s"""(?:\\s+BUCKETS\\s+(\\d+))?(?:\\s+DELETE\\s+COL\\s+([\\w`]+))?""" +
+      s"""(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s+FROM\\s+(.+?)\\s*;?\\s*""").r
   private val Optimize =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P\\s*;?\\s*""".r
   private val Compact =
@@ -102,6 +108,12 @@ private[plans] object GraftSqlCommands {
       Option(k).map(_.toInt).getOrElse(2), w))
     case Update(d, k, s, w) => Some(UpdateCommand(unq(d),
       Option(k).map(_.toInt).getOrElse(2), splitAssignments(s), w))
+    case Upsert(d, ks, b, dc, k, src) => Some(UpsertCommand(unq(d),
+      Option(ks).toSeq.flatMap(_.split(",").map(
+        _.trim.stripPrefix("`").stripSuffix("`")).toSeq),
+      Option(b).map(_.toInt).getOrElse(16),
+      Option(dc).map(_.stripPrefix("`").stripSuffix("`")),
+      Option(k).map(_.toInt).getOrElse(2), src))
     case Optimize(d) => Some(OptimizeCommand(unq(d)))
     case Compact(d, n) => Some(CompactCommand(unq(d),
       Option(n).map(_.toInt).getOrElse(4)))
@@ -239,6 +251,27 @@ private[plans] object GraftSqlCommands {
         case Some((b, n)) => Seq(Row(b, n))
         case None => Seq(Row(null, 0L))
       }
+    }
+  }
+
+  /** `GRAFT UPSERT '<dir>' … FROM <query>` — MERGE the query's rows as
+    * the table's next committed batch (creating the table when KEYS
+    * are given and the dir is fresh). The source query text re-enters
+    * `spark.sql` in run(), so it parses with the full delegate grammar
+    * — subqueries, joins, CTEs — not this extension's thin regex.
+    */
+  final case class UpsertCommand(dir: String, keys: Seq[String], buckets: Int,
+                                 deleteCol: Option[String], keep: Int,
+                                 sourceSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("batch_id", LongType), attr("rows_merged", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      val (b, n) = Ingest.upsertInto(spark, dir, spark.sql(sourceSql),
+        keys = keys, nBuckets = buckets, deleteCol = deleteCol,
+        keepVersions = keep)
+      Seq(Row(b, n))
     }
   }
 

@@ -1819,6 +1819,46 @@ object Ingest {
     }
   }
 
+  /** SQL-shaped MERGE: apply `rows` as the table's next committed
+    * batch — upserts by key, tombstones where `deleteCol` (if any) is
+    * true; the INSERT/MERGE leg of the DML triad next to
+    * [[updateWhere]] / [[deleteWhere]]. On an EXISTING table the
+    * pinned layout wins (`keys`, if given, must agree); on a fresh dir
+    * the call creates the table and `keys` is required (`nBuckets`
+    * defaults sized for the first batch's role as the layout pin).
+    * Returns (minted batch id, batch row count).
+    */
+  def upsertInto(spark: SparkSession, tableDir: String, rows: DataFrame,
+                 keys: Seq[String] = Nil, nBuckets: Int = 16,
+                 deleteCol: Option[String] = None, keepVersions: Int = 2,
+                 graceMs: Long = 0L)
+                (implicit store: TableStore): (Long, Long) = {
+    val meta: Map[String, String] =
+      if (store.exists(store.child(tableDir, "_meta"))) tableMeta(tableDir)
+      else Map.empty // fresh dir: this call creates the table
+    val (k, b) = meta.get("keys") match {
+      case Some(mk) =>
+        val pinned = mk.split(",").toSeq
+        require(keys.isEmpty || keys == pinned,
+          s"upsertInto: $tableDir pins keys [${pinned.mkString(",")}] " +
+            s"but the call passed [${keys.mkString(",")}]")
+        (pinned, meta("buckets").toInt)
+      case None =>
+        require(keys.nonEmpty,
+          s"upsertInto: $tableDir does not exist — pass keys to create it")
+        (keys, nBuckets)
+    }
+    val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
+    val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
+    val feed = store.exists(store.child(tableDir, "_cdf"))
+    val batchId = readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1
+    val n = rows.count()
+    upsertParquet(tableDir, k, nBuckets = b, keepVersions = keepVersions,
+      deleteCol = deleteCol, graceMs = graceMs, changeFeed = feed,
+      sortCols = sortCols, filesPerBucket = fpb)(rows, batchId)
+    (batchId, n)
+  }
+
   private val DmlFlag = "_dml_deleted"
 
   /** Shared DML shell: build the change set from CURRENT, mint nothing

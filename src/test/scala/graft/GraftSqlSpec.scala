@@ -114,6 +114,39 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(vals() === Map(1L -> 1.4))
   }
 
+  test("GRAFT UPSERT FROM a query: creates the table, merges a second " +
+    "batch, tombstones through DELETE COL; delegate grammar inside FROM") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/u"
+    // creation: KEYS + BUCKETS pin the layout; the source uses the
+    // full delegate grammar (VALUES + aliases)
+    val c = spark.sql(s"GRAFT UPSERT ${q(t)} KEYS k BUCKETS 4 " +
+      "KEEP 8 VERSIONS FROM SELECT k, CAST(v AS DOUBLE) AS v " +
+      "FROM VALUES (1, 10.0), (2, 20.0) AS t(k, v)")
+      .head()
+    assert((c.getLong(0), c.getLong(1)) === (0L, 2L))
+    // merge: keys come from the pinned meta now
+    spark.sql(s"GRAFT UPSERT ${q(t)} KEEP 8 VERSIONS FROM " +
+      "SELECT k, CAST(v AS DOUBLE) AS v " +
+      "FROM VALUES (2, 22.0), (3, 30.0) AS t(k, v)")
+    def vals(): Map[Int, Double] = Ingest.readUpsertTable(spark, t)
+      .select("k", "v").as[(Int, Double)].collect().toMap
+    assert(vals() === Map(1 -> 10.0, 2 -> 22.0, 3 -> 30.0))
+    // tombstones ride DELETE COL
+    val d = spark.sql(s"GRAFT UPSERT ${q(t)} DELETE COL gone KEEP 8 VERSIONS " +
+      "FROM SELECT k, CAST(v AS DOUBLE) AS v, gone " +
+      "FROM VALUES (1, 0.0, true), (4, 40.0, false) AS t(k, v, gone)")
+      .head()
+    assert((d.getLong(0), d.getLong(1)) === (2L, 2L))
+    assert(vals() === Map(2 -> 22.0, 3 -> 30.0, 4 -> 40.0))
+    // wrong KEYS against pinned meta fails loudly
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT UPSERT ${q(t)} KEYS v FROM " +
+        "SELECT k, CAST(v AS DOUBLE) AS v FROM VALUES (9, 9.0) AS t(k, v)")
+        .collect()
+    }
+  }
+
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
     val t = freshTable()
     // threshold 0 files is invalid grammar-side? no — API requires >=1;
