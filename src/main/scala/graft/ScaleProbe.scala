@@ -91,7 +91,11 @@ object ScaleProbe {
         "q_upsert_rebucket", "q_upsert_history", "q_upsert_sql",
         "q_table_cdf", "q_table_cdf_sql", "q_cdf_mv", "q_table_replica",
         "q_secondary_index", "q_stream_cdc_table", "q_stream_cdf_mv",
-        "q_stream_feed_mv", "q_stream_index")
+        "q_stream_feed_mv", "q_stream_index",
+        // r13 second half: snapshot ops + WAP + DML — each must ride
+        // its diff/match, so ratios near the churn factor are the pass
+        "q_upsert_restore", "q_upsert_clone", "q_upsert_compact",
+        "q_multi_commit", "q_upsert_wap", "q_upsert_dml")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -17,6 +17,7 @@ import graft.sources.{Ingest, TableStore}
   *
   * {{{
   *   GRAFT DESCRIBE HISTORY '<table dir>'
+  *   GRAFT DESCRIBE DETAIL '<table dir>'
   *   GRAFT RESTORE '<table dir>' TO BATCH <n> [KEEP <k> VERSIONS]
   *   GRAFT CLONE '<src dir>' TO '<dst dir>'
   *   GRAFT BRANCH '<src dir>' TO '<branch dir>'
@@ -71,6 +72,8 @@ private[plans] object GraftSqlCommands {
 
   private val History =
     s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*""".r
+  private val Detail =
+    s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+DETAIL\\s+$P\\s*;?\\s*""".r
   private val Restore =
     s"""(?is)\\s*GRAFT\\s+RESTORE\\s+$P\\s+TO\\s+BATCH\\s+(\\d+)(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private val Clone =
@@ -98,6 +101,7 @@ private[plans] object GraftSqlCommands {
 
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case History(d) => Some(HistoryCommand(unq(d)))
+    case Detail(d) => Some(DetailCommand(unq(d)))
     case Restore(d, b, k) => Some(RestoreCommand(unq(d), b.toLong,
       Option(k).map(_.toInt).getOrElse(2)))
     case Clone(s, d) => Some(CloneCommand(unq(s), unq(d)))
@@ -168,6 +172,27 @@ private[plans] object GraftSqlCommands {
       implicit val store: TableStore = TableStore.local
       Ingest.describeUpsertTable(spark, dir)
         .orderBy("batch_id").collect().toSeq
+    }
+  }
+
+  /** `GRAFT DESCRIBE DETAIL` — one control-plane-only row
+    * ([[Ingest.describeDetailUpsertTable]]); schema is the API frame's.
+    */
+  final case class DetailCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("keys", StringType), attr("buckets",
+        org.apache.spark.sql.types.IntegerType),
+      attr("sort_cols", StringType, nullable = true),
+      attr("files_per_bucket", org.apache.spark.sql.types.IntegerType),
+      attr("current_batch", LongType), attr("generation", LongType),
+      attr("committed_batches", LongType), attr("retained_versions", LongType),
+      attr("data_files", LongType), attr("change_feed", BooleanType),
+      attr("constraints", LongType), attr("pending_delete_vector", BooleanType),
+      attr("is_branch", BooleanType), attr("branch_base", LongType,
+        nullable = true))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.describeDetailUpsertTable(spark, dir).collect().toSeq
     }
   }
 

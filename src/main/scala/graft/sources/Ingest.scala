@@ -1122,6 +1122,55 @@ object Ingest {
     rows.toDF("batch_id", "retained", "row_count", "is_current")
   }
 
+  /** One-row table detail from the CONTROL PLANE only — no data scan,
+    * so it is as cheap on a 100-TB table as on a fixture: pinned
+    * layout, ledger/version/retention counts, the CURRENT snapshot's
+    * parquet file count (one LIST per bucket dir), and the feature
+    * flags an operator checks before maintenance (feed, constraints,
+    * pending merge-on-read vector, WAP-branch lineage). Per-batch row
+    * counts live in [[describeUpsertTable]], which does scan.
+    */
+  def describeDetailUpsertTable(spark: SparkSession, tableDir: String)
+                               (implicit store: TableStore): DataFrame = {
+    val root = tableDir
+    val meta = tableMeta(root)
+    val curName = readCurrentName(root)
+    require(curName.nonEmpty, s"upsert table has no CURRENT pointer: $root")
+    val (curBatch, gen) = parseVersion(curName.get).get
+    val curDir = store.child(root, curName.get)
+    val skip = Set("_changes", "_deletes", StatsManifest.ManifestDir)
+    def countParquet(dir: String): Long =
+      store.listNames(dir).map { n =>
+        val p = store.child(dir, n)
+        if (store.isDirectory(p)) {
+          if (skip.contains(n)) 0L else countParquet(p)
+        } else if (n.endsWith(".parquet")) 1L else 0L
+      }.sum
+    val lineage = store.read(store.child(root, "_branch_base"))
+      .map(_.split('\n').map(_.trim).filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap)
+    val nCons = store.read(store.child(root, "_constraints"))
+      .map(_.linesIterator.count(_.contains('='))).getOrElse(0)
+    import spark.implicits._
+    Seq((
+      meta("keys"), meta("buckets").toInt,
+      meta.get("sort").orNull, meta.get("fpb").map(_.toInt).getOrElse(4),
+      curBatch, gen.toLong,
+      readLedger(root).size.toLong,
+      versionDirs(root).size.toLong,
+      countParquet(curDir),
+      store.exists(store.child(root, "_cdf")),
+      nCons.toLong,
+      store.exists(store.child(curDir, "_deletes")),
+      lineage.isDefined,
+      lineage.flatMap(_.get("batch")).map(_.toLong)
+        .map(java.lang.Long.valueOf).orNull.asInstanceOf[java.lang.Long]
+    )).toDF("keys", "buckets", "sort_cols", "files_per_bucket",
+      "current_batch", "generation", "committed_batches",
+      "retained_versions", "data_files", "change_feed", "constraints",
+      "pending_delete_vector", "is_branch", "branch_base")
+  }
+
   /** Batch ids committed with ZERO rows (`_empty` marker appends) —
     * batches that minted no version dir yet whose snapshot state is
     * known: identical to the preceding snapshot.

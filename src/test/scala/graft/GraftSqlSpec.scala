@@ -34,6 +34,23 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql.map(_.getLong(0)) === Seq(0L, 1L))
   }
 
+  test("GRAFT DESCRIBE DETAIL: one control-plane row, branch lineage " +
+    "surfaces") {
+    val t = freshTable()
+    val d = spark.sql(s"GRAFT DESCRIBE DETAIL ${q(t)}").head()
+    assert(d.getString(0) === "k")          // keys
+    assert(d.getInt(1) === 4)               // buckets
+    assert(d.getLong(4) === 1L)             // current_batch
+    assert(d.getLong(6) === 2L)             // committed_batches
+    assert(d.getLong(8) > 0L)               // data_files
+    assert(!d.getBoolean(9))                // change_feed
+    assert(!d.getBoolean(12) && d.isNullAt(13)) // not a branch
+    val br = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/b"
+    spark.sql(s"GRAFT BRANCH ${q(t)} TO ${q(br)}")
+    val bd = spark.sql(s"GRAFT DESCRIBE DETAIL ${q(br)}").head()
+    assert(bd.getBoolean(12) && bd.getLong(13) === 1L)
+  }
+
   test("GRAFT RESTORE commits a new batch equal to the target snapshot") {
     import spark.implicits._
     val t = freshTable()
