@@ -1791,6 +1791,104 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** Incremental STAR-MV maintenance + automatic rewrite — the full
+    * IVM loop in one row: the fact table's change-feed slices join a
+    * BROADCAST dimension (customer) per batch, fold signed
+    * contributions into a per-segment MV upsert table (refresh cost =
+    * one feed-slice scan + a broadcast join + a tiny keyed agg — the
+    * fact snapshot is never re-scanned), and the folded state is then
+    * REGISTERED as the serve copy for [[graft.plans.RewriteToMv]]: the
+    * star roll-up written against fact ⋈ dim is answered from the
+    * maintained MV with the join gone from the plan. In-query
+    * contracts: maintained state ≡ direct recompute in exact cents,
+    * and the rewrite fired (all plan input files from the serve copy).
+    * DuckDB recomputes from raw orders ⋈ customer. Scale: maintenance
+    * rides the churn (feed slice × broadcast dim), serving rides the
+    * MV (KB-scale) — the fact table is scanned zero times per query
+    * after the initial build.
+    */
+  val qCdfStarMv: QuerySpec = QuerySpec(
+    "q_cdf_star_mv",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log),
+      cur AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+      SELECT c_mktsegment AS seg, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend,
+        true AS maintained_equals_recompute, true AS rewrite_fired
+      FROM cur JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY seg"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      import graft.plans.MvCatalog
+      val n = 4
+      val table = sharedCdcTable(spark, dir)
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val base = graft.Scratch.dir("star-mv")
+      val mv = s"$base/mv"
+      val sign = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      (0 until n).foreach { b =>
+        val delta = Ingest.readTableChanges(spark, table, b, b)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), sign.as("s"),
+            (sign * round(col("o_totalprice") * 100, 0).cast("long")).as("sc"))
+          .groupBy("c_mktsegment").agg(sum("s").as("n"), sum("sc").as("cents"))
+        val merged =
+          if (b == 0) delta
+          else Ingest.readUpsertTable(spark, mv)
+            .unionByName(delta)
+            .groupBy("c_mktsegment").agg(sum("n").as("n"),
+              sum("cents").as("cents"))
+        Ingest.upsertParquet(mv, Seq("c_mktsegment"), nBuckets = 2,
+          keepVersions = 2)(merged.filter(col("n") =!= 0), b.toLong)
+      }
+      // the maintained state IS the serve copy: write it once, register
+      // it against the star definition, and let the optimizer answer
+      // the fact ⋈ dim roll-up from it
+      def factJoin = Ingest.readUpsertTable(spark, table)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      def starAgg(d: DataFrame): DataFrame = d
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      val serve = s"$base/serve"
+      Ingest.readUpsertTable(spark, mv).write.mode("overwrite").parquet(serve)
+      val mvName = s"mv_star_ivm_$base"
+      MvCatalog.register(spark, mvName, starAgg(factJoin), serve,
+        MvCatalog.UpsertPin(table)(graft.sources.TableStore.local))
+      try {
+        val q = starAgg(factJoin)
+        val files = q.inputFiles
+        val rewriteFired = files.nonEmpty && files.forall(_.contains(serve))
+        require(rewriteFired, s"star-MV rewrite did not fire: plan reads " +
+          files.take(3).mkString(","))
+        // maintained ≡ recompute, in exact integer cents (rule off)
+        spark.conf.set("graft.mv.rewrite.enabled", "false")
+        val recompute =
+          try starAgg(factJoin).collect()
+          finally spark.conf.set("graft.mv.rewrite.enabled", "true")
+        val got = q.collect()
+        def keyed(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val equalExact = keyed(got) == keyed(recompute)
+        require(equalExact, "maintained star MV diverged from recompute")
+        q.select(col("c_mktsegment").as("seg"), col("n"),
+            (col("cents").cast("double") / 100).as("spend"),
+            lit(equalExact).as("maintained_equals_recompute"),
+            lit(rewriteFired).as("rewrite_fired"))
+          .orderBy("seg")
+      } finally MvCatalog.deregister(spark, mvName)
+    })
+
   /** Row-level SQL DML on the table format
     * ([[graft.sources.Ingest.updateWhere]] / `deleteWhere`, spelled
     * `GRAFT UPDATE … SET … WHERE …` / `GRAFT DELETE … WHERE …` through
@@ -1868,7 +1966,7 @@ object Changes {
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
       qUpsertRestore, qUpsertClone, qUpsertWap, qUpsertDml, qUpsertCompact,
       qMultiCommit, qCdfMv,
-      qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
+      qCdfStarMv, qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore)
 }
