@@ -1901,11 +1901,16 @@ object Ingest {
     val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
     val feed = store.exists(store.child(tableDir, "_cdf"))
     val batchId = readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1
-    val n = rows.count()
-    upsertParquet(tableDir, k, nBuckets = b, keepVersions = keepVersions,
-      deleteCol = deleteCol, graceMs = graceMs, changeFeed = feed,
-      sortCols = sortCols, filesPerBucket = fpb)(rows, batchId)
-    (batchId, n)
+    // the source can be an arbitrary (expensive) query — evaluate it
+    // once for both the row count and the merge
+    val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      upsertParquet(tableDir, k, nBuckets = b, keepVersions = keepVersions,
+        deleteCol = deleteCol, graceMs = graceMs, changeFeed = feed,
+        sortCols = sortCols, filesPerBucket = fpb)(cached, batchId)
+      (batchId, n)
+    } finally { cached.unpersist(); () }
   }
 
   private val DmlFlag = "_dml_deleted"
@@ -1927,15 +1932,20 @@ object Ingest {
     val cur = readUpsertTable(spark, tableDir)
     require(!cur.columns.contains(DmlFlag),
       s"DML: table has a reserved column name $DmlFlag")
+    // the change set derives from a snapshot scan — evaluate it once
+    // for both the emptiness check and the merge
     val batch = change(cur)
-    val n = batch.count()
-    if (n == 0) return None
-    val newBatch = readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1
-    upsertParquet(tableDir, keys, nBuckets = nBuckets,
-      keepVersions = keepVersions, deleteCol = Some(DmlFlag),
-      graceMs = graceMs, changeFeed = feed, lazyDeletes = lazyDel,
-      sortCols = sortCols, filesPerBucket = fpb)(batch, newBatch)
-    Some((newBatch, n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = batch.count()
+      if (n == 0) return None
+      val newBatch = readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1
+      upsertParquet(tableDir, keys, nBuckets = nBuckets,
+        keepVersions = keepVersions, deleteCol = Some(DmlFlag),
+        graceMs = graceMs, changeFeed = feed, lazyDeletes = lazyDel,
+        sortCols = sortCols, filesPerBucket = fpb)(batch, newBatch)
+      Some((newBatch, n))
+    } finally { batch.unpersist(); () }
   }
 
   /** The batch id a WAP branch forked from — the `batch=` line
