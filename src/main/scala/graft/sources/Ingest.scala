@@ -1735,20 +1735,9 @@ object Ingest {
     val feed = store.exists(store.child(srcDir, "_cdf"))
     val flag = "_publish_deleted"
     val target = readUpsertTable(spark, branchDir)
-    // heal a swap-to-append crash window FIRST: a previous publish that
-    // died between the pointer CAS and the ledger append left CURRENT
-    // on a complete-but-uncommitted version. The sink replays that
-    // batch id into its commit-completion path (readCurrent == vName →
-    // commit-and-return, the batch frame untouched); skipping straight
-    // to the empty-diff no-op would strand the version uncommitted —
-    // invisible to as-of reads and bait for the retention sweep
-    readCurrentName(srcDir).flatMap(parseVersion).map(_._1)
-      .filterNot(readLedger(srcDir).contains).foreach { b =>
-        upsertParquet(srcDir, keys, nBuckets = nBuckets,
-          keepVersions = keepVersions, graceMs = graceMs,
-          changeFeed = feed, sortCols = sortCols, filesPerBucket = fpb)(
-          target.limit(0).withColumn(flag, lit(false)), b)
-      }
+    // heal a swap-to-append crash window FIRST — skipping straight to
+    // the empty-diff no-op would strand the version uncommitted
+    completeDanglingCommit(spark, srcDir, keepVersions, graceMs)
     require(!target.columns.contains(flag),
       s"publishUpsertTable: table has a reserved column name $flag")
     // full-state diff of the branch vs a reference snapshot: upsert
@@ -1915,6 +1904,35 @@ object Ingest {
 
   private val DmlFlag = "_dml_deleted"
 
+  /** Complete a swap-to-append sink crash: CURRENT points at a
+    * complete generation-0 version whose batch id is missing from the
+    * ledger (the writer died between the pointer CAS and the ledger
+    * append). Replaying that batch id routes into the sink's
+    * commit-completion path (`readCurrent == vName` → commit and
+    * return — the batch frame is never touched, so an empty one
+    * serves). Every op that can decide "nothing to do" from the
+    * CURRENT state (publish's empty diff, DML's empty change set) MUST
+    * run this first: the swapped state already reflects the crashed
+    * write, so the op's own re-run would no-op and strand the version
+    * uncommitted — invisible to as-of reads and bait for the retention
+    * sweep. Ops that always replay the same batch id through the sink
+    * (restore, upsertInto, the raw sink) self-heal and don't need it.
+    */
+  private def completeDanglingCommit(spark: SparkSession, tableDir: String,
+                                     keepVersions: Int, graceMs: Long)
+                                    (implicit store: TableStore): Unit =
+    readCurrentName(tableDir).flatMap(parseVersion).map(_._1)
+      .filterNot(readLedger(tableDir).contains).foreach { b =>
+        val meta = tableMeta(tableDir)
+        upsertParquet(tableDir, meta.apply("keys").split(",").toSeq,
+          nBuckets = meta("buckets").toInt, keepVersions = keepVersions,
+          graceMs = graceMs,
+          changeFeed = store.exists(store.child(tableDir, "_cdf")),
+          sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil),
+          filesPerBucket = meta.get("fpb").map(_.toInt).getOrElse(4))(
+          readUpsertTable(spark, tableDir).limit(0), b)
+      }
+
   /** Shared DML shell: build the change set from CURRENT, mint nothing
     * when it is empty, else commit it as `head + 1` through the sink
     * (feed-aware, layout-preserving).
@@ -1929,6 +1947,9 @@ object Ingest {
     val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
     val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
     val feed = store.exists(store.child(tableDir, "_cdf"))
+    // the change set derives from CURRENT, which already reflects a
+    // swap-to-append-crashed write — commit it before deciding no-op
+    completeDanglingCommit(spark, tableDir, keepVersions, graceMs)
     val cur = readUpsertTable(spark, tableDir)
     require(!cur.columns.contains(DmlFlag),
       s"DML: table has a reserved column name $DmlFlag")

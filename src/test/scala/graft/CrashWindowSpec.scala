@@ -581,6 +581,62 @@ class CrashWindowSpec extends AnyFunSuite {
     windows
   }
 
+  /** Sweep the row-level DML ops (UPDATE then DELETE, failpointed at
+    * every store op). Like publish, DML decides "nothing to do" from
+    * the CURRENT state — so the killer window is a crash between the
+    * sink's pointer CAS and the ledger append: the re-run's change set
+    * is empty against the already-swapped state, and without the
+    * dangling-commit heal the version would stay uncommitted forever.
+    * Per window: state is pre or post (never torn), the re-run
+    * converges, and the ledger holds each DML batch exactly once.
+    */
+  private def sweepDml(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 400) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val t = Files.createTempDirectory("graft-crash-dml").toString + "/t"
+      def state(): Map[Long, Double] =
+        Ingest.readUpsertTable(spark, t)
+          .select("user_id", "value").as[(Long, Double)].collect().toMap
+      Ingest.upsertParquet(t, Seq("user_id"), nBuckets = 2,
+        keepVersions = 6)(
+        Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("user_id", "value"), 0L)
+      val pre = Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
+      val postU = Map(1L -> 1.0, 2L -> 20.0, 3L -> 30.0)
+      val postD = Map(1L -> 1.0, 2L -> 20.0)
+      store.count = 0; store.limit = k
+      val crashed =
+        try {
+          Ingest.updateWhere(spark, t, Seq("value" -> "value * 10"),
+            "value >= 2.0", keepVersions = 6)
+          Ingest.deleteWhere(spark, t, "value >= 30.0", keepVersions = 6)
+          false
+        } catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        val mid = state()
+        assert(mid == pre || mid == postU || mid == postD,
+          s"DML window $k torn state: $mid")
+        // the re-run converges: each statement lands exactly once
+        Ingest.updateWhere(spark, t, Seq("value" -> "value * 10"),
+          "value >= 2.0 AND value < 10.0", keepVersions = 6)
+        Ingest.deleteWhere(spark, t, "value >= 30.0", keepVersions = 6)
+        assert(state() == postD, s"DML window $k re-run diverged: ${state()}")
+        assert(Ingest.committedBatchIds(t) == Set(0L, 1L, 2L),
+          s"DML window $k ledger wrong: ${Ingest.committedBatchIds(t)}")
+        LocalTableStore.deleteTree(t)
+      }
+      k += 1
+    }
+    assert(exhausted, "DML sweep never ran past the protocol")
+    windows
+  }
+
   /** Sweep the MULTI-TABLE TXN protocol ([[graft.sources.MultiCommit]]):
     * txn 0 seeds two tables uninjected, then txn 1 is failpointed at
     * every control-plane op — coordinator ledger appends AND both
@@ -687,6 +743,20 @@ class CrashWindowSpec extends AnyFunSuite {
   test("publish protocol: crash windows recover on the object store") {
     withSmallShuffle {
       val w = sweepPublish(() => new ObjectTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("DML ops: crash windows converge, each statement commits exactly once (POSIX)") {
+    withSmallShuffle {
+      val w = sweepDml(() => LocalTableStore)
+      info(s"$w crash windows swept, all converged")
+    }
+  }
+
+  test("DML ops: the crash matrix holds on the object store") {
+    withSmallShuffle {
+      val w = sweepDml(() => new ObjectTableStore)
       info(s"$w crash windows swept, all converged")
     }
   }
