@@ -49,6 +49,15 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql(s"GRAFT BRANCH ${q(t)} TO ${q(br)}")
     val bd = spark.sql(s"GRAFT DESCRIBE DETAIL ${q(br)}").head()
     assert(bd.getBoolean(12) && bd.getLong(13) === 1L)
+    // a lazy delete surfaces as the pending-vector flag; COMPACT-class
+    // maintenance (here OPTIMIZE) drains it
+    import spark.implicits._
+    Ingest.upsertParquet(br, Seq("k"), nBuckets = 4, keepVersions = 8,
+      deleteCol = Some("_del"), lazyDeletes = true)(
+      Seq((2L, 0.0, true)).toDF("k", "v", "_del"), 1L)
+    assert(spark.sql(s"GRAFT DESCRIBE DETAIL ${q(br)}").head().getBoolean(11))
+    spark.sql(s"GRAFT OPTIMIZE ${q(br)}")
+    assert(!spark.sql(s"GRAFT DESCRIBE DETAIL ${q(br)}").head().getBoolean(11))
   }
 
   test("GRAFT RESTORE commits a new batch equal to the target snapshot") {
