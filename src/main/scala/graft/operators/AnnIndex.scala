@@ -392,6 +392,20 @@ object AnnIndex {
     val cb = Pq.trainCodebooks(corpus, m, ks, iters, dim).localCheckpoint()
     val fresh = Pq.encode(corpus, cb, m, dim)
     val state = Ingest.readUpsertTable(spark, codesTable)
+    // enforce the "corpus == live key set" precondition instead of
+    // trusting it: a live row absent from `corpus` would keep codes
+    // minted under the OLD codebook while the NEW one is returned —
+    // exactly the mixed-codebook state the scaladoc calls garbage.
+    // One anti-join count in a full-rewrite-cadence op.
+    val orphans = (if (state.columns.contains("live"))
+      state.filter(col("live")) else state)
+      .select("vec_id")
+      .join(corpus.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(orphans == 0L,
+      s"optimizePqCodes: $orphans live row(s) in $codesTable are absent " +
+        "from the passed corpus — re-encoding would leave them coded " +
+        "under the old codebook (mixed-codebook ADC garbage); pass the " +
+        "FULL live corpus")
     if (!state.columns.contains("live")) {
       // batch shape: the fold tombstoned deletes physically, so the
       // key set IS the live corpus — re-encode replaces every row

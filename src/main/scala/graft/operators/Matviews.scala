@@ -57,7 +57,7 @@ object Matviews {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def ensureMv(spark: SparkSession, dir: String): String =
-    registered.getOrElseUpdate((System.identityHashCode(spark).toHexString, dir), {
+    registered.getOrElseUpdate((graft.plans.MvCatalog.sessionKey(spark), dir), {
       val path = graft.Scratch.dir("mv-pricing")
       MvCatalog.materialize(spark, s"mv_pricing_$dir", pricingMvDef(spark, dir),
         path)
@@ -182,7 +182,7 @@ object Matviews {
 
   private def ensureStarMv(spark: SparkSession, dir: String): String =
     registeredStar.getOrElseUpdate(
-      (System.identityHashCode(spark).toHexString, dir), {
+      (graft.plans.MvCatalog.sessionKey(spark), dir), {
         val path = graft.Scratch.dir("mv-star")
         MvCatalog.materialize(spark, s"mv_star_$dir",
           starMvDef(spark, dir), path)

@@ -871,21 +871,39 @@ object Multimodal {
         if (sz < 8 || p + sz > to) return false
         val t = tp(p + 4)
         val body = p + 8
+        // every full-box read below is bounded by the DECLARED box
+        // size before touching the payload: a lying entry count (or a
+        // truncated fixed-layout box) must degrade to the null-feature
+        // row, never read adjacent boxes' bytes or throw out of the
+        // task (the documented malformed-payload contract)
         t match {
           case _ if containers(t) => if (!walk(body, p + sz.toInt)) return false
           case "mvhd" =>
+            if (sz < 8 + 20) return false
             timescale = u32(body + 12); duration = u32(body + 16)
-          case "hdlr" => handler = tp(body + 8)
+          case "hdlr" =>
+            if (sz < 8 + 12) return false
+            handler = tp(body + 8)
           case "stsz" =>
-            val fixed = u32(body + 4); val n = u32(body + 8).toInt
-            sizes = if (fixed != 0) Array.fill(n)(fixed)
-                    else Array.tabulate(n)(i => u32(body + 12 + 4 * i))
+            if (sz < 8 + 12) return false
+            val fixed = u32(body + 4); val n = u32(body + 8)
+            // a sample occupies ≥ 1 byte, so n can never exceed the
+            // payload length — rejects fixed-size boxes whose lying
+            // count would otherwise allocate an arbitrary array
+            if (n > bytes.length) return false
+            if (fixed == 0 && 8 + 12 + 4L * n > sz) return false
+            sizes = if (fixed != 0) Array.fill(n.toInt)(fixed)
+                    else Array.tabulate(n.toInt)(i => u32(body + 12 + 4 * i))
           case "stco" =>
-            val n = u32(body + 4).toInt
-            offsets = Array.tabulate(n)(i => u32(body + 8 + 4 * i))
+            if (sz < 8 + 8) return false
+            val n = u32(body + 4)
+            if (8 + 8 + 4L * n > sz) return false
+            offsets = Array.tabulate(n.toInt)(i => u32(body + 8 + 4 * i))
           case "stsc" =>
-            val n = u32(body + 4).toInt
-            stsc = Array.tabulate(n)(i =>
+            if (sz < 8 + 8) return false
+            val n = u32(body + 4)
+            if (8 + 8 + 12L * n > sz) return false
+            stsc = Array.tabulate(n.toInt)(i =>
               (u32(body + 8 + 12 * i), u32(body + 12 + 12 * i)))
           case _ => ()
         }

@@ -83,10 +83,24 @@ object MvCatalog {
   // other's MVs
   private val registry = TrieMap.empty[(String, String), MvDef]
 
-  // identity-scoped, not name-scoped: two concurrent sessions (tests,
-  // notebooks) must never see each other's registrations
-  private def sessionKey(spark: SparkSession): String =
-    System.identityHashCode(spark).toHexString
+  // session-scoped, not name-scoped: two concurrent sessions (tests,
+  // notebooks) must never see each other's registrations. An identity
+  // hash can collide or be reissued after GC, so mint a UUID per live
+  // session in a weak identity map: unique while the session lives,
+  // and an address reused after collection gets a FRESH uuid
+  // (SparkSession does not override equals, so WeakHashMap keys are
+  // reference-identity here)
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String])
+  private[graft] def sessionKey(spark: SparkSession): String =
+    sessionIds.synchronized {
+      val have = sessionIds.get(spark)
+      if (have != null) have
+      else {
+        val id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id); id
+      }
+    }
 
   def defsFor(spark: SparkSession): Seq[MvDef] =
     registry.collect { case ((s, _), d) if s == sessionKey(spark) => d }.toSeq

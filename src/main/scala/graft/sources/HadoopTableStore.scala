@@ -52,6 +52,10 @@ final class HadoopTableStore(conf: Configuration = new Configuration())
   private def fsOf(p: String): FileSystem = hp(p).getFileSystem(conf)
   private def logDir(path: String) = path + ".d"
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // instance-unique suffix making concurrent appenders collision-free
+  // across store instances AND processes (see appendLog)
+  private val nonce =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
   private val utf8 = java.nio.charset.StandardCharsets.UTF_8
 
   override def exists(path: String): Boolean = {
@@ -111,11 +115,17 @@ final class HadoopTableStore(conf: Configuration = new Configuration())
   override def appendLog(path: String, line: String): Unit = {
     val fs = fsOf(path)
     fs.mkdirs(hp(logDir(path)))
-    // monotone-unique entry name; a crash between create and close
-    // leaves an empty/torn object that readLog returns verbatim and
-    // callers parse defensively to "uncommitted" — same degradation
-    // class as a torn O_APPEND line
-    val n = f"e${System.currentTimeMillis()}%013d_${seq.getAndIncrement()}%06d"
+    // entry name = millis + per-instance seq + per-instance random
+    // nonce: the seq alone is unique only within ONE store instance,
+    // and two concurrent appenders (the supported two-writer OCC mode,
+    // or two processes) both starting at seq 0 in the same millisecond
+    // would otherwise mint the same name — and put() overwrites,
+    // silently losing a committed ledger entry. A crash between create
+    // and close leaves an empty/torn object that readLog returns
+    // verbatim and callers parse defensively to "uncommitted" — same
+    // degradation class as a torn O_APPEND line
+    val n = f"e${System.currentTimeMillis()}%013d_" +
+      f"${seq.getAndIncrement()}%06d_$nonce"
     put(fs, hp(child(logDir(path), n)), line)
   }
 

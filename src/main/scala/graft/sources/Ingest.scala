@@ -1246,8 +1246,13 @@ object Ingest {
         // ledger), so this is defense-in-depth against out-of-band
         // deletion and pre-fix crash debris. Once a re-run cleanup
         // completes, the read gives the documented fallback or the
-        // beyond-retention error.
-        val shadowed = committed.filter(bb => bb > best && bb <= b)
+        // beyond-retention error. Zero-row batches (`_empty` ledger)
+        // commit WITHOUT minting a version dir, so a healthy table
+        // legitimately has committed batches with no snapshot — they
+        // never shadow `best` (their snapshot state IS the previous
+        // version's) and must not trip the guard.
+        val shadowed =
+          committed.filter(bb => bb > best && bb <= b) -- emptyBatchIds(root)
         require(shadowed.isEmpty, {
           val (midSweep, vanished) =
             shadowed.partition(bb => vds.exists(_._2 == bb))

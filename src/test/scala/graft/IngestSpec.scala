@@ -483,6 +483,32 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     assert(empty.count() === 0)
   }
 
+  test("as-of read at / across an empty batch serves the prior snapshot") {
+    import spark.implicits._
+    // zero-row batches commit to the ledger WITHOUT minting a version
+    // dir (only an `_empty` record) — the vanished-middle suffix guard
+    // must not mistake them for a swept/corrupted snapshot when an
+    // as-of fallback range crosses one
+    val table = tmp() + "/asof_empty_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 10)(rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0))
+    up(1) // empty middle batch: commits, no version dir
+    up(2, (2L, 2.0))
+    up(3) // empty trailing batch
+    // AT the empty batch: its snapshot state IS the previous version's
+    assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(1L))
+      .orderBy("user_id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0)))
+    // PAST an empty batch: the fallback range (0, 3] crosses both
+    assert(Ingest.readUpsertTable(spark, table, asOfBatch = Some(3L))
+      .count() === 2)
+    // the bucket-pruned lookup path resolves through the same guard
+    assert(Ingest.lookupUpsertTable(spark, table,
+      Seq(1L).toDF("user_id"), asOfBatch = Some(1L)).count() === 1)
+  }
+
   test("change feed records inserts, updates, deletes with pre/post images") {
     import spark.implicits._
     val table = tmp() + "/cdf_table"

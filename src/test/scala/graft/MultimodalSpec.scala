@@ -212,6 +212,27 @@ class MultimodalSpec extends AnyFunSuite {
     // than emitting wrong bytes
     val m = Multimodal.parseMp4Meta(shifted).head()
     assert(m.getString(3) === "vide" && m.getLong(4) === 2L)
+    // a structurally-intact sample-table box with a LYING entry count
+    // (box size unchanged) must null-row, not read adjacent boxes'
+    // bytes or throw out of the task: the count is bounded by the
+    // declared box size / payload length before any entry read
+    def lied(tag: String, countOff: Int): Array[Byte] = {
+      val pat = tag.getBytes("US-ASCII")
+      val at = good._2.sliding(4).indexWhere(_.sameElements(pat))
+      assert(at > 0, s"$tag box present in the fixture")
+      val c = good._2.clone()
+      c(at + countOff) = 0x7f.toByte // count MSB -> n ~ 2^31
+      c
+    }
+    val lying = Seq(
+      (11L, lied("stsz", 12)), (12L, lied("stco", 8)),
+      (13L, lied("stsc", 8)))
+      .toDF("media_id", "payload")
+      .withColumn("mime", lit("video/mp4"))
+      .withColumn("meta", map())
+    val lrows = Multimodal.parseMp4Meta(lying).collect()
+    assert(lrows.length === 3)
+    assert(lrows.forall(_.isNullAt(3)), "lying entry count must null-row")
   }
 
   test("MP4 multi-chunk layout: general stsc/stco mapping recovers every sample") {

@@ -188,5 +188,13 @@ class PqSpec extends AnyFunSuite {
     // and the retrain beat the reversed-corpus codebooks
     assert(Pq.quantizationError(emb, freshCb) <
       Pq.quantizationError(emb, staleCb))
+    // the "corpus == live key set" precondition is ENFORCED, not
+    // trusted: a partial corpus would strand live rows coded under
+    // the old codebook while the new one is returned
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.optimizePqCodes(spark, codesTable,
+        emb.filter(col("vec_id") % 2 === 0), batchId = 11L)
+    }
+    assert(ex.getMessage.contains("mixed-codebook"), ex.getMessage)
   }
 }
