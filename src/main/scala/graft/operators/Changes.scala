@@ -1961,6 +1961,143 @@ object Changes {
         .orderBy("prio")
     })
 
+  /** NAMED SNAPSHOT TAGS as a query surface
+    * ([[graft.sources.Ingest.createTag]]): an aggressively-retained
+    * table (keepVersions=1) churns past a tagged snapshot, and the
+    * as-of-tag read still serves the tagged state bit-for-bit — the
+    * retention PIN is what the hash proves, because without it batch
+    * 1's version is swept the moment batch 2 commits. The in-query
+    * contract pins the refusal semantics around the pin: an as-of read
+    * BETWEEN the pin and the retained suffix refuses with the
+    * retention error (serving the pin would be stale data), and a
+    * batch below the pin is plainly beyond retention. Scale: a tag is
+    * one ledger line; the pin's cost is exactly the pinned snapshot's
+    * storage (hard-link-shared against its neighbors), and every sweep
+    * consults one small log — never the data.
+    */
+  val qUpsertTag: QuerySpec = QuerySpec(
+    "q_upsert_tag",
+    Some("""SELECT o_custkey, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      GROUP BY o_custkey ORDER BY o_custkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = taggedTableMemo.getOrElseUpdate((spark, dir), {
+        val base = graft.Scratch.dir("upsert-tag")
+        graft.sources.LocalTableStore.deleteTree(base)
+        val t = s"$base/table"
+        val log = Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        EventOps.withStreamSizing(spark) {
+          def up(i: Long, df: DataFrame): Unit =
+            Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
+              keepVersions = 1)(df, i)
+          up(0, log.filter(col("o_orderkey") % 4 === 0))
+          up(1, log.filter(col("o_orderkey") % 4 === 1))
+          Ingest.createTag(t, "pre_churn", 1L)
+          // churn PAST the tag: updates to batch-0 keys, then new keys
+          up(2, log.filter(col("o_orderkey") % 4 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+          up(3, log.filter(col("o_orderkey") % 4 === 2))
+        }
+        t
+      })
+      require(Ingest.listTags(table) == Seq("pre_churn" -> 1L),
+        s"tag ledger: ${Ingest.listTags(table)}")
+      // between pin and suffix: refused as retention (the pin is not
+      // an excuse to serve stale state), not as corruption
+      val exMid = scala.util.Try(
+        Ingest.readUpsertTable(spark, table, Some(2L)).count())
+      require(exMid.failed.toOption.exists(
+        _.getMessage.contains("tag pin")), s"mid read: $exMid")
+      // below the pin: plainly beyond retention
+      require(scala.util.Try(
+        Ingest.readUpsertTable(spark, table, Some(0L)).count()).isFailure,
+        "asOf(0) must be beyond retention")
+      Ingest.readUpsertTableAtTag(spark, table, "pre_churn")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(col("o_custkey"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"))
+        .orderBy("o_custkey")
+    })
+
+  private val taggedTableMemo = graft.Memo[(SparkSession, String), String]()
+  private val quarantineTableMemo =
+    graft.Memo[(SparkSession, String), String]()
+
+  /** QUARANTINE (dead-letter) ingest as a query surface
+    * ([[graft.sources.Ingest.upsertParquet]] `quarantine=true` +
+    * [[graft.sources.Ingest.readQuarantine]]): orders stream in two
+    * batches into a table pinning a price-cap CHECK; violating rows
+    * are diverted to the dead-letter area — stamped with the broken
+    * constraint and their batch — and the clean remainder commits.
+    * The result unions the committed state with the per-batch
+    * dead-letter ledger, so the hash pins BOTH sides of the split
+    * against DuckDB's first-principles partition of the same rows.
+    * In-query contract: every dead letter blames exactly the price
+    * cap. Scale: the split is one extra scan of the cached batch;
+    * dead letters write once per batch under `_quarantine/b_<id>` —
+    * the table itself never holds (or rewrites around) a bad row.
+    */
+  val qUpsertQuarantine: QuerySpec = QuerySpec(
+    "q_upsert_quarantine",
+    Some("""WITH split AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+          o_totalprice < 100000 AS ok, o_orderkey % 2 AS b
+        FROM orders)
+      SELECT 'state' AS src, o_orderpriority AS grp, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend
+      FROM split WHERE ok GROUP BY 2
+      UNION ALL
+      SELECT 'quarantine' AS src, CAST(b AS VARCHAR) AS grp, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend
+      FROM split WHERE NOT ok GROUP BY 2
+      ORDER BY src, grp"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = quarantineTableMemo.getOrElseUpdate((spark, dir), {
+        val base = graft.Scratch.dir("upsert-quarantine")
+        graft.sources.LocalTableStore.deleteTree(base)
+        val t = s"$base/table"
+        val log = Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+        EventOps.withStreamSizing(spark) {
+          (0L to 1L).foreach { i =>
+            Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
+              keepVersions = 2,
+              constraints = Seq("price_cap" -> "o_totalprice < 100000"),
+              quarantine = true)(
+              log.filter(col("o_orderkey") % 2 === i), i)
+          }
+        }
+        t
+      })
+      val dead = Ingest.readQuarantine(spark, table)
+      require(dead.filter(col(Ingest.QuarantineReasonCol) =!=
+        array(lit("price_cap"))).count() == 0,
+        "every dead letter must blame exactly the price cap")
+      val state = Ingest.readUpsertTable(spark, table)
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(lit("state").as("src"), col("grp"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"))
+      val letters = dead
+        .groupBy(col(Ingest.QuarantineBatchCol).cast("string").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(lit("quarantine").as("src"), col("grp"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"))
+      state.unionByName(letters).orderBy("src", "grp")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
@@ -1968,5 +2105,6 @@ object Changes {
       qMultiCommit, qCdfMv,
       qCdfStarMv, qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
-      qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore)
+      qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
+      qUpsertTag, qUpsertQuarantine)
 }

@@ -30,6 +30,9 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
   *   GRAFT VACUUM '<table dir>' KEEP <k> VERSIONS [GRACE <ms> MS]
+  *   GRAFT TAG '<table dir>' CREATE <name> AT BATCH <n>
+  *   GRAFT TAG '<table dir>' DROP <name>
+  *   GRAFT TAGS '<table dir>'
   * }}}
   *
   * Anything not starting with the `GRAFT` keyword goes verbatim to the
@@ -98,6 +101,12 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+REBUCKET\\s+$P\\s+TO\\s+(\\d+)\\s+BUCKETS\\s*;?\\s*""".r
   private val Vacuum =
     s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$P\\s+KEEP\\s+(\\d+)\\s+VERSIONS(?:\\s+GRACE\\s+(\\d+)\\s+MS)?\\s*;?\\s*""".r
+  private val TagCreate =
+    s"""(?is)\\s*GRAFT\\s+TAG\\s+$P\\s+CREATE\\s+([A-Za-z0-9._-]+)\\s+AT\\s+BATCH\\s+(\\d+)\\s*;?\\s*""".r
+  private val TagDrop =
+    s"""(?is)\\s*GRAFT\\s+TAG\\s+$P\\s+DROP\\s+([A-Za-z0-9._-]+)\\s*;?\\s*""".r
+  private val Tags =
+    s"""(?is)\\s*GRAFT\\s+TAGS\\s+$P\\s*;?\\s*""".r
 
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case History(d) => Some(HistoryCommand(unq(d)))
@@ -124,6 +133,9 @@ private[plans] object GraftSqlCommands {
     case Rebucket(d, n) => Some(RebucketCommand(unq(d), n.toInt))
     case Vacuum(d, k, g) => Some(VacuumCommand(unq(d), k.toInt,
       Option(g).map(_.toLong).getOrElse(0L)))
+    case TagCreate(d, n, b) => Some(TagCreateCommand(unq(d), n, b.toLong))
+    case TagDrop(d, n) => Some(TagDropCommand(unq(d), n))
+    case Tags(d) => Some(TagsCommand(unq(d)))
     case _ => None
   }
 
@@ -164,6 +176,42 @@ private[plans] object GraftSqlCommands {
   /** `GRAFT DESCRIBE HISTORY` — the same rows as
     * [[Ingest.describeUpsertTable]].
     */
+  /** `GRAFT TAG '<dir>' CREATE <name> AT BATCH <n>` — named snapshot
+    * ref with a retention pin ([[Ingest.createTag]]); returns the
+    * RESOLVED pinned batch (an empty batch pins the version serving
+    * it).
+    */
+  final case class TagCreateCommand(dir: String, name: String, atBatch: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("tag", StringType), attr("pinned_batch", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Seq(Row(name, Ingest.createTag(dir, name, atBatch)))
+    }
+  }
+
+  /** `GRAFT TAG '<dir>' DROP <name>` — releases the pin (idempotent). */
+  final case class TagDropCommand(dir: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("dropped", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.dropTag(dir, name)
+      Seq(Row(name))
+    }
+  }
+
+  /** `GRAFT TAGS '<dir>'` — live tags in creation order. */
+  final case class TagsCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("tag", StringType), attr("batch_id", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.listTags(dir).map { case (n, b) => Row(n, b) }
+    }
+  }
+
   final case class HistoryCommand(dir: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       attr("batch_id", LongType), attr("retained", BooleanType),

@@ -115,6 +115,13 @@ object Ingest {
     */
   val OccInflightGraceMs: Long = 10L * 60 * 1000
 
+  /** Dead-letter area under the table root (quarantine mode — see
+    * [[upsertParquet]]) and the columns stamped onto diverted rows.
+    */
+  val QuarantineDir = "_quarantine"
+  val QuarantineReasonCol = "_violated"
+  val QuarantineBatchCol = "_q_batch"
+
   /** Committed batchIds of an upsert table. A torn/garbage line from a
     * crash mid-append degrades to "uncommitted" (safe: the merge is
     * idempotent), never a hard failure. Shared by the writer's replay
@@ -246,8 +253,14 @@ object Ingest {
     val now = System.currentTimeMillis()
     val vds = versionDirs(root)
     val curBatch = cur.flatMap(parseVersion).map(_._1)
-    val retainedBatches = vds.map(_._2).distinct.filter(committed.contains)
-      .sorted(Ordering[Long].reverse).take(math.max(1, keepVersions)).toSet
+    // tag pins extend retention: a tagged batch survives every sweep
+    // until its tag drops. Pinned batches may sit BELOW the retention
+    // suffix — the as-of read's vanished-middle guard knows a pin can
+    // legitimately break the suffix shape (see resolveVersionDir).
+    val pinned = tagPinnedBatches(root)
+    val retainedBatches = (vds.map(_._2).distinct.filter(committed.contains)
+      .sorted(Ordering[Long].reverse).take(math.max(1, keepVersions)) ++
+      pinned.filter(committed.contains)).toSet
     // one keeper dir per retained batch: what CURRENT names for the
     // current batch, the highest complete generation otherwise
     val keep: Set[String] = retainedBatches.flatMap { b =>
@@ -454,6 +467,17 @@ object Ingest {
     * creating batch's flag would fail to resolve on them (it throws a
     * clear error, nothing is written).
     *
+    * `quarantine` switches constraint enforcement from reject-batch to
+    * DEAD-LETTER semantics: violating upsert rows are diverted to the
+    * table's `_quarantine/b_<batchId>/` area (stamped with the broken
+    * constraint names and batch id — read them back with
+    * [[readQuarantine]]) and the clean remainder commits, so one bad
+    * row no longer stalls a streaming pipeline. The table invariant is
+    * unchanged — no committed row ever violates a pinned constraint;
+    * what changes is where the violations go. Key uniqueness is
+    * checked on the SURVIVING rows (a duplicate whose twin was
+    * quarantined commits cleanly).
+    *
     * `occRetries` sets the TWO-WRITER behavior. The sink is
     * single-writer by default (`0`): a competing commit detected at
     * the pointer CAS throws [[java.util.ConcurrentModificationException]]
@@ -483,7 +507,8 @@ object Ingest {
                     sortCols: Seq[String] = Nil,
                     filesPerBucket: Int = 4,
                     constraints: Seq[(String, String)] = Nil,
-                    occRetries: Int = 0)
+                    occRetries: Int = 0,
+                    quarantine: Boolean = false)
                    (batch: DataFrame, batchId: Long)
                    (implicit store: TableStore): Unit =
     // occMode reflects "this TABLE is operated two-writer" and must
@@ -493,7 +518,8 @@ object Ingest {
     // can no longer re-merge
     upsertWithRetry(tableDir, keys, nBuckets, keepVersions, deleteCol,
       graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-      constraints, occRetries, occMode = occRetries > 0)(batch, batchId)
+      constraints, occRetries, occMode = occRetries > 0,
+      quarantine = quarantine)(batch, batchId)
 
   private def upsertWithRetry(tableDir: String, keys: Seq[String],
                     nBuckets: Int, keepVersions: Int,
@@ -501,7 +527,8 @@ object Ingest {
                     changeFeed: Boolean, lazyDeletes: Boolean,
                     sortCols: Seq[String], filesPerBucket: Int,
                     constraints: Seq[(String, String)],
-                    retriesLeft: Int, occMode: Boolean)
+                    retriesLeft: Int, occMode: Boolean,
+                    quarantine: Boolean = false)
                    (batch: DataFrame, batchId: Long)
                    (implicit store: TableStore): Unit = {
     // consulted only by the OCC conflict guard below — single-writer
@@ -510,10 +537,10 @@ object Ingest {
     def retry(): Unit =
       upsertWithRetry(tableDir, keys, nBuckets, keepVersions, deleteCol,
         graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-        constraints, retriesLeft - 1, occMode)(batch, batchId)
+        constraints, retriesLeft - 1, occMode, quarantine)(batch, batchId)
     try upsertOnce(tableDir, keys, nBuckets, keepVersions, deleteCol,
       graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-      constraints, occMode = occMode)(batch, batchId)
+      constraints, occMode = occMode, quarantine = quarantine)(batch, batchId)
     catch {
       // a competing commit moved CURRENT mid-merge: nothing durable was
       // written, the merge is replay-idempotent, so re-merging against
@@ -548,7 +575,8 @@ object Ingest {
                     sortCols: Seq[String],
                     filesPerBucket: Int,
                     constraints: Seq[(String, String)],
-                    occMode: Boolean)
+                    occMode: Boolean,
+                    quarantine: Boolean)
                    (batch: DataFrame, batchId: Long)
                    (implicit store: TableStore): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
@@ -658,7 +686,7 @@ object Ingest {
     }
     require(!lazyDeletes || deleteCol.nonEmpty,
       "upsertParquet: lazyDeletes without deleteCol — there is nothing to defer")
-    val bk = batch.withColumn(UpsertBucketCol,
+    val bkAll = batch.withColumn(UpsertBucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the table's DATA schema (tombstone marker excluded, bucket col
@@ -673,7 +701,7 @@ object Ingest {
     // (atomic rename) BEFORE the version build: if the build crashes,
     // a widened schema over old data is still sound (all-null column).
     def dataOf(df: DataFrame): DataFrame = deleteCol.fold(df)(df.drop(_))
-    val batchSchema = dataOf(bk).schema
+    val batchSchema = dataOf(bkAll).schema
     val tableSchema: StructType =
       store.read(store.child(root, "_schema")) match {
         case None =>
@@ -730,14 +758,14 @@ object Ingest {
     }
     try {
       val delFlag = deleteCol.map(col).getOrElse(lit(false))
-      if (pinnedCons.nonEmpty) {
+      val bk: DataFrame = if (pinnedCons.isEmpty) bkAll else {
         // tombstones are exempt (their non-key columns are ignored by
         // contract). Clean batches pay one scan of the CACHED batch;
         // head(1) short-circuits on the first violating partition, and
         // only the FAILURE path pays a second pass to blame the
         // specific constraint(s) by name
         import org.apache.spark.sql.functions.{expr, sum => fsum}
-        val upsertRows = deleteCol.fold(bk)(c => bk.filter(!col(c)))
+        val upsertRows = deleteCol.fold(bkAll)(c => bkAll.filter(!col(c)))
         val viol =
           try pinnedCons.map { case (n, e) =>
             // resolve eagerly so a constraint referencing a column this
@@ -759,7 +787,9 @@ object Ingest {
                   "only — tombstones are exempt by contract, so the delete " +
                   "flag is never needed in a constraint expression", ae)
           }
-        if (upsertRows.filter(viol.map(_._2).reduce(_ || _)).head(1).nonEmpty) {
+        val anyViol = viol.map(_._2).reduce(_ || _)
+        if (upsertRows.filter(anyViol).head(1).isEmpty) bkAll
+        else if (!quarantine) {
           val counts = upsertRows.agg(
             fsum(when(viol.head._2, 1L).otherwise(0L)).as(viol.head._1),
             viol.tail.map { case (n, p) =>
@@ -771,6 +801,31 @@ object Ingest {
             s"upsertParquet: batch $batchId violates pinned constraint(s) " +
               s"${broken.mkString("[", ", ", "]")} of $tableDir — nothing " +
               "was written (reject-batch semantics: fix or filter the feed)")
+        } else {
+          // QUARANTINE (dead-letter) mode: violating upsert rows are
+          // diverted to `_quarantine/b_<batchId>/` — stamped with the
+          // broken constraint names and the batch id — and the CLEAN
+          // remainder commits as the batch, so one bad row no longer
+          // stalls a streaming pipeline behind reject-batch semantics.
+          // mode=overwrite under a per-batch dir makes a crash-replay
+          // rewrite the same dead letters idempotently (a replay of an
+          // already-COMMITTED batch returns before this point and never
+          // re-writes). Tombstones are constraint-exempt and always
+          // pass through. The split pays one extra scan of the CACHED
+          // batch — never of the table. The table's own invariant is
+          // intact: no committed row ever violates a pinned constraint.
+          val qDir = store.child(store.child(root, QuarantineDir),
+            s"b_$batchId")
+          dataOf(upsertRows.filter(anyViol))
+            .drop(UpsertBucketCol)
+            .withColumn(QuarantineReasonCol,
+              org.apache.spark.sql.functions.filter(
+                org.apache.spark.sql.functions.array(viol.map { case (n, p) =>
+                  when(p, lit(n)).otherwise(lit(null: String)) }: _*),
+                x => x.isNotNull))
+            .withColumn(QuarantineBatchCol, lit(batchId))
+            .write.mode("overwrite").parquet(qDir)
+          bkAll.filter(delFlag || !anyViol)
         }
       }
       // ONE aggregation job answers empty?, key-unique?, the touched
@@ -1023,7 +1078,7 @@ object Ingest {
       }
       swapCurrent()
       commit()
-    } finally { bk.unpersist(); () }
+    } finally { bkAll.unpersist(); () }
   }
 
   /** Read an [[upsertParquet]] table — its CURRENT snapshot, or (time
@@ -1180,6 +1235,131 @@ object Ingest {
     store.readLog(store.child(root, "_empty"))
       .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
 
+  // ---- named snapshot TAGS -------------------------------------------
+  //
+  // A tag is a durable name for a committed snapshot that PINS it
+  // against retention: every sweep ([[cleanupStale]] — the sink's
+  // post-commit cleanup AND [[vacuumUpsertTable]]) retains tagged
+  // batches beyond keepVersions until the tag is dropped. The ledger
+  // is an append-only `_tags` log (`name=batch` creates, `name=`
+  // drops; last entry for a name wins), so tag history survives
+  // crashes exactly like the commit ledger — a torn trailing line
+  // parses as no-op. Tags pin the RESOLVED snapshot: tagging an empty
+  // batch pins the version that serves it (its state is identical by
+  // construction).
+
+  private val TagNameOk = "[A-Za-z0-9._-]{1,128}".r
+
+  /** All live (created, not dropped) tags in creation order. */
+  def listTags(tableDir: String)
+              (implicit store: TableStore): Seq[(String, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    store.readLog(store.child(tableDir, "_tags")).foreach { l =>
+      l.split("=", 2) match {
+        case Array(n, "") => m.remove(n.trim); ()
+        case Array(n, b) =>
+          scala.util.Try(b.trim.toLong).toOption
+            .foreach(m.update(n.trim, _))
+        case _ => ()
+      }
+    }
+    m.toSeq
+  }
+
+  /** Batches pinned by at least one live tag — consulted by every
+    * retention sweep. One small log read per sweep; never data-sized.
+    */
+  private def tagPinnedBatches(root: String)
+                              (implicit store: TableStore): Set[Long] =
+    listTags(root).map(_._2).toSet
+
+  /** Create tag `name` for the snapshot an as-of read AT `atBatch`
+    * serves. The tag records the RESOLVED batch (for an empty batch,
+    * the version that serves it), so the pin always names a real
+    * version dir. Fails loudly on a duplicate name (drop first — a
+    * silently moved tag is how a pinned dataset changes under a
+    * consumer), an uncommitted batch, or a batch beyond retention.
+    */
+  def createTag(tableDir: String, name: String, atBatch: Long)
+               (implicit store: TableStore): Long = {
+    require(TagNameOk.matches(name) && !name.contains("="),
+      s"createTag: tag name must match ${TagNameOk.regex}")
+    require(listTags(tableDir).forall(_._1 != name),
+      s"createTag: tag '$name' already exists on $tableDir " +
+        s"(batch ${listTags(tableDir).toMap.apply(name)}) — tags are " +
+        "immutable names; dropTag first if the move is intentional")
+    require(readLedger(tableDir).contains(atBatch),
+      s"createTag: batch $atBatch is not committed on $tableDir")
+    // resolves or throws the retention error — a tag can only ever be
+    // created while its snapshot still exists
+    val pinnedDir = resolveVersionDir(tableDir, Some(atBatch))
+    val pinned = parseVersion(store.baseName(pinnedDir)).get._1
+    store.appendLog(store.child(tableDir, "_tags"), s"$name=$pinned")
+    pinned
+  }
+
+  /** Drop tag `name`, releasing its retention pin: the next sweep (any
+    * commit or vacuum) reclaims the version unless retention or
+    * another tag still holds it. Dropping an absent tag is a no-op
+    * (idempotent replay).
+    */
+  def dropTag(tableDir: String, name: String)
+             (implicit store: TableStore): Unit = {
+    require(!name.contains("=") && name.trim.nonEmpty,
+      "dropTag: malformed tag name")
+    store.appendLog(store.child(tableDir, "_tags"), s"$name=")
+  }
+
+  /** Snapshot read AS OF a named tag — [[readUpsertTable]] at the
+    * tag's pinned batch.
+    */
+  def readUpsertTableAtTag(spark: SparkSession, tableDir: String,
+                           tag: String)
+                          (implicit store: TableStore): DataFrame = {
+    val b = listTags(tableDir).toMap.getOrElse(tag,
+      throw new IllegalArgumentException(
+        s"no such tag '$tag' on $tableDir " +
+          s"(tags: ${listTags(tableDir).map(_._1).mkString(",")})"))
+    readUpsertTable(spark, tableDir, asOfBatch = Some(b))
+  }
+
+  /** The dead-letter table: every row quarantine mode diverted from a
+    * COMMITTED batch, with [[QuarantineReasonCol]] (the broken
+    * constraint names) and [[QuarantineBatchCol]]. Uncommitted batches'
+    * quarantine dirs (a crashed attempt that never committed) are
+    * excluded — the replay rewrites them when the batch lands. Schema
+    * differences across batches (widen-only evolution) merge; an empty
+    * quarantine reads as a typed empty table through the pinned table
+    * schema.
+    */
+  def readQuarantine(spark: SparkSession, tableDir: String)
+                    (implicit store: TableStore): DataFrame = {
+    val qRoot = store.child(tableDir, QuarantineDir)
+    val committed = readLedger(tableDir)
+    val dirs = store.listNames(qRoot)
+      .filter(_.startsWith("b_"))
+      .filter(n => scala.util.Try(n.stripPrefix("b_").toLong)
+        .toOption.exists(committed.contains))
+      .map(n => store.child(qRoot, n))
+    if (dirs.nonEmpty)
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    else {
+      val base = store.read(store.child(tableDir, "_schema")) match {
+        case Some(json) => org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[StructType]
+        case None => new StructType()
+      }
+      val fields = base.fields.filterNot(_.name == UpsertBucketCol) ++ Seq(
+        org.apache.spark.sql.types.StructField(QuarantineReasonCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField(QuarantineBatchCol,
+          org.apache.spark.sql.types.LongType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row], StructType(fields))
+    }
+  }
+
   /** Apply a version's merge-on-read deletion vector (`_deletes/` —
     * see `upsertParquet(lazyDeletes=true)`): anti-join the snapshot
     * against the vector's keys. A version without a vector reads with
@@ -1253,6 +1433,18 @@ object Ingest {
         // version's) and must not trip the guard.
         val shadowed =
           committed.filter(bb => bb > best && bb <= b) -- emptyBatchIds(root)
+        // a TAG pin legitimately breaks the suffix shape: retention can
+        // sweep batches between a pinned old snapshot and the retained
+        // suffix, leaving `best` = the pin for this as-of range. That
+        // is a healthy beyond-retention state, not corruption — refuse
+        // with the retention error (serving the pin as-of `b` would be
+        // stale data), not the corruption one.
+        if (shadowed.nonEmpty && tagPinnedBatches(root).contains(best))
+          throw new IllegalArgumentException(
+            s"upsert table has no retained committed snapshot at batch $b " +
+              s"— the nearest older snapshot (batch $best) survives only " +
+              "via a tag pin and the batches between were retention-swept; " +
+              "raise keepVersions or tag the batch you need")
         require(shadowed.isEmpty, {
           val (midSweep, vanished) =
             shadowed.partition(bb => vds.exists(_._2 == bb))

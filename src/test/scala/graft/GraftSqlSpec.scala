@@ -173,6 +173,19 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT TAG CREATE / TAGS / TAG DROP drive the tag API") {
+    val t = freshTable()
+    val made = spark.sql(s"GRAFT TAG ${q(t)} CREATE rel-1.0 AT BATCH 0").head()
+    assert(made.getString(0) === "rel-1.0" && made.getLong(1) === 0L)
+    val listed = spark.sql(s"GRAFT TAGS ${q(t)}").collect().toSeq
+    assert(listed.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("rel-1.0", 0L)))
+    assert(Ingest.readUpsertTableAtTag(spark, t, "rel-1.0").count() === 2)
+    assert(spark.sql(s"graft tag ${q(t)} drop rel-1.0").head()
+      .getString(0) === "rel-1.0")
+    assert(spark.sql(s"GRAFT TAGS ${q(t)}").count() === 0)
+  }
+
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
     val t = freshTable()
     // threshold 0 files is invalid grammar-side? no — API requires >=1;

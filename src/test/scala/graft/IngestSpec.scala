@@ -509,6 +509,88 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       Seq(1L).toDF("user_id"), asOfBatch = Some(1L)).count() === 1)
   }
 
+  test("tags: a named snapshot survives retention until dropped") {
+    import spark.implicits._
+    val table = tmp() + "/tag_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 1)(rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0), (2L, 2.0))
+    assert(Ingest.createTag(table, "launch", 0L) === 0L)
+    // keepVersions=1 sweeps everything but CURRENT at each commit —
+    // the pin must hold batch 0 through the churn
+    up(1, (1L, 11.0))
+    up(2, (3L, 3.0))
+    assert(Ingest.readUpsertTableAtTag(spark, table, "launch")
+      .orderBy("user_id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.0)))
+    assert(Ingest.listTags(table) === Seq("launch" -> 0L))
+    // an as-of read BETWEEN the pin and the retained suffix refuses
+    // with the retention message, not the corruption one
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.readUpsertTable(spark, table, asOfBatch = Some(1L)).count()
+    }
+    assert(ex.getMessage.contains("tag pin"), ex.getMessage)
+    // tags are immutable names: duplicate create fails loudly
+    intercept[IllegalArgumentException] {
+      Ingest.createTag(table, "launch", 2L)
+    }
+    // drop releases the pin; the next commit's cleanup reclaims it
+    Ingest.dropTag(table, "launch")
+    assert(Ingest.listTags(table).isEmpty)
+    up(3, (4L, 4.0))
+    intercept[IllegalArgumentException] {
+      Ingest.readUpsertTable(spark, table, asOfBatch = Some(0L)).count()
+    }
+    // the out-of-band VACUUM honors pins exactly like the sink cleanup
+    Ingest.createTag(table, "v3", 3L)
+    up(4, (5L, 5.0))
+    Ingest.vacuumUpsertTable(spark, table, keepVersions = 1)
+    assert(Ingest.readUpsertTableAtTag(spark, table, "v3").count() === 4)
+    // a tag cannot name an uncommitted batch
+    intercept[IllegalArgumentException] {
+      Ingest.createTag(table, "ghost", 99L)
+    }
+  }
+
+  test("quarantine mode dead-letters violating rows instead of rejecting") {
+    import spark.implicits._
+    val table = tmp() + "/quarantine_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 4,
+        constraints = Seq("value_nonneg" -> "value >= 0",
+          "user_pos" -> "user_id > 0"),
+        quarantine = true)(rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0), (2L, -2.0), (-3L, -3.0))
+    // clean rows committed; bad rows dead-lettered with per-row blame
+    assert(Ingest.readUpsertTable(spark, table).orderBy("user_id")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 1.0)))
+    assert(Ingest.readQuarantine(spark, table).orderBy("user_id")
+      .select("user_id", "value", Ingest.QuarantineReasonCol,
+        Ingest.QuarantineBatchCol)
+      .as[(Long, Double, Seq[String], Long)].collect().toSeq === Seq(
+      (-3L, -3.0, Seq("value_nonneg", "user_pos"), 0L),
+      (2L, -2.0, Seq("value_nonneg"), 0L)))
+    // an ALL-violating batch still commits (as an empty batch): the
+    // pipeline advances instead of stalling behind one poison batch
+    up(1, (4L, -4.0))
+    assert(Ingest.readUpsertTable(spark, table).count() === 1)
+    assert(Ingest.readQuarantine(spark, table)
+      .filter(col(Ingest.QuarantineBatchCol) === 1L).count() === 1)
+    up(2, (5L, 5.0))
+    assert(Ingest.readUpsertTable(spark, table).count() === 2)
+    // replaying a committed batch duplicates neither state nor letters
+    up(0, (1L, 1.0), (2L, -2.0), (-3L, -3.0))
+    assert(Ingest.readQuarantine(spark, table).count() === 3)
+    // tombstones are constraint-exempt: a delete always passes through
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 4, deleteCol = Some("_del"), quarantine = true)(
+      Seq((5L, 0.0, true)).toDF("user_id", "value", "_del"), 3L)
+    assert(Ingest.readUpsertTable(spark, table).count() === 1)
+    assert(Ingest.readQuarantine(spark, table).count() === 3)
+  }
+
   test("change feed records inserts, updates, deletes with pre/post images") {
     import spark.implicits._
     val table = tmp() + "/cdf_table"
