@@ -615,9 +615,97 @@ object VectorOps {
         .orderBy("probe_id", "rk")
     })
 
+  /** FILTERED brute-force top-k: per probe, the k nearest corpus
+    * vectors among those satisfying `candFilter` — the metadata-
+    * constrained vector search every retrieval deployment needs
+    * ("nearest documents with THIS language/tenant/date-range").
+    * `candFilter` may reference corpus columns by name and probe
+    * columns as `p_<name>` (e.g. `col("label") === col("p_label")` for
+    * a per-probe same-label constraint — strictly harder than a global
+    * prefilter, which is just `corpus.filter(...)` fed to [[topK]]).
+    * Same ranking/tie-break contract as [[topK]] (rounded sim DESC,
+    * neighbor_id ASC via the bounded heap), so the result is exactly
+    * DuckDB's windowed join. Scale: the probe side broadcasts, the
+    * corpus never shuffles, and the predicate prunes candidates BEFORE
+    * the similarity evaluates — a selective filter cuts the scored set
+    * proportionally.
+    */
+  def topKWhere(probes: DataFrame, corpus: DataFrame, candFilter: Column,
+                k: Int): DataFrame = {
+    GraftFunctions.register(probes.sparkSession)
+    val pSide = probes.select(
+      probes.columns.map(c => col(c).as(s"p_$c")): _*)
+    val joined = broadcast(pSide)
+      .crossJoin(corpus.select(
+        col("vec_id").as("neighbor_id") +: col("embedding").as("cvec") +:
+          corpus.columns.filterNot(Set("vec_id", "embedding"))
+            .map(col).toSeq: _*))
+      .filter(col("p_vec_id") =!= col("neighbor_id"))
+      .filter(candFilter)
+      .withColumn("probe_id", col("p_vec_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("p_embedding"), col("cvec")), 6))
+    rankPerProbe(joined, "sim", k, largest = true)
+      .select("probe_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** Filtered search with SELECTIVITY-ADAPTIVE strategy — the decision
+    * a 100-TB deployment automates: a GLOBAL corpus predicate that is
+    * highly selective (≤ `bruteThreshold` survivors) is answered
+    * EXACTLY by brute force over the filtered corpus (tiny scored set,
+    * no index needed, perfect recall); a broad predicate routes to the
+    * IVF index with the candidate filter applied inside the probed
+    * cells plus over-probing ([[Ivf.searchCellsWhere]]) — the filter
+    * never degrades to post-filtering a k-deep unfiltered result,
+    * which starves k under selective predicates. The routing COUNT is
+    * one pushed-down scan of the corpus (column-pruned to the filter
+    * columns), amortized across the whole probe set it serves.
+    */
+  def topKAdaptive(emb: DataFrame, probeFilter: Column, corpusPred: Column,
+                   k: Int, bruteThreshold: Long = 100000L,
+                   numCells: Int = 16, iters: Int = 2,
+                   nProbe: Int = 4): DataFrame = {
+    val survivors = emb.filter(corpusPred).count()
+    if (survivors <= bruteThreshold)
+      topK(emb.filter(probeFilter), emb.filter(corpusPred), k)
+    else {
+      val centroids = Ivf.buildCentroids(emb, numCells, iters)
+      val cells = Ivf.assign(emb, centroids)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("embedding", "cvec")
+      Ivf.searchCellsWhere(centroids, cells.filter(corpusPred),
+        emb.filter(probeFilter), k, nProbe, candFilter = lit(true))
+    }
+  }
+
+  /** Metadata-filtered exact search as a query surface: per-probe
+    * SAME-LABEL top-5 — the predicate depends on the probe row, so a
+    * global prefilter cannot express it; the candidate filter prunes
+    * before any similarity is scored. Hash-checked against DuckDB's
+    * windowed filtered join.
+    */
+  val qCosineTopKFiltered: QuerySpec = QuerySpec(
+    "q_cosine_topk_filtered",
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+              round(list_cosine_similarity(p.v, c.v), 6) AS sim
+            FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+              AND p.label = c.label),
+      r AS (SELECT probe_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s)
+      SELECT probe_id, neighbor_id, sim, rk FROM r WHERE rk <= 5
+      ORDER BY probe_id, rk"""),
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKWhere(emb.filter(col("vec_id") < 10), emb,
+        col("label") === col("p_label"), 5)
+        .orderBy("probe_id", "rk")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qEmbedQuantized,
       qCosineTopKLsh, qCosineTopKLshExact, qEmbedNearDupLsh,
       qEmbedNearDupLshExact, qCosineTopKBq, qCosineTopKBqExact,
-      qCosineTopKIvfBq, qCosineTopKIvfBqExact)
+      qCosineTopKIvfBq, qCosineTopKIvfBqExact, qCosineTopKFiltered)
 }

@@ -142,4 +142,49 @@ class IvfSpec extends AnyFunSuite {
       bruteSim.get(key).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
     }
   }
+
+  test("filtered search: containment, over-probe recall, exact at all cells") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sameLabel = col("label") === col("p_label")
+    val exact = VectorOps.topKWhere(emb.filter(col("vec_id") < 10), emb,
+      sameLabel, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact pair satisfies the predicate (the filter is real)
+    exact.foreach { case (p, n) => assert(labels(p) == labels(n)) }
+    val path = Ivf.ensureIndex(spark, sf)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    def filtered(nProbe: Int): Set[(Long, Long)] =
+      Ivf.searchCellsWhere(centroids, cells,
+        emb.filter(col("vec_id") < 10), 5, nProbe, sameLabel)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // CONTAINMENT: the approximate path only ever returns
+    // predicate-satisfying pairs (pre-filter, not post-filter)
+    filtered(4).foreach { case (p, n) => assert(labels(p) == labels(n)) }
+    // recall grows with over-probing and reaches 1 at all cells
+    val r4 = exact.count(filtered(4).contains).toDouble / exact.size
+    val r8 = exact.count(filtered(8).contains).toDouble / exact.size
+    info(f"filtered recall@5: nProbe=4 $r4%.2f, nProbe=8 $r8%.2f")
+    assert(r8 >= r4, s"over-probing must not lose recall ($r4 -> $r8)")
+    assert(filtered(16) == exact,
+      "all-cells filtered IVF must equal brute-force filtered search")
+    // the adaptive router: a selective predicate answers by brute
+    // force, a broad one through the index — both contained in the
+    // predicate's survivors, the brute branch exactly
+    val selective = VectorOps.topKAdaptive(emb, col("vec_id") < 10,
+      col("label") === lit(labels(0L)), 5, bruteThreshold = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteFiltered = VectorOps.topK(emb.filter(col("vec_id") < 10),
+      emb.filter(col("label") === lit(labels(0L))), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(selective == bruteFiltered)
+    val routed = VectorOps.topKAdaptive(emb, col("vec_id") < 10,
+      col("label") === lit(labels(0L)), 5, bruteThreshold = 0L,
+      nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == bruteFiltered,
+      "index branch at all cells must equal the brute branch")
+  }
 }
