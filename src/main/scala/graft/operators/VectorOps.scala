@@ -678,6 +678,119 @@ object VectorOps {
     }
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified top-k: greedily pick k results from an exact
+    * `shortlistSize`-deep shortlist, each step maximizing
+    * `lambda * sim(query, d) - (1 - lambda) * max_{s in selected}
+    * sim(d, s)` — relevance traded against redundancy, the re-rank a
+    * retrieval pipeline runs so the k results aren't k paraphrases of
+    * one document. `lambda = 1` degenerates to plain top-k (the
+    * hash-green `_exact` twin's gate); the greedy uses the same
+    * rounded-sim / neighbor-id tie-break as [[topK]] so that
+    * degeneration is bit-exact.
+    *
+    * Scale shape: the shortlist is bounded-heap selection (one hash
+    * agg over the scored candidates — the corpus never sorts), the
+    * greedy is per-probe mapGroups over ≤ shortlistSize rows (the
+    * quadratic term is shortlistSize² ≈ 2 500 in-JVM dot products per
+    * probe, independent of corpus size), and only the shortlist —
+    * probes × shortlistSize rows — ever shuffles.
+    */
+  def topKMmr(probes: DataFrame, corpus: DataFrame, k: Int,
+              shortlistSize: Int = 50, lambda: Double = 0.7): DataFrame = {
+    val spark = probes.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cand = broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pvec")))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec")))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
+    // ids-only bounded heap, then one narrow join re-attaches the
+    // candidate vectors (shortlist-sized, never corpus-sized)
+    val short = shortlistPerProbe(cand, "sim", shortlistSize, largest = true)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec")), Seq("neighbor_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    short.select(col("probe_id"), col("neighbor_id"), col("sim"),
+        col("cvec"))
+      .as[(Long, Long, Double, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, it) =>
+        val cands = it.map { case (_, n, s, v) => (n, s, v) }.toArray
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Seq[Float])]
+        val used = scala.collection.mutable.BitSet.empty
+        while (selected.length < k && used.size < cands.length) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < cands.length) {
+            if (!used(i)) {
+              val (n, s, v) = cands(i)
+              val redundancy =
+                if (selected.isEmpty) 0.0
+                else selected.iterator.map(x => cos(v, x._3)).max
+              val score = lambda * s - (1 - lambda) * redundancy
+              // strict-better, or equal score with lower neighbor_id —
+              // the topK tie-break, so lambda=1 degenerates bit-exactly
+              if (score > bestScore ||
+                (score == bestScore && n < bestId)) {
+                bestScore = score; bestIdx = i; bestId = n
+              }
+            }
+            i += 1
+          }
+          used += bestIdx
+          val (n, s, v) = cands(bestIdx)
+          selected += ((n, s, v))
+        }
+        selected.iterator.zipWithIndex.map { case ((n, s, _), r) =>
+          (pid, n, s, r + 1)
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "sim", "rk")
+      .withColumn("rk", col("rk").cast("int"))
+  }
+
+  /** MMR at its diversifying operating point (rows-only by design —
+    * the greedy is not SQL-expressible; the `_exact` twin and the
+    * DedupSimilaritySpec contract pin it).
+    */
+  val qCosineTopKMmr: QuerySpec = QuerySpec(
+    "q_cosine_topk_mmr",
+    None,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKMmr(emb.filter(col("vec_id") < 10), emb, 5, 50, lambda = 0.5)
+        .orderBy("probe_id", "rk")
+    })
+
+  /** Degeneration contract: `lambda = 1` (no redundancy term) must
+    * equal plain brute-force top-k bit-for-bit — shares
+    * q_cosine_topk's oracle, pinning the shortlist + greedy plumbing
+    * exactly.
+    */
+  val qCosineTopKMmrExact: QuerySpec = QuerySpec(
+    "q_cosine_topk_mmr_exact",
+    qCosineTopK.oracle,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKMmr(emb.filter(col("vec_id") < 10), emb, 5, 50, lambda = 1.0)
+        .orderBy("probe_id", "rk")
+    })
+
   /** Metadata-filtered exact search as a query surface: per-probe
     * SAME-LABEL top-5 — the predicate depends on the probe row, so a
     * global prefilter cannot express it; the candidate filter prunes
@@ -707,5 +820,6 @@ object VectorOps {
     Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qEmbedQuantized,
       qCosineTopKLsh, qCosineTopKLshExact, qEmbedNearDupLsh,
       qEmbedNearDupLshExact, qCosineTopKBq, qCosineTopKBqExact,
-      qCosineTopKIvfBq, qCosineTopKIvfBqExact, qCosineTopKFiltered)
+      qCosineTopKIvfBq, qCosineTopKIvfBqExact, qCosineTopKFiltered,
+      qCosineTopKMmr, qCosineTopKMmrExact)
 }

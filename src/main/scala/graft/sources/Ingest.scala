@@ -1798,7 +1798,9 @@ object Ingest {
     * shared control state).
     *
     * Deliberately NOT carried: history (the clone starts at batch 0 —
-    * time travel into the source's past belongs to the source) and the
+    * time travel into the source's past belongs to the source, and
+    * with it the `_tags` ledger: a tag names a SOURCE batch, which the
+    * clone's fresh ledger cannot resolve) and the
     * CHANGE FEED (`_cdf`): a feed must start at a table's history
     * start, and batch 0 of a zero-copy clone has no change slice —
     * writing one would cost a full data copy. A consumer needing a

@@ -226,6 +226,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(counts.last._2 == brute)
   }
 
+  test("MMR rerank: diversifies, stays in the shortlist, degenerates at lambda=1") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    def byProbe(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.orderBy("probe_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val plain = byProbe(VectorOps.topK(probes, emb, 5))
+    val mmr = byProbe(VectorOps.topKMmr(probes, emb, 5, 50, lambda = 0.5))
+    val shortIds = byProbe(VectorOps.topK(probes, emb, 50))
+    def avgPairSim(ids: Seq[Long]): Double = {
+      val pairs = for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+      } yield cos(vecs(ids(i)), vecs(ids(j)))
+      pairs.sum / pairs.length
+    }
+    mmr.foreach { case (p, ids) =>
+      // containment: MMR only picks within the exact shortlist
+      assert(ids.toSet.subsetOf(shortIds(p).toSet), s"probe $p not ⊆ shortlist")
+      // the first pick is always the plain top-1 (no redundancy yet)
+      assert(ids.head == plain(p).head, s"probe $p first pick")
+    }
+    // diversification: across the probe set, MMR's average intra-result
+    // similarity is not higher than plain top-k's (strictly lower when
+    // any probe's top-5 was redundant)
+    val meanPlain = plain.keys.map(p => avgPairSim(plain(p))).sum / plain.size
+    val meanMmr = plain.keys.map(p => avgPairSim(mmr(p))).sum / plain.size
+    info(f"intra-result sim: topk=$meanPlain%.4f mmr(0.5)=$meanMmr%.4f")
+    assert(meanMmr <= meanPlain + 1e-12,
+      s"MMR must not be MORE redundant ($meanPlain -> $meanMmr)")
+    // lambda=1 degenerates to plain top-k exactly
+    val degen = byProbe(VectorOps.topKMmr(probes, emb, 5, 50, lambda = 1.0))
+    assert(degen == plain, "lambda=1 must equal plain top-k")
+  }
+
   test("exact dedup keeps exactly one row per (lang, source)") {
     val kept = TextOps.qDedupExact.run(spark, sf)
     val keys = Tables.load(spark, sf, "documents").select("lang", "source").distinct().count()

@@ -270,6 +270,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(Ingest.committedBatchIds(b) === Set(0L, 1L))
   }
 
+  test("streaming quarantine: bad rows dead-letter per micro-batch, crash-replay stays idempotent") {
+    // the streaming face of quarantine mode: a foreachBatch upsert
+    // pipeline with a pinned CHECK keeps flowing when a micro-batch
+    // carries poison rows — the violations land in the dead-letter
+    // area stamped with their batch, the clean remainder commits, and
+    // a crash AFTER the quarantine write but BEFORE the commit replays
+    // the batch with the same id, overwriting the same dead letters
+    // instead of duplicating them
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Ingest
+    import org.apache.spark.sql.types.{StructType, LongType, DoubleType}
+    val base = graft.Scratch.dir("quarantine-stream")
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val (t, ck) = (s"$base/t", s"$base/ck")
+    val schema = new StructType().add("k", LongType).add("v", DoubleType)
+    @volatile var crashArmed = true
+    def stage(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$in/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def drain(): Unit = {
+      val q = Ingest.readStreamFiles(spark, s"$in/*.parquet", schema)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (bd: DataFrame, id: Long) =>
+          Ingest.upsertParquet(t, Seq("k"), nBuckets = 2, keepVersions = 8,
+            constraints = Seq("v_nonneg" -> "v >= 0"), quarantine = true)(
+            bd, id)
+          if (crashArmed && id >= 1L)
+            sys.error("injected crash after quarantine commit window")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage("f0", Seq((1L, 1.0), (2L, -2.0)))
+    drain()
+    assert(Ingest.readUpsertTable(spark, t).select("k", "v")
+      .as[(Long, Double)].collect().toMap === Map(1L -> 1.0))
+    assert(Ingest.readQuarantine(spark, t).select("k").as[Long]
+      .collect().toSeq === Seq(2L))
+    // batch 1: commits inside foreachBatch, then the query dies —
+    // the restart replays batch 1 with the same id (no-op merge,
+    // idempotent dead letters)
+    stage("f1", Seq((3L, 3.0), (4L, -4.0)))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    crashArmed = false
+    drain()
+    assert(Ingest.readUpsertTable(spark, t).select("k", "v")
+      .as[(Long, Double)].collect().toMap === Map(1L -> 1.0, 3L -> 3.0))
+    val dead = Ingest.readQuarantine(spark, t)
+      .select(col("k"), col(Ingest.QuarantineBatchCol))
+      .as[(Long, Long)].collect().toSet
+    assert(dead === Set((2L, 0L), (4L, 1L)), s"dead letters: $dead")
+    assert(Ingest.committedBatchIds(t) === Set(0L, 1L))
+  }
+
   test("stream-stream join state is BOUNDED: watermark eviction measured") {
     // The 100 TB streaming claim, measured instead of argued: feed the
     // fixture time-ordered in 6 micro-batches through the outer join
