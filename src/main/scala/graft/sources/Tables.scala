@@ -299,6 +299,17 @@ object Tables {
     Ingest.readUpsertTable(spark, tableDir, asOfBatch)
       .createOrReplaceTempView(name)
 
+  /** Register a view over a NAMED TAG's snapshot
+    * ([[Ingest.readUpsertTableAtTag]]) — the `table AT TAG` surface:
+    * the tag's retention pin guarantees the snapshot outlives
+    * keepVersions, so the view stays servable for as long as the tag
+    * exists (same snapshot-at-registration isolation as above).
+    */
+  def registerUpsertTableAtTag(spark: SparkSession, name: String,
+                               tableDir: String, tag: String): Unit =
+    Ingest.readUpsertTableAtTag(spark, tableDir, tag)
+      .createOrReplaceTempView(name)
+
   /** Expose an upsert table's change feed to SQL: registers
     * `readTableChanges(from, to)` as a view (full change rows +
     * `_change_type` / `_batch_id`), so audit/replica queries run as

@@ -219,6 +219,60 @@ class CrashWindowSpec extends AnyFunSuite {
     (windows, vWindows)
   }
 
+  /** Sweep VACUUM against a TAG PIN: the pinned snapshot must survive
+    * every crash window AND the completed sweep (pins are consulted
+    * per sweep, so no window can have deleted a pinned version), the
+    * as-of-tag read stays green throughout, and dropping the tag
+    * releases the version at the next sweep. Returns windows swept.
+    */
+  private def sweepTaggedVacuum(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 100) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val table = Files.createTempDirectory("graft-crash-tagvac").toString + "/t"
+      def up(id: Long, rows: (Long, Double)*): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 2,
+          keepVersions = 8)(rows.toDF("user_id", "value"), id)
+      (0 to 3).foreach(i => up(i.toLong, (i.toLong, i.toDouble)))
+      Ingest.createTag(table, "keep", 1L)
+      store.count = 0; store.limit = k
+      val crashed =
+        try {
+          Ingest.vacuumUpsertTable(spark, table, keepVersions = 1)
+            .count(); false
+        } catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        // the pinned snapshot is green in EVERY window — a pin that a
+        // crash could half-honor would be no pin at all
+        assert(Ingest.readUpsertTableAtTag(spark, table, "keep")
+          .count() === 2, s"tagged-vacuum window $k lost the pin")
+        assert(Ingest.readUpsertTable(spark, table).count() === 4,
+          s"tagged-vacuum window $k broke the current read")
+        // re-run completes; pin still held
+        Ingest.vacuumUpsertTable(spark, table, keepVersions = 1).count()
+        assert(Ingest.readUpsertTableAtTag(spark, table, "keep")
+          .count() === 2, s"tagged-vacuum window $k completion lost the pin")
+        assert(Ingest.readUpsertTable(spark, table).count() === 4)
+        // dropping the tag releases the version at the next sweep
+        Ingest.dropTag(table, "keep")
+        Ingest.vacuumUpsertTable(spark, table, keepVersions = 1).count()
+        assert(scala.util.Try(Ingest.readUpsertTableAtTag(
+          spark, table, "keep")).isFailure,
+          s"tagged-vacuum window $k: dropped tag still resolves")
+        LocalTableStore.deleteTree(table)
+      }
+      k += 1
+    }
+    assert(exhausted, "tagged-vacuum sweep never ran past the protocol")
+    windows
+  }
+
   /** Sweep the OPTIMIZE protocol (same-count generation rewrite that
     * applies pending merge-on-read deletion vectors and restores the
     * sort layout); returns windows swept. The table carries REAL
@@ -786,6 +840,20 @@ class CrashWindowSpec extends AnyFunSuite {
     withSmallShuffle {
       val (r, v) = sweepMaintenance(() => new ObjectTableStore)
       info(s"$r rebucket + $v vacuum windows swept, all converged")
+    }
+  }
+
+  test("tag pins: vacuum crash windows never lose a pinned snapshot (POSIX)") {
+    withSmallShuffle {
+      val w = sweepTaggedVacuum(() => LocalTableStore)
+      info(s"$w tagged-vacuum windows swept, pin held in all")
+    }
+  }
+
+  test("tag pins: vacuum crash windows hold on the object store") {
+    withSmallShuffle {
+      val w = sweepTaggedVacuum(() => new ObjectTableStore)
+      info(s"$w tagged-vacuum windows swept, pin held in all")
     }
   }
 

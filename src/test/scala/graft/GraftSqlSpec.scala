@@ -181,6 +181,10 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(listed.map(r => (r.getString(0), r.getLong(1))) ===
       Seq(("rel-1.0", 0L)))
     assert(Ingest.readUpsertTableAtTag(spark, t, "rel-1.0").count() === 2)
+    // the AT TAG view: plain SQL over the pinned snapshot
+    graft.sources.Tables.registerUpsertTableAtTag(spark, "t_at_rel",
+      t, "rel-1.0")
+    assert(spark.sql("SELECT count(*) FROM t_at_rel").head().getLong(0) === 2)
     assert(spark.sql(s"graft tag ${q(t)} drop rel-1.0").head()
       .getString(0) === "rel-1.0")
     assert(spark.sql(s"GRAFT TAGS ${q(t)}").count() === 0)
