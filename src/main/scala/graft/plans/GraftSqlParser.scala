@@ -237,7 +237,8 @@ private[plans] object GraftSqlCommands {
       attr("data_files", LongType), attr("change_feed", BooleanType),
       attr("constraints", LongType), attr("pending_delete_vector", BooleanType),
       attr("is_branch", BooleanType), attr("branch_base", LongType,
-        nullable = true))
+        nullable = true),
+      attr("tags", LongType), attr("quarantined_batches", LongType))
     override def run(spark: SparkSession): Seq[Row] = {
       implicit val store: TableStore = TableStore.local
       Ingest.describeDetailUpsertTable(spark, dir).collect().toSeq

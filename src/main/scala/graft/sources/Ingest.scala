@@ -1219,11 +1219,17 @@ object Ingest {
       store.exists(store.child(curDir, "_deletes")),
       lineage.isDefined,
       lineage.flatMap(_.get("batch")).map(_.toLong)
-        .map(java.lang.Long.valueOf).orNull.asInstanceOf[java.lang.Long]
+        .map(java.lang.Long.valueOf).orNull.asInstanceOf[java.lang.Long],
+      listTags(root).size.toLong,
+      store.listNames(store.child(root, QuarantineDir))
+        .count(n => n.startsWith("b_") &&
+          scala.util.Try(n.stripPrefix("b_").toLong).toOption
+            .exists(readLedger(root).contains)).toLong
     )).toDF("keys", "buckets", "sort_cols", "files_per_bucket",
       "current_batch", "generation", "committed_batches",
       "retained_versions", "data_files", "change_feed", "constraints",
-      "pending_delete_vector", "is_branch", "branch_base")
+      "pending_delete_vector", "is_branch", "branch_base",
+      "tags", "quarantined_batches")
   }
 
   /** Batch ids committed with ZERO rows (`_empty` marker appends) —

@@ -180,6 +180,11 @@ class GraftSqlSpec extends AnyFunSuite {
     val listed = spark.sql(s"GRAFT TAGS ${q(t)}").collect().toSeq
     assert(listed.map(r => (r.getString(0), r.getLong(1))) ===
       Seq(("rel-1.0", 0L)))
+    // DESCRIBE DETAIL surfaces the live tag count (and the quarantine
+    // area, empty here) without any data scan
+    val det = spark.sql(s"GRAFT DESCRIBE DETAIL ${q(t)}").head()
+    assert(det.getLong(det.fieldIndex("tags")) === 1L)
+    assert(det.getLong(det.fieldIndex("quarantined_batches")) === 0L)
     assert(Ingest.readUpsertTableAtTag(spark, t, "rel-1.0").count() === 2)
     // the AT TAG view: plain SQL over the pinned snapshot
     graft.sources.Tables.registerUpsertTableAtTag(spark, "t_at_rel",
