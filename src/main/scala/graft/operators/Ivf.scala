@@ -196,8 +196,12 @@ object Ivf {
     val pc = probeCells(probes, centroids, nProbe)
     val pAttrs = probes.select(
       probes.columns.map(c => col(c).as(s"p_$c")): _*)
-    val joined = pc
-      .join(broadcast(pAttrs), col("probe_id") === col("p_vec_id"))
+    // the probe side (probes × nProbe rows) broadcasts EXPLICITLY: at
+    // fixture scale the planner would broadcast the tiny cells side
+    // instead, and at corpus scale stats would flip that to shuffling
+    // the cells on cid — the one plan this operator must never take
+    val joined = broadcast(pc
+      .join(broadcast(pAttrs), col("probe_id") === col("p_vec_id")))
       .join(cells, Seq("cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .filter(candFilter)
