@@ -70,6 +70,47 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quarantine split is a PARTITION of the batch: disjoint, lossless, correctly blamed") {
+    // for random batches against random constraint thresholds:
+    // committed state ∪ dead letters = the input's upsert rows,
+    // the two sides are disjoint, every dead letter actually violates
+    // a pinned constraint, and every committed row violates none
+    import spark.implicits._
+    val batchGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(-20L, 20L), Gen.chooseNum(-5.0, 5.0)))
+    for ((rows0, i) <- samples(batchGen, 4).zipWithIndex) {
+      // one row per key (the sink's uniqueness contract)
+      val rows = rows0.distinctBy(_._1)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-qprop").toString + s"/t$i"
+      graft.sources.Ingest.upsertParquet(table, Seq("k"), nBuckets = 2,
+        keepVersions = 2,
+        constraints = Seq("v_pos" -> "v > 0", "k_nonneg" -> "k >= 0"),
+        quarantine = true)(rows.toDF("k", "v"), 0L)
+      val state = graft.sources.Ingest.readUpsertTable(spark, table)
+        .select("k", "v").as[(Long, Double)].collect().toSet
+      val dead = graft.sources.Ingest.readQuarantine(spark, table)
+        .select(col("k"), col("v"),
+          col(graft.sources.Ingest.QuarantineReasonCol))
+        .as[(Long, Double, Seq[String])].collect()
+      def violates(k: Long, v: Double): Seq[String] =
+        Seq("v_pos" -> !(v > 0), "k_nonneg" -> !(k >= 0))
+          .collect { case (n, true) => n }
+      // partition: lossless and disjoint
+      assert(state ++ dead.map(d => (d._1, d._2)) === rows.toSet,
+        s"sample $i lost rows")
+      assert(state.map(_._1).intersect(dead.map(_._1).toSet).isEmpty,
+        s"sample $i overlaps")
+      // blame: exact, both directions
+      dead.foreach { case (k, v, why) =>
+        assert(why === violates(k, v), s"sample $i blame for ($k,$v)")
+      }
+      state.foreach { case (k, v) =>
+        assert(violates(k, v).isEmpty, s"sample $i committed a violator ($k,$v)")
+      }
+    }
+  }
+
   test("filter commutes with projection") {
     for (threshold <- samples(Gen.choose(1000.0, 400000.0), 5)) {
       val a = orders.filter(col("o_totalprice") > threshold)
