@@ -95,7 +95,16 @@ object ScaleProbe {
         // r13 second half: snapshot ops + WAP + DML — each must ride
         // its diff/match, so ratios near the churn factor are the pass
         "q_upsert_restore", "q_upsert_clone", "q_upsert_compact",
-        "q_multi_commit", "q_upsert_wap", "q_upsert_dml")
+        "q_multi_commit", "q_upsert_wap", "q_upsert_dml",
+        // r14: tag pins (sweep consults one log — cost must not grow
+        // with table size beyond the pinned snapshot's own reads) and
+        // the quarantine split (one extra scan of the cached batch —
+        // rides the batch, never the table)
+        "q_upsert_tag", "q_upsert_quarantine")
+
+    // optional 4th arg: comma-separated row filter for incremental
+    // probing (a new op's ratio without re-running the whole band)
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -115,6 +124,18 @@ object ScaleProbe {
       else
         time { graft.operators.Changes.sharedCdcTable(spark, dir); () }
 
+    // r14 builds, timed as their own rows: the tag build is 4 merges
+    // under keepVersions=1 (sweep cost consults pins), the quarantine
+    // build is 2 merges each paying the split scan — both must ride
+    // the batch (churn), never the table
+    def r14BuildRows(dir: String): Seq[(String, Double)] =
+      if (bandSel == "ann") Nil
+      else Seq(
+        "setup:tag_table_build (4 merges + pin sweeps)" ->
+          time { graft.operators.Changes.tagTableFor(spark, dir); () },
+        "setup:quarantine_table_build (2 split merges)" ->
+          time { graft.operators.Changes.quarantineTableFor(spark, dir); () })
+
     println(s"| query | base s ($srcDir) | x$factor s | ratio |")
     println("| --- | --- | --- | --- |")
     locally {
@@ -122,8 +143,12 @@ object ScaleProbe {
         "setup:emb_cdc+ivf+pq builds" else "setup:cdc_table_build (4 merges)"
       val b = buildRow(srcDir); val big = buildRow(scaled)
       println(f"| $label | $b%.2f | $big%.2f | ${big / b}%.1fx |")
+      r14BuildRows(srcDir).zip(r14BuildRows(scaled)).foreach {
+        case ((l, sb), (_, sbig)) =>
+          println(f"| $l | $sb%.2f | $sbig%.2f | ${sbig / sb}%.1fx |")
+      }
     }
-    band.foreach { name =>
+    band.filter(n => only.forall(_.contains(n))).foreach { name =>
       try {
         val base = (1 to 2).map(_ => runOnce(name, srcDir)).min
         val big = (1 to 2).map(_ => runOnce(name, scaled)).min

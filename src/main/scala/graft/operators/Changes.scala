@@ -1984,26 +1984,7 @@ object Changes {
       GROUP BY o_custkey ORDER BY o_custkey"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val table = taggedTableMemo.getOrElseUpdate((spark, dir), {
-        val base = graft.Scratch.dir("upsert-tag")
-        graft.sources.LocalTableStore.deleteTree(base)
-        val t = s"$base/table"
-        val log = Tables.load(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        EventOps.withStreamSizing(spark) {
-          def up(i: Long, df: DataFrame): Unit =
-            Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
-              keepVersions = 1)(df, i)
-          up(0, log.filter(col("o_orderkey") % 4 === 0))
-          up(1, log.filter(col("o_orderkey") % 4 === 1))
-          Ingest.createTag(t, "pre_churn", 1L)
-          // churn PAST the tag: updates to batch-0 keys, then new keys
-          up(2, log.filter(col("o_orderkey") % 4 === 0)
-            .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
-          up(3, log.filter(col("o_orderkey") % 4 === 2))
-        }
-        t
-      })
+      val table = tagTableFor(spark, dir)
       require(Ingest.listTags(table) == Seq("pre_churn" -> 1L),
         s"tag ledger: ${Ingest.listTags(table)}")
       // between pin and suffix: refused as retention (the pin is not
@@ -2028,6 +2009,59 @@ object Changes {
   private val taggedTableMemo = graft.Memo[(SparkSession, String), String]()
   private val quarantineTableMemo =
     graft.Memo[(SparkSession, String), String]()
+
+  /** Build-once (per session × fixture) tagged table: 4 order batches
+    * under keepVersions=1 with a tag pinned after batch 1 — exposed
+    * `private[graft]` so ScaleProbe can time the BUILD separately from
+    * the memoized read the bench rows measure.
+    */
+  private[graft] def tagTableFor(spark: SparkSession, dir: String): String =
+    taggedTableMemo.getOrElseUpdate((spark, dir), {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-tag")
+      graft.sources.LocalTableStore.deleteTree(base)
+      val t = s"$base/table"
+      val log = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      EventOps.withStreamSizing(spark) {
+        def up(i: Long, df: DataFrame): Unit =
+          Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
+            keepVersions = 1)(df, i)
+        up(0, log.filter(col("o_orderkey") % 4 === 0))
+        up(1, log.filter(col("o_orderkey") % 4 === 1))
+        Ingest.createTag(t, "pre_churn", 1L)
+        // churn PAST the tag: updates to batch-0 keys, then new keys
+        up(2, log.filter(col("o_orderkey") % 4 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+        up(3, log.filter(col("o_orderkey") % 4 === 2))
+      }
+      t
+    })
+
+  /** Build-once quarantined table: two order batches through the
+    * price-cap constraint in dead-letter mode (same ScaleProbe seam).
+    */
+  private[graft] def quarantineTableFor(spark: SparkSession,
+                                        dir: String): String =
+    quarantineTableMemo.getOrElseUpdate((spark, dir), {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-quarantine")
+      graft.sources.LocalTableStore.deleteTree(base)
+      val t = s"$base/table"
+      val log = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      EventOps.withStreamSizing(spark) {
+        (0L to 1L).foreach { i =>
+          Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
+            keepVersions = 2,
+            constraints = Seq("price_cap" -> "o_totalprice < 100000"),
+            quarantine = true)(
+            log.filter(col("o_orderkey") % 2 === i), i)
+        }
+      }
+      t
+    })
 
   /** QUARANTINE (dead-letter) ingest as a query surface
     * ([[graft.sources.Ingest.upsertParquet]] `quarantine=true` +
@@ -2061,24 +2095,7 @@ object Changes {
       ORDER BY src, grp"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val table = quarantineTableMemo.getOrElseUpdate((spark, dir), {
-        val base = graft.Scratch.dir("upsert-quarantine")
-        graft.sources.LocalTableStore.deleteTree(base)
-        val t = s"$base/table"
-        val log = Tables.load(spark, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority"),
-            col("o_totalprice"))
-        EventOps.withStreamSizing(spark) {
-          (0L to 1L).foreach { i =>
-            Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
-              keepVersions = 2,
-              constraints = Seq("price_cap" -> "o_totalprice < 100000"),
-              quarantine = true)(
-              log.filter(col("o_orderkey") % 2 === i), i)
-          }
-        }
-        t
-      })
+      val table = quarantineTableFor(spark, dir)
       val dead = Ingest.readQuarantine(spark, table)
       require(dead.filter(col(Ingest.QuarantineReasonCol) =!=
         array(lit("price_cap"))).count() == 0,
