@@ -33,6 +33,7 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT TAG '<table dir>' CREATE <name> AT BATCH <n>
   *   GRAFT TAG '<table dir>' DROP <name>
   *   GRAFT TAGS '<table dir>'
+  *   GRAFT QUARANTINE '<table dir>'
   * }}}
   *
   * Anything not starting with the `GRAFT` keyword goes verbatim to the
@@ -107,6 +108,8 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+TAG\\s+$P\\s+DROP\\s+([A-Za-z0-9._-]+)\\s*;?\\s*""".r
   private val Tags =
     s"""(?is)\\s*GRAFT\\s+TAGS\\s+$P\\s*;?\\s*""".r
+  private val Quarantine =
+    s"""(?is)\\s*GRAFT\\s+QUARANTINE\\s+$P\\s*;?\\s*""".r
 
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case History(d) => Some(HistoryCommand(unq(d)))
@@ -136,6 +139,7 @@ private[plans] object GraftSqlCommands {
     case TagCreate(d, n, b) => Some(TagCreateCommand(unq(d), n, b.toLong))
     case TagDrop(d, n) => Some(TagDropCommand(unq(d), n))
     case Tags(d) => Some(TagsCommand(unq(d)))
+    case Quarantine(d) => Some(QuarantineViewCommand(unq(d)))
     case _ => None
   }
 
@@ -209,6 +213,29 @@ private[plans] object GraftSqlCommands {
     override def run(spark: SparkSession): Seq[Row] = {
       implicit val store: TableStore = TableStore.local
       Ingest.listTags(dir).map { case (n, b) => Row(n, b) }
+    }
+  }
+
+  /** `GRAFT QUARANTINE '<dir>'` — the dead-letter SUMMARY (batch ×
+    * broken constraint × row count): the monitoring view an operator
+    * alerts on. Full dead-letter rows (table-dependent schema) come
+    * from [[Ingest.readQuarantine]] / a registered view.
+    */
+  final case class QuarantineViewCommand(dir: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("batch_id", LongType), attr("constraint", StringType),
+      attr("rows", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      import org.apache.spark.sql.functions.{col, explode}
+      Ingest.readQuarantine(spark, dir)
+        .select(col(Ingest.QuarantineBatchCol).as("batch_id"),
+          explode(col(Ingest.QuarantineReasonCol)).as("constraint"))
+        .groupBy("batch_id", "constraint").count()
+        .orderBy("batch_id", "constraint")
+        .collect().map(r => Row(r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
     }
   }
 

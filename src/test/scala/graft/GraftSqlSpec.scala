@@ -195,6 +195,18 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"GRAFT TAGS ${q(t)}").count() === 0)
   }
 
+  test("GRAFT QUARANTINE summarizes the dead-letter area") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sql-q")
+      .toString + "/t"
+    Ingest.upsertParquet(t, Seq("k"), nBuckets = 2, keepVersions = 2,
+      constraints = Seq("v_pos" -> "v > 0"), quarantine = true)(
+      Seq((1L, 1.0), (2L, -2.0), (3L, -3.0)).toDF("k", "v"), 0L)
+    val rows = spark.sql(s"GRAFT QUARANTINE ${q(t)}").collect().toSeq
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))) ===
+      Seq((0L, "v_pos", 2L)))
+  }
+
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
     val t = freshTable()
     // threshold 0 files is invalid grammar-side? no — API requires >=1;
