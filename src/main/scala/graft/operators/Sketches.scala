@@ -650,8 +650,129 @@ object Sketches {
       finally { byG.unpersist(); () }
     })
 
+  // ---- KMV ("theta") distinct sketch: SET OPERATIONS on cardinality —
+  // the capability HLL union lacks (HLL cannot intersect). Built
+  // entirely from composable engine ops: h = pmod(xxhash64(key), M)
+  // uniform on [0, M); the sketch is the k SMALLEST DISTINCT hashes
+  // per population (one hash-distinct shuffle + the bounded-heap
+  // TopByAgg — the corpus never sorts), θ = the k-th smallest. KMV
+  // estimators (Beyer et al. 2007; the theta-sketch framework):
+  //   distinct(A)  ≈ (k-1)·M/θ_A           (exact when |A| < k)
+  //   A ∪ B:  merge samples, re-take k smallest — a valid sketch of ∪
+  //   A ∩ B:  θ* = min(θ_A, θ_B); est = |{h ∈ A∩B : h < θ*}| · M/θ*
+  // M = 2^50 keeps every hash exactly representable as a double
+  // (TopByAgg scores), and cross-population work happens on k-sized
+  // arrays — at 100 TB two populations overlap WITHOUT a raw-key
+  // shuffle between them, and sketches persist/merge like HLL.
+
+  private val ThetaM: Long = 1L << 50
+
+  /** Per-group KMV sample: (g, ks array<long> ascending, ≤ k values). */
+  def thetaSketch(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    val sel = udaf(new graft.functions.TopByAgg(k, largest = false),
+      graft.functions.TopByAgg.inputEncoder)
+    df.select(col(groupCol).as("g"),
+        pmod(xxhash64(col(keyCol)), lit(ThetaM)).as("h"))
+      .distinct()
+      .groupBy("g")
+      .agg(sel(col("h").cast("double"), col("h")).as("top"))
+      .select(col("g"), col("top._2").as("ks"))
+  }
+
+  /** KMV estimate from one sample (driver-side; a sample IS a
+    * driver-sized summary, like the CMS table).
+    */
+  def thetaEstimate(ks: Seq[Long], k: Int): Double =
+    if (ks.length < k) ks.length.toDouble
+    else (k - 1).toDouble * ThetaM / ks.max
+
+  /** Set-operation estimates for two samples: (estA, estB, estUnion,
+    * estIntersection). Intersection error is relative to the UNION
+    * (the theta framework's bound), which the contract row encodes.
+    */
+  def thetaOverlap(a: Seq[Long], b: Seq[Long], k: Int)
+      : (Double, Double, Double, Double) = {
+    val union = (a ++ b).distinct.sorted.take(k)
+    val estU = thetaEstimate(union, k)
+    val exactSide = a.length < k && b.length < k
+    if (exactSide) {
+      // both samples are their full populations' hash sets: exact
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      (a.length.toDouble, b.length.toDouble,
+        (a ++ b).distinct.length.toDouble, inter)
+    } else {
+      val theta = math.min(
+        if (a.length < k) ThetaM else a.max,
+        if (b.length < k) ThetaM else b.max)
+      val matching = a.toSet.intersect(b.toSet).count(_ < theta)
+      (thetaEstimate(a, k), thetaEstimate(b, k), estU,
+        matching.toDouble * ThetaM / theta)
+    }
+  }
+
+  /** Distinct-overlap of two customer populations (URGENT-order vs
+    * HIGH-order customers) through KMV sketches, contract-checked
+    * against the exact distributed counts: each estimate must land
+    * within 5/√k relative error (intersection relative to the UNION —
+    * the theta bound; all four are EXACT when the population fits the
+    * sample, which is the small-sf regime). The oracle recomputes the
+    * exact set algebra from first principles; the booleans are the
+    * sketch contract.
+    */
+  val qThetaOverlap: QuerySpec = QuerySpec(
+    "q_theta_overlap",
+    Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'),
+        b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority = '2-HIGH')
+      SELECT 'a' AS pop, (SELECT count(*) FROM a) AS exact,
+        true AS within_bound
+      UNION ALL SELECT 'b', (SELECT count(*) FROM b), true
+      UNION ALL SELECT 'intersection',
+        (SELECT count(*) FROM a JOIN b USING (o_custkey)), true
+      UNION ALL SELECT 'union', (SELECT count(*) FROM
+        (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)), true
+      ORDER BY pop"""),
+    (spark, dir) => {
+      val k = 2048
+      val orders = Tables.load(spark, dir, "orders")
+      def pop(p: String) = orders
+        .filter(col("o_orderpriority") === p)
+        .withColumn("pop", lit(p))
+      val sk = thetaSketch(
+        pop("1-URGENT").unionByName(pop("2-HIGH")), "pop", "o_custkey", k)
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[Long](1)).toMap
+      val (estA, estB, estU, estI) =
+        thetaOverlap(sk("1-URGENT"), sk("2-HIGH"), k)
+      // exact counts: fully distributed (two distincts + one semi)
+      val a = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      val b = orders.filter(col("o_orderpriority") === "2-HIGH")
+        .select("o_custkey").distinct()
+      val (na, nb) = (a.count(), b.count())
+      val ni = a.join(b, Seq("o_custkey"), "left_semi").count()
+      val nu = a.unionByName(b).distinct().count()
+      val tol = 5.0 / math.sqrt(k)
+      def ok(est: Double, exact: Long, rel: Long): Boolean =
+        math.abs(est - exact) <= tol * rel
+      val rows = Seq(
+        Row("a", na, ok(estA, na, na)),
+        Row("b", nb, ok(estB, nb, nb)),
+        Row("intersection", ni, ok(estI, ni, nu)), // theta: err ∝ |∪|
+        Row("union", nu, ok(estU, nu, nu)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("pop",
+          org.apache.spark.sql.types.StringType),
+          StructField("exact", LongType),
+          StructField("within_bound", BooleanType))))
+        .orderBy("pop")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged,
       qQuantileSketch, qQuantileSketchMerged, qStreamQuantile, qHllMerged,
-      qQuantileByGroup, qStreamQuantileByGroup)
+      qQuantileByGroup, qStreamQuantileByGroup, qThetaOverlap)
 }
