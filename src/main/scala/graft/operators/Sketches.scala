@@ -771,8 +771,54 @@ object Sketches {
         .orderBy("pop")
     })
 
+  /** Merge two KMV samples: distinct k-smallest of the union — a
+    * valid sketch of A ∪ B, and (the mergeability law) EXACTLY the
+    * sample a direct build over A ∪ B produces, because "k smallest
+    * distinct hashes" is an associative/commutative fold.
+    */
+  def thetaMerge(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** The 1000-executor merge path made literal for the theta family
+    * (the qHeavyHittersMerged / qHllMerged discipline): 8 disjoint
+    * chunk sketches of URGENT-order customers fold into one, and the
+    * folded sample must equal the whole-population build ELEMENT FOR
+    * ELEMENT (not just within an estimator bound — "k smallest
+    * distinct" is an exact distributive fold, so mergeability is
+    * deterministic, not statistical). The oracle recomputes the exact
+    * distinct count; the booleans carry the in-engine law.
+    */
+  val qThetaMerged: QuerySpec = QuerySpec(
+    "q_theta_merged",
+    Some("""SELECT count(DISTINCT o_custkey) AS exact_distinct,
+        true AS merged_equals_direct, true AS estimate_within_bound
+      FROM orders WHERE o_orderpriority = '1-URGENT'"""),
+    (spark, dir) => {
+      val k = 2048
+      val urgent = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val direct = thetaSketch(
+        urgent.withColumn("pop", lit("all")), "pop", "o_custkey", k)
+        .collect().head.getSeq[Long](1)
+      val chunkSks = thetaSketch(
+        urgent.withColumn("pop", pmod(col("o_orderkey"), lit(8))),
+        "pop", "o_custkey", k)
+        .collect().map(_.getSeq[Long](1)).toSeq
+      val merged = chunkSks.reduce(thetaMerge(_, _, k))
+      val exact = urgent.select("o_custkey").distinct().count()
+      val est = thetaEstimate(merged, k)
+      val rows = Seq(Row(exact, merged == direct,
+        math.abs(est - exact) <= 5.0 / math.sqrt(k) * exact))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("exact_distinct", LongType),
+          StructField("merged_equals_direct", BooleanType),
+          StructField("estimate_within_bound", BooleanType))))
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged,
       qQuantileSketch, qQuantileSketchMerged, qStreamQuantile, qHllMerged,
-      qQuantileByGroup, qStreamQuantileByGroup, qThetaOverlap)
+      qQuantileByGroup, qStreamQuantileByGroup, qThetaOverlap,
+      qThetaMerged)
 }
