@@ -111,6 +111,28 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("theta sketch: merge law holds and estimator error stays bounded at small k") {
+    // force the estimator-active regime regardless of fixture size:
+    // k = 256 over the full lineitem orderkey domain (far above k)
+    import graft.operators.Sketches
+    val k = 256
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey")).withColumn("pop", lit("all"))
+    val direct = Sketches.thetaSketch(li, "pop", "l_orderkey", k)
+      .collect().head.getSeq[Long](1)
+    val exact = li.select("l_orderkey").distinct().count()
+    val est = Sketches.thetaEstimate(direct, k)
+    val rel = math.abs(est - exact) / exact
+    info(f"theta k=$k: exact=$exact est=$est%.0f rel-err=$rel%.4f")
+    assert(rel <= 5.0 / math.sqrt(k), s"estimator error $rel out of bound")
+    // merge law at the small k too: 4 chunk folds == the direct build
+    val chunks = Sketches.thetaSketch(
+      li.withColumn("pop", pmod(col("l_orderkey"), lit(4))),
+      "pop", "l_orderkey", k)
+      .collect().map(_.getSeq[Long](1)).toSeq
+    assert(chunks.reduce(Sketches.thetaMerge(_, _, k)) == direct)
+  }
+
   test("filter commutes with projection") {
     for (threshold <- samples(Gen.choose(1000.0, 400000.0), 5)) {
       val a = orders.filter(col("o_totalprice") > threshold)
