@@ -279,7 +279,73 @@ object Splits {
         .orderBy("lang")
     })
 
+  /** Deterministic UPSAMPLING by repeat factor — the other half of the
+    * mix-rebalance story ([[qMixResample]] is downsample-only and its
+    * scaladoc defers exactly here): under-represented strata emit
+    * whole-integer copies of every row plus a portable-hash-gated
+    * extra copy for the fractional remainder, so the emitted share
+    * hits the target in expectation while remaining a PURE FUNCTION of
+    * the data (byte-reproducible by any engine — the oracle recomputes
+    * per-row copy counts from first principles). Factors are permille
+    * integers (floor division) so both engines compute identical
+    * thresholds; capped at 10× (a corpus needing more repeat than that
+    * needs more data, not more clones). Output carries `rep` ∈
+    * [1, copies] so downstream shuffles spread the clones.
+    *
+    * Scale: two metadata-sized aggregates + a broadcast of #strata
+    * factor rows + one generator (`explode(sequence)`) — no data
+    * shuffle; output size is the target mix by construction.
+    */
+  def upsampleRepeat(df: DataFrame, stratumCol: String,
+                     key: Column): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("nlang"), sum("cnt").as("n"))
+    val pm = counts.crossJoin(broadcast(totals))
+      .withColumn("pm", least(lit(10000L), greatest(lit(1000L),
+        expr("(1000 * n) div (nlang * cnt)"))))
+      .select(stratumCol, "pm")
+    val b1000 = conv(substring(md5(concat_ws("|", lit("graft-sample-v1"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % 1000
+    df.join(broadcast(pm), Seq(stratumCol))
+      .withColumn("copies", expr("pm div 1000") +
+        when(b1000 < col("pm") % 1000, 1L).otherwise(0L))
+      .withColumn("rep", explode(sequence(lit(1L), col("copies"))))
+      .drop("pm", "copies")
+  }
+
+  /** Per-language emitted-row counts + a copy-weighted checksum after
+    * uniform-target upsampling: the checksum (Σ copies·doc_id) pins
+    * every row's exact copy count against DuckDB's first-principles
+    * recomputation — the repeat factors, the fractional-remainder
+    * hash gate, and the explode all hash-checked at once.
+    */
+  val qMixUpsample: QuerySpec = QuerySpec(
+    "q_mix_upsample",
+    Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      t AS (SELECT count(*) AS nlang, sum(cnt) AS n FROM c),
+      p AS (SELECT lang, least(10000, greatest(1000,
+          (1000 * n) // (nlang * cnt))) AS pm FROM c, t),
+      x AS (SELECT d.doc_id, d.lang,
+          pm // 1000 + CASE WHEN
+            CAST(('0x' || substr(md5('graft-sample-v1' || '|' ||
+              CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+            < pm % 1000 THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN p USING (lang))
+      SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+        count(*) AS n_docs,
+        CAST(sum(copies * doc_id) AS BIGINT) AS checksum
+      FROM x GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents").select("doc_id", "lang")
+      upsampleRepeat(docs, "lang", col("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("doc_id").as("checksum"))
+        .orderBy("lang")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qTrainTestSplit, qSampleHash, qSampleStratified, qSampleWeighted,
-        qMixResample, qKfold, qSampleEs, qMixtureWeights)
+        qMixResample, qKfold, qSampleEs, qMixtureWeights, qMixUpsample)
 }
