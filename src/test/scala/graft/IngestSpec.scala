@@ -591,6 +591,31 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     assert(Ingest.readQuarantine(spark, table).count() === 3)
   }
 
+  test("quarantine composes with the change feed: only clean rows enter history") {
+    import spark.implicits._
+    // a dead-lettered row must never surface downstream — not in the
+    // snapshot, not in the CHANGE FEED every consumer (index, MV,
+    // replica, ANN fold) is built from
+    val table = tmp() + "/quarantine_cdf_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 4, changeFeed = true,
+        constraints = Seq("value_nonneg" -> "value >= 0"),
+        quarantine = true)(rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0), (2L, -2.0))
+    up(1, (1L, 11.0), (3L, -3.0))
+    val feed = Ingest.readTableChanges(spark, table, 0, 1)
+      .select("_batch_id", "_change_type", "user_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSeq.sorted
+    assert(feed === Seq(
+      (0L, "insert", 1L, 1.0),
+      (1L, "update_postimage", 1L, 11.0),
+      (1L, "update_preimage", 1L, 1.0)).sorted,
+      s"feed leaked a dead letter: $feed")
+    assert(Ingest.readQuarantine(spark, table)
+      .select("user_id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
   test("change feed records inserts, updates, deletes with pre/post images") {
     import spark.implicits._
     val table = tmp() + "/cdf_table"
