@@ -825,7 +825,13 @@ object Ingest {
                 x => x.isNotNull))
             .withColumn(QuarantineBatchCol, lit(batchId))
             .write.mode("overwrite").parquet(qDir)
-          bkAll.filter(delFlag || !anyViol)
+          // null-safe keep: divert ONLY rows that are definitively
+          // non-tombstones (flag <=> false, matching upsertRows) AND
+          // definitively violating. A NULL delete flag must NOT short
+          // a violating row out of the batch here — it has to reach
+          // the sink's null-flag check and fail LOUDLY (three-valued
+          // `delFlag || !anyViol` would silently drop it)
+          bkAll.filter(!((delFlag <=> lit(false)) && (anyViol <=> lit(true))))
         }
       }
       // ONE aggregation job answers empty?, key-unique?, the touched

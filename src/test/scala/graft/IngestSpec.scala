@@ -589,6 +589,20 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       Seq((5L, 0.0, true)).toDF("user_id", "value", "_del"), 3L)
     assert(Ingest.readUpsertTable(spark, table).count() === 1)
     assert(Ingest.readQuarantine(spark, table).count() === 3)
+    // a NULL delete flag on a VIOLATING row must still fail LOUDLY
+    // (neither upsert nor tombstone) — not be silently shorted out of
+    // the batch by the quarantine filter's three-valued logic
+    val exNull = intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 4, deleteCol = Some("_del"), quarantine = true)(
+        // 7 is a genuine dead letter (so the quarantine split filter
+        // actually runs); 6 carries the NULL flag AND violates
+        Seq((6L, -6.0, null.asInstanceOf[java.lang.Boolean]),
+          (7L, -7.0, java.lang.Boolean.FALSE))
+          .toDF("user_id", "value", "_del"), 4L)
+    }
+    assert(exNull.getMessage.contains("NULL"), exNull.getMessage)
+    assert(Ingest.readUpsertTable(spark, table).count() === 1)
   }
 
   test("quarantine composes with the change feed: only clean rows enter history") {
