@@ -1291,6 +1291,15 @@ object Ingest {
     * version dir. Fails loudly on a duplicate name (drop first — a
     * silently moved tag is how a pinned dataset changes under a
     * consumer), an uncommitted batch, or a batch beyond retention.
+    *
+    * Concurrency: the duplicate check is read-then-append, not a CAS
+    * (the store's conditional put is pointer-only by contract) — two
+    * operators racing to create the SAME tag name both append and the
+    * later entry wins. Tags are operator actions under the same
+    * single-operator deployment contract as the maintenance ops, not
+    * a data-path primitive; both racers' batches stay pinned until a
+    * drop either way (the pin set is the ledger's value set, so the
+    * race can never UNpin a snapshot).
     */
   def createTag(tableDir: String, name: String, atBatch: Long)
                (implicit store: TableStore): Long = {
