@@ -205,6 +205,9 @@ class GraftSqlSpec extends AnyFunSuite {
     val rows = spark.sql(s"GRAFT QUARANTINE ${q(t)}").collect().toSeq
     assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))) ===
       Seq((0L, "v_pos", 2L)))
+    // a table with no dead-letter area summarizes to zero rows, not
+    // an error (the readQuarantine empty-schema path through SQL)
+    assert(spark.sql(s"GRAFT QUARANTINE ${q(freshTable())}").count() === 0)
   }
 
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
