@@ -211,6 +211,37 @@ object Ivf {
       .select("probe_id", "neighbor_id", "sim", "rk")
   }
 
+  /** SHORTLIST search for a re-rank stage ([[VectorOps.mmrRerank]] —
+    * the "ANN retrieve `shortlist`, diversify to k" composition a
+    * production retrieval pipeline runs): top-`shortlist` per probe
+    * from the probed cells, each row carrying its candidate VECTOR.
+    * The vector re-attach is the part that must not regress at scale:
+    * it joins against the probed cells ONLY (left-semi on the probed
+    * cid set — file-level partition pruning on the cid-partitioned
+    * index), so the fetch reads nProbe cells' worth of data, never the
+    * corpus. Output (probe_id, neighbor_id, sim, cvec) feeds
+    * mmrRerank directly.
+    */
+  def searchShortlist(centroids: DataFrame, cells: DataFrame,
+                      probes: DataFrame, shortlist: Int,
+                      nProbe: Int = 4): DataFrame = {
+    val pc = probeCells(probes, centroids, nProbe)
+    val joined = broadcast(pc).join(cells, Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
+    val ids = VectorOps.shortlistPerProbe(joined, "sim", shortlist,
+      largest = true)
+    val probedCells = cells.join(
+      broadcast(pc.select("cid").distinct()), Seq("cid"), "left_semi")
+    broadcast(ids)
+      .join(probedCells.select(col("neighbor_id"), col("cvec")),
+        Seq("neighbor_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
+      .select("probe_id", "neighbor_id", "sim", "cvec")
+  }
+
   val qCosineTopKIvf: QuerySpec = QuerySpec(
     "q_cosine_topk_ivf",
     None, // approximate by design; recall vs brute force in IvfSpec
@@ -275,6 +306,48 @@ object Ivf {
         .orderBy("probe_id", "rk")
     })
 
+  /** The production retrieval pipeline as one row: ANN shortlist
+    * through the persisted index ([[searchShortlist]], nProbe=4,
+    * shortlist=50) diversified to k=5 by MMR
+    * ([[VectorOps.mmrRerank]], lambda=0.5). Rows-only by design (the
+    * shortlist is approximate and the greedy is not SQL-expressible);
+    * the `_exact` twin below is the hash gate.
+    */
+  val qCosineTopKMmrIvf: QuerySpec = QuerySpec(
+    "q_cosine_topk_mmr_ivf",
+    None,
+    (spark, dir) => {
+      val path = ensureIndex(spark, dir)
+      val probes = Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+      VectorOps.mmrRerank(
+        searchShortlist(spark.read.parquet(s"$path/centroids"),
+          spark.read.parquet(s"$path/cells"), probes, 50, nProbe = 4),
+        5, lambda = 0.5)
+        .orderBy("probe_id", "rk")
+    })
+
+  /** Exactness contract for the composition: an ALL-cells shortlist is
+    * exhaustive and `lambda = 1` disables the redundancy term, so the
+    * pipeline must reproduce brute-force top-k bit-for-bit — shares
+    * q_cosine_topk's oracle, pinning the index shortlist, the
+    * cell-pruned vector fetch, and the greedy plumbing at once.
+    */
+  val qCosineTopKMmrIvfExact: QuerySpec = QuerySpec(
+    "q_cosine_topk_mmr_ivf_exact",
+    VectorOps.qCosineTopK.oracle,
+    (spark, dir) => {
+      val path = ensureIndex(spark, dir)
+      val probes = Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+      VectorOps.mmrRerank(
+        searchShortlist(spark.read.parquet(s"$path/centroids"),
+          spark.read.parquet(s"$path/cells"), probes, 50, nProbe = 16),
+        5, lambda = 1.0)
+        .orderBy("probe_id", "rk")
+    })
+
   def specs: Seq[QuerySpec] = Seq(qCosineTopKIvf, qCosineTopKIvfExact,
-    qCosineTopKFilteredIvf, qCosineTopKFilteredIvfExact)
+    qCosineTopKFilteredIvf, qCosineTopKFilteredIvfExact,
+    qCosineTopKMmrIvf, qCosineTopKMmrIvfExact)
 }

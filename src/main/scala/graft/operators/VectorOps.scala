@@ -654,17 +654,45 @@ object VectorOps {
     * highly selective (≤ `bruteThreshold` survivors) is answered
     * EXACTLY by brute force over the filtered corpus (tiny scored set,
     * no index needed, perfect recall); a broad predicate routes to the
-    * IVF index with the candidate filter applied inside the probed
-    * cells plus over-probing ([[Ivf.searchCellsWhere]]) — the filter
+    * PERSISTED IVF index — `centroids` + `cells` from
+    * [[Ivf.ensureIndex]] (or any feed-maintained index with the same
+    * schema) — with the candidate filter applied inside the probed
+    * cells plus over-probing ([[Ivf.searchCellsWhere]]): the filter
     * never degrades to post-filtering a k-deep unfiltered result,
-    * which starves k under selective predicates. The routing COUNT is
-    * one pushed-down scan of the corpus (column-pruned to the filter
+    * which starves k under selective predicates, and the routed branch
+    * pays NO index build (the r14 version re-ran k-means + assignment
+    * over the full corpus per call — at 100 TB a multi-pass clustering
+    * per invocation; VERDICT r14 item 1). The routing COUNT is one
+    * pushed-down scan of the corpus (column-pruned to the filter
     * columns), amortized across the whole probe set it serves.
+    * `corpusPred` must reference columns the index's cells carry
+    * (the filter columns persisted at build — the ensureIndex v2
+    * schema), so the predicate prunes the cell scan itself.
     */
   def topKAdaptive(emb: DataFrame, probeFilter: Column, corpusPred: Column,
-                   k: Int, bruteThreshold: Long = 100000L,
-                   numCells: Int = 16, iters: Int = 2,
+                   k: Int, centroids: DataFrame, cells: DataFrame,
+                   bruteThreshold: Long = 100000L,
                    nProbe: Int = 4): DataFrame = {
+    val survivors = emb.filter(corpusPred).count()
+    if (survivors <= bruteThreshold)
+      topK(emb.filter(probeFilter), emb.filter(corpusPred), k)
+    else
+      Ivf.searchCellsWhere(centroids, cells, emb.filter(probeFilter),
+        k, nProbe, candFilter = corpusPred)
+  }
+
+  /** [[topKAdaptive]] for an INDEX-LESS corpus — an explicit opt-in
+    * that builds a throwaway IVF index inline when the broad branch
+    * routes. The build is a full-corpus k-means + assignment PER CALL:
+    * acceptable for ad-hoc exploration of a corpus nobody indexed,
+    * a scale-killer on anything production-sized — build once with
+    * [[Ivf.ensureIndex]] and call [[topKAdaptive]] instead.
+    */
+  def topKAdaptiveInlineBuild(emb: DataFrame, probeFilter: Column,
+                              corpusPred: Column, k: Int,
+                              bruteThreshold: Long = 100000L,
+                              numCells: Int = 16, iters: Int = 2,
+                              nProbe: Int = 4): DataFrame = {
     val survivors = emb.filter(corpusPred).count()
     if (survivors <= bruteThreshold)
       topK(emb.filter(probeFilter), emb.filter(corpusPred), k)
@@ -673,8 +701,8 @@ object VectorOps {
       val cells = Ivf.assign(emb, centroids)
         .withColumnRenamed("vec_id", "neighbor_id")
         .withColumnRenamed("embedding", "cvec")
-      Ivf.searchCellsWhere(centroids, cells.filter(corpusPred),
-        emb.filter(probeFilter), k, nProbe, candFilter = lit(true))
+      Ivf.searchCellsWhere(centroids, cells, emb.filter(probeFilter),
+        k, nProbe, candFilter = corpusPred)
     }
   }
 
@@ -700,7 +728,6 @@ object VectorOps {
               shortlistSize: Int = 50, lambda: Double = 0.7): DataFrame = {
     val spark = probes.sparkSession
     GraftFunctions.register(spark)
-    import spark.implicits._
     val cand = broadcast(probes.select(col("vec_id").as("probe_id"),
         col("embedding").as("pvec")))
       .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
@@ -715,15 +742,29 @@ object VectorOps {
         col("embedding").as("cvec")), Seq("neighbor_id"))
       .withColumn("sim",
         round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-    }
-    short.select(col("probe_id"), col("neighbor_id"), col("sim"),
+    mmrRerank(short, k, lambda)
+  }
+
+  /** The MMR greedy as a standalone RE-RANK stage over any scored
+    * shortlist `(probe_id, neighbor_id, sim, cvec)` — the composition a
+    * production retrieval pipeline actually runs (ANN retrieve
+    * `shortlistSize`, MMR diversify to k), so the diversification is
+    * not welded to the brute-force scorer: feed it
+    * [[Ivf.searchCellsWhere]]'s output joined back to its vectors and
+    * the greedy's cost stays shortlist² per probe whatever the corpus
+    * size. Per-probe work is `flatMapGroups` over ≤ shortlist rows;
+    * the pairwise term uses the ONE JVM-local cosine
+    * ([[graft.functions.CosineSimilarity.local]]). A candidate whose
+    * score goes NaN (a zero-norm vector's cosine is 0/0) is never
+    * selected — when ONLY NaN candidates remain the greedy stops short
+    * instead of crashing the task (ADVICE r14: `used += -1` threw from
+    * BitSet), matching TopByAgg's defined NaN placement (NaN loses to
+    * every real score).
+    */
+  def mmrRerank(shortlist: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    shortlist.select(col("probe_id"), col("neighbor_id"), col("sim"),
         col("cvec"))
       .as[(Long, Long, Double, Seq[Float])]
       .groupByKey(_._1)
@@ -732,19 +773,26 @@ object VectorOps {
         val selected = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Double, Seq[Float])]
         val used = scala.collection.mutable.BitSet.empty
-        while (selected.length < k && used.size < cands.length) {
+        var exhausted = false
+        while (!exhausted && selected.length < k && used.size < cands.length) {
           var bestIdx = -1; var bestScore = Double.NegativeInfinity
           var bestId = Long.MaxValue
           var i = 0
           while (i < cands.length) {
             if (!used(i)) {
               val (n, s, v) = cands(i)
+              // lambda=1 never evaluates the pairwise term: 0 × NaN is
+              // NaN, which would break the bit-exact degeneration the
+              // _exact twin pins if a zero-norm vector got selected
               val redundancy =
-                if (selected.isEmpty) 0.0
-                else selected.iterator.map(x => cos(v, x._3)).max
+                if (selected.isEmpty || lambda == 1.0) 0.0
+                else selected.iterator
+                  .map(x => graft.functions.CosineSimilarity.local(v, x._3))
+                  .max
               val score = lambda * s - (1 - lambda) * redundancy
               // strict-better, or equal score with lower neighbor_id —
-              // the topK tie-break, so lambda=1 degenerates bit-exactly
+              // the topK tie-break, so lambda=1 degenerates bit-exactly.
+              // A NaN score fails both comparisons and is skipped.
               if (score > bestScore ||
                 (score == bestScore && n < bestId)) {
                 bestScore = score; bestIdx = i; bestId = n
@@ -752,9 +800,12 @@ object VectorOps {
             }
             i += 1
           }
-          used += bestIdx
-          val (n, s, v) = cands(bestIdx)
-          selected += ((n, s, v))
+          if (bestIdx < 0) exhausted = true // only NaN-scored candidates left
+          else {
+            used += bestIdx
+            val (n, s, v) = cands(bestIdx)
+            selected += ((n, s, v))
+          }
         }
         selected.iterator.zipWithIndex.map { case ((n, s, _), r) =>
           (pid, n, s, r + 1)

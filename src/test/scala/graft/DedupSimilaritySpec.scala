@@ -231,12 +231,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val probes = emb.filter(col("vec_id") < 10)
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
-      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
-    }
+    // the one shared JVM-local cosine (VERDICT r14 item 8) — the spec
+    // recomputes redundancy with the same math the greedy uses
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      graft.functions.CosineSimilarity.local(a, b)
     def byProbe(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
       df.orderBy("probe_id", "rk").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
@@ -267,6 +265,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // lambda=1 degenerates to plain top-k exactly
     val degen = byProbe(VectorOps.topKMmr(probes, emb, 5, 50, lambda = 1.0))
     assert(degen == plain, "lambda=1 must equal plain top-k")
+  }
+
+  test("ANN-retrieve + MMR-rerank composition: index shortlist at all cells degenerates to brute top-k") {
+    // the production pipeline shape (retrieve `shortlist` through the
+    // persisted index, diversify to k with the standalone rerank):
+    // probing ALL cells makes the index shortlist exhaustive, so
+    // lambda=1 over it must equal brute-force top-k bit-for-bit — the
+    // same exactness discipline as every _exact twin, here pinning
+    // searchShortlist's cell-pruned vector fetch (no candidate lost or
+    // mis-fetched on the way to the greedy)
+    import graft.operators.Ivf
+    val emb = Tables.load(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val path = Ivf.ensureIndex(spark, sf)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "sim", "rk")
+        .orderBy("probe_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+    val short = Ivf.searchShortlist(centroids, cells, probes, 50,
+      nProbe = 16)
+    val brute = rows(VectorOps.topK(probes, emb, 5))
+    assert(rows(VectorOps.mmrRerank(short, 5, lambda = 1.0)) === brute)
+    // at a diversifying lambda the picks stay inside the shortlist
+    val shortIds = short.select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mmr = VectorOps.mmrRerank(short, 5, lambda = 0.5)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mmr.forall(shortIds.contains))
   }
 
   test("exact dedup keeps exactly one row per (lang, source)") {

@@ -171,20 +171,43 @@ class IvfSpec extends AnyFunSuite {
     assert(filtered(16) == exact,
       "all-cells filtered IVF must equal brute-force filtered search")
     // the adaptive router: a selective predicate answers by brute
-    // force, a broad one through the index — both contained in the
-    // predicate's survivors, the brute branch exactly
+    // force, a broad one through the PERSISTED index (VERDICT r14
+    // item 1: the routed branch must never rebuild the index per
+    // call) — both contained in the predicate's survivors, the brute
+    // branch exactly
     val selective = VectorOps.topKAdaptive(emb, col("vec_id") < 10,
-      col("label") === lit(labels(0L)), 5, bruteThreshold = 1000000L)
+      col("label") === lit(labels(0L)), 5, centroids, cells,
+      bruteThreshold = 1000000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bruteFiltered = VectorOps.topK(emb.filter(col("vec_id") < 10),
       emb.filter(col("label") === lit(labels(0L))), 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(selective == bruteFiltered)
-    val routed = VectorOps.topKAdaptive(emb, col("vec_id") < 10,
-      col("label") === lit(labels(0L)), 5, bruteThreshold = 0L,
-      nProbe = 16)
+    val routedDf = VectorOps.topKAdaptive(emb, col("vec_id") < 10,
+      col("label") === lit(labels(0L)), 5, centroids, cells,
+      bruteThreshold = 0L, nProbe = 16)
+    // no index build in the routed plan: buildCentroids' signature
+    // stage is the Lloyd recompute's per-dimension averaging folded
+    // back through array_sort(collect_list(...)) — a persisted-index
+    // search has no collect_list anywhere (rankPerProbe's bounded heap
+    // explodes TopByAgg state, never collects), it just scans the
+    // index parquet
+    val planStr = routedDf.queryExecution.optimizedPlan.toString()
+    assert(!planStr.contains("collect_list"),
+      "routed branch must search the persisted index, not re-train it:\n" +
+        planStr.take(1200))
+    assert(routedDf.queryExecution.sparkPlan.toString.contains("ivf-index"),
+      s"routed branch must read the persisted index under $path")
+    val routed = routedDf
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(routed == bruteFiltered,
       "index branch at all cells must equal the brute branch")
+    // the inline-build opt-in (index-less corpora) still routes
+    // correctly — the documented-expensive path, kept for exploration
+    val inline = VectorOps.topKAdaptiveInlineBuild(emb, col("vec_id") < 10,
+      col("label") === lit(labels(0L)), 5, bruteThreshold = 0L,
+      nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inline == bruteFiltered)
   }
 }

@@ -521,6 +521,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(df).contains("CartesianProduct"))
   }
 
+  test("filtered IVF search: probe side is the broadcast build; cells never shuffle") {
+    // VERDICT r14 item 3: searchCellsWhere's broadcast-the-probe-side
+    // pin was enforced only by explicit broadcast() calls and an
+    // eyeballed explain dump. Freeze it — at corpus scale the one plan
+    // this operator must never take is shuffling the cells on cid
+    // (the whole corpus through an exchange); the probe side (probes ×
+    // nProbe rows, small by contract) must be the build side of a
+    // BroadcastHashJoin into the cell scan.
+    import graft.operators.Ivf
+    val path = Ivf.ensureIndex(spark, sf)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = Ivf.searchCellsWhere(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/cells"),
+      emb.filter(col("vec_id") < 10), 5, 8,
+      col("label") === col("p_label"))
+    val p = plan(df)
+    // the cid join exists, as a broadcast join built from the LEFT
+    // (probe) side — streamed side is the cells scan
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("cid") && l.contains("BuildLeft")), p.take(1500))
+    // nothing ever hash-partitions the corpus by cell id — the one
+    // exchange in the plan is rankPerProbe's per-probe aggregation
+    assert(!p.contains("Exchange hashpartitioning(cid"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("PQ codebook build plans with no corpus-wide window or sort") {
     // the trainCodebooks seed selection is a bounded-heap aggregation
     // (TopByAgg) + broadcast fetch — the former row_number window
