@@ -34,6 +34,7 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT TAG '<table dir>' DROP <name>
   *   GRAFT TAGS '<table dir>'
   *   GRAFT QUARANTINE '<table dir>'
+  *   GRAFT QUARANTINE PRUNE '<table dir>' KEEP <n> BATCHES
   * }}}
   *
   * Anything not starting with the `GRAFT` keyword goes verbatim to the
@@ -108,6 +109,10 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+TAG\\s+$P\\s+DROP\\s+([A-Za-z0-9._-]+)\\s*;?\\s*""".r
   private val Tags =
     s"""(?is)\\s*GRAFT\\s+TAGS\\s+$P\\s*;?\\s*""".r
+  // PRUNE must be tried before the summary form — both start with
+  // "GRAFT QUARANTINE", the summary's path quote disambiguates
+  private val QuarantinePrune =
+    s"""(?is)\\s*GRAFT\\s+QUARANTINE\\s+PRUNE\\s+$P\\s+KEEP\\s+(\\d+)\\s+BATCHES\\s*;?\\s*""".r
   private val Quarantine =
     s"""(?is)\\s*GRAFT\\s+QUARANTINE\\s+$P\\s*;?\\s*""".r
 
@@ -139,6 +144,8 @@ private[plans] object GraftSqlCommands {
     case TagCreate(d, n, b) => Some(TagCreateCommand(unq(d), n, b.toLong))
     case TagDrop(d, n) => Some(TagDropCommand(unq(d), n))
     case Tags(d) => Some(TagsCommand(unq(d)))
+    case QuarantinePrune(d, k) =>
+      Some(QuarantinePruneCommand(unq(d), k.toInt))
     case Quarantine(d) => Some(QuarantineViewCommand(unq(d)))
     case _ => None
   }
@@ -236,6 +243,23 @@ private[plans] object GraftSqlCommands {
         .orderBy("batch_id", "constraint")
         .collect().map(r => Row(r.getLong(0), r.getString(1), r.getLong(2)))
         .toSeq
+    }
+  }
+
+  /** `GRAFT QUARANTINE PRUNE '<dir>' KEEP <n> BATCHES` — dead-letter
+    * retention ([[Ingest.pruneQuarantine]]): retires committed
+    * quarantine dirs beyond the n most recent batches and sweeps
+    * orphaned never-committed dirs; returns the vacuum-style audit
+    * rows.
+    */
+  final case class QuarantinePruneCommand(dir: String, keepBatches: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("kind", StringType), attr("name", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.pruneQuarantine(dir, Some(keepBatches))
+        .map { case (k, n) => Row(k, n) }
     }
   }
 

@@ -112,6 +112,26 @@ final class HadoopTableStore(conf: Configuration = new Configuration())
       else { writeAtomic(dir, name, body); true }
     }
 
+  override def createExclusive(dir: String, name: String,
+                               body: String): Option[Boolean] = {
+    val fs = fsOf(dir)
+    fs.mkdirs(hp(dir))
+    // fs.create(path, overwrite = false) is HDFS's atomic exclusive
+    // create (the NameNode serializes it); on s3a it degrades to a
+    // HEAD-then-PUT race the format's operator-action contract covers
+    try {
+      val out = fs.create(hp(child(dir, name)), false)
+      try out.write(body.getBytes(utf8)) finally out.close()
+      Some(true)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => Some(false)
+      case _: java.nio.file.FileAlreadyExistsException => Some(false)
+      case e: java.io.IOException
+        if Option(e.getMessage).exists(_.contains("already exists")) =>
+        Some(false)
+    }
+  }
+
   override def appendLog(path: String, line: String): Unit = {
     val fs = fsOf(path)
     fs.mkdirs(hp(logDir(path)))

@@ -96,6 +96,20 @@ final class ObjectTableStore extends TableStore {
       else { objects.put(key, (body, System.currentTimeMillis())); true }
     }
 
+  override def createExclusive(dir: String, name: String,
+                               body: String): Option[Boolean] =
+    synchronized {
+      // the S3 `If-None-Match: *` conditional PUT: STRICT presence —
+      // an existing empty object is present (no trimming, unlike the
+      // pointer-only putConditional)
+      val key = child(dir, name)
+      if (objects.containsKey(key)) Some(false)
+      else {
+        objects.put(key, (body, System.currentTimeMillis()))
+        Some(true)
+      }
+    }
+
   override def appendLog(path: String, line: String): Unit = {
     objects.put(logPrefix(path) + f"${seq.incrementAndGet()}%019d",
       (line, System.currentTimeMillis())); ()

@@ -120,6 +120,22 @@ trait TableStore {
   def putConditional(dir: String, name: String,
                      expect: Option[String], body: String): Boolean
 
+  /** OPTIONAL capability: atomically create `dir/name` with `body`
+    * iff NO object exists there — STRICT presence semantics (an
+    * existing empty object counts as present, unlike
+    * [[putConditional]]'s trimmed pointer-only contract). Returns
+    * `Some(true)` created, `Some(false)` already present, or `None`
+    * where the backend has no exclusive-create primitive — callers
+    * MUST then fall back to their documented read-then-append path
+    * (and keep that fallback correct-enough on its own, since `None`
+    * is always a legal answer). Backends: S3 = `If-None-Match: *`
+    * conditional PUT; HDFS/POSIX = create-exclusive
+    * (`CREATE_NEW` / `CreateFlag.CREATE` without overwrite). The one
+    * intended caller is [[Ingest.createTag]]'s per-name mutex.
+    */
+  def createExclusive(dir: String, name: String,
+                      body: String): Option[Boolean] = None
+
   /** Append one entry to an append-only log (see contract above). */
   def appendLog(path: String, line: String): Unit
 
@@ -197,6 +213,22 @@ object LocalTableStore extends TableStore {
       if (have != expect.map(_.trim).filter(_.nonEmpty)) false
       else { writeAtomic(dir, name, body); true }
     }
+
+  override def createExclusive(dir: String, name: String,
+                               body: String): Option[Boolean] = {
+    f(dir).mkdirs()
+    // CREATE_NEW is atomic cross-process on POSIX — a true exclusive
+    // create, stronger than putConditional's in-JVM-monitor CAS
+    try {
+      java.nio.file.Files.write(f(child(dir, name)).toPath,
+        body.getBytes(utf8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      Some(true)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => Some(false)
+    }
+  }
 
   override def appendLog(path: String, line: String): Unit = {
     val out = new java.io.FileWriter(f(path), true)

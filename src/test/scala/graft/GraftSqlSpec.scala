@@ -210,6 +210,29 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"GRAFT QUARANTINE ${q(freshTable())}").count() === 0)
   }
 
+  test("GRAFT QUARANTINE PRUNE retires dead-letter batches beyond retention") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sql-qp")
+      .toString + "/t"
+    (0L to 2L).foreach { i =>
+      Ingest.upsertParquet(t, Seq("k"), nBuckets = 2, keepVersions = 4,
+        constraints = Seq("v_pos" -> "v > 0"), quarantine = true)(
+        Seq((10 * i + 1, 1.0), (10 * i + 2, -2.0)).toDF("k", "v"), i)
+    }
+    val swept = spark.sql(s"GRAFT QUARANTINE PRUNE ${q(t)} KEEP 1 BATCHES")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    assert(swept === Seq(("quarantine", "b_0"), ("quarantine", "b_1")),
+      swept.toString)
+    // the summary and DESCRIBE DETAIL agree with the pruned area
+    assert(spark.sql(s"GRAFT QUARANTINE ${q(t)}").collect().toSeq
+      .map(r => r.getLong(0)) === Seq(2L))
+    val det = spark.sql(s"GRAFT DESCRIBE DETAIL ${q(t)}").head()
+    assert(det.getLong(det.fieldIndex("quarantined_batches")) === 1L)
+    // pruning an already-pruned area is a no-op, not an error
+    assert(spark.sql(s"GRAFT QUARANTINE PRUNE ${q(t)} KEEP 1 BATCHES")
+      .count() === 0L)
+  }
+
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
     val t = freshTable()
     // threshold 0 files is invalid grammar-side? no — API requires >=1;

@@ -630,6 +630,107 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       .select("user_id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("quarantine prune: retention respects the ledger, orphans sweep, replay stays idempotent") {
+    import spark.implicits._
+    val table = tmp() + "/quarantine_prune_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 8,
+        constraints = Seq("value_nonneg" -> "value >= 0"),
+        quarantine = true)(rows.toDF("user_id", "value"), id)
+    // three committed batches, each leaving one dead letter
+    up(0, (1L, 1.0), (2L, -2.0))
+    up(1, (3L, 3.0), (4L, -4.0))
+    up(2, (5L, 5.0), (6L, -6.0))
+    // fabricate a crashed attempt's orphan: a dead-letter dir whose
+    // batch never committed (readQuarantine hides it; before r15
+    // nothing ever deleted it)
+    Seq((9L, -9.0)).toDF("user_id", "value")
+      .write.parquet(s"$table/${Ingest.QuarantineDir}/b_99")
+    assert(Ingest.readQuarantine(spark, table).count() === 3)
+    // keep the 2 most recent committed batches: b_0 retires, the
+    // orphan b_99 sweeps; both come back as audit rows
+    val swept = Ingest.pruneQuarantine(table, Some(2))
+    assert(swept.toSet === Set(
+      "quarantine" -> "b_0", "quarantine_orphan" -> "b_99"), swept.toString)
+    assert(Ingest.readQuarantine(spark, table)
+      .select(Ingest.QuarantineBatchCol).as[Long].collect().toSet ===
+      Set(1L, 2L))
+    // DESCRIBE DETAIL's count stays honest after the prune
+    assert(Ingest.describeDetailUpsertTable(spark, table)
+      .select("quarantined_batches").as[Long].head() === 2L)
+    // replaying the PRUNED committed batch is a no-op: the merge
+    // returns before the quarantine write, so pruned letters never
+    // resurrect (and state is untouched)
+    up(0, (1L, 1.0), (2L, -2.0))
+    assert(Ingest.readQuarantine(spark, table).count() === 2)
+    assert(Ingest.readUpsertTable(spark, table).count() === 3)
+    // replaying an UNCOMMITTED batch after its orphan swept rewrites
+    // its dead letters from scratch and commits
+    up(99, (9L, 9.0), (10L, -10.0))
+    assert(Ingest.readQuarantine(spark, table)
+      .filter(col(Ingest.QuarantineBatchCol) === 99L)
+      .select("user_id").as[Long].collect().toSeq === Seq(10L))
+    // VACUUM drives the same sweep: keep 1 batch -> b_1, b_2 retire
+    val audit = Ingest.vacuumUpsertTable(spark, table, keepVersions = 8,
+      quarantineKeepBatches = Some(1))
+      .filter(col("kind").startsWith("quarantine"))
+      .as[(String, String)].collect().toSet
+    assert(audit === Set("quarantine" -> "b_1", "quarantine" -> "b_2"),
+      audit.toString)
+    assert(Ingest.readQuarantine(spark, table)
+      .select(Ingest.QuarantineBatchCol).as[Long].collect().toSet ===
+      Set(99L))
+    // keep-all (None) sweeps nothing committed
+    assert(Ingest.pruneQuarantine(table, None) === Nil)
+  }
+
+  test("tag create is CAS-strict per name: a same-name race picks exactly one winner") {
+    import spark.implicits._
+    val table = tmp() + "/tag_race_table"
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 4)(Seq((1L, 1.0)).toDF("user_id", "value"), 0L)
+    Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+      keepVersions = 4)(Seq((2L, 2.0)).toDF("user_id", "value"), 1L)
+    // two concurrent creators of the SAME name, pinning DIFFERENT
+    // batches: exactly one may win, the loser must throw the duplicate
+    // error having appended nothing — the r14 read-then-append let
+    // both append with last-entry-wins (a silently moved pin)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      Either[Throwable, Long]]()
+    val threads = Seq(0L, 1L).map { b =>
+      new Thread(() => {
+        start.await()
+        results.add(
+          try Right(Ingest.createTag(table, "release", b))
+          catch { case e: IllegalArgumentException => Left(e) })
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(30000))
+    val rs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      results.iterator()).asScala.toSeq
+    assert(rs.count(_.isRight) === 1, rs.toString)
+    assert(rs.count(_.isLeft) === 1, rs.toString)
+    rs.collect { case Left(e) =>
+      assert(e.getMessage.contains("already exists"), e.getMessage) }
+    // the ledger holds exactly the winner's pin — never both entries
+    val tags = Ingest.listTags(table)
+    assert(tags.map(_._1) === Seq("release"), tags.toString)
+    assert(rs.collectFirst { case Right(b) => b }.contains(tags.head._2))
+    // drop releases the name; re-creating it works (marker freed)
+    Ingest.dropTag(table, "release")
+    assert(Ingest.createTag(table, "release", 1L) === 1L)
+    assert(Ingest.listTags(table) === Seq("release" -> 1L))
+    // a newline-smuggling drop is rejected up front (ADVICE r14): it
+    // would append a multi-line entry whose tail drops a DIFFERENT tag
+    intercept[IllegalArgumentException] {
+      Ingest.dropTag(table, "release\nother")
+    }
+  }
+
   test("change feed records inserts, updates, deletes with pre/post images") {
     import spark.implicits._
     val table = tmp() + "/cdf_table"
