@@ -2115,6 +2115,94 @@ object Changes {
       state.unionByName(letters).orderBy("src", "grp")
     })
 
+  /** QUARANTINE under the STREAMING engine — the 24th streaming oracle
+    * row (VERDICT r14 item 5, promoting the StreamingSpec crash-replay
+    * shape to a hash gate): events land as 4 file micro-batches
+    * (chunked by `event_id % 4`, staged one at a time so batch i IS
+    * chunk i), each batch pre-reduces to its latest row per user and
+    * MERGEs through the dead-letter sink — a `value <= 200` cap with
+    * `quarantine = true`, so each batch's violating reduced rows
+    * divert and its clean remainder commits. The result unions BOTH
+    * sides of the split — the final table state (per user, the
+    * highest batch whose reduced row was clean) and the per-batch
+    * dead-letter ledger — against DuckDB's first-principles
+    * recomputation of the same fold. In-query contracts: all 4
+    * batches committed; every dead letter blames exactly the cap.
+    * Scale: the split rides each micro-batch (cached-batch scan),
+    * never the table — same shape the batch twin
+    * ([[qUpsertQuarantine]]) pins, here proven through the streaming
+    * engine's delivery.
+    */
+  val qStreamQuarantine: QuerySpec = QuerySpec(
+    "q_stream_quarantine",
+    Some("""WITH red AS (
+        SELECT user_id, event_id, value, event_id % 4 AS b,
+          row_number() OVER (PARTITION BY user_id, event_id % 4
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      r1 AS (SELECT user_id, event_id, value, b FROM red WHERE rn = 1),
+      st AS (SELECT user_id, event_id, value, b,
+          row_number() OVER (PARTITION BY user_id ORDER BY b DESC) AS rn2
+        FROM r1 WHERE value <= 200)
+      SELECT 'state' AS src, user_id, event_id, value, b
+      FROM st WHERE rn2 = 1
+      UNION ALL
+      SELECT 'quarantine' AS src, user_id, event_id, value, b
+      FROM r1 WHERE value > 200
+      ORDER BY src, user_id, event_id"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("stream-quarantine")
+      graft.sources.LocalTableStore.deleteTree(base)
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val table = s"$base/table"
+      val raw = spark.read.schema(Tables.eventsRaw)
+        .parquet(s"$dir/events.parquet")
+      def writer(b: DataFrame, id: Long): Unit =
+        Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 8,
+          keepVersions = 2,
+          constraints = Seq("value_cap" -> "value <= 200"),
+          quarantine = true)(
+          b.groupBy("user_id")
+            .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+              struct(col("ts"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_id").as("event_id"), col("m.value").as("value"))
+            .withColumn("b", lit(id)),
+          id)
+      val src = Ingest.readStreamFiles(
+        spark, s"$in/*.parquet", Tables.eventsRaw, basePath = Some(in))
+      EventOps.withStreamSizing(spark) {
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until 4).foreach { i =>
+          val tmp = s"$base/stage_$i"
+          raw.filter(pmod(col("event_id"), lit(4)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head.toPath
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$in/c$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable() // chunk i drains as batch i
+        } finally q.stop()
+      }
+      require(Ingest.committedBatchIds(table) == Set(0L, 1L, 2L, 3L),
+        s"committed: ${Ingest.committedBatchIds(table)}")
+      val dead = Ingest.readQuarantine(spark, table)
+      require(dead.filter(col(Ingest.QuarantineReasonCol) =!=
+        array(lit("value_cap"))).count() == 0,
+        "every dead letter must blame exactly the value cap")
+      val state = Ingest.readUpsertTable(spark, table)
+        .select(lit("state").as("src"), col("user_id"), col("event_id"),
+          col("value"), col("b"))
+      val letters = dead
+        .select(lit("quarantine").as("src"), col("user_id"),
+          col("event_id"), col("value"), col("b"))
+      state.unionByName(letters).orderBy("src", "user_id", "event_id")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
@@ -2123,5 +2211,5 @@ object Changes {
       qCdfStarMv, qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
-      qUpsertTag, qUpsertQuarantine)
+      qUpsertTag, qUpsertQuarantine, qStreamQuarantine)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QuerySpec
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 import org.apache.spark.util.sketch.CountMinSketch
@@ -779,6 +779,54 @@ object Sketches {
   def thetaMerge(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)
 
+  // ---- theta sketches as a PERSISTED, SQL-visible surface (VERDICT
+  // r14 item 6): a sketch is an ordinary `array<long>` column, so it
+  // writes to parquet like any other value and the whole set algebra —
+  // group-wise merge, cardinality estimate, pairwise intersection —
+  // composes in ONE engine-side step over persisted sketch tables (the
+  // `hll_union` discipline), without collecting a sample to the
+  // driver. All k-sized array work: at 100 TB the raw keys hash once
+  // at sketch-build time and never move again.
+
+  /** θ of a sketch column: M when the sample holds its whole
+    * population (fewer than k hashes), else the k-th smallest (the
+    * array max). Double — every hash < 2^50 is exactly representable.
+    */
+  private def thetaOfCol(ks: Column, k: Int): Column =
+    when(size(ks) < k, lit(ThetaM.toDouble))
+      .otherwise(array_max(ks).cast("double"))
+
+  /** [[thetaEstimate]] as a column over a persisted sketch. */
+  def thetaEstimateCol(ks: Column, k: Int): Column =
+    when(size(ks) < k, size(ks).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(ThetaM.toDouble) /
+        array_max(ks).cast("double"))
+
+  /** GROUP-wise sketch merge as an aggregate expression: the distinct
+    * k-smallest of the member sketches' union — [[thetaMerge]] folded
+    * engine-side over a whole group in one hash aggregation. Each
+    * member is ≤ k longs, so a group of m sketches costs m·k values
+    * through the agg — sketch-sized algebra, never population-sized.
+    */
+  def thetaMergeAgg(ks: Column, k: Int): Column =
+    slice(array_sort(array_distinct(flatten(collect_list(ks)))), 1, k)
+
+  /** [[thetaOverlap]]'s intersection estimate as a column over two
+    * persisted sketches: exact set intersection when both samples hold
+    * their full populations, else the theta estimator
+    * `|{h ∈ A∩B : h < θ*}| · M / θ*` with `θ* = min(θ_A, θ_B)` —
+    * the same branch structure as the driver-side algebra, so the two
+    * paths agree element-for-element (PropertySpec pins it).
+    */
+  def thetaIntersectCol(a: Column, b: Column, k: Int): Column = {
+    val theta = least(thetaOfCol(a, k), thetaOfCol(b, k))
+    val matching = size(org.apache.spark.sql.functions.filter(
+      array_intersect(a, b), h => h.cast("double") < theta))
+    when(size(a) < k && size(b) < k,
+      size(array_intersect(a, b)).cast("double"))
+      .otherwise(matching.cast("double") * lit(ThetaM.toDouble) / theta)
+  }
+
   /** The 1000-executor merge path made literal for the theta family
     * (the qHeavyHittersMerged / qHllMerged discipline): 8 disjoint
     * chunk sketches of URGENT-order customers fold into one, and the
@@ -816,9 +864,86 @@ object Sketches {
           StructField("estimate_within_bound", BooleanType))))
     })
 
+  /** Segment overlap from PERSISTED sketches, composed entirely
+    * engine-side (VERDICT r14 item 6 — the r14 theta rows ran their
+    * algebra in-driver on collected samples): per-(population × chunk)
+    * KMV sketches are written to a parquet sketch TABLE, read back,
+    * merged per population with ONE aggregate expression
+    * ([[thetaMergeAgg]]), and every pairwise overlap estimate is a
+    * column ([[thetaIntersectCol]]) over the joined 3-row merged
+    * frame — no sample ever reaches the driver. The oracle recomputes
+    * the exact per-population and pairwise-intersection distinct
+    * counts from first principles; the booleans carry the 5/√k
+    * contract (intersection error relative to the pair's UNION — the
+    * theta bound). Scale: raw keys hash exactly once at sketch-build;
+    * everything after is k-sized array algebra over a sketch table
+    * that persists/merges like HLL.
+    */
+  val qThetaGroups: QuerySpec = QuerySpec(
+    "q_theta_groups",
+    Some("""WITH p AS (SELECT DISTINCT o_orderpriority AS pop, o_custkey AS c
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM'))
+      SELECT pop AS name, count(*) AS exact, true AS within_bound
+      FROM p GROUP BY pop
+      UNION ALL
+      SELECT a.pop || ' & ' || b.pop AS name, count(*) AS exact,
+        true AS within_bound
+      FROM p a JOIN p b ON a.c = b.c AND a.pop < b.pop
+      GROUP BY a.pop, b.pop
+      ORDER BY name"""),
+    (spark, dir) => {
+      val k = 2048
+      val pops = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+      val orders = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority").isin(pops: _*))
+      // per-(population × 8-chunk) sketches, PERSISTED — the sketch
+      // table a segment pipeline maintains ahead of overlap queries
+      val skPath = graft.Scratch.dir("theta-sketches") + "/sk"
+      thetaSketch(
+        orders.withColumn("g", concat_ws("#", col("o_orderpriority"),
+          pmod(col("o_orderkey"), lit(8)))),
+        "g", "o_custkey", k)
+        .write.mode("overwrite").parquet(skPath)
+      // everything below runs over the persisted sketches
+      val merged = spark.read.parquet(skPath)
+        .withColumn("pop", substring_index(col("g"), "#", 1))
+        .groupBy("pop")
+        .agg(thetaMergeAgg(col("ks"), k).as("sk"))
+      val exact = orders
+        .select(col("o_orderpriority").as("pop"), col("o_custkey").as("c"))
+        .distinct()
+      val exactPop = exact.groupBy("pop").agg(count(lit(1)).as("exact"))
+      val exactPair = exact.as("a").join(exact.as("b"),
+          col("a.c") === col("b.c") && col("a.pop") < col("b.pop"))
+        .groupBy(col("a.pop").as("pa"), col("b.pop").as("pb"))
+        .agg(count(lit(1)).as("exact_i"))
+      val tol = 5.0 / math.sqrt(k)
+      val popRows = merged.join(exactPop, "pop")
+        .select(col("pop").as("name"), col("exact"),
+          (abs(thetaEstimateCol(col("sk"), k) - col("exact")) <=
+            lit(tol) * col("exact")).as("within_bound"))
+      val pairRows = merged.as("a")
+        .join(merged.as("b"), col("a.pop") < col("b.pop"))
+        .join(exactPair,
+          col("a.pop") === col("pa") && col("b.pop") === col("pb"))
+        .join(exactPop.select(col("pop").as("pop_a"),
+          col("exact").as("ex_a")), col("a.pop") === col("pop_a"))
+        .join(exactPop.select(col("pop").as("pop_b"),
+          col("exact").as("ex_b")), col("b.pop") === col("pop_b"))
+        .select(concat(col("a.pop"), lit(" & "), col("b.pop")).as("name"),
+          col("exact_i").as("exact"),
+          // theta bound: intersection error is relative to |A ∪ B|
+          (abs(thetaIntersectCol(col("a.sk"), col("b.sk"), k) -
+            col("exact_i")) <=
+            lit(tol) * (col("ex_a") + col("ex_b") - col("exact_i")))
+            .as("within_bound"))
+      popRows.unionByName(pairRows).orderBy("name")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged,
       qQuantileSketch, qQuantileSketchMerged, qStreamQuantile, qHllMerged,
       qQuantileByGroup, qStreamQuantileByGroup, qThetaOverlap,
-      qThetaMerged)
+      qThetaMerged, qThetaGroups)
 }

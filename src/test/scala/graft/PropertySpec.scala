@@ -133,6 +133,61 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunks.reduce(Sketches.thetaMerge(_, _, k)) == direct)
   }
 
+  test("theta column algebra over persisted sketches equals the driver-side algebra") {
+    // the SQL-visible surface (thetaMergeAgg / thetaEstimateCol /
+    // thetaIntersectCol) must agree with the driver-side fold it
+    // mirrors ELEMENT FOR ELEMENT in the merge and exactly in the
+    // estimates — same k=256 estimator-active regime as above, two
+    // overlapping populations (even keys; keys divisible by 3)
+    import graft.operators.Sketches
+    val k = 256
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey")
+    val popA = li.filter(col("l_orderkey") % 2 === 0)
+      .withColumn("pop", lit("even"))
+    val popB = li.filter(col("l_orderkey") % 3 === 0)
+      .withColumn("pop", lit("by3"))
+    // chunked sketches round-trip through parquet (the PERSISTED path)
+    val skPath = graft.Scratch.dir("theta-prop") + "/sk"
+    Sketches.thetaSketch(
+      popA.unionByName(popB).withColumn("g",
+        concat_ws("#", col("pop"), pmod(col("l_orderkey"), lit(4)))),
+      "g", "l_orderkey", k)
+      .write.mode("overwrite").parquet(skPath)
+    val merged = spark.read.parquet(skPath)
+      .withColumn("pop", substring_index(col("g"), "#", 1))
+      .groupBy("pop")
+      .agg(Sketches.thetaMergeAgg(col("ks"), k).as("sk"),
+        Sketches.thetaEstimateCol(
+          Sketches.thetaMergeAgg(col("ks"), k), k).as("est"))
+    val bySk = merged.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getDouble(2))).toMap
+    // engine merge == driver direct build, element for element
+    def direct(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sketches.thetaSketch(df, "pop", "l_orderkey", k)
+        .collect().head.getSeq[Long](1)
+    assert(bySk("even")._1 == direct(popA))
+    assert(bySk("by3")._1 == direct(popB))
+    // engine estimate == driver estimate on the same sample
+    assert(bySk("even")._2 === Sketches.thetaEstimate(bySk("even")._1, k))
+    assert(bySk("by3")._2 === Sketches.thetaEstimate(bySk("by3")._1, k))
+    // engine intersection column == driver thetaOverlap intersection
+    val engI = merged.as("a").join(merged.as("b"),
+        col("a.pop") === lit("even") && col("b.pop") === lit("by3"))
+      .select(Sketches.thetaIntersectCol(col("a.sk"), col("b.sk"), k))
+      .head().getDouble(0)
+    val (_, _, _, drvI) =
+      Sketches.thetaOverlap(bySk("even")._1, bySk("by3")._1, k)
+    assert(engI === drvI)
+    // and the estimate is actually good: exact |A∩B| = keys % 6 == 0
+    val exactI = li.filter(col("l_orderkey") % 6 === 0)
+      .distinct().count()
+    val exactU = li.filter(
+      col("l_orderkey") % 2 === 0 || col("l_orderkey") % 3 === 0)
+      .distinct().count()
+    assert(math.abs(engI - exactI) <= 5.0 / math.sqrt(k) * exactU,
+      s"engine intersection $engI vs exact $exactI (union $exactU)")
+  }
+
   test("filter commutes with projection") {
     for (threshold <- samples(Gen.choose(1000.0, 400000.0), 5)) {
       val a = orders.filter(col("o_totalprice") > threshold)
