@@ -136,6 +136,31 @@ object ScaleProbe {
         "setup:quarantine_table_build (2 split merges)" ->
           time { graft.operators.Changes.quarantineTableFor(spark, dir); () })
 
+    // r15: the search operators' scale story, measured with the index
+    // sized the way a deployment sizes it — CELL COUNT ∝ CORPUS (cells
+    // stay a constant few GB each), so a filtered search probing a
+    // fixed nProbe reads constant data whatever the corpus, and the
+    // ANN-retrieve + MMR-rerank composition is shortlist-bound: both
+    // rows must come out ~flat at factor× corpus (SCALE.md r15)
+    def searchRows(dir: String, cellScale: Int): Seq[(String, Double)] =
+      if (bandSel != "ann") Nil
+      else {
+        import graft.operators.{Ivf, VectorOps}
+        val path = Ivf.ensureIndex(spark, dir, numCells = 16 * cellScale)
+        val centroids = spark.read.parquet(s"$path/centroids")
+        val cells = spark.read.parquet(s"$path/cells")
+        val probes = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < 10)
+        Seq(
+          "q_cosine_topk_filtered_ivf (nProbe=8, cells ∝ corpus)" ->
+            time { Ivf.searchCellsWhere(centroids, cells, probes, 5, 8,
+              col("label") === col("p_label")).count(); () },
+          "ann_shortlist+mmr_rerank (nProbe=8, shortlist=50)" ->
+            time { VectorOps.mmrRerank(
+              Ivf.searchShortlist(centroids, cells, probes, 50, 8),
+              5, 0.5).count(); () })
+      }
+
     println(s"| query | base s ($srcDir) | x$factor s | ratio |")
     println("| --- | --- | --- | --- |")
     locally {
@@ -147,6 +172,15 @@ object ScaleProbe {
         case ((l, sb), (_, sbig)) =>
           println(f"| $l | $sb%.2f | $sbig%.2f | ${sbig / sb}%.1fx |")
       }
+      // two timed reps, min taken — same stall defense as the band rows
+      val sBase = (1 to 2).map(_ => searchRows(srcDir, 1))
+      val sBig = (1 to 2).map(_ => searchRows(scaled, factor))
+      if (sBase.head.nonEmpty)
+        sBase.head.indices.foreach { i =>
+          val l = sBase.head(i)._1
+          val b = sBase.map(_(i)._2).min; val g = sBig.map(_(i)._2).min
+          println(f"| $l | $b%.2f | $g%.2f | ${g / b}%.1fx |")
+        }
     }
     band.filter(n => only.forall(_.contains(n))).foreach { name =>
       try {
