@@ -30,6 +30,17 @@ object Matviews {
   private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
   private val revenue: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  /** Revenue in EXACT fixed-point (1e-4 units — price and discount
+    * each carry two decimals, so the product has at most four): the
+    * MV's partial-merge, the rule-off single fold, and DuckDB's direct
+    * fold then sum the same LONGS, which is order-independent. The
+    * plain double `revenue` sum is not: at sf0.01 the rolled-up
+    * partials and the oracle's fold landed an ulp apart across a cent
+    * boundary (…334.385) and the exact-hash gate flipped — the same
+    * boundary fragility the `cents` discipline kills everywhere else
+    * in the repo.
+    */
+  private val revenueFp: Column = round(revenue * 10000, 0).cast("long")
   private val cutoff = "1997-06-30 00:00:00"
 
   /** The summary MV both rows derive from: per-(returnflag, linestatus)
@@ -44,7 +55,7 @@ object Matviews {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("qty_sum"),
-        sum(revenue).as("rev_sum"),
+        sum(revenueFp).as("rev_sum"),
         count(lit(1)).as("n_rows"),
         sum("l_discount").as("disc_sum"),
         count(col("l_discount")).as("disc_n"),
@@ -91,7 +102,7 @@ object Matviews {
     "q_mv_rewrite",
     Some(s"""SELECT l_returnflag,
       round(sum(l_quantity),2) AS sum_qty,
-      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_rev,
+      round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000, 2) AS sum_rev,
       round(avg(l_discount),4) AS avg_disc,
       count(*) AS n
       FROM lineitem
@@ -104,7 +115,7 @@ object Matviews {
         .groupBy("l_returnflag")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum(revenue), 2).as("sum_rev"),
+          round(sum(revenueFp).cast("double") / 10000, 2).as("sum_rev"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
@@ -174,7 +185,7 @@ object Matviews {
       .groupBy("o_orderpriority", "l_returnflag")
       .agg(
         sum("l_quantity").as("qty_sum"),
-        sum(revenue).as("rev_sum"),
+        sum(revenueFp).as("rev_sum"),
         count(lit(1)).as("n_rows"))
 
   private val registeredStar =
@@ -204,7 +215,7 @@ object Matviews {
     "q_mv_rewrite_join",
     Some("""SELECT o_orderpriority,
       round(sum(l_quantity),2) AS sum_qty,
-      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_rev,
+      round(CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000, 2) AS sum_rev,
       count(*) AS n
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
@@ -216,7 +227,7 @@ object Matviews {
         .groupBy("o_orderpriority")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum(revenue), 2).as("sum_rev"),
+          round(sum(revenueFp).cast("double") / 10000, 2).as("sum_rev"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
       val q = rollup

@@ -941,9 +941,80 @@ object Sketches {
       popRows.unionByName(pairRows).orderBy("name")
     })
 
+  /** FEED-MAINTAINED sketch table — the incremental-MV discipline
+    * ([[graft.operators.Changes]]) applied to theta sketches: orders
+    * land as 4 committed batches on a change-feed-bearing keyed table,
+    * and a consumer folds each feed slice's INSERT rows into a
+    * persisted per-population sketch table ([[thetaMergeAgg]] over
+    * the prior persisted state ∪ the batch sketch) — the consumer
+    * never reads the base table after batch 0. Because "k smallest
+    * distinct hashes" is an associative/commutative fold, the
+    * incrementally-maintained sketch must equal the direct
+    * whole-history build ELEMENT FOR ELEMENT — a deterministic law,
+    * checked as an in-query boolean; the oracle pins the exact
+    * per-population distinct counts and the 5/√k estimate bound.
+    * Deletion caveat (same as HLL): a KMV sample is insert-mergeable
+    * only — a tombstoned key cannot leave the sketch; a table with
+    * deletes rebuilds its sketches at the OPTIMIZE cadence, exactly
+    * like the ANN index's quantizer retrain. Scale: each fold costs
+    * O(batch hashes) + groups × k — the feed slice, never the table.
+    */
+  val qThetaIncremental: QuerySpec = QuerySpec(
+    "q_theta_incremental",
+    Some("""SELECT o_orderpriority AS pop,
+        count(DISTINCT o_custkey) AS exact,
+        true AS folded_equals_direct, true AS within_bound
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1 ORDER BY 1"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val k = 2048
+      val pops = Seq("1-URGENT", "2-HIGH")
+      val orders = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority").isin(pops: _*))
+        .select(col("o_orderkey"), col("o_orderpriority").as("pop"),
+          col("o_custkey"))
+      val base = graft.Scratch.dir("theta-incr")
+      val table = s"$base/table"
+      EventOps.withStreamSizing(spark) {
+        (0L to 3L).foreach { b =>
+          Ingest.upsertParquet(table, Seq("o_orderkey"), nBuckets = 8,
+            keepVersions = 8, changeFeed = true)(
+            orders.filter(pmod(col("o_orderkey"), lit(4)) === b), b)
+        }
+      }
+      // fold each feed slice into the PERSISTED sketch table
+      var cur: Option[String] = None
+      (0L to 3L).foreach { b =>
+        val slice = Ingest.readTableChanges(spark, table, b, b)
+          .filter(col("_change_type") === "insert")
+        val batchSk = thetaSketch(slice, "pop", "o_custkey", k)
+        val merged = cur.fold(batchSk) { p =>
+          spark.read.parquet(p).unionByName(batchSk)
+            .groupBy("g").agg(thetaMergeAgg(col("ks"), k).as("ks"))
+        }
+        val next = s"$base/sk_v$b"
+        merged.write.mode("overwrite").parquet(next)
+        cur = Some(next)
+      }
+      val folded = spark.read.parquet(cur.get)
+      val direct = thetaSketch(orders, "pop", "o_custkey", k)
+        .withColumnRenamed("ks", "dks")
+      val exact = orders.groupBy("pop")
+        .agg(countDistinct(col("o_custkey")).as("exact"))
+        .withColumnRenamed("pop", "g")
+      val tol = 5.0 / math.sqrt(k)
+      folded.join(direct, Seq("g")).join(exact, Seq("g"))
+        .select(col("g").as("pop"), col("exact"),
+          (col("ks") === col("dks")).as("folded_equals_direct"),
+          (abs(thetaEstimateCol(col("ks"), k) - col("exact")) <=
+            lit(tol) * col("exact")).as("within_bound"))
+        .orderBy("pop")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qHeavyHitters, qBloomPrune, qProfile, qHeavyHittersMerged,
       qQuantileSketch, qQuantileSketchMerged, qStreamQuantile, qHllMerged,
       qQuantileByGroup, qStreamQuantileByGroup, qThetaOverlap,
-      qThetaMerged, qThetaGroups)
+      qThetaMerged, qThetaGroups, qThetaIncremental)
 }

@@ -30,6 +30,7 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
   *   GRAFT VACUUM '<table dir>' KEEP <k> VERSIONS [GRACE <ms> MS]
+  *                [QUARANTINE KEEP <n> BATCHES]
   *   GRAFT TAG '<table dir>' CREATE <name> AT BATCH <n>
   *   GRAFT TAG '<table dir>' DROP <name>
   *   GRAFT TAGS '<table dir>'
@@ -102,7 +103,9 @@ private[plans] object GraftSqlCommands {
   private val Rebucket =
     s"""(?is)\\s*GRAFT\\s+REBUCKET\\s+$P\\s+TO\\s+(\\d+)\\s+BUCKETS\\s*;?\\s*""".r
   private val Vacuum =
-    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$P\\s+KEEP\\s+(\\d+)\\s+VERSIONS(?:\\s+GRACE\\s+(\\d+)\\s+MS)?\\s*;?\\s*""".r
+    (s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$P\\s+KEEP\\s+(\\d+)\\s+VERSIONS""" +
+      s"""(?:\\s+GRACE\\s+(\\d+)\\s+MS)?""" +
+      s"""(?:\\s+QUARANTINE\\s+KEEP\\s+(\\d+)\\s+BATCHES)?\\s*;?\\s*""").r
   private val TagCreate =
     s"""(?is)\\s*GRAFT\\s+TAG\\s+$P\\s+CREATE\\s+([A-Za-z0-9._-]+)\\s+AT\\s+BATCH\\s+(\\d+)\\s*;?\\s*""".r
   private val TagDrop =
@@ -139,8 +142,9 @@ private[plans] object GraftSqlCommands {
     case Compact(d, n) => Some(CompactCommand(unq(d),
       Option(n).map(_.toInt).getOrElse(4)))
     case Rebucket(d, n) => Some(RebucketCommand(unq(d), n.toInt))
-    case Vacuum(d, k, g) => Some(VacuumCommand(unq(d), k.toInt,
-      Option(g).map(_.toLong).getOrElse(0L)))
+    case Vacuum(d, k, g, qk) => Some(VacuumCommand(unq(d), k.toInt,
+      Option(g).map(_.toLong).getOrElse(0L),
+      Option(qk).map(_.toInt)))
     case TagCreate(d, n, b) => Some(TagCreateCommand(unq(d), n, b.toLong))
     case TagDrop(d, n) => Some(TagDropCommand(unq(d), n))
     case Tags(d) => Some(TagsCommand(unq(d)))
@@ -432,15 +436,20 @@ private[plans] object GraftSqlCommands {
     }
   }
 
-  /** `GRAFT VACUUM` — returns the audit rows the API returns. */
-  final case class VacuumCommand(dir: String, keep: Int, graceMs: Long)
+  /** `GRAFT VACUUM … [QUARANTINE KEEP <n> BATCHES]` — returns the
+    * audit rows the API returns (version/feed/quarantine/scratch
+    * sweeps in one pass).
+    */
+  final case class VacuumCommand(dir: String, keep: Int, graceMs: Long,
+                                 quarantineKeep: Option[Int] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       attr("kind", StringType), attr("name", StringType))
     override def run(spark: SparkSession): Seq[Row] = {
       implicit val store: TableStore = TableStore.local
       Ingest.vacuumUpsertTable(spark, dir, keepVersions = keep,
-        graceMs = graceMs).collect().toSeq
+        graceMs = graceMs, quarantineKeepBatches = quarantineKeep)
+        .collect().toSeq
     }
   }
 }

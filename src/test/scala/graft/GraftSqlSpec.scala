@@ -231,6 +231,17 @@ class GraftSqlSpec extends AnyFunSuite {
     // pruning an already-pruned area is a no-op, not an error
     assert(spark.sql(s"GRAFT QUARANTINE PRUNE ${q(t)} KEEP 1 BATCHES")
       .count() === 0L)
+    // the same retention rides VACUUM's QUARANTINE KEEP clause
+    Ingest.upsertParquet(t, Seq("k"), nBuckets = 2, keepVersions = 4,
+      constraints = Seq("v_pos" -> "v > 0"), quarantine = true)(
+      Seq((31L, 1.0), (32L, -2.0)).toDF("k", "v"), 3L)
+    val vac = spark.sql(
+      s"GRAFT VACUUM ${q(t)} KEEP 4 VERSIONS QUARANTINE KEEP 1 BATCHES")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(vac.contains(("quarantine", "b_2")), vac.toString)
+    assert(Ingest.readQuarantine(spark, t)
+      .select(Ingest.QuarantineBatchCol).distinct().as[Long]
+      .collect().toSeq === Seq(3L))
   }
 
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
