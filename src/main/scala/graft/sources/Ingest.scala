@@ -1472,7 +1472,14 @@ object Ingest {
       if (!n.startsWith("b_")) None
       else scala.util.Try(n.stripPrefix("b_").toLong).toOption.map(_ -> n)
     }
-    val (com, orph) = entries.partition { case (b, _) => committed.contains(b) }
+    // a dir still carrying the _sweeping marker is a crashed prune's
+    // half-delete: debris whatever its batch or retention position —
+    // finish it (idempotently) and keep it OUT of the retention count,
+    // or a marked dir would occupy a keep slot while serving nothing
+    val (half, whole) = entries.partition { case (_, n) =>
+      store.exists(store.child(store.child(qRoot, n), "_sweeping"))
+    }
+    val (com, orph) = whole.partition { case (b, _) => committed.contains(b) }
     val orphans = orph.filter { case (_, n) =>
       inflightGraceMs <= 0L ||
         now - newestMtime(store.child(qRoot, n)) >= inflightGraceMs
@@ -1480,7 +1487,9 @@ object Ingest {
     val retired = keepBatches.fold(Seq.empty[(Long, String)]) { k =>
       com.sortBy(-_._1).drop(k)
     }
-    (orphans.map(("quarantine_orphan", _)) ++ retired.map(("quarantine", _)))
+    (half.map(("quarantine_halfswept", _)) ++
+      orphans.map(("quarantine_orphan", _)) ++
+      retired.map(("quarantine", _)))
       .sortBy(_._2._1) // oldest first — the sweep's suffix invariant
       .map { case (kind, (_, n)) =>
         sweepDir(store.child(qRoot, n)); (kind, n)

@@ -685,6 +685,36 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     assert(Ingest.pruneQuarantine(table, None) === Nil)
   }
 
+  test("a crashed quarantine prune leaves a refusable half-dir the next prune finishes") {
+    import spark.implicits._
+    val table = tmp() + "/quarantine_halfswept_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 8,
+        constraints = Seq("value_nonneg" -> "value >= 0"),
+        quarantine = true)(rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0), (2L, -2.0))
+    up(1, (3L, 3.0), (4L, -4.0))
+    // simulate the crash window inside sweepDir: the marker landed,
+    // the tree delete did not
+    val b0 = store.child(store.child(table, Ingest.QuarantineDir), "b_0")
+    store.writeAtomic(b0, "_sweeping", "")
+    // a half-swept dir must never serve a silently partial dead-letter
+    // set, and must not occupy a retention slot
+    assert(Ingest.readQuarantine(spark, table)
+      .select(Ingest.QuarantineBatchCol).as[Long].collect().toSeq ===
+      Seq(1L))
+    assert(Ingest.describeDetailUpsertTable(spark, table)
+      .select("quarantined_batches").as[Long].head() === 1L)
+    // the next prune finishes the half-delete EVEN inside retention
+    val swept = Ingest.pruneQuarantine(table, Some(8))
+    assert(swept === Seq("quarantine_halfswept" -> "b_0"), swept.toString)
+    assert(!store.exists(b0), "half-swept dir must be gone after prune")
+    assert(Ingest.readQuarantine(spark, table)
+      .select(Ingest.QuarantineBatchCol).as[Long].collect().toSeq ===
+      Seq(1L))
+  }
+
   test("tag create is CAS-strict per name: a same-name race picks exactly one winner") {
     import spark.implicits._
     val table = tmp() + "/tag_race_table"
