@@ -2115,6 +2115,57 @@ object Changes {
       state.unionByName(letters).orderBy("src", "grp")
     })
 
+  /** REQUEUE as a query surface — the dead-letter lifecycle's third
+    * verb ([[graft.sources.Ingest.requeueQuarantine]]): two order
+    * batches divert their price-cap violators, an operator FIXES the
+    * letters (price clamped under the cap) and requeues them as one
+    * committed batch through the same pinned constraint screen. The
+    * final state must hold EVERY order — originals where they passed,
+    * the clamped value where they were healed — which is exactly
+    * DuckDB's CASE recomputation; in-query contracts pin the audit
+    * counts (healed = all letters, nothing re-diverted) and the
+    * emptied dead-letter area. Scale: the requeue batch is
+    * letters-sized, the merge is bucket-scoped like any other batch,
+    * and the consumed dirs sweep as control-plane deletes.
+    */
+  val qUpsertRequeue: QuerySpec = QuerySpec(
+    "q_upsert_requeue",
+    Some("""SELECT o_orderkey, o_orderpriority,
+        CASE WHEN o_totalprice < 100000 THEN o_totalprice
+             ELSE 99999.99 END AS price
+      FROM orders ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-requeue")
+      val t = s"$base/table"
+      val log = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      EventOps.withStreamSizing(spark) {
+        (0L to 1L).foreach { i =>
+          Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
+            keepVersions = 4,
+            constraints = Seq("price_cap" -> "o_totalprice < 100000"),
+            quarantine = true)(
+            log.filter(col("o_orderkey") % 2 === i), i)
+        }
+        val expected = Ingest.readQuarantine(spark, t).count()
+        val (healed, rediverted) = Ingest.requeueQuarantine(spark, t, 2L,
+          fix = _.withColumn("o_totalprice",
+            when(col("o_totalprice") < 100000, col("o_totalprice"))
+              .otherwise(lit(99999.99))))
+        require(healed == expected && rediverted == 0L,
+          s"requeue audit: healed=$healed of $expected, " +
+            s"rediverted=$rediverted")
+        require(Ingest.readQuarantine(spark, t).count() == 0,
+          "dead-letter area must be empty after a full heal")
+      }
+      Ingest.readUpsertTable(spark, t)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").as("price"))
+        .orderBy("o_orderkey")
+    })
+
   /** QUARANTINE under the STREAMING engine — the 24th streaming oracle
     * row (VERDICT r14 item 5, promoting the StreamingSpec crash-replay
     * shape to a hash gate): events land as 4 file micro-batches
@@ -2211,5 +2262,5 @@ object Changes {
       qCdfStarMv, qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
-      qUpsertTag, qUpsertQuarantine, qStreamQuarantine)
+      qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue)
 }

@@ -36,6 +36,7 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT TAGS '<table dir>'
   *   GRAFT QUARANTINE '<table dir>'
   *   GRAFT QUARANTINE PRUNE '<table dir>' KEEP <n> BATCHES
+  *   GRAFT QUARANTINE REQUEUE '<table dir>' AS BATCH <n>
   * }}}
   *
   * Anything not starting with the `GRAFT` keyword goes verbatim to the
@@ -112,10 +113,12 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+TAG\\s+$P\\s+DROP\\s+([A-Za-z0-9._-]+)\\s*;?\\s*""".r
   private val Tags =
     s"""(?is)\\s*GRAFT\\s+TAGS\\s+$P\\s*;?\\s*""".r
-  // PRUNE must be tried before the summary form — both start with
-  // "GRAFT QUARANTINE", the summary's path quote disambiguates
+  // PRUNE/REQUEUE must be tried before the summary form — all start
+  // with "GRAFT QUARANTINE", the summary's path quote disambiguates
   private val QuarantinePrune =
     s"""(?is)\\s*GRAFT\\s+QUARANTINE\\s+PRUNE\\s+$P\\s+KEEP\\s+(\\d+)\\s+BATCHES\\s*;?\\s*""".r
+  private val QuarantineRequeue =
+    s"""(?is)\\s*GRAFT\\s+QUARANTINE\\s+REQUEUE\\s+$P\\s+AS\\s+BATCH\\s+(\\d+)\\s*;?\\s*""".r
   private val Quarantine =
     s"""(?is)\\s*GRAFT\\s+QUARANTINE\\s+$P\\s*;?\\s*""".r
 
@@ -150,6 +153,8 @@ private[plans] object GraftSqlCommands {
     case Tags(d) => Some(TagsCommand(unq(d)))
     case QuarantinePrune(d, k) =>
       Some(QuarantinePruneCommand(unq(d), k.toInt))
+    case QuarantineRequeue(d, b) =>
+      Some(QuarantineRequeueCommand(unq(d), b.toLong))
     case Quarantine(d) => Some(QuarantineViewCommand(unq(d)))
     case _ => None
   }
@@ -264,6 +269,24 @@ private[plans] object GraftSqlCommands {
       implicit val store: TableStore = TableStore.local
       Ingest.pruneQuarantine(dir, Some(keepBatches))
         .map { case (k, n) => Row(k, n) }
+    }
+  }
+
+  /** `GRAFT QUARANTINE REQUEUE '<dir>' AS BATCH <n>` — re-ingest the
+    * dead letters verbatim as one committed batch through the pinned
+    * constraint screen ([[Ingest.requeueQuarantine]]); rows still
+    * violating re-divert into `b_<n>`. SQL requeues AS-IS — a data fix
+    * needs the API's `fix` transform (or a GRAFT UPDATE after the
+    * requeue).
+    */
+  final case class QuarantineRequeueCommand(dir: String, asBatch: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("healed", LongType), attr("rediverted", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      val (h, r) = Ingest.requeueQuarantine(spark, dir, asBatch)
+      Seq(Row(h, r))
     }
   }
 

@@ -1435,6 +1435,90 @@ object Ingest {
     }
   }
 
+  /** REQUEUE the dead-letter area: re-ingest every committed dead
+    * letter as ONE new committed batch — the third of the quarantine
+    * lifecycle's verbs (divert → inspect → prune | requeue), for the
+    * case where the CONSTRAINT was right and the data was fixable:
+    * apply `fix` to the letters, merge them through the ordinary sink
+    * with the table's pinned constraints STILL screening
+    * (quarantine=true — a letter `fix` failed to heal re-diverts into
+    * `_quarantine/b_<asBatch>` rather than poisoning the table), then
+    * sweep the consumed dirs. Letters are pre-reduced per key by
+    * highest source batch (latest wins — the same recency rule the
+    * merge applies across batches); the stamp columns never enter the
+    * table.
+    *
+    * Idempotent under the crash windows: `asBatch` already committed →
+    * the merge is skipped (exactly-once) and the sweep re-runs
+    * (deletes are idempotent); a crash between merge and sweep leaves
+    * consumed dirs visible until the re-run finishes them. Input and
+    * sweep are scoped to committed dead-letter dirs strictly BELOW
+    * `asBatch`: the requeue's own re-diverted output (`b_<asBatch>`)
+    * and letters from any LATER batch — which were never this
+    * requeue's input — are untouched, so a replay with an old id can
+    * never consume work it didn't do. Returns (healed, rediverted)
+    * row counts for this invocation's consumption.
+    */
+  def requeueQuarantine(spark: SparkSession, tableDir: String, asBatch: Long,
+                        fix: DataFrame => DataFrame = identity,
+                        keepVersions: Int = 2)
+                       (implicit store: TableStore): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val meta = tableMeta(tableDir)
+    val keys = meta("keys").split(",").toSeq
+    val nBuckets = meta("buckets").toInt
+    val qRoot = store.child(tableDir, QuarantineDir)
+    // what this invocation consumes: every committed dead-letter dir
+    // BELOW asBatch — strictly below, never `!=`: a replay with an old
+    // committed id must not consume (or sweep) letters from batches
+    // newer than the requeue, which were never its input. Counted
+    // BEFORE the merge/sweep so the audit also survives the
+    // crash-replay window (merge committed, dirs not yet swept →
+    // re-run recounts the same consumption; fully-swept previous run →
+    // consumed = 0 by design).
+    def consumedKeys(): Long = {
+      val d = readQuarantine(spark, tableDir)
+        .filter(col(QuarantineBatchCol) < asBatch)
+      if (d.isEmpty) 0L else d.select(keys.map(col): _*).distinct().count()
+    }
+    val inputKeys = consumedKeys()
+    if (!readLedger(tableDir).contains(asBatch)) {
+      if (inputKeys == 0L) return (0L, 0L)
+      // the ledger is monotone — a requeue behind the head would break
+      // the time-travel suffix invariants
+      require(readLedger(tableDir).forall(_ < asBatch),
+        s"requeueQuarantine: asBatch $asBatch must exceed every " +
+          s"committed batch of $tableDir")
+      val dead = readQuarantine(spark, tableDir)
+        .filter(col(QuarantineBatchCol) < asBatch)
+      // latest source batch wins per key (the merge's own recency
+      // rule applied across letter batches); a same-(key, batch) tie —
+      // possible when a pre-reduce-violating duplicate pair BOTH
+      // violated, so uniqueness never saw them — breaks
+      // deterministically by full-row order. Stamp columns dropped.
+      val rowStruct = struct(dead.columns.map(col).toSeq: _*)
+      val healedInput = fix(
+        dead.groupBy(keys.map(col): _*)
+          .agg(max_by(rowStruct,
+            struct(col(QuarantineBatchCol), rowStruct)).as("m"))
+          .select(col("m.*"))
+          .drop(QuarantineReasonCol, QuarantineBatchCol))
+      upsertParquet(tableDir, keys, nBuckets, keepVersions = keepVersions,
+        quarantine = true)(healedInput, asBatch)
+    }
+    // sweep the consumed dirs, oldest first (the sweep invariant);
+    // idempotent on replay
+    val committed = readLedger(tableDir)
+    store.listNames(qRoot)
+      .flatMap(n => scala.util.Try(n.stripPrefix("b_").toLong).toOption
+        .filter(_ < asBatch).filter(committed.contains).map(_ -> n))
+      .sortBy(_._1)
+      .foreach { case (_, n) => sweepDir(store.child(qRoot, n)) }
+    val rediverted = readQuarantine(spark, tableDir)
+      .filter(col(QuarantineBatchCol) === asBatch).count()
+    (math.max(0L, inputKeys - rediverted), rediverted)
+  }
+
   /** Retention + orphan sweep for the dead-letter area (VERDICT r14
     * missing #1 — without it a streaming table with a constraint
     * regression grows `_quarantine/` unboundedly, and a crashed

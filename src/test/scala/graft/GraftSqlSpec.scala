@@ -244,6 +244,23 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().toSeq === Seq(3L))
   }
 
+  test("GRAFT QUARANTINE REQUEUE re-screens letters; unhealed ones re-divert") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sql-qr")
+      .toString + "/t"
+    Ingest.upsertParquet(t, Seq("k"), nBuckets = 2, keepVersions = 4,
+      constraints = Seq("v_pos" -> "v > 0"), quarantine = true)(
+      Seq((1L, 1.0), (2L, -2.0), (3L, -3.0)).toDF("k", "v"), 0L)
+    // SQL requeues VERBATIM — the data is unchanged, so both letters
+    // re-divert into the requeue's own dir; the consumed dir sweeps
+    val row = spark.sql(s"GRAFT QUARANTINE REQUEUE ${q(t)} AS BATCH 1")
+      .head()
+    assert((row.getLong(0), row.getLong(1)) === (0L, 2L))
+    assert(spark.sql(s"GRAFT QUARANTINE ${q(t)}").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(2))) === Seq((1L, 2L)))
+    assert(Ingest.readUpsertTable(spark, t).count() === 1)
+  }
+
   test("GRAFT COMPACT reports rewritten buckets, empty when nothing to do") {
     val t = freshTable()
     // threshold 0 files is invalid grammar-side? no — API requires >=1;

@@ -685,6 +685,63 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     assert(Ingest.pruneQuarantine(table, None) === Nil)
   }
 
+  test("quarantine requeue: fixed letters merge, still-violating re-divert, consumed dirs sweep") {
+    import spark.implicits._
+    val table = tmp() + "/quarantine_requeue_table"
+    def up(id: Long, rows: (Long, Double)*): Unit =
+      Ingest.upsertParquet(table, Seq("user_id"), nBuckets = 4,
+        keepVersions = 8,
+        constraints = Seq("value_nonneg" -> "value >= 0"),
+        quarantine = true)(rows.toDF("user_id", "value"), id)
+    up(0, (1L, 1.0), (2L, -2.0))
+    up(1, (2L, -22.0), (3L, -3.0)) // key 2 letters in BOTH batches
+    // requeue with a healing fix: latest letter wins per key (key 2
+    // merges from batch 1's -22, not batch 0's -2)
+    val (h1, r1) = Ingest.requeueQuarantine(spark, table, 2L,
+      fix = _.withColumn("value", abs(col("value"))))
+    assert((h1, r1) === (2L, 0L))
+    assert(Ingest.readUpsertTable(spark, table).orderBy("user_id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)))
+    assert(Ingest.readQuarantine(spark, table).count() === 0)
+    // partial heal: the unfixed letter re-diverts into the requeue's
+    // own dead-letter dir instead of poisoning the table
+    up(3, (4L, -4.0), (5L, -5.0))
+    def fix4(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("value",
+        when(col("user_id") === 4L, abs(col("value")))
+          .otherwise(col("value")))
+    val (h2, r2) = Ingest.requeueQuarantine(spark, table, 4L, fix4)
+    assert((h2, r2) === (1L, 1L))
+    assert(Ingest.readUpsertTable(spark, table).count() === 4)
+    assert(Ingest.readQuarantine(spark, table)
+      .select("user_id", Ingest.QuarantineBatchCol)
+      .as[(Long, Long)].collect().toSeq === Seq((5L, 4L)))
+    // replay after the crash windows: the committed requeue batch is
+    // never re-merged, the sweep re-runs idempotently
+    val (h3, r3) = Ingest.requeueQuarantine(spark, table, 4L, fix4)
+    assert((h3, r3) === (0L, 1L))
+    assert(Ingest.readUpsertTable(spark, table).count() === 4)
+    // an uncommitted batch id BEHIND the ledger head is refused loudly
+    // (the ledger is monotone); letters below it exist, so the guard —
+    // not the empty-input early return — must fire
+    up(6, (7L, -7.0))
+    intercept[IllegalArgumentException] {
+      Ingest.requeueQuarantine(spark, table, 5L)
+    }
+    // a replay with an OLD committed id never consumes (or sweeps)
+    // letters from batches newer than itself
+    val (h5, r5) = Ingest.requeueQuarantine(spark, table, 4L, fix4)
+    assert((h5, r5) === (0L, 1L))
+    assert(Ingest.readQuarantine(spark, table)
+      .select("user_id").as[Long].collect().toSet === Set(5L, 7L))
+    // nothing to consume and a fresh batch id: no batch is minted
+    Ingest.pruneQuarantine(table, Some(0))
+    val (h4, r4) = Ingest.requeueQuarantine(spark, table, 7L)
+    assert((h4, r4) === (0L, 0L))
+    assert(!Ingest.committedBatchIds(table).contains(7L))
+  }
+
   test("a crashed quarantine prune leaves a refusable half-dir the next prune finishes") {
     import spark.implicits._
     val table = tmp() + "/quarantine_halfswept_table"
