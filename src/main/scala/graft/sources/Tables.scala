@@ -321,4 +321,17 @@ object Tables {
                            toBatch: Long): Unit =
     Ingest.readTableChanges(spark, tableDir, fromBatch, toBatch)
       .createOrReplaceTempView(name)
+
+  /** Expose the FULL dead-letter rows to SQL
+    * ([[Ingest.readQuarantine]] — table columns plus the
+    * per-constraint blame array and source batch id), complementing
+    * the `GRAFT QUARANTINE` summary: triage queries ("which feeds
+    * produce the violations", "sample 100 letters per constraint")
+    * run as plain `spark.sql` over the view. Same
+    * snapshot-at-registration isolation as the other views.
+    */
+  def registerQuarantine(spark: SparkSession, name: String,
+                         tableDir: String): Unit =
+    Ingest.readQuarantine(spark, tableDir)
+      .createOrReplaceTempView(name)
 }

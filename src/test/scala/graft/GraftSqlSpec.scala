@@ -208,6 +208,11 @@ class GraftSqlSpec extends AnyFunSuite {
     // a table with no dead-letter area summarizes to zero rows, not
     // an error (the readQuarantine empty-schema path through SQL)
     assert(spark.sql(s"GRAFT QUARANTINE ${q(freshTable())}").count() === 0)
+    // the full-row SQL view: triage queries over the letters
+    graft.sources.Tables.registerQuarantine(spark, "t_dead", t)
+    assert(spark.sql(
+      s"SELECT count(*) FROM t_dead WHERE array_contains(" +
+        s"`${Ingest.QuarantineReasonCol}`, 'v_pos')").head().getLong(0) === 2)
   }
 
   test("GRAFT QUARANTINE PRUNE retires dead-letter batches beyond retention") {
