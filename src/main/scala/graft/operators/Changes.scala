@@ -2115,6 +2115,68 @@ object Changes {
       state.unionByName(letters).orderBy("src", "grp")
     })
 
+  /** OPTIMIZE ZORDER as a query surface
+    * ([[graft.sources.Ingest.optimizeUpsertTableZorder]]): a keyed
+    * table pins (o_custkey, o_totalprice) as its stats columns, takes
+    * two merges (linear range-sliced layout), then a ZORDER pass
+    * re-clusters every bucket along the Morton curve over BOTH
+    * columns. The gate is a 2-D box probe through the stats manifest
+    * ([[graft.sources.Ingest.readUpsertTableWhere]]) constrained on
+    * the TRAILING stats column only — the probe shape a linear layout
+    * cannot prune (its files are tight on the LEADING column and span
+    * the full trailing range, so nearly every file survives the
+    * overlap test), while the curve's boxes are tight on both
+    * dimensions. The pruned probe's rows must equal DuckDB's
+    * full-table recomputation (pruning is a superset guarantee —
+    * never loses a row); in-query contracts pin the strict
+    * fewer-files win and that the rewrite preserved the state. The
+    * complementary trade — a probe highly selective on the LEADING
+    * column, where linear wins — is exactly why ZORDER is an opt-in
+    * clause, not the default layout.
+    */
+  val qUpsertZorder: QuerySpec = QuerySpec(
+    "q_upsert_zorder",
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_totalprice BETWEEN 50000 AND 60000
+      ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("upsert-zorder")
+      val t = s"$base/table"
+      val log = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val bounds = Seq[(String, Any, Any)](
+        ("o_totalprice", 50000.0, 60000.0))
+      val boxPred = col("o_totalprice").between(50000.0, 60000.0)
+      EventOps.withStreamSizing(spark) {
+        (0L to 1L).foreach { i =>
+          Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 4,
+            keepVersions = 4, sortCols = Seq("o_custkey", "o_totalprice"),
+            filesPerBucket = 8)(
+            log.filter(col("o_orderkey") % 2 === i), i)
+        }
+        val fullBefore = Ingest.readUpsertTable(spark, t).count()
+        val linear = Ingest.readUpsertTableWhere(spark, t, bounds)
+        val linearFiles = linear.inputFiles.length
+        val linearRows = linear.filter(boxPred).count()
+        Ingest.optimizeUpsertTableZorder(spark, t,
+          Seq("o_custkey", "o_totalprice"))
+        val z = Ingest.readUpsertTableWhere(spark, t, bounds)
+        val zFiles = z.inputFiles.length
+        require(zFiles < linearFiles,
+          s"zorder must strictly prune the trailing-dimension probe " +
+            s"($linearFiles -> $zFiles files)")
+        require(z.filter(boxPred).count() == linearRows,
+          "zorder changed the box-probe result")
+        require(Ingest.readUpsertTable(spark, t).count() == fullBefore,
+          "zorder rewrite changed the row count")
+      }
+      Ingest.readUpsertTableWhere(spark, t, bounds)
+        .filter(boxPred)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    })
+
   /** REQUEUE as a query surface — the dead-letter lifecycle's third
     * verb ([[graft.sources.Ingest.requeueQuarantine]]): two order
     * batches divert their price-cap violators, an operator FIXES the
@@ -2262,5 +2324,6 @@ object Changes {
       qCdfStarMv, qStreamCdfMv, qStreamFeedMv, qUpsertMor, qUpsertStatsPrune,
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
-      qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue)
+      qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue,
+      qUpsertZorder)
 }

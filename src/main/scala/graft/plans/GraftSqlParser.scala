@@ -26,7 +26,7 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT UPDATE '<table dir>' [KEEP <k> VERSIONS] SET c = expr, … WHERE <predicate>
   *   GRAFT UPSERT '<table dir>' [KEYS c1, c2] [BUCKETS <n>] [DELETE COL <c>]
   *                [KEEP <k> VERSIONS] FROM <query>
-  *   GRAFT OPTIMIZE '<table dir>'
+  *   GRAFT OPTIMIZE '<table dir>' [ZORDER BY c1, c2[, c3]]
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
   *   GRAFT VACUUM '<table dir>' KEEP <k> VERSIONS [GRACE <ms> MS]
@@ -98,7 +98,7 @@ private[plans] object GraftSqlCommands {
       s"""(?:\\s+BUCKETS\\s+(\\d+))?(?:\\s+DELETE\\s+COL\\s+([\\w`]+))?""" +
       s"""(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s+FROM\\s+(.+?)\\s*;?\\s*""").r
   private val Optimize =
-    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+([\\w`]+(?:\\s*,\\s*[\\w`]+)*))?\\s*;?\\s*""".r
   private val Compact =
     s"""(?is)\\s*GRAFT\\s+COMPACT\\s+$P(?:\\s+OVER\\s+(\\d+)\\s+FILES)?\\s*;?\\s*""".r
   private val Rebucket =
@@ -141,7 +141,9 @@ private[plans] object GraftSqlCommands {
       Option(b).map(_.toInt).getOrElse(16),
       Option(dc).map(_.stripPrefix("`").stripSuffix("`")),
       Option(k).map(_.toInt).getOrElse(2), src))
-    case Optimize(d) => Some(OptimizeCommand(unq(d)))
+    case Optimize(d, z) => Some(OptimizeCommand(unq(d),
+      Option(z).toSeq.flatMap(_.split(",").map(
+        _.trim.stripPrefix("`").stripSuffix("`")).toSeq)))
     case Compact(d, n) => Some(CompactCommand(unq(d),
       Option(n).map(_.toInt).getOrElse(4)))
     case Rebucket(d, n) => Some(RebucketCommand(unq(d), n.toInt))
@@ -427,11 +429,19 @@ private[plans] object GraftSqlCommands {
     }
   }
 
-  final case class OptimizeCommand(dir: String) extends LeafRunnableCommand {
+  /** `GRAFT OPTIMIZE '<dir>' [ZORDER BY c1, c2[, c3]]` — full
+    * generation rewrite; with ZORDER BY, the rewrite clusters each
+    * bucket along the Morton curve over the pinned stats columns
+    * ([[Ingest.optimizeUpsertTableZorder]]).
+    */
+  final case class OptimizeCommand(dir: String,
+                                   zorderBy: Seq[String] = Nil)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(attr("optimized", StringType))
     override def run(spark: SparkSession): Seq[Row] = {
       implicit val store: TableStore = TableStore.local
-      Ingest.optimizeUpsertTable(spark, dir)
+      if (zorderBy.isEmpty) Ingest.optimizeUpsertTable(spark, dir)
+      else Ingest.optimizeUpsertTableZorder(spark, dir, zorderBy)
       Seq(Row(dir))
     }
   }

@@ -1819,6 +1819,46 @@ object Ingest {
     rewriteGeneration(spark, tableDir, n, forceSameCount = true)
   }
 
+  /** OPTIMIZE with MULTI-DIMENSIONAL clustering: the same full
+    * generation rewrite as [[optimizeUpsertTable]], but each bucket's
+    * files are laid out along a Morton (Z-order) curve over the
+    * table's pinned stats columns instead of their linear sort — so a
+    * range probe constrained on ANY of the dimensions (not just the
+    * leading one) prunes files through the stats manifest. The
+    * Delta-style contract, made explicit:
+    *
+    *   - `zorderBy` must be a permutation of the pinned `sortCols`
+    *     (2 or 3 of them): the manifest's min/max schema — which every
+    *     later merge carries and extends — does not change; ZORDER
+    *     changes the CLUSTERING the stats describe, never the stats
+    *     surface. Columns must cast to double (numeric/timestamp).
+    *   - Later merges restore the pinned LINEAR sort in the buckets
+    *     they rewrite (their manifests stay valid — linear slices have
+    *     tight boxes on the leading column), so the interleaved layout
+    *     degrades with churn and is restored at the next ZORDER pass —
+    *     exactly the scheduled-maintenance cadence OPTIMIZE already
+    *     has.
+    *
+    * Quantization is linear min/max scaling into the curve's per-dim
+    * bit budget (16 bits × 2 dims / 10 × 3 — one extra stats agg per
+    * pass); NULLs cluster together at the curve's origin end.
+    */
+  def optimizeUpsertTableZorder(spark: SparkSession, tableDir: String,
+                                zorderBy: Seq[String])
+                               (implicit store: TableStore): Unit = {
+    val meta = tableMeta(tableDir)
+    val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
+    require(zorderBy.size == 2 || zorderBy.size == 3,
+      s"optimizeUpsertTableZorder: 2 or 3 columns, got ${zorderBy.size}")
+    require(sortCols.nonEmpty && zorderBy.toSet == sortCols.toSet,
+      s"optimizeUpsertTableZorder: ZORDER BY (${zorderBy.mkString(",")}) " +
+        s"must be a permutation of the pinned stats columns " +
+        s"(${sortCols.mkString(",")}) — the manifest schema every later " +
+        "merge carries must not change")
+    rewriteGeneration(spark, tableDir, meta("buckets").toInt,
+      forceSameCount = true, zorderCols = zorderBy)
+  }
+
   /** Selective COMPACTION: rewrite ONLY the buckets that need it —
     * file count above `filesOver`, or carrying merge-on-read delete
     * debt — and carry every other bucket's files forward as
@@ -2403,7 +2443,8 @@ object Ingest {
 
   private def rewriteGeneration(spark: SparkSession, tableDir: String,
                                 newBuckets: Int,
-                                forceSameCount: Boolean)
+                                forceSameCount: Boolean,
+                                zorderCols: Seq[String] = Nil)
                                (implicit store: TableStore): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(newBuckets > 0, s"rebucketUpsertTable: bad bucket count $newBuckets")
@@ -2451,9 +2492,43 @@ object Ingest {
         pmod(xxhash64(keys.map(col): _*), lit(newBuckets.toLong)))
     // same layout discipline as the sink: range-sliced sorted files per
     // bucket when sortCols are pinned (rebucket must not destroy the
-    // clustering the manifest depends on), one file per bucket otherwise
+    // clustering the manifest depends on), one file per bucket
+    // otherwise — unless a ZORDER pass asked for interleaved
+    // clustering, in which case the slices follow the Morton key over
+    // the (quantized) stats columns and the manifest's per-file boxes
+    // become tight on EVERY dimension instead of the leading one
     val rehashedLaid =
-      if (sortCols.isEmpty) rehashed.repartition(newBuckets, col(UpsertBucketCol))
+      if (zorderCols.nonEmpty) {
+        // one stats pass quantizes each dim by linear min/max scaling
+        // into the curve's bit budget (16 bits × 2 / 10 bits × 3)
+        val statAggs = zorderCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c).cast("double")),
+          org.apache.spark.sql.functions.max(col(c).cast("double"))))
+        val st = rehashed.agg(statAggs.head, statAggs.tail: _*).head()
+        val levels = if (zorderCols.size == 2) 65536L else 1024L
+        def quant(i: Int): org.apache.spark.sql.Column = {
+          // an all-NULL dimension degenerates to a constant lane
+          val (lo, hi) =
+            if (st.isNullAt(2 * i)) (0.0, 0.0)
+            else (st.getDouble(2 * i), st.getDouble(2 * i + 1))
+          if (hi <= lo) lit(0L)
+          else org.apache.spark.sql.functions.least(
+            org.apache.spark.sql.functions.greatest(
+              ((col(zorderCols(i)).cast("double") - lo) / (hi - lo) *
+                (levels - 1)).cast("long"), lit(0L)), lit(levels - 1))
+        }
+        val zk =
+          if (zorderCols.size == 2)
+            graft.operators.Layout.zkey2(quant(0), quant(1))
+          else graft.operators.Layout.zkey3(quant(0), quant(1), quant(2))
+        rehashed.withColumn("__zk", zk)
+          .repartitionByRange(newBuckets * fpb,
+            col(UpsertBucketCol), col("__zk"))
+          .sortWithinPartitions(col(UpsertBucketCol), col("__zk"))
+          .drop("__zk") // projection preserves partitioning + order
+      }
+      else if (sortCols.isEmpty)
+        rehashed.repartition(newBuckets, col(UpsertBucketCol))
       else rehashed.repartitionByRange(newBuckets * fpb,
           (col(UpsertBucketCol) +: sortCols.map(col)): _*)
         .sortWithinPartitions((col(UpsertBucketCol) +: sortCols.map(col)): _*)

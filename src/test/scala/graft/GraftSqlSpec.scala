@@ -274,6 +274,23 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"GRAFT COMPACT ${q(t)} OVER 1 FILES").count() === 0L)
   }
 
+  test("GRAFT OPTIMIZE ZORDER BY re-clusters through the SQL route") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sql-zo")
+      .toString + "/t"
+    val grid = (0L until 1024L).map(i => (i, i % 32, i / 32))
+      .toDF("id", "x", "y")
+    Ingest.upsertParquet(t, Seq("id"), nBuckets = 2, keepVersions = 4,
+      sortCols = Seq("x", "y"), filesPerBucket = 4)(grid, 0L)
+    assert(spark.sql(s"GRAFT OPTIMIZE ${q(t)} ZORDER BY x, y")
+      .head().getString(0) === t)
+    assert(Ingest.readUpsertTable(spark, t).count() === 1024)
+    // a non-stats column is refused through the same API contract
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT OPTIMIZE ${q(t)} ZORDER BY x, id").collect()
+    }
+  }
+
   test("GRAFT REBUCKET and GRAFT VACUUM run through the same protocol") {
     val t = freshTable()
     assert(spark.sql(s"GRAFT REBUCKET ${q(t)} TO 8 BUCKETS")

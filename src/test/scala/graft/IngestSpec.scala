@@ -685,6 +685,44 @@ abstract class IngestSuiteBase extends AnyFunSuite {
     assert(Ingest.pruneQuarantine(table, None) === Nil)
   }
 
+  test("OPTIMIZE ZORDER: 2-D box probe prunes strictly more files than the linear layout") {
+    import spark.implicits._
+    // a 64x64 grid makes the win deterministic: linear (x, y) slices
+    // are tight on x and cover ALL of y, so a thin y-band admits every
+    // file the x-bound does; the Morton layout's boxes are tight on
+    // both dimensions
+    val table = tmp() + "/zorder_table"
+    val grid = (0L until 4096L)
+      .map(i => (i, i % 64, i / 64)).toDF("id", "x", "y")
+    Ingest.upsertParquet(table, Seq("id"), nBuckets = 4, keepVersions = 4,
+      sortCols = Seq("x", "y"), filesPerBucket = 8)(grid, 0L)
+    val bounds = Seq[(String, Any, Any)](("x", 0L, 63L), ("y", 0L, 3L))
+    val boxPred = col("x").between(0, 63) && col("y").between(0, 3)
+    val lin = Ingest.readUpsertTableWhere(spark, table, bounds)
+    val linFiles = lin.inputFiles.length
+    val expect = lin.filter(boxPred).select("id").as[Long].collect().toSet
+    Ingest.optimizeUpsertTableZorder(spark, table, Seq("x", "y"))
+    val z = Ingest.readUpsertTableWhere(spark, table, bounds)
+    info(s"2-D box files: linear=$linFiles zorder=${z.inputFiles.length}")
+    assert(z.inputFiles.length < linFiles,
+      s"expected a strict pruning win ($linFiles -> ${z.inputFiles.length})")
+    assert(z.filter(boxPred).select("id").as[Long].collect().toSet ===
+      expect)
+    // the rewrite is state-preserving and the table stays mergeable
+    // afterwards (later merges restore linear slices in their buckets)
+    assert(Ingest.readUpsertTable(spark, table).count() === 4096)
+    Ingest.upsertParquet(table, Seq("id"), nBuckets = 4, keepVersions = 4,
+      sortCols = Seq("x", "y"), filesPerBucket = 8)(
+      Seq((9999L, 1L, 1L)).toDF("id", "x", "y"), 1L)
+    assert(Ingest.readUpsertTable(spark, table).count() === 4097)
+    assert(Ingest.readUpsertTableWhere(spark, table, bounds)
+      .filter(boxPred).count() === expect.size + 1)
+    // ZORDER BY must match the pinned stats columns
+    intercept[IllegalArgumentException] {
+      Ingest.optimizeUpsertTableZorder(spark, table, Seq("x", "id"))
+    }
+  }
+
   test("quarantine requeue: fixed letters merge, still-violating re-divert, consumed dirs sweep") {
     import spark.implicits._
     val table = tmp() + "/quarantine_requeue_table"
