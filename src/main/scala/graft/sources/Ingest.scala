@@ -1443,7 +1443,10 @@ object Ingest {
     * with the table's pinned constraints STILL screening
     * (quarantine=true — a letter `fix` failed to heal re-diverts into
     * `_quarantine/b_<asBatch>` rather than poisoning the table), then
-    * sweep the consumed dirs. Letters are pre-reduced per key by
+    * sweep the consumed dirs. `fix` is a heal-in-place transform: a
+    * fix that DROPS rows abandons those letters permanently (the
+    * sweep still consumes their dirs) — filter deliberately, or prune
+    * instead. Letters are pre-reduced per key by
     * highest source batch (latest wins — the same recency rule the
     * merge applies across batches); the stamp columns never enter the
     * table.
