@@ -100,7 +100,14 @@ object ScaleProbe {
         // with table size beyond the pinned snapshot's own reads) and
         // the quarantine split (one extra scan of the cached batch —
         // rides the batch, never the table)
-        "q_upsert_tag", "q_upsert_quarantine")
+        "q_upsert_tag", "q_upsert_quarantine",
+        // r15: requeue rides the violation backlog (letters-sized
+        // merge); the streaming quarantine drain rides its
+        // micro-batches; the zorder pass is a deliberate full rewrite
+        // (ratio ~ the optimize row's); the sketch folds ride feed
+        // slices
+        "q_upsert_requeue", "q_stream_quarantine", "q_upsert_zorder",
+        "q_theta_incremental")
 
     // optional 4th arg: comma-separated row filter for incremental
     // probing (a new op's ratio without re-running the whole band)
