@@ -2316,6 +2316,162 @@ object Changes {
       state.unionByName(letters).orderBy("src", "user_id", "event_id")
     })
 
+  /** ANSI-shaped MERGE INTO with ordered multi-WHEN clauses
+    * ([[graft.sources.Ingest.mergeInto]], spelled `GRAFT MERGE …
+    * USING (…) WHEN …`): the table holds each odd customer's EARLIEST
+    * order, the source each ≥-1997-active customer's LATEST, and one
+    * MERGE routes every (target, source) pair — richer-order UPDATE,
+    * urgent-order DELETE, new-customer INSERT, stale-low-priority
+    * BY-SOURCE DELETE — as ONE committed batch through the sink.
+    * DuckDB recomputes the final state from a FULL OUTER JOIN with the
+    * same first-match CASE routing. Scale: the change set is one
+    * keys-equality join (+ two anti-joins reusing it); with no
+    * BY-SOURCE clause the target scan is bucket-pruned to the source's
+    * keys — this row keeps the BY-SOURCE leg, the irreducible
+    * full-coverage case, and the MergeSpec battery pins prune ≡ full.
+    */
+  val qUpsertMerge: QuerySpec = QuerySpec(
+    "q_upsert_merge",
+    Some("""WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+          round(o_totalprice, 2) AS o_totalprice, o_orderpriority,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_a,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+        FROM orders),
+      init AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority FROM o WHERE rn_a = 1 AND o_custkey % 2 = 1),
+      src AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority FROM o WHERE rn_d = 1
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      j AS (SELECT COALESCE(t.o_custkey, s.o_custkey) AS k,
+          t.o_custkey AS tk, s.o_custkey AS sk,
+          t.o_orderdate AS td, t.o_orderkey AS tok,
+          t.o_totalprice AS tp, t.o_orderpriority AS tpr,
+          s.o_orderdate AS sd, s.o_orderkey AS sok,
+          s.o_totalprice AS sp, s.o_orderpriority AS spr
+        FROM init t FULL OUTER JOIN src s ON t.o_custkey = s.o_custkey),
+      acted AS (SELECT *,
+          CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN
+                 CASE WHEN sp > tp THEN 'U'
+                      WHEN spr = '1-URGENT' THEN 'D'
+                      ELSE 'K' END
+               WHEN tk IS NULL THEN 'I'
+               ELSE CASE WHEN tpr = '5-LOW' THEN 'D' ELSE 'K' END
+          END AS act FROM j)
+      SELECT k AS o_custkey,
+        CASE WHEN act IN ('U','I') THEN sd ELSE td END AS o_orderdate,
+        CASE WHEN act IN ('U','I') THEN sok ELSE tok END AS o_orderkey,
+        CASE WHEN act IN ('U','I') THEN sp ELSE tp END AS o_totalprice,
+        CASE WHEN act IN ('U','I') THEN spr ELSE tpr END
+          AS o_orderpriority,
+        true AS merged
+      FROM acted WHERE act <> 'D' ORDER BY o_custkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      implicit val tstore: graft.sources.TableStore =
+        graft.sources.TableStore.local
+      val base = graft.Scratch.dir("upsert-merge")
+      tstore.deleteTree(base)
+      val table = s"$base/table"
+      val o = Tables.load(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderpriority"))
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val init = o.withColumn("rn", row_number().over(wAsc))
+        .filter(col("rn") === 1 && col("o_custkey") % 2 === 1).drop("rn")
+      val src = o.withColumn("rn", row_number().over(wDesc))
+        .filter(col("rn") === 1 && col("o_orderdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .drop("rn")
+      Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+        keepVersions = 4)(init, 0L)
+      val res = Ingest.mergeInto(spark, table, src, Seq(
+        Ingest.MatchedUpdate(Some("s.o_totalprice > t.o_totalprice"), Seq(
+          "o_totalprice" -> "s.o_totalprice",
+          "o_orderdate" -> "s.o_orderdate",
+          "o_orderkey" -> "s.o_orderkey",
+          "o_orderpriority" -> "s.o_orderpriority")),
+        Ingest.MatchedDelete(Some("s.o_orderpriority = '1-URGENT'")),
+        Ingest.NotMatchedInsert(None),
+        Ingest.NotMatchedBySourceDelete(
+          Some("t.o_orderpriority = '5-LOW'"))),
+        keepVersions = 4)
+      require(res.nonEmpty, "merge touched nothing — fixture degenerated")
+      Ingest.readUpsertTable(spark, table)
+        .withColumn("merged", lit(res.nonEmpty))
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+          "o_orderpriority", "merged")
+        .orderBy("o_custkey")
+    })
+
+  /** Metadata-only aggregation from the stats manifest
+    * ([[graft.sources.Ingest.countWhere]] / `minMaxMeta`): the
+    * manifest's `n_rows` + `nulls_<c>` columns answer a whole-table
+    * COUNT and the sortCols MIN/MAX with ZERO data-file opens, and a
+    * range-bounded COUNT folds fully-inside files from metadata while
+    * scanning only predicate-boundary files — the aggregate-pushdown
+    * every lakehouse planner special-cases, surfaced as an explicit
+    * op. In-query contracts: the unbounded count and min/max opened no
+    * data file; the 1999 band scanned strictly fewer files than the
+    * snapshot holds. DuckDB recomputes all four numbers from the raw
+    * changelog fold. At 100 TB: a full COUNT reads a manifest of
+    * O(files) tiny rows instead of the table, and a selective COUNT's
+    * data I/O is its boundary files — O(buckets) on a clustered table.
+    */
+  val qUpsertMetaCount: QuerySpec = QuerySpec(
+    "q_upsert_meta_count",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log),
+      cur AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+      SELECT count(*) AS n_total,
+        count(*) FILTER (WHERE o_orderdate
+          BETWEEN TIMESTAMP '1999-01-01 00:00:00'
+          AND TIMESTAMP '1999-12-31 23:59:59') AS n_band,
+        min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        true AS meta_only, true AS band_pruned
+      FROM cur"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      implicit val tstore: graft.sources.TableStore =
+        graft.sources.TableStore.local
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("upsert-metacount"), n = 4, changeFeed = false,
+        sortCols = Seq("o_orderdate"))
+      val all = Ingest.countWhere(spark, table)
+      require(all.scannedFiles == 0L,
+        s"unbounded count opened ${all.scannedFiles} data files")
+      val lo = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1999-12-31 23:59:59")
+      val band = Ingest.countWhere(spark, table, Seq(("o_orderdate", lo, hi)))
+      require(band.scannedFiles < band.totalFiles,
+        "banded count scanned every file — manifest pruning dead")
+      val mm = Ingest.minMaxMeta(spark, table)
+        .getOrElse(throw new IllegalStateException(
+          "manifest-backed table must answer minMaxMeta"))
+        .head()
+      spark.range(1).select(
+        lit(all.count).as("n_total"),
+        lit(band.count).as("n_band"),
+        lit(mm.getTimestamp(0)).as("min_date"),
+        lit(mm.getTimestamp(1)).as("max_date"),
+        lit(all.scannedFiles == 0L).as("meta_only"),
+        lit(band.scannedFiles < band.totalFiles).as("band_pruned"))
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
@@ -2325,5 +2481,5 @@ object Changes {
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
       qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue,
-      qUpsertZorder)
+      qUpsertZorder, qUpsertMerge, qUpsertMetaCount)
 }

@@ -26,6 +26,12 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT UPDATE '<table dir>' [KEEP <k> VERSIONS] SET c = expr, … WHERE <predicate>
   *   GRAFT UPSERT '<table dir>' [KEYS c1, c2] [BUCKETS <n>] [DELETE COL <c>]
   *                [KEEP <k> VERSIONS] FROM <query>
+  *   GRAFT MERGE '<table dir>' [KEEP <k> VERSIONS] USING (<query>)
+  *               WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, …
+  *               WHEN MATCHED [AND <cond>] THEN DELETE
+  *               WHEN NOT MATCHED [AND <cond>] THEN INSERT
+  *               WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET …
+  *               WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
   *   GRAFT OPTIMIZE '<table dir>' [ZORDER BY c1, c2[, c3]]
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
@@ -97,6 +103,24 @@ private[plans] object GraftSqlCommands {
     (s"""(?is)\\s*GRAFT\\s+UPSERT\\s+$P(?:\\s+KEYS\\s+([\\w`]+(?:\\s*,\\s*[\\w`]+)*))?""" +
       s"""(?:\\s+BUCKETS\\s+(\\d+))?(?:\\s+DELETE\\s+COL\\s+([\\w`]+))?""" +
       s"""(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s+FROM\\s+(.+?)\\s*;?\\s*""").r
+  // MERGE is the one production whose source query can itself contain
+  // parentheses and keywords, so the head is a regex and the rest is a
+  // tiny scanner: USING's argument is the balanced-paren span (quote-
+  // aware), then WHEN clauses split on the `WHEN [NOT] MATCHED`
+  // boundary (a CASE's WHEN is never followed by MATCHED)
+  private val MergeHead =
+    s"""(?is)\\s*GRAFT\\s+MERGE\\s+$P(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s+USING\\s*\\(""".r
+  private val WBySrcUpd =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*;?\s*""".r
+  private val WBySrcDel =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+))?\s+THEN\s+DELETE\s*;?\s*""".r
+  private val WInsert =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+))?\s+THEN\s+INSERT\s*;?\s*""".r
+  private val WUpd =
+    """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*;?\s*""".r
+  private val WDel =
+    """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+))?\s+THEN\s+DELETE\s*;?\s*""".r
+
   private val Optimize =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+([\\w`]+(?:\\s*,\\s*[\\w`]+)*))?\\s*;?\\s*""".r
   private val Compact =
@@ -158,7 +182,68 @@ private[plans] object GraftSqlCommands {
     case QuarantineRequeue(d, b) =>
       Some(QuarantineRequeueCommand(unq(d), b.toLong))
     case Quarantine(d) => Some(QuarantineViewCommand(unq(d)))
-    case _ => None
+    case _ => parseMerge(sql)
+  }
+
+  /** `GRAFT MERGE '<dir>' [KEEP <k> VERSIONS] USING (<query>) WHEN …`
+    * — head by regex, source by the balanced-paren scan, clauses by
+    * the WHEN-boundary split. A matched head with malformed clauses
+    * fails HERE with a MERGE-specific message (falling through to the
+    * delegate would produce a baffling ANSI-MERGE error about a
+    * quoted-path "table name").
+    */
+  private def parseMerge(sql: String): Option[LogicalPlan] =
+    MergeHead.findPrefixMatchOf(sql).map { m =>
+      val dir = unq(m.group(1))
+      val keep = Option(m.group(2)).map(_.toInt).getOrElse(2)
+      val (source, tail) = balancedParen(sql.substring(m.end - 1))
+      MergeIntoCommand(dir, keep, source, splitWhens(tail))
+    }
+
+  /** `rest` starts at '('; return (inner text, remainder after the
+    * matching ')'). Single-quoted strings (with '' escapes) and
+    * double-quoted identifiers are opaque to the depth count.
+    */
+  private def balancedParen(rest: String): (String, String) = {
+    var depth = 0
+    var i = 0
+    var quote: Char = 0
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0)
+            return (rest.substring(1, i), rest.substring(i + 1))
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      "GRAFT MERGE: unbalanced parentheses in USING (<query>)")
+  }
+
+  private def splitWhens(tail: String): Seq[Ingest.MergeClause] = {
+    val parts = tail.split("(?i)(?=\\bWHEN\\s+(?:NOT\\s+)?MATCHED\\b)")
+    require(parts.nonEmpty && parts.head.trim.isEmpty,
+      s"GRAFT MERGE: expected WHEN clauses after USING (…), got " +
+        s"'${parts.headOption.map(_.trim).getOrElse("")}'")
+    val clauses = parts.tail.toSeq.map {
+      case WBySrcUpd(c, set) =>
+        Ingest.NotMatchedBySourceUpdate(Option(c), splitAssignments(set))
+      case WBySrcDel(c) => Ingest.NotMatchedBySourceDelete(Option(c))
+      case WInsert(c) => Ingest.NotMatchedInsert(Option(c))
+      case WUpd(c, set) =>
+        Ingest.MatchedUpdate(Option(c), splitAssignments(set))
+      case WDel(c) => Ingest.MatchedDelete(Option(c))
+      case other => throw new IllegalArgumentException(
+        s"GRAFT MERGE: malformed WHEN clause '${other.trim}'")
+    }
+    require(clauses.nonEmpty, "GRAFT MERGE: no WHEN clauses")
+    clauses
   }
 
   private def attr(n: String, t: org.apache.spark.sql.types.DataType,
@@ -426,6 +511,29 @@ private[plans] object GraftSqlCommands {
         keys = keys, nBuckets = buckets, deleteCol = deleteCol,
         keepVersions = keep)
       Seq(Row(b, n))
+    }
+  }
+
+  /** `GRAFT MERGE '<dir>' USING (<query>) WHEN …` — ANSI-shaped
+    * multi-WHEN MERGE through [[Ingest.mergeInto]]; the source query
+    * re-enters `spark.sql` in run() so it parses with the full
+    * delegate grammar. An entirely-untouched merge returns a NULL
+    * batch id, mirroring UPDATE/DELETE's no-op contract.
+    */
+  final case class MergeIntoCommand(dir: String, keep: Int,
+                                    sourceSql: String,
+                                    clauses: Seq[Ingest.MergeClause])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("batch_id", LongType, nullable = true),
+      attr("rows_merged", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.mergeInto(spark, dir, spark.sql(sourceSql), clauses,
+        keepVersions = keep) match {
+        case Some((b, n)) => Seq(Row(b, n))
+        case None => Seq(Row(null, 0L))
+      }
     }
   }
 

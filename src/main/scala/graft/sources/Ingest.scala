@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -1006,9 +1006,7 @@ object Ingest {
       // swept with it, invisible to snapshot reads (underscore).
       if (sortCols.nonEmpty) {
         import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
-        val aggs = sortCols.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
-          org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+        val aggs = StatsManifest.statsAggs(sortCols)
         val freshDirs = rewriteB.toSeq.sorted
           .map(b => store.child(newV, s"$UpsertBucketCol=$b"))
           .filter(store.isDirectory)
@@ -1147,6 +1145,137 @@ object Ingest {
               org.apache.spark.sql.functions.lit(false))
           else base.parquet(files: _*)
         applyDeletes(spark, root, vDir, scan).drop(UpsertBucketCol)
+    }
+  }
+
+  /** Result of [[countWhere]]: the exact count plus how it was
+    * answered — `metaFiles` contributed their manifest `n_rows` with
+    * ZERO data I/O, `scannedFiles` (predicate-boundary files, or every
+    * surviving file on the fallback path) were actually read.
+    */
+  final case class MetaCount(count: Long, metaFiles: Long,
+                             scannedFiles: Long, totalFiles: Long)
+
+  /** EXACT snapshot COUNT of rows satisfying every `(c, lo, hi)` bound
+    * INCLUSIVELY (`lo <= c AND c <= hi`), answered from the stats
+    * manifest wherever metadata suffices — the metadata-only
+    * aggregation every lakehouse planner special-cases, surfaced as an
+    * explicit op. Per manifest row (= data file) one of three cases:
+    *
+    *   - range strictly INSIDE every bound and zero NULLs in every
+    *     bound column → every row matches: contribute `n_rows`, read
+    *     nothing (the NULL-count guard matters — min/max ignore NULLs,
+    *     so "range inside" alone would overcount files holding NULL
+    *     rows that fail the predicate);
+    *   - range DISJOINT from any bound (the [[readUpsertTableWhere]]
+    *     overlap test fails) → no row can match: contribute 0, read
+    *     nothing;
+    *   - boundary (overlapping, not inside) → scan THAT FILE and count
+    *     the predicate exactly.
+    *
+    * With no bounds at all, every file is "inside" and the table's
+    * row count is one metadata fold — no data file opens. At 100 TB
+    * the boundary set of a clustered table is O(buckets) files, so a
+    * selective COUNT reads a sliver and a full COUNT reads nothing.
+    *
+    * Soundness gates (each degrades to the pruned-scan-and-count
+    * fallback, never a wrong answer): no manifest (table never pinned
+    * sortCols), a merge-on-read deletion vector on the snapshot
+    * (vector-hidden rows are physically present, so file stats lie
+    * about LIVE rows), or a manifest predating the `n_rows` schema.
+    */
+  def countWhere(spark: SparkSession, tableDir: String,
+                 bounds: Seq[(String, Any, Any)] = Nil)
+                (implicit store: TableStore): MetaCount = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val vDir = resolveVersionDir(tableDir, None)
+    val manDir = store.child(vDir, StatsManifest.ManifestDir)
+    val mparts =
+      if (!store.isDirectory(manDir)) Nil
+      else store.listNames(manDir).filter(_.endsWith(".parquet"))
+        .map(store.child(manDir, _))
+    val hasDv = store.exists(store.child(vDir, "_deletes"))
+    def rowPred: Column = bounds
+      .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    def fallback: MetaCount = {
+      val scan = readUpsertTableWhere(spark, tableDir, bounds)
+      val total = readUpsertTable(spark, tableDir).inputFiles.length.toLong
+      MetaCount(scan.filter(rowPred).count(), 0L,
+        scan.inputFiles.length.toLong, total)
+    }
+    if (mparts.isEmpty || hasDv) return fallback
+    val manifest = spark.read.parquet(mparts: _*)
+    val mCols = manifest.columns.toSet
+    val statsOk = mCols.contains("n_rows") &&
+      bounds.forall { case (c, _, _) =>
+        mCols.contains(s"min_$c") && mCols.contains(s"nulls_$c") }
+    if (!statsOk) return fallback
+    val overlap = coalesce(bounds.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduceOption(_ && _).getOrElse(lit(true)), lit(false))
+    val inside = coalesce(bounds.map { case (c, lo, hi) =>
+      col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+        col(s"nulls_$c") === 0
+    }.reduceOption(_ && _).getOrElse(lit(true)), lit(false))
+    // one row per data file — the same driver-side bound the format's
+    // planning (survivingFiles, the sink's merge plan) already holds
+    val classified = manifest
+      .select(col("file"), col("n_rows"), overlap.as("ov"),
+        inside.as("ins"))
+      .collect()
+    val metaRows = classified.iterator
+      .filter(_.getBoolean(3)).map(_.getLong(1)).sum
+    val metaFiles = classified.count(_.getBoolean(3))
+    val boundary = classified.iterator
+      .filter(r => r.getBoolean(2) && !r.getBoolean(3))
+      .map(_.getString(0)).toSeq
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else pinnedReader(spark, tableDir).option("basePath", vDir)
+        .parquet(boundary: _*).filter(rowPred).count()
+    MetaCount(metaRows + scanned, metaFiles.toLong, boundary.length.toLong,
+      classified.length.toLong)
+  }
+
+  /** Whole-snapshot MIN/MAX of the table's pinned `sortCols`, answered
+    * from the stats manifest ALONE — one row `(min_<c>, max_<c>, …)`
+    * folded over the per-file ranges, no data file opens (file min/max
+    * ignore NULLs, so the fold equals the data's MIN/MAX under SQL
+    * aggregate NULL semantics; an all-NULL column yields NULL exactly
+    * as `min(c)` would). `None` when metadata cannot answer soundly:
+    * no manifest, or a merge-on-read deletion vector on the snapshot
+    * (a hidden row could hold the extreme — [[optimizeUpsertTable]]
+    * clears the vector and restores the metadata path). Callers fall
+    * back to aggregating the snapshot read.
+    */
+  def minMaxMeta(spark: SparkSession, tableDir: String)
+                (implicit store: TableStore): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val vDir = resolveVersionDir(tableDir, None)
+    val manDir = store.child(vDir, StatsManifest.ManifestDir)
+    val mparts =
+      if (!store.isDirectory(manDir)) Nil
+      else store.listNames(manDir).filter(_.endsWith(".parquet"))
+        .map(store.child(manDir, _))
+    if (mparts.isEmpty ||
+        store.exists(store.child(vDir, "_deletes"))) None
+    else {
+      val manifest = spark.read.parquet(mparts: _*)
+      val sortCols = tableMeta(tableDir).get("sort")
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      if (sortCols.isEmpty) None
+      else Some(manifest.agg(
+        min(org.apache.spark.sql.functions.col(s"min_${sortCols.head}"))
+          .as(s"min_${sortCols.head}"),
+        (sortCols.map(c =>
+          max(org.apache.spark.sql.functions.col(s"max_$c")).as(s"max_$c")) ++
+          sortCols.tail.map(c =>
+            min(org.apache.spark.sql.functions.col(s"min_$c"))
+              .as(s"min_$c"))): _*)
+        .select(sortCols.flatMap(c =>
+          Seq(org.apache.spark.sql.functions.col(s"min_$c"),
+            org.apache.spark.sql.functions.col(s"max_$c"))): _*))
     }
   }
 
@@ -1950,9 +2079,7 @@ object Ingest {
       // manifest: carried rows re-rooted to the new generation's
       // paths, fresh rows scanned only for the rewritten buckets
       import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
-      val aggs = sortCols.flatMap(c => Seq(
-        org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
-        org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+      val aggs = StatsManifest.statsAggs(sortCols)
       val freshSrc = pinnedReader(spark, root).option("basePath", newV)
         .parquet(newV)
         .filter(col(UpsertBucketCol).isin(rewrite.toSeq.map(_.toLong): _*))
@@ -2364,6 +2491,234 @@ object Ingest {
     } finally { cached.unpersist(); () }
   }
 
+  /** One ordered WHEN clause of [[mergeInto]]. Conditions and SET
+    * expressions are SQL strings; in MATCHED clauses they see the
+    * target row as `t.<col>` and the source row as `s.<col>` (bare
+    * names resolve when unambiguous), NOT MATCHED (insert) clauses see
+    * only the source row, NOT MATCHED BY SOURCE clauses only the
+    * target row. Clause order is significant: for each row the FIRST
+    * clause of its leg whose condition holds applies, later clauses
+    * never see the row (ANSI/Delta MERGE semantics).
+    */
+  sealed trait MergeClause { def cond: Option[String] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, … — every
+    * assignment reads the PRE-merge `t.`/`s.` row (standard UPDATE
+    * semantics); key columns cannot be assigned.
+    */
+  final case class MatchedUpdate(cond: Option[String],
+                                 set: Seq[(String, String)])
+      extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE — tombstones the target row. */
+  final case class MatchedDelete(cond: Option[String]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT — inserts the source row
+    * (the source must carry every table column; values cast to the
+    * pinned schema).
+    */
+  final case class NotMatchedInsert(cond: Option[String]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … — updates
+    * target rows no source row matched (the sync-shaped leg).
+    */
+  final case class NotMatchedBySourceUpdate(cond: Option[String],
+                                            set: Seq[(String, String)])
+      extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — tombstones
+    * target rows no source row matched (full-sync deletion).
+    */
+  final case class NotMatchedBySourceDelete(cond: Option[String])
+      extends MergeClause
+
+  /** ANSI-shaped MERGE INTO with ordered multi-WHEN clauses — the
+    * general DML verb [[updateWhere]] / [[deleteWhere]] / [[upsertInto]]
+    * are special cases of: join the CURRENT snapshot with `source` on
+    * the table's pinned keys, route every (target, source) pair through
+    * the first applicable MATCHED clause, every unmatched source row
+    * through the first applicable NOT MATCHED clause, every unmatched
+    * target row through the first applicable NOT MATCHED BY SOURCE
+    * clause, and commit everything the clauses touched as ONE batch
+    * through the normal sink — crash safety, OCC, constraints, the
+    * change feed and layout pins are all the sink's. Rows no clause
+    * touches mint nothing; an entirely-untouched merge returns None.
+    *
+    * Cardinality: at most one source row may match a target key
+    * (duplicate source keys are refused up front — two source rows
+    * updating one target row is the nondeterminism ANSI MERGE forbids).
+    *
+    * Scale shape: building the change set is ONE equi-join of the
+    * snapshot with the source on the pinned keys plus two anti-joins
+    * that reuse it, and when no BY SOURCE clause needs full-target
+    * coverage the target scan is BUCKET-PRUNED to the buckets the
+    * source keys hash to (the [[lookupUpsertTable]] discipline — a
+    * point-shaped merge against a 100-TB table reads O(source-keys)
+    * buckets, not the table); the sink write then rides O(touched
+    * buckets) as always. With BY SOURCE clauses the full snapshot scan
+    * is irreducible — deciding "no source row matches" needs every
+    * target row.
+    */
+  def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
+                clauses: Seq[MergeClause], keepVersions: Int = 2,
+                graceMs: Long = 0L)
+               (implicit store: TableStore): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, when}
+    require(clauses.nonEmpty, "mergeInto: no WHEN clauses")
+    val meta = tableMeta(tableDir)
+    val keys = meta("keys").split(",").toSeq
+    def checkSet(set: Seq[(String, String)]): Unit = {
+      require(set.nonEmpty, "mergeInto: empty SET list")
+      require(set.map(_._1).distinct.size == set.size,
+        s"mergeInto: duplicate assignment in ${set.map(_._1).mkString(",")}")
+      set.foreach { case (c, _) => require(!keys.contains(c),
+        s"mergeInto: cannot assign key column '$c' — an update that " +
+          "moves a key is a delete + insert; spell it as two clauses") }
+    }
+    clauses.foreach {
+      case MatchedUpdate(_, set) => checkSet(set)
+      case NotMatchedBySourceUpdate(_, set) => checkSet(set)
+      case _ => ()
+    }
+    keys.foreach(k => require(source.columns.contains(k),
+      s"mergeInto: source is missing key column '$k' (table keys: " +
+        s"${keys.mkString(",")})"))
+    // CURRENT may already reflect a swap-to-append-crashed write —
+    // commit it before deriving the change set (the dmlBatch rule)
+    completeDanglingCommit(spark, tableDir, keepVersions, graceMs)
+    val needFullTarget = clauses.exists {
+      case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+      case _ => false
+    }
+    // the source can be an arbitrary query and feeds every leg —
+    // evaluate it once
+    val src = source
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"mergeInto: source has duplicate keys (e.g. ${dup.headOption
+          .map(_.toString).getOrElse("")}) — MERGE requires at most one " +
+          "source row per target key")
+      val cur =
+        if (needFullTarget) readUpsertTable(spark, tableDir)
+        else bucketScopedSnapshot(spark, tableDir, src, keys)
+      require(!cur.columns.contains(DmlFlag),
+        s"DML: table has a reserved column name $DmlFlag")
+      val tSchema = cur.schema
+      val t = cur.alias("t")
+      val s = src.alias("s")
+      val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+        .reduce(_ && _)
+      // route each row to the FIRST clause of its leg whose condition
+      // holds (order = declaration order), then build every output
+      // column as one when-chain over the routed index — a single
+      // select per leg, no per-clause union
+      def leg(baseCol: org.apache.spark.sql.types.StructField => Column,
+              cands: Seq[(MergeClause, Int)], in: DataFrame): DataFrame = {
+        val routed = cands.foldRight(lit(null).cast("int")) {
+          case ((cl, i), els) =>
+            when(cl.cond.map(expr).getOrElse(lit(true)), lit(i))
+              .otherwise(els)
+        }
+        val out = in.withColumn("_mrg", routed)
+          .filter(col("_mrg").isNotNull)
+        val dataCols = tSchema.map { f =>
+          cands.foldRight(baseCol(f)) { case ((cl, i), els) =>
+            val setOf = cl match {
+              case MatchedUpdate(_, set) => set
+              case NotMatchedBySourceUpdate(_, set) => set
+              case _ => Nil
+            }
+            setOf.find(_._1 == f.name) match {
+              case Some((_, e)) =>
+                when(col("_mrg") === i, expr(e).cast(f.dataType))
+                  .otherwise(els)
+              case None => els
+            }
+          }.as(f.name)
+        }
+        val delIdx = cands.collect {
+          case ((_: MatchedDelete | _: NotMatchedBySourceDelete), i) => i
+        }
+        val flag =
+          if (delIdx.isEmpty) lit(false)
+          else col("_mrg").isin(delIdx: _*)
+        out.select(dataCols :+ flag.as(DmlFlag): _*)
+      }
+      val idx = clauses.zipWithIndex
+      val matchedCls = idx.filter {
+        case ((_: MatchedUpdate | _: MatchedDelete), _) => true
+        case _ => false
+      }
+      val insertCls = idx.filter {
+        case ((_: NotMatchedInsert), _) => true
+        case _ => false
+      }
+      val bySrcCls = idx.filter {
+        case ((_: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete),
+              _) => true
+        case _ => false
+      }
+      val legs = Seq.newBuilder[DataFrame]
+      if (matchedCls.nonEmpty)
+        legs += leg(f => col(s"t.${f.name}"), matchedCls,
+          t.join(s, keyCond, "inner"))
+      if (insertCls.nonEmpty) {
+        tSchema.foreach(f => require(src.columns.contains(f.name),
+          s"mergeInto: NOT MATCHED INSERT needs source column " +
+            s"'${f.name}' (source: ${src.columns.mkString(",")})"))
+        legs += leg(f => col(s"s.${f.name}").cast(f.dataType), insertCls,
+          s.join(t, keyCond, "left_anti"))
+      }
+      if (bySrcCls.nonEmpty)
+        legs += leg(f => col(s"t.${f.name}"), bySrcCls,
+          t.join(s, keyCond, "left_anti"))
+      val change = legs.result().reduce(_.unionByName(_))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = change.count()
+        if (n == 0) return None
+        val newBatch =
+          readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1
+        upsertParquet(tableDir, keys, nBuckets = meta("buckets").toInt,
+          keepVersions = keepVersions, deleteCol = Some(DmlFlag),
+          graceMs = graceMs,
+          changeFeed = store.exists(store.child(tableDir, "_cdf")),
+          sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil),
+          filesPerBucket = meta.get("fpb").map(_.toInt).getOrElse(4))(
+          change, newBatch)
+        Some((newBatch, n))
+      } finally { change.unpersist(); () }
+    } finally { src.unpersist(); () }
+  }
+
+  /** The CURRENT snapshot restricted to the bucket dirs `probe`'s keys
+    * hash to — complete for any per-key question about the probe's key
+    * set ([[mergeInto]]'s matched + insert legs): a key's row can live
+    * in exactly one bucket, so rows outside these dirs cannot match.
+    * Unlike [[lookupUpsertTable]] the probe is NOT broadcast-semi-joined
+    * in (merge sources can be large); only the ≤ nBuckets distinct
+    * bucket ids reach the driver. Deletion vectors apply as on any
+    * snapshot read.
+    */
+  private def bucketScopedSnapshot(spark: SparkSession, tableDir: String,
+                                   probe: DataFrame, keys: Seq[String])
+                                  (implicit store: TableStore): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val vDir = resolveVersionDir(tableDir, None)
+    val nBuckets = versionBuckets(vDir)
+      .getOrElse(tableMeta(tableDir).apply("buckets").toInt)
+    val buckets: Seq[Long] = probe
+      .select(pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val dirs = buckets
+      .map(b => store.child(vDir, s"$UpsertBucketCol=$b"))
+      .filter(store.isDirectory)
+    val reader = pinnedReader(spark, tableDir)
+    val scan =
+      if (dirs.isEmpty)
+        reader.option("basePath", vDir).parquet(vDir).filter(lit(false))
+      else reader.option("basePath", vDir).parquet(dirs: _*)
+    applyDeletes(spark, tableDir, vDir, scan).drop(UpsertBucketCol)
+  }
+
   private val DmlFlag = "_dml_deleted"
 
   /** Complete a swap-to-append sink crash: CURRENT points at a
@@ -2540,9 +2895,7 @@ object Ingest {
     if (sortCols.nonEmpty) {
       // fresh manifest for the fully-rewritten generation
       import org.apache.spark.sql.functions.input_file_name
-      val aggs = sortCols.flatMap(c => Seq(
-        org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
-        org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+      val aggs = StatsManifest.statsAggs(sortCols)
       val m = pinnedReader(spark, root).option("basePath", newV)
         .parquet(newV)
         .select(sortCols.map(col): _*)

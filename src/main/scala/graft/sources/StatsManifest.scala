@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level min/max data skipping — the manifest layer every
@@ -28,6 +28,24 @@ object StatsManifest {
 
   val ManifestDir = "_stats"
 
+  /** The per-file manifest row's aggregate list: `min_<c>` / `max_<c>`
+    * per stats column — the skipping index — plus `n_rows` and
+    * `nulls_<c>`, which upgrade the manifest from a skipping index to
+    * an AGGREGATION source ([[graft.sources.Ingest.countWhere]] /
+    * [[graft.sources.Ingest.minMaxMeta]]): a file whose value range
+    * lies strictly inside a predicate and whose bound columns hold no
+    * NULLs contributes its row count from metadata alone, no data I/O.
+    * One definition shared by every manifest writer (the plain-dir
+    * [[writeWithStats]] path and the table format's sink / optimize /
+    * rebucket rewrites) so manifests stay schema-compatible across the
+    * carry/union paths.
+    */
+  def statsAggs(statsCols: Seq[String]): Seq[Column] =
+    statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+      count(lit(1)).as("n_rows")
+
   /** Write `df` as parquet at `path` — the caller controls layout
     * (partitioning/sorting decide how tight the per-file ranges are;
     * a Z-clustered input gives multi-column-tight boxes) — then build
@@ -49,8 +67,7 @@ object StatsManifest {
     val spark = df.sparkSession
     val written = spark.read.parquet(path)
       .select(statsCols.map(col): _*)
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val aggs = statsAggs(statsCols)
     written
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)

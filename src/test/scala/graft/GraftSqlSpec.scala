@@ -173,6 +173,38 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT MERGE: multi-WHEN clauses, CASE inside a condition, " +
+    "parenthesized source with the delegate grammar") {
+    import spark.implicits._
+    val t = freshTable() // k->v: 1->1.0, 2->22.0, 3->3.0
+    val out = spark.sql(s"GRAFT MERGE ${q(t)} KEEP 8 VERSIONS USING (" +
+      "SELECT k, CAST(v AS DOUBLE) AS v " +
+      "FROM VALUES (2, 220.0), (3, -1.0), (9, 90.0) AS s(k, v)) " +
+      // a CASE (with its own WHEN/THEN) inside the clause condition
+      // must not confuse the clause split
+      "WHEN MATCHED AND (CASE WHEN s.v < 0 THEN true ELSE false END) " +
+      "THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v + t.v " +
+      "WHEN NOT MATCHED THEN INSERT " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET v = 0.0")
+      .head()
+    assert((out.getLong(0), out.getLong(1)) === (2L, 4L))
+    val got = Ingest.readUpsertTable(spark, t)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.0, 2L -> 242.0, 9L -> 90.0))
+    // an untouched merge reports a NULL batch id (the DML no-op rule)
+    val noop = spark.sql(s"GRAFT MERGE ${q(t)} USING (" +
+      "SELECT CAST(8 AS BIGINT) AS k, 1.0 AS v) " +
+      "WHEN NOT MATCHED AND false THEN INSERT").head()
+    assert(noop.isNullAt(0) && noop.getLong(1) === 0L)
+    // malformed WHEN fails with the MERGE-specific message
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT MERGE ${q(t)} USING (SELECT 1 AS k) " +
+        "WHEN MATCHED THEN FROBNICATE")
+    }
+    assert(e.getMessage.contains("malformed WHEN clause"))
+  }
+
   test("GRAFT TAG CREATE / TAGS / TAG DROP drive the tag API") {
     val t = freshTable()
     val made = spark.sql(s"GRAFT TAG ${q(t)} CREATE rel-1.0 AT BATCH 0").head()
