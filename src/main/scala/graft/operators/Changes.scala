@@ -2472,6 +2472,64 @@ object Changes {
         lit(band.scannedFiles < band.totalFiles).as("band_pruned"))
     })
 
+  /** Column mapping — metadata-only RENAME / DROP COLUMN
+    * ([[graft.sources.Ingest.renameColumn]] / `dropColumn`, spelled
+    * `GRAFT ALTER '<dir>' RENAME COLUMN a TO b` / `DROP COLUMN a`):
+    * physical names in parquet are immutable, `_colmap` maps them to
+    * the user-facing logical names, and both ops rewrite ONLY that
+    * object — the in-query contract pins zero new versions (no data
+    * I/O, the ALTER TABLE cost model a 100-TB table requires).
+    * The row then exercises the full lifecycle: rename the price
+    * column, DROP the priority column, and RE-ADD the same logical
+    * name in a later batch — which mints a FRESH physical column, so
+    * old rows read NULL (dropped data never resurfaces) while the
+    * re-added subset carries the new value. DuckDB recomputes the
+    * final state from raw orders with the same CASE.
+    */
+  val qUpsertColmap: QuerySpec = QuerySpec(
+    "q_upsert_colmap",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log),
+      cur AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+      SELECT o_custkey, o_orderdate, o_orderkey,
+        round(o_totalprice, 2) AS price,
+        CASE WHEN o_custkey % 5 = 0 THEN 'REVIEWED' END
+          AS o_orderpriority,
+        true AS metadata_only
+      FROM cur ORDER BY o_custkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      implicit val tstore: graft.sources.TableStore =
+        graft.sources.TableStore.local
+      val table = buildCdcUpsertTable(spark, dir,
+        graft.Scratch.dir("upsert-colmap"), n = 2, changeFeed = false)
+      def versions(): Set[String] =
+        tstore.listNames(table).filter(_.startsWith("v_")).toSet
+      val before = versions()
+      Ingest.renameColumn(table, "o_totalprice", "price")
+      Ingest.dropColumn(table, "o_orderpriority")
+      val metadataOnly = versions() == before
+      require(metadataOnly, "ALTER minted a version — not metadata-only")
+      // re-add the dropped logical name for a key subset: fresh
+      // physical column, old rows stay NULL
+      val subset = Ingest.readUpsertTable(spark, table)
+        .filter(col("o_custkey") % 5 === 0)
+        .withColumn("o_orderpriority", lit("REVIEWED"))
+      Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+        keepVersions = 4)(subset, 2L)
+      Ingest.readUpsertTable(spark, table)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("price"), 2).as("price"), col("o_orderpriority"),
+          lit(metadataOnly).as("metadata_only"))
+        .orderBy("o_custkey")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
@@ -2481,5 +2539,5 @@ object Changes {
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
       qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue,
-      qUpsertZorder, qUpsertMerge, qUpsertMetaCount)
+      qUpsertZorder, qUpsertMerge, qUpsertMetaCount, qUpsertColmap)
 }

@@ -32,6 +32,8 @@ import graft.sources.{Ingest, TableStore}
   *               WHEN NOT MATCHED [AND <cond>] THEN INSERT
   *               WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET …
   *               WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+  *   GRAFT ALTER '<table dir>' RENAME COLUMN a TO b
+  *   GRAFT ALTER '<table dir>' DROP COLUMN a
   *   GRAFT OPTIMIZE '<table dir>' [ZORDER BY c1, c2[, c3]]
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
@@ -121,6 +123,10 @@ private[plans] object GraftSqlCommands {
   private val WDel =
     """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+))?\s+THEN\s+DELETE\s*;?\s*""".r
 
+  private val AlterRename =
+    s"""(?is)\\s*GRAFT\\s+ALTER\\s+$P\\s+RENAME\\s+COLUMN\\s+([\\w`]+)\\s+TO\\s+([\\w`]+)\\s*;?\\s*""".r
+  private val AlterDrop =
+    s"""(?is)\\s*GRAFT\\s+ALTER\\s+$P\\s+DROP\\s+COLUMN\\s+([\\w`]+)\\s*;?\\s*""".r
   private val Optimize =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+([\\w`]+(?:\\s*,\\s*[\\w`]+)*))?\\s*;?\\s*""".r
   private val Compact =
@@ -165,6 +171,11 @@ private[plans] object GraftSqlCommands {
       Option(b).map(_.toInt).getOrElse(16),
       Option(dc).map(_.stripPrefix("`").stripSuffix("`")),
       Option(k).map(_.toInt).getOrElse(2), src))
+    case AlterRename(d, from, to) => Some(AlterColumnCommand(unq(d),
+      from.stripPrefix("`").stripSuffix("`"),
+      Some(to.stripPrefix("`").stripSuffix("`"))))
+    case AlterDrop(d, c) => Some(AlterColumnCommand(unq(d),
+      c.stripPrefix("`").stripSuffix("`"), None))
     case Optimize(d, z) => Some(OptimizeCommand(unq(d),
       Option(z).toSeq.flatMap(_.split(",").map(
         _.trim.stripPrefix("`").stripSuffix("`")).toSeq)))
@@ -511,6 +522,29 @@ private[plans] object GraftSqlCommands {
         keys = keys, nBuckets = buckets, deleteCol = deleteCol,
         keepVersions = keep)
       Seq(Row(b, n))
+    }
+  }
+
+  /** `GRAFT ALTER '<dir>' RENAME COLUMN a TO b` / `DROP COLUMN a` —
+    * metadata-only schema surgery through the `_colmap` layer
+    * ([[Ingest.renameColumn]] / [[Ingest.dropColumn]]): zero data I/O,
+    * the ALTER TABLE cost model a 100-TB table requires.
+    */
+  final case class AlterColumnCommand(dir: String, column: String,
+                                      renameTo: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("altered", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      renameTo match {
+        case Some(to) =>
+          Ingest.renameColumn(dir, column, to)
+          Seq(Row(s"renamed $column to $to"))
+        case None =>
+          Ingest.dropColumn(dir, column)
+          Seq(Row(s"dropped $column"))
+      }
     }
   }
 

@@ -510,16 +510,23 @@ object Ingest {
                     occRetries: Int = 0,
                     quarantine: Boolean = false)
                    (batch: DataFrame, batchId: Long)
-                   (implicit store: TableStore): Unit =
+                   (implicit store: TableStore): Unit = {
+    // column mapping: callers speak LOGICAL names (keys, sortCols and
+    // the batch itself); storage speaks physical — translate once here
+    val cm = colMap(tableDir)
     // occMode reflects "this TABLE is operated two-writer" and must
     // survive the retry countdown: deriving it from retries-remaining
     // would run the LAST retry's post-commit cleanup with no in-flight
     // shield, re-opening the sweep race on exactly the attempt that
     // can no longer re-merge
-    upsertWithRetry(tableDir, keys, nBuckets, keepVersions, deleteCol,
-      graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
+    upsertWithRetry(tableDir, keys.map(toPhysicalName(cm, _)), nBuckets,
+      keepVersions, deleteCol,
+      graceMs, changeFeed, lazyDeletes,
+      sortCols.map(toPhysicalName(cm, _)), filesPerBucket,
       constraints, occRetries, occMode = occRetries > 0,
-      quarantine = quarantine)(batch, batchId)
+      quarantine = quarantine)(
+      physicalizeBatch(tableDir, batch, deleteCol.toSet), batchId)
+  }
 
   private def upsertWithRetry(tableDir: String, keys: Seq[String],
                     nBuckets: Int, keepVersions: Int,
@@ -1104,10 +1111,10 @@ object Ingest {
                      (implicit store: TableStore): DataFrame = {
     val root = tableDir
     val vDir = resolveVersionDir(root, asOfBatch)
-    applyDeletes(spark, root, vDir,
+    logicalView(root)(applyDeletes(spark, root, vDir,
       pinnedReader(spark, root).option("basePath", vDir)
         .parquet(vDir))
-      .drop(UpsertBucketCol)
+      .drop(UpsertBucketCol))
   }
 
   /** Stats-pruned snapshot read: resolve the version like
@@ -1134,8 +1141,11 @@ object Ingest {
                           (implicit store: TableStore): DataFrame = {
     val root = tableDir
     val vDir = resolveVersionDir(root, asOfBatch)
+    val cm = colMap(root) // bounds arrive logical, the manifest is physical
+    val physBounds = bounds.map { case (c, lo, hi) =>
+      (toPhysicalName(cm, c), lo, hi) }
     StatsManifest.survivingFiles(spark,
-      store.child(vDir, StatsManifest.ManifestDir), bounds) match {
+      store.child(vDir, StatsManifest.ManifestDir), physBounds) match {
       case None => readUpsertTable(spark, tableDir, asOfBatch)
       case Some(files) =>
         val base = pinnedReader(spark, root).option("basePath", vDir)
@@ -1144,7 +1154,8 @@ object Ingest {
             base.parquet(vDir).filter(
               org.apache.spark.sql.functions.lit(false))
           else base.parquet(files: _*)
-        applyDeletes(spark, root, vDir, scan).drop(UpsertBucketCol)
+        logicalView(root)(
+          applyDeletes(spark, root, vDir, scan).drop(UpsertBucketCol))
     }
   }
 
@@ -1195,26 +1206,30 @@ object Ingest {
       else store.listNames(manDir).filter(_.endsWith(".parquet"))
         .map(store.child(manDir, _))
     val hasDv = store.exists(store.child(vDir, "_deletes"))
-    def rowPred: Column = bounds
+    // bounds arrive LOGICAL; the manifest and raw files are physical
+    val cm = colMap(tableDir)
+    val pBounds = bounds.map { case (c, lo, hi) =>
+      (toPhysicalName(cm, c), lo, hi) }
+    def rowPred(bs: Seq[(String, Any, Any)]): Column = bs
       .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
       .reduceOption(_ && _).getOrElse(lit(true))
     def fallback: MetaCount = {
       val scan = readUpsertTableWhere(spark, tableDir, bounds)
       val total = readUpsertTable(spark, tableDir).inputFiles.length.toLong
-      MetaCount(scan.filter(rowPred).count(), 0L,
+      MetaCount(scan.filter(rowPred(bounds)).count(), 0L,
         scan.inputFiles.length.toLong, total)
     }
     if (mparts.isEmpty || hasDv) return fallback
     val manifest = spark.read.parquet(mparts: _*)
     val mCols = manifest.columns.toSet
     val statsOk = mCols.contains("n_rows") &&
-      bounds.forall { case (c, _, _) =>
+      pBounds.forall { case (c, _, _) =>
         mCols.contains(s"min_$c") && mCols.contains(s"nulls_$c") }
     if (!statsOk) return fallback
-    val overlap = coalesce(bounds.map { case (c, lo, hi) =>
+    val overlap = coalesce(pBounds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduceOption(_ && _).getOrElse(lit(true)), lit(false))
-    val inside = coalesce(bounds.map { case (c, lo, hi) =>
+    val inside = coalesce(pBounds.map { case (c, lo, hi) =>
       col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
         col(s"nulls_$c") === 0
     }.reduceOption(_ && _).getOrElse(lit(true)), lit(false))
@@ -1233,7 +1248,7 @@ object Ingest {
     val scanned =
       if (boundary.isEmpty) 0L
       else pinnedReader(spark, tableDir).option("basePath", vDir)
-        .parquet(boundary: _*).filter(rowPred).count()
+        .parquet(boundary: _*).filter(rowPred(pBounds)).count()
     MetaCount(metaRows + scanned, metaFiles.toLong, boundary.length.toLong,
       classified.length.toLong)
   }
@@ -1264,18 +1279,21 @@ object Ingest {
       val manifest = spark.read.parquet(mparts: _*)
       val sortCols = tableMeta(tableDir).get("sort")
         .map(_.split(",").toSeq).getOrElse(Nil)
+      val cm = colMap(tableDir) // output aliases use LOGICAL names
+      def lg(c: String): String = toLogicalName(cm, c)
       if (sortCols.isEmpty) None
       else Some(manifest.agg(
         min(org.apache.spark.sql.functions.col(s"min_${sortCols.head}"))
-          .as(s"min_${sortCols.head}"),
+          .as(s"min_${lg(sortCols.head)}"),
         (sortCols.map(c =>
-          max(org.apache.spark.sql.functions.col(s"max_$c")).as(s"max_$c")) ++
+          max(org.apache.spark.sql.functions.col(s"max_$c"))
+            .as(s"max_${lg(c)}")) ++
           sortCols.tail.map(c =>
             min(org.apache.spark.sql.functions.col(s"min_$c"))
-              .as(s"min_$c"))): _*)
+              .as(s"min_${lg(c)}"))): _*)
         .select(sortCols.flatMap(c =>
-          Seq(org.apache.spark.sql.functions.col(s"min_$c"),
-            org.apache.spark.sql.functions.col(s"max_$c"))): _*))
+          Seq(org.apache.spark.sql.functions.col(s"min_${lg(c)}"),
+            org.apache.spark.sql.functions.col(s"max_${lg(c)}"))): _*))
     }
   }
 
@@ -1837,6 +1855,182 @@ object Ingest {
           .asInstanceOf[StructType])
     }
 
+  // --- column mapping (metadata-only RENAME / DROP COLUMN) ---
+
+  /** Column-mapping state of a table (`_colmap`, one atomic control
+    * object): `(physical, logical, live)` per NON-identity column.
+    * Physical names are immutable once written into parquet files and
+    * the pinned `_schema`; logical names are the user-facing surface
+    * ([[renameColumn]] / [[dropColumn]] rewrite only this object —
+    * zero data I/O, the ALTER TABLE cost model a 100-TB table
+    * requires). A column absent from the map is identity-mapped and
+    * live. A dead entry (`live = false`) is a DROP: the physical
+    * column stays in history and the pinned schema, reads project it
+    * out, and a later re-add of the same logical name mints a FRESH
+    * physical name — dropped data is never resurrected (the field-ID
+    * discipline, spelled with disjoint names instead of numeric ids:
+    * [[renameColumn]] refuses targets that collide with any pinned
+    * physical name, so logical→physical lookup is never ambiguous).
+    */
+  private def colMap(root: String)
+                    (implicit store: TableStore): Seq[(String, String, Boolean)] =
+    store.read(store.child(root, "_colmap")).toSeq
+      .flatMap(_.split('\n')).map(_.trim).filter(_.nonEmpty).map { l =>
+        val p = l.split('\t')
+        require(p.length == 3, s"$root/_colmap: torn entry '$l'")
+        (p(0), p(1), p(2) == "1")
+      }
+
+  private def writeColMap(root: String, cm: Seq[(String, String, Boolean)])
+                         (implicit store: TableStore): Unit =
+    store.writeAtomic(root, "_colmap",
+      cm.filterNot(e => e._3 && e._1 == e._2) // identity entries vanish
+        .map { case (p, lg, lv) => s"$p\t$lg\t${if (lv) "1" else "0"}" }
+        .mkString("\n"))
+
+  /** logical → physical for a LIVE name; identity when unmapped. */
+  private def toPhysicalName(cm: Seq[(String, String, Boolean)],
+                             logical: String): String =
+    cm.find(e => e._3 && e._2 == logical).map(_._1).getOrElse(logical)
+
+  /** physical → logical for a LIVE physical; identity when unmapped. */
+  private def toLogicalName(cm: Seq[(String, String, Boolean)],
+                            physical: String): String =
+    cm.find(e => e._3 && e._1 == physical).map(_._2).getOrElse(physical)
+
+  /** The user-facing column view of a PHYSICAL frame: dead physicals
+    * dropped, live renames applied. Every snapshot/feed read ends
+    * here; an empty map is the common case and a no-op.
+    */
+  private def logicalView(root: String)(df: DataFrame)
+                         (implicit store: TableStore): DataFrame = {
+    val cm = colMap(root)
+    if (cm.isEmpty) df
+    else {
+      var out = df
+      cm.filterNot(_._3).map(_._1).filter(out.columns.contains)
+        .foreach(p => out = out.drop(p))
+      cm.filter(_._3).foreach { case (p, lg, _) =>
+        if (p != lg && out.columns.contains(p))
+          out = out.withColumnRenamed(p, lg)
+      }
+      out
+    }
+  }
+
+  /** The current LOGICAL column names of the table: pinned physicals
+    * minus dead ones, live renames applied.
+    */
+  private def logicalNames(root: String,
+                           cm: Seq[(String, String, Boolean)])
+                          (implicit store: TableStore): Seq[String] = {
+    val phys = store.read(store.child(root, "_schema"))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType].fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    val dead = cm.filterNot(_._3).map(_._1).toSet
+    phys.filterNot(dead).filterNot(_ == UpsertBucketCol)
+      .map(p => toLogicalName(cm, p))
+  }
+
+  private val ColNameOk = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Metadata-only RENAME COLUMN: rewrite `_colmap` so reads surface
+    * `to` where files store `from`'s physical column — no version, no
+    * batch, no data I/O (`GRAFT ALTER '<dir>' RENAME COLUMN a TO b`).
+    * Keys and sort columns may be renamed (their `_meta` pins stay
+    * physical; every read/write path translates). The target must be
+    * a fresh logical name AND must not collide with any pinned
+    * physical name — keeping the two namespaces disjoint is what
+    * makes name-based mapping as unambiguous as Iceberg's numeric
+    * field ids. Pinned `_constraints` were declared against
+    * creation-time (physical) names and keep validating unchanged;
+    * as-of reads apply the CURRENT mapping (Delta's column-mapping
+    * time-travel semantics).
+    */
+  def renameColumn(tableDir: String, from: String, to: String)
+                  (implicit store: TableStore): Unit = {
+    require(ColNameOk.matches(to),
+      s"renameColumn: bad target column name '$to'")
+    val cm = colMap(tableDir)
+    val logical = logicalNames(tableDir, cm)
+    require(logical.contains(from),
+      s"renameColumn: no column '$from' (columns: ${logical.mkString(",")})")
+    require(!logical.contains(to),
+      s"renameColumn: column '$to' already exists")
+    val phys = toPhysicalName(cm, from)
+    val pinnedPhys = store.read(store.child(tableDir, "_schema"))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType].fieldNames.toSet)
+      .getOrElse(Set.empty)
+    require(to == phys || !pinnedPhys.contains(to),
+      s"renameColumn: '$to' collides with a physical column name — " +
+        "pick a name never used by this table's storage")
+    writeColMap(tableDir, cm.filterNot(_._1 == phys) :+ ((phys, to, true)))
+  }
+
+  /** Metadata-only DROP COLUMN: mark the physical column dead in
+    * `_colmap` — history keeps the bytes, reads project the column
+    * out, later batches may omit it (the sink null-fills the pinned
+    * physical), and re-adding the same logical name creates a fresh
+    * physical column (old values never resurface). Key and sort/stats
+    * columns cannot be dropped (the layout and manifest are pinned on
+    * them). `GRAFT ALTER '<dir>' DROP COLUMN a`.
+    */
+  def dropColumn(tableDir: String, name: String)
+                (implicit store: TableStore): Unit = {
+    val cm = colMap(tableDir)
+    val logical = logicalNames(tableDir, cm)
+    require(logical.contains(name),
+      s"dropColumn: no column '$name' (columns: ${logical.mkString(",")})")
+    val phys = toPhysicalName(cm, name)
+    val meta = tableMeta(tableDir)
+    require(!meta("keys").split(",").contains(phys),
+      s"dropColumn: '$name' is a key column — the layout is pinned on it")
+    require(!meta.get("sort").exists(_.split(",").contains(phys)),
+      s"dropColumn: '$name' is a sort/stats column — the manifest is " +
+        "pinned on it (REBUCKET/OPTIMIZE to a new layout first)")
+    writeColMap(tableDir, cm.filterNot(_._1 == phys) :+ ((phys, name, false)))
+  }
+
+  /** Translate an incoming LOGICAL batch to the table's PHYSICAL
+    * column names at the sink entry: live renames map back, a new
+    * column colliding with a RETIRED physical name gets a fresh
+    * physical (`<name>__<k>`, recorded live in `_colmap` so reads
+    * surface the logical name), and retired physicals the pinned
+    * schema still carries are null-filled so the widen-only check and
+    * the bucket-merge union stay satisfied.
+    */
+  private def physicalizeBatch(root: String, batch: DataFrame,
+                               skipCols: Set[String])
+                              (implicit store: TableStore): DataFrame = {
+    val cm = colMap(root)
+    if (cm.isEmpty) return batch
+    import org.apache.spark.sql.functions.lit
+    var df = batch
+    cm.filter(_._3).foreach { case (p, lg, _) =>
+      if (lg != p && df.columns.contains(lg) && !skipCols(lg))
+        df = df.withColumnRenamed(lg, p)
+    }
+    val retired = cm.filterNot(_._3).map(_._1).toSet
+    val pinned = store.read(store.child(root, "_schema"))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+    val pinnedNames = pinned.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    df.columns.filter(c => retired.contains(c) && !skipCols(c)).foreach { c =>
+      val taken = pinnedNames ++ df.columns ++ retired
+      val fresh = Iterator.from(2).map(i => s"${c}__$i")
+        .find(f => !taken.contains(f)).get
+      df = df.withColumnRenamed(c, fresh)
+      writeColMap(root,
+        colMap(root).filterNot(_._1 == fresh) :+ ((fresh, c, true)))
+    }
+    pinned.foreach(_.fields
+      .filter(f => retired.contains(f.name) && !df.columns.contains(f.name))
+      .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType))))
+    df
+  }
+
   /** Point-lookup read of an [[upsertParquet]] table: scan ONLY the
     * bucket dirs the probe keys hash to, then exact-match inside them.
     * This is the read path the hash-bucketed layout exists for — a
@@ -1863,7 +2057,8 @@ object Ingest {
     import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, xxhash64}
     val root = tableDir
     val meta = tableMeta(root)
-    val keys = meta("keys").split(",").toSeq
+    val cm = colMap(root) // probe speaks logical; _meta pins physical
+    val keys = meta("keys").split(",").toSeq.map(toLogicalName(cm, _))
     keys.foreach(k => require(probe.columns.contains(k),
       s"lookup probe is missing key column '$k' (table keys: " +
         s"${keys.mkString(",")})"))
@@ -1890,9 +2085,9 @@ object Ingest {
           .filter(lit(false))
       else reader.option("basePath", vDir)
         .parquet(bucketDirs: _*)
-    applyDeletes(spark, root, vDir,
-      scan.join(broadcast(probeKeys), keys, "left_semi"))
-      .drop(UpsertBucketCol)
+    logicalView(root)(
+      applyDeletes(spark, root, vDir, scan).drop(UpsertBucketCol))
+      .join(broadcast(probeKeys), keys, "left_semi")
   }
 
   /** Re-bucket an [[upsertParquet]] table — THE maintenance operation a
@@ -2248,6 +2443,8 @@ object Ingest {
       .foreach(s => store.writeAtomic(dstDir, "_schema", s))
     store.read(store.child(srcDir, "_constraints"))
       .foreach(s => store.writeAtomic(dstDir, "_constraints", s))
+    store.read(store.child(srcDir, "_colmap"))
+      .foreach(s => store.writeAtomic(dstDir, "_colmap", s))
     lineage.foreach(f =>
       store.writeAtomic(dstDir, "_branch_base", f(curName.get)))
     store.appendLog(store.child(dstDir, "_commits"), "0")
@@ -2415,6 +2612,7 @@ object Ingest {
                   keepVersions: Int = 2, graceMs: Long = 0L)
                  (implicit store: TableStore): Option[(Long, Long)] = {
     val keys = tableMeta(tableDir).apply("keys").split(",").toSeq
+      .map(toLogicalName(colMap(tableDir), _)) // assignments are logical
     set.foreach { case (c, _) =>
       require(!keys.contains(c),
         s"updateWhere: cannot assign key column '$c' — an update that " +
@@ -2465,7 +2663,9 @@ object Ingest {
       else Map.empty // fresh dir: this call creates the table
     val (k, b) = meta.get("keys") match {
       case Some(mk) =>
+        // callers speak logical names; _meta pins physical
         val pinned = mk.split(",").toSeq
+          .map(toLogicalName(colMap(tableDir), _))
         require(keys.isEmpty || keys == pinned,
           s"upsertInto: $tableDir pins keys [${pinned.mkString(",")}] " +
             s"but the call passed [${keys.mkString(",")}]")
@@ -2561,7 +2761,10 @@ object Ingest {
     import org.apache.spark.sql.functions.{col, count, expr, lit, when}
     require(clauses.nonEmpty, "mergeInto: no WHEN clauses")
     val meta = tableMeta(tableDir)
+    // the merge speaks LOGICAL names end to end (cur is the logical
+    // view, the sink translates back); _meta pins physical
     val keys = meta("keys").split(",").toSeq
+      .map(toLogicalName(colMap(tableDir), _))
     def checkSet(set: Seq[(String, String)]): Unit = {
       require(set.nonEmpty, "mergeInto: empty SET list")
       require(set.map(_._1).distinct.size == set.size,
@@ -2716,7 +2919,8 @@ object Ingest {
       if (dirs.isEmpty)
         reader.option("basePath", vDir).parquet(vDir).filter(lit(false))
       else reader.option("basePath", vDir).parquet(dirs: _*)
-    applyDeletes(spark, tableDir, vDir, scan).drop(UpsertBucketCol)
+    logicalView(tableDir)(
+      applyDeletes(spark, tableDir, vDir, scan).drop(UpsertBucketCol))
   }
 
   private val DmlFlag = "_dml_deleted"
@@ -2976,10 +3180,11 @@ object Ingest {
       }
     }
     val chSchema = changeSchema(root)
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], chSchema)
-    else spark.read.schema(chSchema).parquet(paths: _*)
+    logicalView(root)(
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], chSchema)
+      else spark.read.schema(chSchema).parquet(paths: _*))
   }
 
   /** Change-record schema of a change-feed table: the pinned data
