@@ -107,7 +107,11 @@ object ScaleProbe {
         // (ratio ~ the optimize row's); the sketch folds ride feed
         // slices
         "q_upsert_requeue", "q_stream_quarantine", "q_upsert_zorder",
-        "q_theta_incremental")
+        "q_theta_incremental",
+        // r15 second half: MERGE rides its change set (join + touched
+        // buckets); the metadata count's READ must stay manifest-sized
+        // (build dominates the row); colmap ALTERs are O(1) metadata
+        "q_upsert_merge", "q_upsert_meta_count", "q_upsert_colmap")
 
     // optional 4th arg: comma-separated row filter for incremental
     // probing (a new op's ratio without re-running the whole band)

@@ -17,6 +17,7 @@ object SparkEntry {
       TextOps.specs ++ Dedup.specs ++ VectorOps.specs ++ Multimodal.specs ++
       Extended.specs ++ Analytic.specs ++ Ivf.specs ++ Pq.specs ++
       AnnIndex.specs ++ Splits.specs ++
+      Bpe.specs ++
       SqlEntry.specs ++ Contamination.specs ++ Search.specs ++ Scrub.specs ++
       Graph.specs ++ Changes.specs ++ Funnels.specs ++ Sketches.specs ++
       Clustering.specs ++ Series.specs ++ Audit.specs ++ Baskets.specs ++
