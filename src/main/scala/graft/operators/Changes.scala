@@ -2530,6 +2530,109 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** STREAMING MERGE — [[graft.sources.Ingest.mergeInto]] as the
+    * foreachBatch body, the composition a CDC consumer with
+    * conditional apply rules actually runs (plain upsert overwrites
+    * unconditionally; this stream keeps each customer's RICHEST order:
+    * update only when the incoming price is strictly higher, insert
+    * new customers). Each date-range micro-batch pre-reduces per key
+    * (max (price, orderkey)) then merges with `asBatch =` the
+    * micro-batch id, so a crash-replayed batch no-ops — exactly-once
+    * restated for an op whose change set derives from the
+    * already-merged snapshot (MergeSpec pins the replay no-op).
+    * DuckDB recomputes the fold: the conditional-update semantics make
+    * the result the global argmax by (price, chunk ASC, orderkey) —
+    * strict `>` means the EARLIEST chunk holding the max price wins,
+    * with the in-chunk pre-reduce tie-break on orderkey.
+    */
+  val qStreamMerge: QuerySpec = QuerySpec(
+    "q_stream_merge",
+    Some("""WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+          date_diff('day', min(CAST(o_orderdate AS DATE)),
+            max(CAST(o_orderdate AS DATE))) + 1 AS span
+        FROM orders),
+      log AS (
+        SELECT o.o_custkey, o.o_orderdate, o.o_orderkey,
+          round(o.o_totalprice, 2) AS price, o.o_orderpriority,
+          (date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) * 4)
+            // b.span AS chunk
+        FROM orders o CROSS JOIN bounds b),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY price DESC, chunk ASC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_custkey, o_orderdate, o_orderkey, price, o_orderpriority
+      FROM ranked WHERE rn = 1 ORDER BY o_custkey"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      implicit val tstore: graft.sources.TableStore =
+        graft.sources.TableStore.local
+      val base = graft.Scratch.dir("stream-merge")
+      tstore.deleteTree(base)
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val table = s"$base/table"
+      val log = Tables.load(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("o_orderpriority"))
+      val n = 4
+      val b = log.agg(min(to_date(col("o_orderdate"))),
+        max(to_date(col("o_orderdate")))).head() // 2 scalars
+      val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+      def writer(batch: DataFrame, id: Long): Unit = {
+        // per-key pre-reduce: the batch's richest order (price, then
+        // orderkey) — the MERGE cardinality contract per micro-batch
+        val reduced = batch.groupBy("o_custkey")
+          .agg(max_by(
+            struct(col("o_orderdate"), col("o_orderkey"), col("price"),
+              col("o_orderpriority")),
+            struct(col("price"), col("o_orderkey"))).as("r"))
+          .select(col("o_custkey"), col("r.o_orderdate"),
+            col("r.o_orderkey"), col("r.price"), col("r.o_orderpriority"))
+        if (!tstore.exists(tstore.child(table, "_meta")))
+          Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+            keepVersions = n + 1)(reduced, id)
+        else {
+          Ingest.mergeInto(spark, table, reduced, Seq(
+            Ingest.MatchedUpdate(Some("s.price > t.price"), Seq(
+              "price" -> "s.price", "o_orderdate" -> "s.o_orderdate",
+              "o_orderkey" -> "s.o_orderkey",
+              "o_orderpriority" -> "s.o_orderpriority")),
+            Ingest.NotMatchedInsert(None)),
+            keepVersions = n + 1, asBatch = Some(id))
+          ()
+        }
+      }
+      val src = Ingest.readStreamFiles(spark, s"$in/*.parquet",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_custkey BIGINT, o_orderdate TIMESTAMP, o_orderkey BIGINT, " +
+            "price DOUBLE, o_orderpriority STRING"),
+        basePath = Some(in))
+      EventOps.withStreamSizing(spark) {
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until n).foreach { i =>
+          val tmp = s"$base/stage_$i"
+          log.filter(expr(
+            s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
+            === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head.toPath
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$in/c$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable() // each date-range chunk = one batch
+        } finally q.stop()
+      }
+      Ingest.readUpsertTable(spark, table)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("price"), col("o_orderpriority"))
+        .orderBy("o_custkey")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
@@ -2539,5 +2642,6 @@ object Changes {
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
       qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue,
-      qUpsertZorder, qUpsertMerge, qUpsertMetaCount, qUpsertColmap)
+      qUpsertZorder, qUpsertMerge, qUpsertMetaCount, qUpsertColmap,
+      qStreamMerge)
 }

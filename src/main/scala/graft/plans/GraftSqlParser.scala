@@ -18,6 +18,7 @@ import graft.sources.{Ingest, TableStore}
   * {{{
   *   GRAFT DESCRIBE HISTORY '<table dir>'
   *   GRAFT DESCRIBE DETAIL '<table dir>'
+  *   GRAFT DESCRIBE STATS '<table dir>'
   *   GRAFT RESTORE '<table dir>' TO BATCH <n> [KEEP <k> VERSIONS]
   *   GRAFT CLONE '<src dir>' TO '<dst dir>'
   *   GRAFT BRANCH '<src dir>' TO '<branch dir>'
@@ -87,6 +88,8 @@ private[plans] object GraftSqlCommands {
 
   private val History =
     s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*""".r
+  private val Stats =
+    s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+STATS\\s+$P\\s*;?\\s*""".r
   private val Detail =
     s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+DETAIL\\s+$P\\s*;?\\s*""".r
   private val Restore =
@@ -154,6 +157,7 @@ private[plans] object GraftSqlCommands {
 
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case History(d) => Some(HistoryCommand(unq(d)))
+    case Stats(d) => Some(DescribeStatsCommand(unq(d)))
     case Detail(d) => Some(DetailCommand(unq(d)))
     case Restore(d, b, k) => Some(RestoreCommand(unq(d), b.toLong,
       Option(k).map(_.toInt).getOrElse(2)))
@@ -522,6 +526,37 @@ private[plans] object GraftSqlCommands {
         keys = keys, nBuckets = buckets, deleteCol = deleteCol,
         keepVersions = keep)
       Seq(Row(b, n))
+    }
+  }
+
+  /** `GRAFT DESCRIBE STATS '<dir>'` — the metadata-aggregation surface
+    * ([[Ingest.countWhere]] with no bounds + [[Ingest.minMaxMeta]]) as
+    * one SQL row: exact row count, file count, whether the count came
+    * from metadata alone (false under a pending deletion vector or a
+    * manifest-less table — the sound degradation), and the sort
+    * columns' min/max ranges rendered as text (schema-stable however
+    * many stats columns the table pins).
+    */
+  final case class DescribeStatsCommand(dir: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("n_rows", LongType),
+      attr("data_files", LongType),
+      attr("metadata_only", BooleanType),
+      attr("ranges", StringType, nullable = true))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      val mc = Ingest.countWhere(spark, dir)
+      val ranges = Ingest.minMaxMeta(spark, dir).map { df =>
+        val r = df.head()
+        df.columns.grouped(2).map { pair =>
+          val c = pair.head.stripPrefix("min_")
+          s"$c: [${r.get(r.fieldIndex(pair.head))} .. " +
+            s"${r.get(r.fieldIndex(pair(1)))}]"
+        }.mkString(", ")
+      }
+      Seq(Row(mc.count, mc.totalFiles, mc.scannedFiles == 0L,
+        ranges.orNull))
     }
   }
 

@@ -2753,13 +2753,25 @@ object Ingest {
     * buckets) as always. With BY SOURCE clauses the full snapshot scan
     * is irreducible — deciding "no source row matches" needs every
     * target row.
+    *
+    * `asBatch` pins the minted batch id for STREAMING callers
+    * (foreachBatch micro-batch ids): a pinned id already in the
+    * ledger is a crash-replayed micro-batch and no-ops — the
+    * exactly-once discipline the raw sink gets from replaying the
+    * same id, restated for an op whose change set derives from the
+    * (already-merged) snapshot.
     */
   def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
                 clauses: Seq[MergeClause], keepVersions: Int = 2,
-                graceMs: Long = 0L)
+                graceMs: Long = 0L, asBatch: Option[Long] = None)
                (implicit store: TableStore): Option[(Long, Long)] = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, when}
     require(clauses.nonEmpty, "mergeInto: no WHEN clauses")
+    // exactly-once replay for streaming callers (foreachBatch): a
+    // caller-pinned batch id that is already committed is a replayed
+    // micro-batch — skip BEFORE building a change set against the
+    // post-merge snapshot (which would describe a different batch)
+    if (asBatch.exists(readLedger(tableDir).contains)) return None
     val meta = tableMeta(tableDir)
     // the merge speaks LOGICAL names end to end (cur is the logical
     // view, the sink translates back); _meta pins physical
@@ -2878,8 +2890,8 @@ object Ingest {
       try {
         val n = change.count()
         if (n == 0) return None
-        val newBatch =
-          readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1
+        val newBatch = asBatch.getOrElse(
+          readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1)
         upsertParquet(tableDir, keys, nBuckets = meta("buckets").toInt,
           keepVersions = keepVersions, deleteCol = Some(DmlFlag),
           graceMs = graceMs,

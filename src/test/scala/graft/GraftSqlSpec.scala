@@ -173,6 +173,25 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT DESCRIBE STATS: metadata count, file count and ranges") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/s"
+    Ingest.upsertParquet(t, Seq("k"), nBuckets = 4, keepVersions = 8,
+      sortCols = Seq("v"), filesPerBucket = 2)(
+      (1L to 12L).map(i => (i, i.toDouble)).toDF("k", "v"), 0L)
+    val r = spark.sql(s"GRAFT DESCRIBE STATS '$t'").head()
+    assert(r.getLong(0) === 12L)             // n_rows, from metadata
+    assert(r.getLong(1) > 0L)                // data_files
+    assert(r.getBoolean(2))                  // metadata_only
+    assert(r.getString(3).startsWith("v: [1.0 .. 12.0"))
+    // a table without a manifest still answers, flagged as scanned
+    val p = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/p"
+    Ingest.upsertParquet(p, Seq("k"), nBuckets = 2, keepVersions = 8)(
+      Seq((1L, 1.0)).toDF("k", "v"), 0L)
+    val rp = spark.sql(s"GRAFT DESCRIBE STATS '$p'").head()
+    assert(rp.getLong(0) === 1L && !rp.getBoolean(2) && rp.isNullAt(3))
+  }
+
   test("GRAFT MERGE: multi-WHEN clauses, CASE inside a condition, " +
     "parenthesized source with the delegate grammar") {
     import spark.implicits._

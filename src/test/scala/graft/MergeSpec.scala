@@ -168,6 +168,24 @@ abstract class MergeSuiteBase extends AnyFunSuite {
     assert(state(dir)(2L) === ("v2_20", 27L))
   }
 
+  test("a crash-replayed pinned batch id no-ops (streaming exactly-once)") {
+    import spark.implicits._
+    val dir = mkTable()
+    val src = Seq((2L, "up", 100L)).toDF("id", "name", "qty")
+    val clauses = Seq(
+      Ingest.MatchedUpdate(None, Seq("qty" -> "t.qty + s.qty")))
+    val first = Ingest.mergeInto(spark, dir, src, clauses,
+      asBatch = Some(1L))
+    assert(first.contains((1L, 1L)))
+    assert(state(dir)(2L)._2 === 120L)
+    // the replay: same micro-batch id redelivered after a "crash" —
+    // without the guard the additive update would apply twice
+    val replay = Ingest.mergeInto(spark, dir, src, clauses,
+      asBatch = Some(1L))
+    assert(replay.isEmpty)
+    assert(state(dir)(2L)._2 === 120L)
+  }
+
   // --- metadata-only aggregates ---
 
   /** Orders-shaped table pinned on sortCols = qty so the manifest
