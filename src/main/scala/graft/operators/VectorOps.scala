@@ -469,6 +469,80 @@ object VectorOps {
         .orderBy("id1", "id2")
     })
 
+  // --- scalar (int8) quantization ANN — the middle operating point ---
+
+  /** Top-k via SCALAR (int8) QUANTIZATION — the operating point
+    * between binary signatures and exact floats: the coarse scan
+    * scores FULL-precision probes against the int8-quantized corpus
+    * (asymmetric SQ, the standard trick — only the corpus pays the
+    * compression), then exact cosine reranks the per-probe shortlist.
+    * Cosine is invariant to each vector's own scale, so the
+    * per-vector max-abs/127 quantization needs NO dequantization pass
+    * — the quantized column scores directly and the only error is
+    * int8 rounding (the ≤0.02 drift `q_embed_quantized` pins as a
+    * contract). At 100 TB the win is BYTES: the coarse scan reads a
+    * 4×-smaller corpus projection (the true vectors join back for the
+    * shortlist only, a keyed join on vec_id), probes broadcast, the
+    * corpus never shuffles. `shortlist = None` reranks everything —
+    * the exactness twin's configuration, bit-equal to brute force.
+    */
+  def topKSq8(emb: DataFrame, probeFilter: Column, k: Int,
+              shortlist: Option[Int]): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    // the compressed-domain table: one int8-scaled vector per row
+    val codes = quantizeInt8(emb, "embedding", "qv")
+      .select(col("vec_id").as("neighbor_id"), col("qv"))
+    val probes = broadcast(emb.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec")))
+    val coarse = probes.crossJoin(codes)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("qsim",
+        round(GraftFunctions.cosineSim(col("pvec"), col("qv")), 6))
+    val short = shortlist.fold(coarse) { s =>
+      shortlistPerProbe(coarse, "qsim", s, largest = true)
+    }
+    val rer = short.join(
+        emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec")), Seq("neighbor_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("pvec"), col("cvec")), 6))
+    rankPerProbe(rer, "sim", k, largest = true)
+      .select("probe_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** The SQ8 operating point (shortlist 16 of the sf-dependent
+    * corpus): rows-only by design with the exactness twin below as
+    * the oracle-checked contract (the BQ/PQ/LSH discipline). int8
+    * preserves the cosine ordering almost exactly (rounding drift
+    * ≤0.02 per `q_embed_quantized`): measured on this fixture
+    * (graft.tools.Sq8Probe, 50 probes @ sf0.01) recall@5 = 1.0 at
+    * shortlist 8, 16 AND 32 — where 64-bit BQ needed shortlist 64
+    * for 0.63. That is the quantization-ladder guidance a production
+    * tuner needs: BQ when bytes dominate (32× compression, coarse),
+    * PQ between, SQ8 when recall matters (4×, near-exact).
+    */
+  val qCosineTopKSq8: QuerySpec = QuerySpec(
+    "q_cosine_topk_sq8",
+    None,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKSq8(emb, col("vec_id") < 10, 5, shortlist = Some(16))
+        .orderBy("probe_id", "rk")
+    })
+
+  /** Exactness contract: a corpus-wide shortlist discards nothing, so
+    * the quantize/score/rerank pipeline must equal brute force
+    * bit-for-bit — q_cosine_topk's oracle, shared verbatim.
+    */
+  val qCosineTopKSq8Exact: QuerySpec = QuerySpec(
+    "q_cosine_topk_sq8_exact",
+    qCosineTopK.oracle,
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      topKSq8(emb, col("vec_id") < 10, 5, shortlist = None)
+        .orderBy("probe_id", "rk")
+    })
+
   // --- binary (1-bit) quantization ANN — the compressed-domain scan ---
 
   /** Top-k via BINARY QUANTIZATION: 64 sign bits per vector (the same
@@ -871,6 +945,7 @@ object VectorOps {
     Seq(qCosineTopK, qEmbedNearDup, qEmbedNearDupBanded, qEmbedQuantized,
       qCosineTopKLsh, qCosineTopKLshExact, qEmbedNearDupLsh,
       qEmbedNearDupLshExact, qCosineTopKBq, qCosineTopKBqExact,
+      qCosineTopKSq8, qCosineTopKSq8Exact,
       qCosineTopKIvfBq, qCosineTopKIvfBqExact, qCosineTopKFiltered,
       qCosineTopKMmr, qCosineTopKMmrExact)
 }

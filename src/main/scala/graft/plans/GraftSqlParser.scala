@@ -19,6 +19,7 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT DESCRIBE HISTORY '<table dir>'
   *   GRAFT DESCRIBE DETAIL '<table dir>'
   *   GRAFT DESCRIBE STATS '<table dir>'
+  *   GRAFT MAINTENANCE '<table dir>' [KEEP <k> VERSIONS]
   *   GRAFT RESTORE '<table dir>' TO BATCH <n> [KEEP <k> VERSIONS]
   *   GRAFT CLONE '<src dir>' TO '<dst dir>'
   *   GRAFT BRANCH '<src dir>' TO '<branch dir>'
@@ -35,7 +36,9 @@ import graft.sources.{Ingest, TableStore}
   *               WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
   *   GRAFT ALTER '<table dir>' RENAME COLUMN a TO b
   *   GRAFT ALTER '<table dir>' DROP COLUMN a
-  *   GRAFT OPTIMIZE '<table dir>' [ZORDER BY c1, c2[, c3]]
+  *   GRAFT ALTER '<table dir>' ADD CONSTRAINT n CHECK (expr)
+  *   GRAFT ALTER '<table dir>' DROP CONSTRAINT n
+  *   GRAFT OPTIMIZE '<table dir>' [ZORDER BY c1, c2[, c3]] [PURGE COLUMNS]
   *   GRAFT COMPACT '<table dir>' [OVER <n> FILES]
   *   GRAFT REBUCKET '<table dir>' TO <n> BUCKETS
   *   GRAFT VACUUM '<table dir>' KEEP <k> VERSIONS [GRACE <ms> MS]
@@ -90,6 +93,8 @@ private[plans] object GraftSqlCommands {
     s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*""".r
   private val Stats =
     s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+STATS\\s+$P\\s*;?\\s*""".r
+  private val Maintenance =
+    s"""(?is)\\s*GRAFT\\s+MAINTENANCE\\s+$P(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private val Detail =
     s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+DETAIL\\s+$P\\s*;?\\s*""".r
   private val Restore =
@@ -126,12 +131,16 @@ private[plans] object GraftSqlCommands {
   private val WDel =
     """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+))?\s+THEN\s+DELETE\s*;?\s*""".r
 
+  private val AlterAddCons =
+    s"""(?is)\\s*GRAFT\\s+ALTER\\s+$P\\s+ADD\\s+CONSTRAINT\\s+([\\w.-]+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterDropCons =
+    s"""(?is)\\s*GRAFT\\s+ALTER\\s+$P\\s+DROP\\s+CONSTRAINT\\s+([\\w.-]+)\\s*;?\\s*""".r
   private val AlterRename =
     s"""(?is)\\s*GRAFT\\s+ALTER\\s+$P\\s+RENAME\\s+COLUMN\\s+([\\w`]+)\\s+TO\\s+([\\w`]+)\\s*;?\\s*""".r
   private val AlterDrop =
     s"""(?is)\\s*GRAFT\\s+ALTER\\s+$P\\s+DROP\\s+COLUMN\\s+([\\w`]+)\\s*;?\\s*""".r
   private val Optimize =
-    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+([\\w`]+(?:\\s*,\\s*[\\w`]+)*))?\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$P(?:\\s+ZORDER\\s+BY\\s+([\\w`]+(?:\\s*,\\s*[\\w`]+)*))?(\\s+PURGE\\s+COLUMNS)?\\s*;?\\s*""".r
   private val Compact =
     s"""(?is)\\s*GRAFT\\s+COMPACT\\s+$P(?:\\s+OVER\\s+(\\d+)\\s+FILES)?\\s*;?\\s*""".r
   private val Rebucket =
@@ -158,6 +167,8 @@ private[plans] object GraftSqlCommands {
   def parse(sql: String): Option[LogicalPlan] = sql match {
     case History(d) => Some(HistoryCommand(unq(d)))
     case Stats(d) => Some(DescribeStatsCommand(unq(d)))
+    case Maintenance(d, k) => Some(MaintenanceCommand(unq(d),
+      Option(k).map(_.toInt).getOrElse(4)))
     case Detail(d) => Some(DetailCommand(unq(d)))
     case Restore(d, b, k) => Some(RestoreCommand(unq(d), b.toLong,
       Option(k).map(_.toInt).getOrElse(2)))
@@ -175,14 +186,19 @@ private[plans] object GraftSqlCommands {
       Option(b).map(_.toInt).getOrElse(16),
       Option(dc).map(_.stripPrefix("`").stripSuffix("`")),
       Option(k).map(_.toInt).getOrElse(2), src))
+    case AlterAddCons(d, n, e) =>
+      Some(AlterConstraintCommand(unq(d), n, Some(e.trim)))
+    case AlterDropCons(d, n) =>
+      Some(AlterConstraintCommand(unq(d), n, None))
     case AlterRename(d, from, to) => Some(AlterColumnCommand(unq(d),
       from.stripPrefix("`").stripSuffix("`"),
       Some(to.stripPrefix("`").stripSuffix("`"))))
     case AlterDrop(d, c) => Some(AlterColumnCommand(unq(d),
       c.stripPrefix("`").stripSuffix("`"), None))
-    case Optimize(d, z) => Some(OptimizeCommand(unq(d),
+    case Optimize(d, z, pg) => Some(OptimizeCommand(unq(d),
       Option(z).toSeq.flatMap(_.split(",").map(
-        _.trim.stripPrefix("`").stripSuffix("`")).toSeq)))
+        _.trim.stripPrefix("`").stripSuffix("`")).toSeq),
+      purgeColumns = pg != null))
     case Compact(d, n) => Some(CompactCommand(unq(d),
       Option(n).map(_.toInt).getOrElse(4)))
     case Rebucket(d, n) => Some(RebucketCommand(unq(d), n.toInt))
@@ -560,6 +576,46 @@ private[plans] object GraftSqlCommands {
     }
   }
 
+  /** `GRAFT MAINTENANCE '<dir>' [KEEP k VERSIONS]` — the advisor
+    * ([[Ingest.maintenancePlan]]): one row per recommended op with the
+    * ready-to-run GRAFT statement; zero rows = nothing to do (running
+    * the emitted commands converges here).
+    */
+  final case class MaintenanceCommand(dir: String, keep: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("action", StringType), attr("target", StringType),
+      attr("reason", StringType), attr("command", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      Ingest.maintenancePlan(spark, dir, keepVersions = keep)
+        .collect().toSeq // bounded: one row per recommendation class
+    }
+  }
+
+  /** `GRAFT ALTER '<dir>' ADD CONSTRAINT n CHECK (expr)` /
+    * `DROP CONSTRAINT n` — pinned-CHECK evolution: ADD pays one full
+    * validation scan of the current snapshot and refuses when any live
+    * row violates ([[Ingest.addTableConstraint]]); DROP is
+    * metadata-only.
+    */
+  final case class AlterConstraintCommand(dir: String, name: String,
+                                          addCheck: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("altered", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      implicit val store: TableStore = TableStore.local
+      addCheck match {
+        case Some(e) =>
+          Ingest.addTableConstraint(spark, dir, name, e)
+          Seq(Row(s"added constraint $name"))
+        case None =>
+          Ingest.dropTableConstraint(dir, name)
+          Seq(Row(s"dropped constraint $name"))
+      }
+    }
+  }
+
   /** `GRAFT ALTER '<dir>' RENAME COLUMN a TO b` / `DROP COLUMN a` —
     * metadata-only schema surgery through the `_colmap` layer
     * ([[Ingest.renameColumn]] / [[Ingest.dropColumn]]): zero data I/O,
@@ -612,13 +668,18 @@ private[plans] object GraftSqlCommands {
     * ([[Ingest.optimizeUpsertTableZorder]]).
     */
   final case class OptimizeCommand(dir: String,
-                                   zorderBy: Seq[String] = Nil)
+                                   zorderBy: Seq[String] = Nil,
+                                   purgeColumns: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(attr("optimized", StringType))
     override def run(spark: SparkSession): Seq[Row] = {
       implicit val store: TableStore = TableStore.local
-      if (zorderBy.isEmpty) Ingest.optimizeUpsertTable(spark, dir)
-      else Ingest.optimizeUpsertTableZorder(spark, dir, zorderBy)
+      require(zorderBy.isEmpty || !purgeColumns,
+        "GRAFT OPTIMIZE: ZORDER BY and PURGE COLUMNS are separate passes")
+      if (zorderBy.nonEmpty)
+        Ingest.optimizeUpsertTableZorder(spark, dir, zorderBy)
+      else Ingest.optimizeUpsertTable(spark, dir,
+        purgeColumns = purgeColumns)
       Seq(Row(dir))
     }
   }

@@ -638,13 +638,16 @@ object Ingest {
         val have = pinned
           .linesIterator.filter(_.nonEmpty)
           .map(_.split("=", 2)).collect { case Array(n, e) => n -> e }.toSeq
-        // set comparison (sorted by name): the pinned SET is immutable,
-        // the order a caller lists it in is not
-        require(constraints.isEmpty ||
-            constraints.sortBy(_._1) == have.sortBy(_._1),
+        // subset comparison (by name+expr): the pinned set can only
+        // GROW through the explicit, data-validating ALTER
+        // ([[addTableConstraint]]) — a caller still passing the
+        // creation-time set remains correct; enforcement always uses
+        // the PINNED set whatever the caller passes
+        require(constraints.toSet.subsetOf(have.toSet),
           s"upsertParquet: table $tableDir pins constraints " +
-            s"[${have.map(_._1).mkString(",")}] — pass the same set or none " +
-            "(constraints are immutable table properties)")
+            s"[${have.map(_._1).mkString(",")}] — pass a subset or none " +
+            "(the sink cannot introduce constraints; use " +
+            "addTableConstraint / GRAFT ALTER ADD CONSTRAINT)")
         have
       case None if constraints.nonEmpty =>
         require(readLedger(root).isEmpty,
@@ -1935,6 +1938,80 @@ object Ingest {
 
   private val ColNameOk = "[A-Za-z_][A-Za-z0-9_]*".r
 
+  /** ADD a named CHECK constraint to an EXISTING table — the explicit,
+    * data-validating evolution of the create-time pin (`GRAFT ALTER
+    * '<dir>' ADD CONSTRAINT n CHECK (expr)`): "invariants cannot start
+    * mid-history" holds for the SINK (a writer cannot smuggle one in),
+    * but an operator may promote one deliberately — at the price this
+    * op charges up front: ONE full validation scan of the CURRENT
+    * snapshot, refusing if any live row definitively violates (ANSI
+    * CHECK: NULL passes). After the add, every later batch screens
+    * against the grown pinned set exactly like a creation-time
+    * constraint (including quarantine blame). The expression speaks
+    * the table's PHYSICAL (creation-time) column names — the same rule
+    * pinned constraints already follow under column mapping.
+    * At 100 TB the validation scan is the op's honest cost (Delta
+    * charges the same); it is one pushed-down predicate scan, not a
+    * shuffle.
+    */
+  def addTableConstraint(spark: SparkSession, tableDir: String,
+                         name: String, checkExpr: String)
+                        (implicit store: TableStore): Unit = {
+    import org.apache.spark.sql.functions.expr
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\n"),
+      s"addTableConstraint: bad constraint name '$name'")
+    // `_constraints` is a line-per-entry object: a newline inside the
+    // expression would be parsed back as a bogus second entry
+    require(!checkExpr.contains("\n") && !checkExpr.contains("\r"),
+      "addTableConstraint: expression must be single-line")
+    val have: Seq[(String, String)] =
+      store.read(store.child(tableDir, "_constraints")).toSeq
+        .flatMap(_.linesIterator).filter(_.nonEmpty)
+        .map(_.split("=", 2)).collect { case Array(n, e) => n -> e }
+    require(!have.exists(_._1 == name),
+      s"addTableConstraint: '$name' already pinned on $tableDir")
+    // validate the FULL current snapshot (physical view — constraint
+    // expressions speak creation-time names): any definitively-FALSE
+    // row refuses the add
+    val vDir = resolveVersionDir(tableDir, None)
+    val snap = applyDeletes(spark, tableDir, vDir,
+      pinnedReader(spark, tableDir).option("basePath", vDir).parquet(vDir))
+      .drop(UpsertBucketCol)
+    // ANSI CHECK: a row violates only when the expression is
+    // definitively FALSE (NULL passes — same rule the sink screens by)
+    val violating = snap.filter(expr(checkExpr) <=>
+      org.apache.spark.sql.functions.lit(false)).count()
+    require(violating == 0L,
+      s"addTableConstraint: $violating current row(s) of $tableDir " +
+        s"violate '$name' — an invariant the data does not hold cannot " +
+        "be pinned (heal the data first)")
+    store.writeAtomic(tableDir, "_constraints",
+      (have :+ (name -> checkExpr))
+        .map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n"))
+  }
+
+  /** DROP a pinned CHECK constraint — metadata-only (`GRAFT ALTER
+    * '<dir>' DROP CONSTRAINT n`): later batches stop screening it;
+    * history is untouched (rows it once quarantined stay quarantined
+    * with their recorded blame).
+    */
+  def dropTableConstraint(tableDir: String, name: String)
+                         (implicit store: TableStore): Unit = {
+    val have: Seq[(String, String)] =
+      store.read(store.child(tableDir, "_constraints")).toSeq
+        .flatMap(_.linesIterator).filter(_.nonEmpty)
+        .map(_.split("=", 2)).collect { case Array(n, e) => n -> e }
+    require(have.exists(_._1 == name),
+      s"dropTableConstraint: no constraint '$name' on $tableDir " +
+        s"(pinned: ${have.map(_._1).mkString(",")})")
+    store.writeAtomic(tableDir, "_constraints",
+      have.filterNot(_._1 == name)
+        .map { case (n, e) => s"$n=$e" } match {
+        case Nil => ""
+        case ls => ls.mkString("", "\n", "\n")
+      })
+  }
+
   /** Metadata-only RENAME COLUMN: rewrite `_colmap` so reads surface
     * `to` where files store `from`'s physical column — no version, no
     * batch, no data I/O (`GRAFT ALTER '<dir>' RENAME COLUMN a TO b`).
@@ -2029,6 +2106,91 @@ object Ingest {
       .filter(f => retired.contains(f.name) && !df.columns.contains(f.name))
       .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType))))
     df
+  }
+
+  /** MAINTENANCE ADVISOR — inspect a table's control plane and emit
+    * the maintenance a 100-TB deployment's scheduler would run, one
+    * row per recommendation `(action, target, reason, command)` with
+    * `command` the ready-to-run GRAFT statement. Pure control-plane
+    * reads (dir listings, small objects — no data file opens), so the
+    * advisor itself is cron-cheap however large the table:
+    *
+    *   - a pending merge-on-read deletion vector → OPTIMIZE (drains
+    *     debt, restores the metadata-aggregation path);
+    *   - buckets holding more parquet files than `filesPerBucket` ×
+    *     slack → COMPACT OVER n FILES (selective, link-carries the
+    *     healthy buckets);
+    *   - dead column-mapping entries → OPTIMIZE PURGE COLUMNS (the
+    *     only way dropped bytes leave the snapshot);
+    *   - committed dead-letter batches beyond `quarantineKeep` →
+    *     QUARANTINE PRUNE;
+    *   - retained version dirs beyond `keepVersions` + grace →
+    *     VACUUM.
+    *
+    * The advisor RECOMMENDS — executing the emitted commands then
+    * re-running it converges to zero rows (spec-pinned), the
+    * idempotence a scheduler loop needs. Signals it deliberately does
+    * NOT judge: ZORDER drift (probe-shape dependent — an operator
+    * decision, SCALE.md), REBUCKET sizing (needs byte-level targets
+    * the control plane does not carry).
+    */
+  def maintenancePlan(spark: SparkSession, tableDir: String,
+                      keepVersions: Int = 4, quarantineKeep: Int = 8,
+                      fileSlack: Int = 2)
+                     (implicit store: TableStore): DataFrame = {
+    import spark.implicits._
+    val root = tableDir
+    val meta = tableMeta(root)
+    val curName = readCurrentName(root)
+    require(curName.nonEmpty, s"upsert table has no CURRENT pointer: $root")
+    val curDir = store.child(root, curName.get)
+    val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
+    val out = Seq.newBuilder[(String, String, String, String)]
+    if (store.exists(store.child(curDir, "_deletes")))
+      out += (("OPTIMIZE", root,
+        "pending merge-on-read deletion vector (blocks metadata " +
+          "aggregates, taxes every read)",
+        s"GRAFT OPTIMIZE '$root'"))
+    // per-bucket parquet counts of CURRENT — one listing per bucket
+    val cap = fpb * fileSlack
+    val fat = store.listNames(curDir)
+      .filter(_.startsWith(s"$UpsertBucketCol="))
+      .map { b =>
+        b -> store.listNames(store.child(curDir, b))
+          .count(_.endsWith(".parquet"))
+      }
+      .filter(_._2 > cap)
+    if (fat.nonEmpty)
+      out += (("COMPACT",
+        fat.map(_._1).sorted.mkString(","),
+        s"${fat.size} bucket(s) over $cap files (max ${fat.map(_._2).max})",
+        s"GRAFT COMPACT '$root' OVER $cap FILES"))
+    val dead = colMap(root).filterNot(_._3)
+    if (dead.nonEmpty)
+      out += (("OPTIMIZE PURGE COLUMNS", root,
+        s"${dead.size} dropped column(s) still occupy bytes " +
+          s"(${dead.map(_._2).sorted.mkString(",")})",
+        s"GRAFT OPTIMIZE '$root' PURGE COLUMNS"))
+    val qDir = store.child(root, QuarantineDir)
+    if (store.isDirectory(qDir)) {
+      val committed = readLedger(root)
+      val qBatches = store.listNames(qDir)
+        .filter(_.startsWith("b_"))
+        .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption)
+        .filter(committed.contains)
+      if (qBatches.size > quarantineKeep)
+        out += (("QUARANTINE PRUNE", qDir,
+          s"${qBatches.size} dead-letter batches retained > " +
+            s"$quarantineKeep",
+          s"GRAFT QUARANTINE PRUNE '$root' KEEP $quarantineKeep BATCHES"))
+    }
+    val retained = versionDirs(root).size
+    if (retained > keepVersions)
+      out += (("VACUUM", root,
+        s"$retained retained versions > $keepVersions",
+        s"GRAFT VACUUM '$root' KEEP $keepVersions VERSIONS"))
+    out.result()
+      .toDF("action", "target", "reason", "command")
   }
 
   /** Point-lookup read of an [[upsertParquet]] table: scan ONLY the
@@ -2140,10 +2302,20 @@ object Ingest {
     * scheduled compaction job: run it when delete debt or file counts
     * cross a threshold, at full-rewrite cost, deliberately and rarely.
     */
-  def optimizeUpsertTable(spark: SparkSession, tableDir: String)
+  def optimizeUpsertTable(spark: SparkSession, tableDir: String,
+                          purgeColumns: Boolean = false)
                          (implicit store: TableStore): Unit = {
     val n = tableMeta(tableDir).apply("buckets").toInt
-    rewriteGeneration(spark, tableDir, n, forceSameCount = true)
+    // purgeColumns (`GRAFT OPTIMIZE … PURGE COLUMNS`, Delta's REORG …
+    // PURGE): the rewrite additionally excludes column-mapping-dropped
+    // physical columns from the new generation, then narrows the
+    // pinned schema and clears the dead `_colmap` entries — the only
+    // way dropped bytes leave the CURRENT snapshot (retained old
+    // versions keep theirs until retention sweeps them), and the
+    // moment the dropped logical name becomes a plain fresh column
+    // again for later writes
+    rewriteGeneration(spark, tableDir, n, forceSameCount = true,
+      purgeDeadCols = purgeColumns)
   }
 
   /** OPTIMIZE with MULTI-DIMENSIONAL clustering: the same full
@@ -2816,6 +2988,8 @@ object Ingest {
         else bucketScopedSnapshot(spark, tableDir, src, keys)
       require(!cur.columns.contains(DmlFlag),
         s"DML: table has a reserved column name $DmlFlag")
+      require(!cur.columns.contains("_mrg") && !src.columns.contains("_mrg"),
+        "mergeInto: '_mrg' is reserved for the clause-routing column")
       val tSchema = cur.schema
       val t = cur.alias("t")
       val s = src.alias("s")
@@ -3018,7 +3192,8 @@ object Ingest {
   private def rewriteGeneration(spark: SparkSession, tableDir: String,
                                 newBuckets: Int,
                                 forceSameCount: Boolean,
-                                zorderCols: Seq[String] = Nil)
+                                zorderCols: Seq[String] = Nil,
+                                purgeDeadCols: Boolean = false)
                                (implicit store: TableStore): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(newBuckets > 0, s"rebucketUpsertTable: bad bucket count $newBuckets")
@@ -3058,10 +3233,18 @@ object Ingest {
     store.deleteTree(newV) // partial build from a previous crashed attempt
     // the full rewrite applies (and therefore clears) any pending
     // deletion vector — rebucket doubles as delete-debt compaction
-    val rehashed = applyDeletes(spark, root, curDir,
+    // PURGE COLUMNS: the full rewrite is the one moment dropped
+    // physical columns can leave the data for free — exclude them from
+    // the new generation's projection (REORG … PURGE)
+    val deadPhys =
+      if (!purgeDeadCols) Nil
+      else colMap(root).filterNot(_._3).map(_._1)
+    val rehashed0 = applyDeletes(spark, root, curDir,
       pinnedReader(spark, root).option("basePath", curDir)
         .parquet(curDir))
       .drop(UpsertBucketCol)
+    val rehashed = deadPhys.filter(rehashed0.columns.contains)
+      .foldLeft(rehashed0)(_ drop _)
       .withColumn(UpsertBucketCol,
         pmod(xxhash64(keys.map(col): _*), lit(newBuckets.toLong)))
     // same layout discipline as the sink: range-sliced sorted files per
@@ -3148,6 +3331,23 @@ object Ingest {
           "reclaims the orphan generation); re-run against the new snapshot")
     }
     syncMeta()
+    if (purgeDeadCols && deadPhys.nonEmpty) {
+      // narrow the pinned schema to the surviving physicals and clear
+      // the dead mapping entries. Crash BETWEEN the swap and here is
+      // sound — a wide schema over the narrow new files reads NULL for
+      // the purged columns and the view still hides them — and a
+      // re-run of the purge completes the narrowing. Retained
+      // PRE-purge versions keep their bytes until retention sweeps
+      // them (their time-travel reads column-prune through whatever
+      // schema is pinned — parquet subset reads are always legal).
+      store.read(store.child(root, "_schema")).foreach { j =>
+        val s = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]
+        store.writeAtomic(root, "_schema", StructType(
+          s.fields.filterNot(f => deadPhys.contains(f.name)).toSeq).json)
+      }
+      writeColMap(root, colMap(root).filter(_._3))
+    }
     sweepDir(curDir) // crash mid-delete leaves it marked, never served
   }
 

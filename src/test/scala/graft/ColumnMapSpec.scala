@@ -168,6 +168,37 @@ abstract class ColumnMapSuiteBase extends AnyFunSuite {
       .head().getAs[Long]("quantity") === 222L)
   }
 
+  test("OPTIMIZE PURGE COLUMNS reclaims dropped bytes and frees the name") {
+    import spark.implicits._
+    val dir = mkTable()
+    Ingest.dropColumn(dir, "name")
+    Ingest.optimizeUpsertTable(spark, dir, purgeColumns = true)
+    // the new generation's files physically lack the purged column
+    val cur = store.read(store.child(dir, "CURRENT")).get.trim
+    val raw = spark.read.parquet(store.child(dir, cur))
+    assert(!raw.columns.contains("name"),
+      s"purged column still in ${raw.columns.mkString(",")}")
+    // values and view unchanged
+    assert(Ingest.readUpsertTable(spark, dir).columns.toSeq ===
+      Seq("id", "qty"))
+    assert(Ingest.readUpsertTable(spark, dir).count() === 6L)
+    // the mapping entry is gone and the schema narrowed: re-adding
+    // the name is now a PLAIN new column under its own physical name
+    assert(!store.exists(store.child(dir, "_colmap")) ||
+      store.read(store.child(dir, "_colmap")).get.trim.isEmpty)
+    Ingest.upsertParquet(dir, Seq("id"), nBuckets = 4, keepVersions = 10)(
+      Seq((1L, "post", 10L)).toDF("id", "name", "qty"), 1L)
+    val got = Ingest.readUpsertTable(spark, dir)
+      .select("id", "name").as[(Long, Option[String])].collect().toMap
+    assert(got(1L) === Some("post") && got(2L).isEmpty)
+    // identity physical, no __2 suffix: the rewritten bucket's files
+    // carry the plain name (untouched buckets are links without it —
+    // mergeSchema unions across the generation's files)
+    val cur2 = store.read(store.child(dir, "CURRENT")).get.trim
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(store.child(dir, cur2)).columns.contains("name"))
+  }
+
   test("clone carries the column mapping") {
     val dir = mkTable()
     Ingest.renameColumn(dir, "qty", "quantity")
@@ -199,6 +230,13 @@ class ColumnMapSpec extends ColumnMapSuiteBase {
       spark.sql(s"GRAFT ALTER '$dir' DROP COLUMN id")
     }
     assert(e.getMessage.contains("key column"))
+    // the purge pass through SQL: dropped bytes leave the snapshot
+    spark.sql(s"GRAFT OPTIMIZE '$dir' PURGE COLUMNS")
+    val cur = graft.sources.LocalTableStore
+      .read(s"$dir/CURRENT").get.trim
+    assert(!spark.read.parquet(s"$dir/$cur").columns.contains("name"))
+    assert(Ingest.readUpsertTable(spark, dir).columns.toSeq ===
+      Seq("id", "quantity"))
   }
 }
 

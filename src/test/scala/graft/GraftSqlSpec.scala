@@ -173,6 +173,44 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT MAINTENANCE emits runnable commands that converge") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/m"
+    Ingest.upsertParquet(t, Seq("k"), nBuckets = 2, keepVersions = 8,
+      deleteCol = Some("_del"), lazyDeletes = true)(
+      (1L to 40L).map(i => (i, i * 1.0, false)).toDF("k", "v", "_del"), 0L)
+    Ingest.upsertParquet(t, Seq("k"), nBuckets = 2, keepVersions = 8,
+      deleteCol = Some("_del"), lazyDeletes = true)(
+      Seq((1L, 0.0, true)).toDF("k", "v", "_del"), 1L)
+    val plan = spark.sql(s"GRAFT MAINTENANCE '$t' KEEP 1 VERSIONS")
+      .collect()
+    assert(plan.nonEmpty)
+    // execute each emitted command VERBATIM, then the plan is empty
+    plan.foreach(r => spark.sql(r.getString(3)).collect())
+    assert(spark.sql(s"GRAFT MAINTENANCE '$t' KEEP 1 VERSIONS")
+      .collect().isEmpty)
+  }
+
+  test("GRAFT ALTER ADD/DROP CONSTRAINT through SQL") {
+    import spark.implicits._
+    val t = freshTable() // k->v: 1->1.0, 2->22.0, 3->3.0
+    val out = spark.sql(
+      s"GRAFT ALTER ${q(t)} ADD CONSTRAINT v_cap CHECK (v <= 100.0)")
+      .head()
+    assert(out.getString(0).contains("v_cap"))
+    intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(t, Seq("k"), nBuckets = 4, keepVersions = 8)(
+        Seq((9L, 1e6)).toDF("k", "v"), 2L)
+    }
+    spark.sql(s"GRAFT ALTER ${q(t)} DROP CONSTRAINT v_cap")
+    Ingest.upsertParquet(t, Seq("k"), nBuckets = 4, keepVersions = 8)(
+      Seq((9L, 1e6)).toDF("k", "v"), 2L)
+    // ADD against violating data refuses through the SQL route too
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT ALTER ${q(t)} ADD CONSTRAINT v_cap CHECK (v <= 100.0)")
+    }
+  }
+
   test("GRAFT DESCRIBE STATS: metadata count, file count and ranges") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft-sql").toString + "/s"

@@ -186,6 +186,71 @@ abstract class MergeSuiteBase extends AnyFunSuite {
     assert(state(dir)(2L)._2 === 120L)
   }
 
+  test("ALTER ADD CONSTRAINT validates history, screens the future; DROP releases") {
+    import spark.implicits._
+    val dir = mkTable() // qty 10..60
+    // an invariant the data does not hold cannot be pinned
+    val e = intercept[IllegalArgumentException](
+      Ingest.addTableConstraint(spark, dir, "qty_cap", "qty <= 50"))
+    assert(e.getMessage.contains("violate"))
+    Ingest.addTableConstraint(spark, dir, "qty_cap", "qty <= 100")
+    // the grown pinned set screens every later batch, whatever the
+    // caller passes (here: nothing — the creation-time set)
+    intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(dir, Seq("id"), nBuckets = 8,
+        keepVersions = 10)(Seq((9L, "x", 500L)).toDF("id", "name", "qty"),
+        1L)
+    }
+    // a caller passing a SUBSET of the pinned set (the creation-time
+    // list, or the added one) stays valid; an unknown one is refused
+    Ingest.upsertParquet(dir, Seq("id"), nBuckets = 8, keepVersions = 10,
+      constraints = Seq("qty_cap" -> "qty <= 100"))(
+      Seq((9L, "ok", 90L)).toDF("id", "name", "qty"), 1L)
+    intercept[IllegalArgumentException] {
+      Ingest.upsertParquet(dir, Seq("id"), nBuckets = 8, keepVersions = 10,
+        constraints = Seq("never_pinned" -> "true"))(
+        Seq((10L, "x", 1L)).toDF("id", "name", "qty"), 2L)
+    }
+    // DROP is metadata-only and releases the screen
+    Ingest.dropTableConstraint(dir, "qty_cap")
+    Ingest.upsertParquet(dir, Seq("id"), nBuckets = 8, keepVersions = 10)(
+      Seq((11L, "big", 999L)).toDF("id", "name", "qty"), 2L)
+    assert(state(dir)(11L) === ("big", 999L))
+    intercept[IllegalArgumentException](
+      Ingest.dropTableConstraint(dir, "qty_cap")) // already gone
+  }
+
+  test("maintenancePlan flags every debt class and converges after the fixes") {
+    import spark.implicits._
+    val dir = tmp() + "/adv"
+    // dense table: 2 heavy buckets -> many range slices per bucket
+    val keys = (1L to 400L)
+    Ingest.upsertParquet(dir, Seq("id"), nBuckets = 2, keepVersions = 10,
+      sortCols = Seq("qty"), filesPerBucket = 4,
+      deleteCol = Some("_del"), lazyDeletes = true)(
+      keys.map(i => (i, s"v$i", i, false)).toDF("id", "name", "qty", "_del"),
+      0L)
+    // lazy delete -> pending vector; drop -> dead mapping entry
+    Ingest.upsertParquet(dir, Seq("id"), nBuckets = 2, keepVersions = 10,
+      sortCols = Seq("qty"), filesPerBucket = 4,
+      deleteCol = Some("_del"), lazyDeletes = true)(
+      Seq((1L, "v1", 1L, true)).toDF("id", "name", "qty", "_del"), 1L)
+    Ingest.dropColumn(dir, "name")
+    val plan = Ingest.maintenancePlan(spark, dir, keepVersions = 1)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(plan.contains("OPTIMIZE"), s"plan: ${plan.keys}")
+    assert(plan.contains("OPTIMIZE PURGE COLUMNS"))
+    assert(plan.contains("VACUUM"))
+    assert(plan("VACUUM").contains("KEEP 1 VERSIONS"))
+    // run the API equivalents of the emitted commands...
+    Ingest.optimizeUpsertTable(spark, dir, purgeColumns = true)
+    Ingest.vacuumUpsertTable(spark, dir, keepVersions = 1)
+    // ...and the advisor converges to an empty plan
+    val after = Ingest.maintenancePlan(spark, dir, keepVersions = 1)
+    assert(after.count() === 0L,
+      s"not converged: ${after.collect().mkString("; ")}")
+  }
+
   // --- metadata-only aggregates ---
 
   /** Orders-shaped table pinned on sortCols = qty so the manifest

@@ -549,6 +549,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("SQ8 coarse scan: no window, no corpus sort, bounded-heap selection") {
+    // the shortlist and the final rank are TopByAgg bounded heaps —
+    // the compressed-domain scan must never plan a per-probe Window
+    // or a candidate-wide Sort (the corpus-sized stages the int8
+    // projection exists to avoid)
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = VectorOps.topKSq8(emb, col("vec_id") < 5, 5,
+      shortlist = Some(16))
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case w: Window => w }.isEmpty,
+      opt.treeString.take(800))
+    assert(opt.collect { case s: Sort => s }.isEmpty,
+      opt.treeString.take(800))
+    assert(plan(df).contains("ObjectHashAggregate"), plan(df).take(800))
+  }
+
   test("PQ codebook build plans with no corpus-wide window or sort") {
     // the trainCodebooks seed selection is a bounded-heap aggregation
     // (TopByAgg) + broadcast fetch — the former row_number window
