@@ -934,4 +934,67 @@ class CrashWindowSpec extends AnyFunSuite {
       info(s"$r rebucket + $v vacuum windows swept, all converged")
     }
   }
+
+  /** PURGE COLUMNS crash sweep: the rewrite's own windows are the
+    * generation protocol's (already swept above); the NEW window is
+    * swap → schema-narrowing → colmap-cleaning. A crash anywhere must
+    * leave the VIEW untouched (the dropped column hidden, values
+    * intact — a wide schema over narrow files reads NULL, the
+    * documented soundness argument) and a re-run must complete the
+    * narrowing: bytes gone from the current generation, `_colmap`
+    * clean.
+    */
+  private def sweepPurge(delegate: () => TableStore): Int = {
+    import spark.implicits._
+    var k = 0
+    var exhausted = false
+    var windows = 0
+    while (!exhausted && k < 150) {
+      implicit val store: FailpointStore = new FailpointStore(delegate())
+      val table = Files.createTempDirectory("graft-crash").toString + "/t"
+      Ingest.upsertParquet(table, Seq("k"), nBuckets = 2, keepVersions = 4)(
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v"), 0L)
+      Ingest.dropColumn(table, "name")
+      store.count = 0; store.limit = k
+      val crashed =
+        try { Ingest.optimizeUpsertTable(spark, table, purgeColumns = true); false }
+        catch { case _: InjectedCrash => true }
+      store.limit = Int.MaxValue
+      if (!crashed) exhausted = true
+      else {
+        windows += 1
+        val read = Ingest.readUpsertTable(spark, table)
+        assert(!read.columns.contains("name"),
+          s"window $k resurfaced the dropped column")
+        val mid = read.select("k", "v").as[(Long, Double)].collect().toMap
+        assert(mid === Map(1L -> 1.0, 2L -> 2.0), s"window $k torn: $mid")
+        // replay completes rewrite + narrowing + cleanup
+        Ingest.optimizeUpsertTable(spark, table, purgeColumns = true)
+        val cur = store.read(store.child(table, "CURRENT")).get.trim
+        assert(!spark.read.parquet(store.child(table, cur))
+          .columns.contains("name"), s"window $k bytes not purged")
+        assert(!store.exists(store.child(table, "_colmap")) ||
+          store.read(store.child(table, "_colmap")).get.trim.isEmpty,
+          s"window $k colmap not cleaned")
+        LocalTableStore.deleteTree(table)
+      }
+      k += 1
+    }
+    assert(exhausted, "purge sweep never ran past the protocol's op count")
+    windows
+  }
+
+  test("PURGE COLUMNS crash windows: view never torn, replay completes the narrowing") {
+    withSmallShuffle {
+      val w = sweepPurge(() => LocalTableStore)
+      info(s"$w purge windows swept, all converged")
+    }
+  }
+
+  test("PURGE COLUMNS crash windows hold on the object store") {
+    withSmallShuffle {
+      val w = sweepPurge(() => new graft.sources.ObjectTableStore)
+      info(s"$w purge windows swept, all converged")
+    }
+  }
 }
