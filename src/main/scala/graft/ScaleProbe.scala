@@ -111,7 +111,10 @@ object ScaleProbe {
         // r15 second half: MERGE rides its change set (join + touched
         // buckets); the metadata count's READ must stay manifest-sized
         // (build dominates the row); colmap ALTERs are O(1) metadata
-        "q_upsert_merge", "q_upsert_meta_count", "q_upsert_colmap")
+        "q_upsert_merge", "q_upsert_meta_count", "q_upsert_colmap",
+        // streaming merge rides its micro-batches (conditional-apply
+        // CDC fold; per-batch pre-reduce + keyed merge)
+        "q_stream_merge")
 
     // optional 4th arg: comma-separated row filter for incremental
     // probing (a new op's ratio without re-running the whole band)

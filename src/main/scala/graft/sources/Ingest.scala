@@ -1242,6 +1242,10 @@ object Ingest {
       .select(col("file"), col("n_rows"), overlap.as("ov"),
         inside.as("ins"))
       .collect()
+    // a manifest row carried from a pre-`n_rows` generation reads NULL
+    // through the unioned schema — metadata counting is then unsound
+    // for the whole snapshot (that file's rows would silently drop)
+    if (classified.exists(_.isNullAt(1))) return fallback
     val metaRows = classified.iterator
       .filter(_.getBoolean(3)).map(_.getLong(1)).sum
     val metaFiles = classified.count(_.getBoolean(3))

@@ -1468,11 +1468,16 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       Seq((5L, None: Option[Double], "e")).toDF("user_id", "value", "name"), 1L)
     up(2, Nil, (6L, 6.0, "f"))
     assert(Ingest.readUpsertTable(spark, table).count() === 4)
-    // constraints are immutable: a different set fails loudly
+    // the SINK cannot introduce constraints: an unpinned name fails
+    // loudly (growth is the explicit, data-validating ALTER path —
+    // addTableConstraint); a caller passing a SUBSET of the pinned
+    // set (the creation-time list after an ALTER grew it) stays valid
     val e2 = intercept[IllegalArgumentException] {
       up(3, Seq("other" -> "value < 100"), (7L, 7.0, "g"))
     }
-    assert(e2.getMessage.contains("immutable"), e2.getMessage)
+    assert(e2.getMessage.contains("ADD CONSTRAINT"), e2.getMessage)
+    up(3, cons.take(1), (7L, 7.0, "g")) // subset: fine, pinned set screens
+    assert(Ingest.readUpsertTable(spark, table).count() === 5)
     // and cannot start mid-history on an unconstrained table
     val t2 = tmp() + "/cons_late"
     Ingest.upsertParquet(t2, Seq("user_id"), nBuckets = 4)(
