@@ -1553,7 +1553,65 @@ object TextOps {
         .orderBy("doc_id")
     })
 
+  /** Sliding token-window CHUNKING — the retrieval-prep operator every
+    * RAG/embedding pipeline runs before vectorizing: each document
+    * splits into overlapping windows of `window` whitespace tokens
+    * every `stride` tokens (stride < window ⇒ the overlap that keeps
+    * context at chunk boundaries), with a stable `(doc_id, chunk_idx)`
+    * identity downstream embeddings key on. Pure narrow built-ins
+    * (normalize → split → `sequence`/`slice`/`concat_ws` → explode):
+    * whole-stage codegen, no shuffle, no UDF — at 100 TB chunking is
+    * a map over the corpus and nothing else. Tokenization is pinned
+    * to "collapse whitespace, split on single space" IN BOTH ENGINES
+    * so the oracle hashes the exact chunk text.
+    */
+  def chunkByTokens(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkByTokens: need 0 < stride <= window, got $window/$stride")
+    val toks = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"), col("lang"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(window)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).as("n_tokens"),
+        concat_ws(" ", col("c")).as("chunk_text"), col("lang"))
+  }
+
+  /** OVERLAPPING chunking, oracle-hashed chunk-for-chunk — the
+    * complement of [[qTextChunks]]'s disjoint 128-token split: a RAG
+    * retrieval corpus chunks with stride < window so boundary context
+    * appears in two windows. DuckDB recomputes every window's exact
+    * text with `generate_series` + list slicing over the
+    * identically-normalized token array — a hash match means every
+    * boundary token landed in exactly the windows the
+    * (window, stride) grid puts it in.
+    */
+  val qTextChunksOverlap: QuerySpec = QuerySpec(
+    "q_text_chunks_overlap",
+    Some("""WITH t AS (
+        SELECT doc_id, lang,
+          string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+            AS toks
+        FROM documents WHERE length(trim(text)) > 0)
+      SELECT doc_id, gs.s // 8 AS chunk_idx,
+        len(toks[gs.s + 1 : least(gs.s + 32, len(toks))]) AS n_tokens,
+        array_to_string(toks[gs.s + 1 : least(gs.s + 32, len(toks))], ' ')
+          AS chunk_text,
+        lang
+      FROM t, UNNEST(generate_series(0, len(toks) - 1, 8)) AS gs(s)
+      ORDER BY doc_id, chunk_idx"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      chunkByTokens(docs, window = 32, stride = 8)
+        .orderBy("doc_id", "chunk_idx")
+    })
+
   def specs: Seq[QuerySpec] = Seq(
+    qTextChunksOverlap,
     qDedupExact, qDedupStats, qTextTokens, qTextTokensBpe, qTextQuality,
     qTextFingerprint, qLangId, qNgramJaccard, qNgramJaccardGlobal,
     qEditDistance, qJaroWinkler, qMinhashLsh,
