@@ -150,11 +150,26 @@ object Bpe {
     docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, t) =>
-        val toks = t.toLowerCase.split("\\s+").iterator
-          .filter(_.nonEmpty)
-          .flatMap(w => encodeWord(w, m)).toSeq
-        (id, toks)
+      .mapPartitions { it =>
+        // per-partition word cache: the merge fold is a pure function
+        // of the WORD, and corpora are Zipfian — without this every
+        // occurrence of "the" re-runs the whole merge schedule. The
+        // cache is vocab-sized (Heap's law), with a hard cap as the
+        // adversarial-corpus backstop (past it, rare words just
+        // re-encode)
+        val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        def enc(w: String): Seq[String] =
+          cache.getOrElse(w, {
+            val s = encodeWord(w, m)
+            if (cache.size < (1 << 20)) cache.update(w, s)
+            s
+          })
+        it.map { case (id, t) =>
+          val toks = t.toLowerCase.split("\\s+").iterator
+            .filter(_.nonEmpty)
+            .flatMap(enc).toSeq
+          (id, toks)
+        }
       }.toDF("doc_id", "tokens")
   }
 

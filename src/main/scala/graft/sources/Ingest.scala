@@ -1571,7 +1571,12 @@ object Ingest {
       // next prune finishes the sweep idempotently
       .filterNot(d => store.exists(store.child(d, "_sweeping")))
     if (dirs.nonEmpty)
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      // letters surface through the CURRENT column mapping like every
+      // other read (triage sees today's names; a requeue `fix` speaks
+      // logical names and the sink translates back on re-ingest);
+      // the blame/batch columns are unmapped and pass through
+      logicalView(tableDir)(
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*))
     else {
       val base = store.read(store.child(tableDir, "_schema")) match {
         case Some(json) => org.apache.spark.sql.types.DataType.fromJson(json)
@@ -1584,8 +1589,11 @@ object Ingest {
             org.apache.spark.sql.types.StringType)),
         org.apache.spark.sql.types.StructField(QuarantineBatchCol,
           org.apache.spark.sql.types.LongType))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[
-        org.apache.spark.sql.Row], StructType(fields))
+      // same mapping on the typed-empty branch — a no-letters read
+      // must show the same (logical) columns a letters read would
+      logicalView(tableDir)(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row], StructType(fields)))
     }
   }
 

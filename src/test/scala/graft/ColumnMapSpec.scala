@@ -199,6 +199,27 @@ abstract class ColumnMapSuiteBase extends AnyFunSuite {
       .parquet(store.child(dir, cur2)).columns.contains("name"))
   }
 
+  test("dead letters surface through the column mapping") {
+    import spark.implicits._
+    val dir = tmp() + "/q"
+    Ingest.upsertParquet(dir, Seq("id"), nBuckets = 2, keepVersions = 10,
+      constraints = Seq("qty_pos" -> "qty >= 0"), quarantine = true)(
+      Seq((1L, "a", 5L), (2L, "b", -1L)).toDF("id", "name", "qty"), 0L)
+    Ingest.renameColumn(dir, "qty", "quantity")
+    val letters = Ingest.readQuarantine(spark, dir)
+    assert(letters.columns.contains("quantity") &&
+      !letters.columns.contains("qty"))
+    assert(letters.count() === 1L)
+    // the no-letters branch shows the same (logical) columns
+    val dir2 = tmp() + "/q2"
+    Ingest.upsertParquet(dir2, Seq("id"), nBuckets = 2, keepVersions = 10,
+      constraints = Seq("qty_pos" -> "qty >= 0"), quarantine = true)(
+      Seq((1L, "a", 5L)).toDF("id", "name", "qty"), 0L)
+    Ingest.renameColumn(dir2, "qty", "quantity")
+    assert(Ingest.readQuarantine(spark, dir2).columns
+      .contains("quantity"))
+  }
+
   test("clone carries the column mapping") {
     val dir = mkTable()
     Ingest.renameColumn(dir, "qty", "quantity")
