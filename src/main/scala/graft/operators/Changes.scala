@@ -2412,6 +2412,59 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  /** [[qUpsertMerge]] driven ENTIRELY through the SQL surface — the
+    * TPC-H DSL+SQL twin discipline applied to MERGE: one DuckDB
+    * oracle, two engines' worth of plumbing (the `GRAFT MERGE` parse,
+    * the USING query through the full delegate grammar with its
+    * window functions, four WHEN clauses with `t.`/`s.` references),
+    * and the hash must land on the same bytes the API row produced.
+    */
+  val qUpsertMergeSql: QuerySpec = QuerySpec(
+    "q_upsert_merge_sql",
+    qUpsertMerge.oracle, // shared verbatim — one oracle, two routes
+    (spark, dir) => {
+      import graft.sources.Ingest
+      implicit val tstore: graft.sources.TableStore =
+        graft.sources.TableStore.local
+      val base = graft.Scratch.dir("upsert-merge-sql")
+      tstore.deleteTree(base)
+      val table = s"$base/table"
+      val o = Tables.load(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderpriority"))
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val init = o.withColumn("rn", row_number().over(wAsc))
+        .filter(col("rn") === 1 && col("o_custkey") % 2 === 1).drop("rn")
+      Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+        keepVersions = 4)(init, 0L)
+      val usingSql =
+        s"""SELECT o_custkey, o_orderdate, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+           FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM parquet.`$dir/orders.parquet`)
+           WHERE rn = 1
+             AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
+      val res = spark.sql(
+        s"GRAFT MERGE '$table' KEEP 4 VERSIONS USING ($usingSql) " +
+          "WHEN MATCHED AND s.o_totalprice > t.o_totalprice THEN UPDATE " +
+          "SET o_totalprice = s.o_totalprice, o_orderdate = s.o_orderdate, " +
+          "o_orderkey = s.o_orderkey, o_orderpriority = s.o_orderpriority " +
+          "WHEN MATCHED AND s.o_orderpriority = '1-URGENT' THEN DELETE " +
+          "WHEN NOT MATCHED THEN INSERT " +
+          "WHEN NOT MATCHED BY SOURCE AND t.o_orderpriority = '5-LOW' " +
+          "THEN DELETE").head()
+      require(!res.isNullAt(0), "SQL merge touched nothing")
+      Ingest.readUpsertTable(spark, table)
+        .withColumn("merged", lit(!res.isNullAt(0)))
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+          "o_orderpriority", "merged")
+        .orderBy("o_custkey")
+    })
+
   /** Metadata-only aggregation from the stats manifest
     * ([[graft.sources.Ingest.countWhere]] / `minMaxMeta`): the
     * manifest's `n_rows` + `nulls_<c>` columns answer a whole-table
@@ -2642,6 +2695,6 @@ object Changes {
       qUpsertOptimize, qSecondaryIndex, qStreamIndex, qUpsertHistory,
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
       qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue,
-      qUpsertZorder, qUpsertMerge, qUpsertMetaCount, qUpsertColmap,
-      qStreamMerge)
+      qUpsertZorder, qUpsertMerge, qUpsertMergeSql, qUpsertMetaCount,
+      qUpsertColmap, qStreamMerge)
 }
