@@ -2686,6 +2686,139 @@ object Changes {
         .orderBy("o_custkey")
     })
 
+  // ---- the `graft` DataSource registration (format("graft")) --------
+  //
+  // The same table served through Spark's REGISTERED source surface:
+  // spark.read.format("graft") with pushed-down pruning, CREATE TABLE
+  // … USING graft + plain SQL, and the change feed as a read mode.
+  // One memoized build (sortCols pinned + change feed on) backs all
+  // three rows; the fold is the [[sharedCdcTable]] changelog, so the
+  // oracles are the established recomputations.
+
+  private val sourceTableMemo = graft.Memo[(SparkSession, String), String]()
+
+  private def sharedSourceTable(spark: SparkSession, dir: String): String =
+    sourceTableMemo.getOrElseUpdate((spark, dir),
+      buildCdcUpsertTable(spark, dir, graft.Scratch.dir("source-shared"),
+        n = 4, changeFeed = true, sortCols = Seq("o_orderdate")))
+
+  /** Snapshot read through `spark.read.format("graft")` — the stock
+    * Spark verb, not the library API. The relation translates the
+    * pushed date-range filters into stats-manifest bounds
+    * ([[graft.sources.GraftSourceOptions.boundsFromFilters]]) and
+    * file-list-skips before any footer I/O; the in-query contract
+    * pins that the pushed bounds genuinely discard files on this
+    * layout, and the hash check pins that pruning never changed an
+    * answer. Scale: identical to [[qUpsertStatsPrune]]'s argument —
+    * this row proves the SAME pruned read engages when the table is
+    * reached through the registered format (where a user's WHERE
+    * clause, not an explicit bounds call, is all the engine gets).
+    */
+  val qSourceRead: QuerySpec = QuerySpec(
+    "q_source_read",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend, true AS pruned
+      FROM ranked
+      WHERE rn = 1 AND op <> 'D'
+        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      import graft.sources.{Ingest, StatsManifest, TableStore}
+      implicit val store: TableStore = TableStore.local
+      val table = sharedSourceTable(spark, dir)
+      val lo = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      // in-query contract: the open bounds the source pushes from this
+      // WHERE clause strictly prune the snapshot's file list
+      val mDir = store.child(Ingest.snapshotVersionDir(table),
+        StatsManifest.ManifestDir)
+      val all = StatsManifest.survivingFilesOpt(spark, mDir, Nil).get.size
+      val hit = StatsManifest.survivingFilesOpt(spark, mDir,
+        Seq(("o_orderdate", Some(lo), None), ("o_orderdate", None, Some(hi))))
+        .get.size
+      require(hit > 0 && hit < all,
+        s"format pushdown did not prune: $hit of $all files")
+      spark.read.format("graft").load(table)
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"),
+          lit(true).as("pruned"))
+        .orderBy("prio")
+    })
+
+  /** The same probe through the CATALOG: `CREATE TABLE … USING graft`
+    * then plain `spark.sql` — SQL names a graft table like any other
+    * source, Catalyst plans the relation, the relation pushes the
+    * WHERE bounds. One fold, a third engine route (DSL / format read /
+    * catalog SQL), one oracle discipline.
+    */
+  val qSourceSql: QuerySpec = QuerySpec(
+    "q_source_sql",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_orderpriority AS prio, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100 AS spend
+      FROM ranked
+      WHERE rn = 1 AND op <> 'D'
+        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY o_orderpriority ORDER BY prio"""),
+    (spark, dir) => {
+      val table = sharedSourceTable(spark, dir)
+      spark.sql("DROP TABLE IF EXISTS graft_cdc_source")
+      spark.sql(
+        s"CREATE TABLE graft_cdc_source USING graft OPTIONS (path '$table')")
+      spark.sql("""SELECT o_orderpriority AS prio, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100 AS spend
+        FROM graft_cdc_source
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY o_orderpriority ORDER BY prio""")
+    })
+
+  /** The change feed through the registered source
+    * (`option("read", "changes")`) — CDC consumers reach the feed with
+    * a stock reader option instead of a library call. Same fold and
+    * byte-faithfulness oracle as [[qTableCdf]] (the sort-order pin on
+    * this build changes file layout, never feed content).
+    */
+  val qSourceCdf: QuerySpec = QuerySpec(
+    "q_source_cdf",
+    qTableCdf.oracle,
+    (spark, dir) => {
+      val table = sharedSourceTable(spark, dir)
+      spark.read.format("graft").option("read", "changes")
+        .option("endingBatch", "3").load(table)
+        .select(col("_batch_id"), col("_change_type"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("_batch_id", "o_custkey", "_change_type")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
@@ -2696,5 +2829,6 @@ object Changes {
       qTableReplica, qIncrementalAgg, qStreamMv, qUpsertObjectStore,
       qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue,
       qUpsertZorder, qUpsertMerge, qUpsertMergeSql, qUpsertMetaCount,
-      qUpsertColmap, qStreamMerge)
+      qUpsertColmap, qStreamMerge,
+      qSourceRead, qSourceSql, qSourceCdf)
 }

@@ -1029,6 +1029,75 @@ object EventOps {
         .orderBy("user_id")
     })
 
+  /** The upsert sink reached through the REGISTERED format —
+    * `writeStream.format("graft")` — composed with a STATEFUL
+    * streaming aggregation (the 26th streaming oracle row). The same
+    * 4 time-ordered file micro-batches as [[qStreamUpsert]] flow into
+    * an update-mode `max_by` aggregation (engine state holds each
+    * user's global argmax; each batch emits only the keys whose state
+    * changed), and the format sink merges every update as one
+    * committed batch whose id IS the micro-batch id — so a replayed
+    * batch no-ops off the ledger and the pipeline is exactly-once
+    * END-TO-END through stock Spark verbs alone: no foreachBatch, no
+    * library call, no caller-side pre-reduce (the agg state already
+    * guarantees one row per key per batch). Final snapshot ≡ the
+    * global latest-event-per-user recompute — [[qStreamUpsert]]'s
+    * oracle, reached by a different engine composition (state-update
+    * merge vs per-chunk argmax composition).
+    */
+  val qStreamSinkFormat: QuerySpec = QuerySpec(
+    "q_stream_sink_format",
+    qStreamUpsert.oracle,
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val base = graft.Scratch.dir("stream-sink-format") // tmpfs-backed
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val table = s"$base/table"
+      val raw = spark.read.schema(Tables.eventsRaw)
+        .parquet(s"$dir/events.parquet")
+      val n = 4
+      val bounds = raw.agg(min("ts"), max("ts")).head() // 2 scalars
+      val tmin = bounds.getLong(0)
+      val step = (bounds.getLong(1) - tmin) / n + 1 // bucket ∈ [0, n-1]
+      val src = Ingest.readStreamFiles(
+        spark, s"$in/*.parquet", Tables.eventsRaw, basePath = Some(in))
+      val latest = src.groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))
+      withStreamSizing(spark) {
+        val q = latest.writeStream.format("graft")
+          .option("keys", "user_id").option("buckets", "8")
+          .option("checkpointLocation", s"$base/ck")
+          .outputMode("update")
+          .start(table)
+        try (0 until n).foreach { i =>
+          val tmp = s"$base/stage_$i"
+          raw.filter(expr(s"(ts - ${tmin}L) DIV ${step}L") === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head.toPath
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$in/c$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable() // each ts-range chunk is its own batch
+        } finally q.stop()
+      }
+      Tables.withEventTs(spark.read.format("graft").load(table))
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qAsofForward, qAsofTolerance, qSessionize, qIntervalJoin,
       qDateDensify,
@@ -1037,5 +1106,5 @@ object EventOps {
       qStreamJoinSemi,
       qStreamDedup, qStreamTyped,
       qStreamEnrich, qWindowRange, qOhlcBars, qIntervalOverlap, qStreamOhlc,
-      qZscoreOutliers, qStreamResume, qStreamUpsert)
+      qZscoreOutliers, qStreamResume, qStreamUpsert, qStreamSinkFormat)
 }

@@ -1109,6 +1109,25 @@ object Ingest {
     * current one; asking for a batch older than the retention window
     * fails loudly rather than silently serving a newer state.
     */
+  /** The table's pinned key columns, in LOGICAL (user-facing) names. */
+  def tableKeyColumns(tableDir: String)
+                     (implicit store: TableStore): Seq[String] = {
+    val cm = colMap(tableDir)
+    tableMeta(tableDir).apply("keys").split(",").toSeq
+      .map(toLogicalName(cm, _))
+  }
+
+  /** The table's pinned sort (stats) columns in LOGICAL names — empty
+    * when the table never pinned `sortCols` (no manifest, no pruned
+    * reads). The columns a reader may push range bounds on.
+    */
+  def tableSortColumns(tableDir: String)
+                      (implicit store: TableStore): Seq[String] = {
+    val cm = colMap(tableDir)
+    tableMeta(tableDir).get("sort").toSeq
+      .flatMap(_.split(",").toSeq).map(toLogicalName(cm, _))
+  }
+
   def readUpsertTable(spark: SparkSession, tableDir: String,
                       asOfBatch: Option[Long] = None)
                      (implicit store: TableStore): DataFrame = {
@@ -1141,13 +1160,24 @@ object Ingest {
   def readUpsertTableWhere(spark: SparkSession, tableDir: String,
                            bounds: Seq[(String, Any, Any)],
                            asOfBatch: Option[Long] = None)
-                          (implicit store: TableStore): DataFrame = {
+                          (implicit store: TableStore): DataFrame =
+    readUpsertTableWhereOpt(spark, tableDir,
+      bounds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) }, asOfBatch)
+
+  /** [[readUpsertTableWhere]] with OPEN-ended bounds (`None` = that
+    * side unbounded) — the shape the `graft` DataSource's filter
+    * pushdown produces from one-sided predicates like `c >= x`.
+    */
+  def readUpsertTableWhereOpt(spark: SparkSession, tableDir: String,
+                              bounds: Seq[(String, Option[Any], Option[Any])],
+                              asOfBatch: Option[Long] = None)
+                             (implicit store: TableStore): DataFrame = {
     val root = tableDir
     val vDir = resolveVersionDir(root, asOfBatch)
     val cm = colMap(root) // bounds arrive logical, the manifest is physical
     val physBounds = bounds.map { case (c, lo, hi) =>
       (toPhysicalName(cm, c), lo, hi) }
-    StatsManifest.survivingFiles(spark,
+    StatsManifest.survivingFilesOpt(spark,
       store.child(vDir, StatsManifest.ManifestDir), physBounds) match {
       case None => readUpsertTable(spark, tableDir, asOfBatch)
       case Some(files) =>
@@ -1781,6 +1811,22 @@ object Ingest {
   /** The snapshot dir for CURRENT / a committed as-of batch (the
     * resolution rules documented on [[readUpsertTable]]).
     */
+  /** The version directory a snapshot read serves — public so the
+    * `graft` DataSource can price the relation (`sizeInBytes` =
+    * physical bytes of exactly these files) for the broadcast-join
+    * planner. Same committed-only resolution as [[readUpsertTable]].
+    */
+  def snapshotVersionDir(tableDir: String, asOfBatch: Option[Long] = None)
+                        (implicit store: TableStore): String =
+    resolveVersionDir(tableDir, asOfBatch)
+
+  /** The committed batch id a tag names; loud when the tag is absent. */
+  def tagBatch(tableDir: String, name: String)
+              (implicit store: TableStore): Long =
+    listTags(tableDir).collectFirst { case (`name`, b) => b }.getOrElse(
+      throw new IllegalArgumentException(
+        s"tag '$name' does not exist on $tableDir"))
+
   private def resolveVersionDir(root: String, asOfBatch: Option[Long])
                                (implicit store: TableStore): String = {
     val cur = readCurrentName(root)
@@ -2835,13 +2881,33 @@ object Ingest {
     * pinned layout wins (`keys`, if given, must agree); on a fresh dir
     * the call creates the table and `keys` is required (`nBuckets`
     * defaults sized for the first batch's role as the layout pin).
-    * Returns (minted batch id, batch row count).
+    * Returns (minted batch id, batch row count). `asBatch` pins the
+    * id for STREAMING callers (the `graft` format sink passes the
+    * micro-batch id): an already-committed pinned id no-ops with
+    * (id, 0) before the source is even evaluated — the exactly-once
+    * replay rule — and a fresh pinned id must exceed every committed
+    * one (a lower id is a stale checkpoint / foreign id space).
     */
   def upsertInto(spark: SparkSession, tableDir: String, rows: DataFrame,
                  keys: Seq[String] = Nil, nBuckets: Int = 16,
                  deleteCol: Option[String] = None, keepVersions: Int = 2,
-                 graceMs: Long = 0L)
+                 graceMs: Long = 0L, asBatch: Option[Long] = None)
                 (implicit store: TableStore): (Long, Long) = {
+    // exactly-once for STREAMING callers (the graft format sink pins
+    // micro-batch ids here): a pinned id already in the ledger is a
+    // crash-replayed micro-batch — no-op BEFORE evaluating the source
+    // (0 rows merged THIS call; the batch itself landed the first time).
+    // A fresh pinned id must exceed every committed id: a lower one is
+    // a foreign id space (e.g. a restarted stream with a stale
+    // checkpoint against a table other writers advanced) and merging
+    // it would corrupt the dedupe ledger's meaning.
+    asBatch.foreach { a =>
+      val done = readLedger(tableDir)
+      if (done.contains(a)) return (a, 0L)
+      require(done.forall(_ < a),
+        s"upsertInto: pinned batch id $a is below an already-committed " +
+          s"id of $tableDir — stale checkpoint / foreign id space")
+    }
     val meta: Map[String, String] =
       if (store.exists(store.child(tableDir, "_meta"))) tableMeta(tableDir)
       else Map.empty // fresh dir: this call creates the table
@@ -2862,7 +2928,8 @@ object Ingest {
     val sortCols = meta.get("sort").map(_.split(",").toSeq).getOrElse(Nil)
     val fpb = meta.get("fpb").map(_.toInt).getOrElse(4)
     val feed = store.exists(store.child(tableDir, "_cdf"))
-    val batchId = readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1
+    val batchId = asBatch.getOrElse(
+      readLedger(tableDir).reduceOption(_ max _).getOrElse(-1L) + 1)
     // the source can be an arbitrary (expensive) query — evaluate it
     // once for both the row count and the merge
     val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -117,14 +117,29 @@ object StatsManifest {
     */
   def survivingFiles(spark: SparkSession, manifestDir: String,
                      bounds: Seq[(String, Any, Any)])
-                    (implicit store: TableStore): Option[Seq[String]] = {
+                    (implicit store: TableStore): Option[Seq[String]] =
+    survivingFilesOpt(spark, manifestDir,
+      bounds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) })
+
+  /** [[survivingFiles]] with OPEN-ended bounds: `None` for an endpoint
+    * means unbounded on that side (`c >= lo` alone, or `c <= hi`
+    * alone). The DataSource filter pushdown needs this shape — a
+    * pushed `date >= x` has no upper endpoint but still skips every
+    * file whose `max_date < x`. Same superset guarantee: a file whose
+    * min/max are NULL (all rows NULL in `c`) is skipped, which is
+    * sound because a NULL never satisfies a range predicate.
+    */
+  def survivingFilesOpt(spark: SparkSession, manifestDir: String,
+                        bounds: Seq[(String, Option[Any], Option[Any])])
+                       (implicit store: TableStore): Option[Seq[String]] = {
     val mparts = store.listNames(manifestDir)
       .filter(_.endsWith(".parquet")).map(store.child(manifestDir, _))
     if (mparts.isEmpty) None
     else {
       val manifest = spark.read.parquet(mparts: _*)
       val keep = bounds.foldLeft(manifest) { case (m, (c, lo, hi)) =>
-        m.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+        val m1 = lo.map(v => m.filter(col(s"max_$c") >= lit(v))).getOrElse(m)
+        hi.map(v => m1.filter(col(s"min_$c") <= lit(v))).getOrElse(m1)
       }
       Some(keep.select("file").collect().map(_.getString(0)).toSeq)
     }

@@ -1,0 +1,267 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThanOrEqual, Or, StringStartsWith}
+import graft.sources.{GraftSource, GraftSourceOptions, Ingest, TableStore}
+import java.nio.file.Files
+
+/** The `graft` DataSource registration — every standard Spark verb
+  * against the table format: `spark.read.format("graft")` (snapshot /
+  * versionAsOf / tag / changes / quarantine), `CREATE TABLE … USING
+  * graft` + SELECT + INSERT INTO, `df.write.format("graft")` SaveMode
+  * semantics, and the exactly-once streaming sink. Each read surface
+  * is checked ≡ the library API it wraps; the pushdown translation is
+  * pinned unit-level (filters → manifest bounds) and end-to-end
+  * (pruned read ≡ full read under the same predicate).
+  */
+class GraftSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private implicit val store: TableStore = TableStore.local
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-source").toString
+
+  /** Two-batch keyed table with updates, a delete, pinned sortCols
+    * (manifest present) and a change feed.
+    */
+  private def buildTable(dir: String): Unit = {
+    import spark.implicits._
+    val b0 = Seq(
+      (1L, 10, "a", false), (2L, 20, "b", false), (3L, 30, "c", false),
+      (4L, 40, "d", false), (5L, 50, "e", false), (6L, 60, "f", false))
+      .toDF("k", "v", "s", "_del")
+    val b1 = Seq(
+      (2L, 21, "B", false), (6L, 61, "F", false), (3L, 0, "c", true),
+      (7L, 70, "g", false))
+      .toDF("k", "v", "s", "_del")
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 4, keepVersions = 4,
+      deleteCol = Some("_del"), changeFeed = true,
+      sortCols = Seq("v"), filesPerBucket = 2)(b0, 0L)
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 4, keepVersions = 4,
+      deleteCol = Some("_del"), changeFeed = true,
+      sortCols = Seq("v"), filesPerBucket = 2)(b1, 1L)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Row] =
+    df.collect().toSet
+
+  test("format read equals the API snapshot read (current, versionAsOf, tag)") {
+    val dir = tmp() + "/t"
+    buildTable(dir)
+    Ingest.createTag(dir, "first", 0L)
+
+    val cur = spark.read.format("graft").load(dir)
+    assert(rows(cur) === rows(Ingest.readUpsertTable(spark, dir)))
+    assert(cur.count() === 6) // 7 keys minus the deleted k=3
+
+    val v0 = spark.read.format("graft").option("versionAsOf", "0").load(dir)
+    assert(rows(v0) === rows(Ingest.readUpsertTable(spark, dir, Some(0L))))
+    assert(v0.count() === 6)
+
+    val tagged = spark.read.format("graft").option("tag", "first").load(dir)
+    assert(rows(tagged) === rows(v0))
+
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("tag", "first")
+        .option("versionAsOf", "0").load(dir)
+    }
+  }
+
+  test("pushed filters become manifest bounds; pruned read stays exact") {
+    val dir = tmp() + "/t"
+    buildTable(dir)
+
+    // unit level: the filter → open-bound translation
+    val bounds = GraftSourceOptions.boundsFromFilters(
+      Seq(GreaterThanOrEqual("v", 21), LessThanOrEqual("v", 61),
+        EqualTo("s", "B"), // not a stat column → no bound
+        GreaterThan("v", 20), // strict relaxes to inclusive lo
+        In("v", Array(21, 61)), // IN-list → no bound (row filter only)
+        IsNotNull("v")), statCols = Set("v"))
+    assert(bounds === Seq(
+      ("v", Some(21), None), ("v", None, Some(61)), ("v", Some(20), None)))
+
+    // end to end: same rows as the unpruned read under the predicate
+    val got = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 21 && col("v") <= 61)
+    val want = Ingest.readUpsertTable(spark, dir)
+      .filter(col("v") >= 21 && col("v") <= 61)
+    assert(rows(got) === rows(want))
+    assert(got.count() === 4) // 21, 40, 50, 61
+
+    // the bound genuinely skips files: a point probe survives fewer
+    // files than the snapshot holds
+    val vDir = Ingest.snapshotVersionDir(dir)
+    val all = graft.sources.StatsManifest.survivingFilesOpt(spark,
+      store.child(vDir, graft.sources.StatsManifest.ManifestDir), Nil).get
+    val hit = graft.sources.StatsManifest.survivingFilesOpt(spark,
+      store.child(vDir, graft.sources.StatsManifest.ManifestDir),
+      Seq(("v", Some(70), Some(70)))).get
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"expected a strict prune: ${hit.size} of ${all.size}")
+  }
+
+  test("filterToColumn translates the full conjunct/disjunct surface") {
+    import GraftSourceOptions.filterToColumn
+    assert(filterToColumn(Or(EqualTo("v", 1), EqualTo("v", 2))).isDefined)
+    assert(filterToColumn(StringStartsWith("s", "a")).isDefined)
+    // a partially-translatable And keeps the sound half
+    val half = filterToColumn(org.apache.spark.sql.sources.And(
+      EqualTo("v", 1),
+      org.apache.spark.sql.sources.AlwaysTrue()))
+    assert(half.isDefined)
+    // an Or with an untranslatable side must NOT drop that side
+    assert(filterToColumn(Or(EqualTo("v", 1),
+      org.apache.spark.sql.sources.AlwaysTrue())).isEmpty)
+  }
+
+  test("read=changes and read=quarantine wrap the API reads") {
+    val dir = tmp() + "/t"
+    buildTable(dir)
+    val ch = spark.read.format("graft").option("read", "changes")
+      .option("startingBatch", "1").option("endingBatch", "1").load(dir)
+    assert(rows(ch) === rows(Ingest.readTableChanges(spark, dir, 1L, 1L)))
+    assert(ch.filter(col("_change_type") === "delete").count() === 1)
+
+    // quarantine: a constrained table diverts violating rows
+    val qdir = tmp() + "/q"
+    import spark.implicits._
+    val batch = Seq((1L, 5, "ok", false), (2L, -1, "bad", false))
+      .toDF("k", "v", "s", "_del")
+    Ingest.upsertParquet(qdir, Seq("k"), nBuckets = 2,
+      deleteCol = Some("_del"), constraints = Seq(("v_pos", "v >= 0")),
+      quarantine = true)(batch, 0L)
+    val q = spark.read.format("graft").option("read", "quarantine").load(qdir)
+    assert(rows(q) === rows(Ingest.readQuarantine(spark, qdir)))
+    assert(q.count() === 1)
+  }
+
+  test("CREATE TABLE USING graft: SQL SELECT and INSERT INTO") {
+    val dir = tmp() + "/t"
+    buildTable(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_src_t")
+    spark.sql(s"CREATE TABLE graft_src_t USING graft OPTIONS (path '$dir')")
+    try {
+      val got = spark.sql(
+        "SELECT k, v FROM graft_src_t WHERE v BETWEEN 21 AND 61 ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got === Seq((2L, 21), (4L, 40), (5L, 50), (6L, 61)))
+
+      // the catalog schema is the READ schema (no delete-flag column —
+      // that is a sink input, not stored data): INSERT upserts rows;
+      // deletes stay with GRAFT DML / MERGE
+      spark.sql("INSERT INTO graft_src_t SELECT 9L AS k, 90 AS v, 'i' AS s")
+      assert(spark.sql("SELECT v FROM graft_src_t WHERE k = 9")
+        .collect().map(_.getInt(0)).toSeq === Seq(90))
+      // the insert rode the format: a new committed batch exists
+      assert(Ingest.committedBatchIds(dir).max === 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_src_t")
+  }
+
+  test("write path: SaveMode semantics over the upsert sink") {
+    import spark.implicits._
+    val dir = tmp() + "/w"
+    val df0 = Seq((1L, 10), (2L, 20)).toDF("k", "v")
+
+    // ErrorIfExists on a fresh dir creates (keys pin the layout)
+    df0.write.format("graft").option("keys", "k").save(dir)
+    assert(spark.read.format("graft").load(dir).count() === 2)
+
+    // second ErrorIfExists refuses
+    intercept[IllegalArgumentException] {
+      df0.write.format("graft").option("keys", "k").save(dir)
+    }
+    // Ignore no-ops
+    Seq((9L, 99)).toDF("k", "v").write.format("graft")
+      .mode(SaveMode.Ignore).save(dir)
+    assert(spark.read.format("graft").load(dir).count() === 2)
+
+    // Append upserts by key
+    Seq((2L, 21), (3L, 30)).toDF("k", "v").write.format("graft")
+      .mode(SaveMode.Append).save(dir)
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 10), (2L, 21), (3L, 30)))
+
+    // Overwrite is refused, loudly
+    val e = intercept[IllegalArgumentException] {
+      df0.write.format("graft").mode(SaveMode.Overwrite).save(dir)
+    }
+    assert(e.getMessage.contains("Overwrite"))
+  }
+
+  test("streaming sink: micro-batches commit exactly-once by id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp() + "/s"
+    val ck = tmp() + "/ck"
+    val stream = MemoryStream[(Long, Int)]
+    val q = stream.toDF().toDF("k", "v")
+      .writeStream.format("graft")
+      .option("keys", "k").option("buckets", "2")
+      .option("checkpointLocation", ck)
+      .start(dir)
+    try {
+      stream.addData(Seq((1L, 10), (2L, 20)))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, 21), (3L, 30)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 10), (2L, 21), (3L, 30)))
+    assert(Ingest.committedBatchIds(dir) === Set(0L, 1L))
+
+    // replaying a committed micro-batch id is a ledger no-op: the
+    // poisoned frame never runs (exactly-once, not at-least-once)
+    val sink = new GraftSource().createSink(spark.sqlContext,
+      Map("path" -> dir, "keys" -> "k"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    sink.addBatch(1L, Seq((3L, -999)).toDF("k", "v"))
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("k") === 3L).head().getInt(1) === 30)
+
+    // a stale pinned id BELOW the ledger head that was never committed
+    // is a foreign id space — refused, never merged
+    val dir2 = tmp() + "/s2"
+    Ingest.upsertInto(spark, dir2, Seq((1L, 1)).toDF("k", "v"),
+      keys = Seq("k"), asBatch = Some(5L))
+    intercept[IllegalArgumentException] {
+      Ingest.upsertInto(spark, dir2, Seq((2L, 2)).toDF("k", "v"),
+        asBatch = Some(3L))
+    }
+  }
+
+  test("sizeInBytes prices the snapshot so small dims broadcast") {
+    val dir = tmp() + "/t"
+    buildTable(dir)
+    val rel = new GraftSource().createRelation(spark.sqlContext,
+      Map("path" -> dir))
+    assert(rel.sizeInBytes > 0L)
+    assert(rel.sizeInBytes < 10L * 1024 * 1024,
+      s"tiny table priced at ${rel.sizeInBytes}")
+
+    // and the planner acts on it: graft dim ⋈ big fact broadcasts
+    import spark.implicits._
+    val fact = spark.range(0, 10000)
+      .select((col("id") % 7 + 1).as("k"), col("id").as("x"))
+    val joined = fact.join(spark.read.format("graft").load(dir), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("store=hadoop reaches the Hadoop control plane end to end") {
+    import spark.implicits._
+    val dir = tmp() + "/h"
+    val hstore = new graft.sources.HadoopTableStore()
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 2)(
+      Seq((1L, 10), (2L, 20)).toDF("k", "v"), 0L)(hstore)
+    val got = spark.read.format("graft").option("store", "hadoop").load(dir)
+    assert(got.count() === 2)
+    assert(rows(got) === rows(Ingest.readUpsertTable(spark, dir)(hstore)))
+  }
+}
