@@ -261,6 +261,66 @@ object SqlEntry {
   val q10ReturnedItemsSql: QuerySpec = viaSql(
     "q10_returned_items_sql", Relational.q10ReturnedItems.oracle.get)
 
+  /** RECURSIVE CTE through the SQL entry — `WITH RECURSIVE` runs the
+    * same chain fold in BOTH engines (one string, two engines): the
+    * corpus pre-aggregates to per-(priority, month-of-1995) revenue in
+    * EXACT integer cents (the suite's money discipline — a chained
+    * double round would drift between engines), months densify to
+    * positions with row_number (a calendar gap must not break a
+    * chain), the anchor is each priority's first month and the
+    * recursive member advances every chain one position carrying the
+    * running total. Shape chosen for the ITERATIVE EXECUTOR's real
+    * cost model: each recursion step is one Spark job (~0.5 s of
+    * fixed overhead regardless of input), so depth is pinned at ≤ 12
+    * and the recursive input at ~60 pre-aggregated rows — constants
+    * at every SF. The corpus appears exactly once (the GROUP BY);
+    * recursion then folds the small sequence. A graph walk is
+    * deliberately NOT spelled this way: UNION ALL recursion
+    * multiplies PATHS (Spark refuses UNION-distinct recursion, so
+    * level-wise dedup is inexpressible inside the CTE) — traversal
+    * stays [[Graph.bfsHops]]'s RDD fixpoint, and production running
+    * totals stay window functions. This row pins cross-engine
+    * agreement of the parser + iterative-execution surface itself.
+    */
+  val qRecursiveCte: QuerySpec = viaSql(
+    "q_recursive_cte",
+    """WITH RECURSIVE bymonth AS (
+        SELECT o_orderpriority AS prio, month(o_orderdate) AS m,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority, month(o_orderdate)),
+      seq AS (
+        SELECT prio, m, cents,
+          row_number() OVER (PARTITION BY prio ORDER BY m) AS pos
+        FROM bymonth),
+      chain(prio, m, pos, run_cents) AS (
+        SELECT prio, m, pos, cents FROM seq WHERE pos = 1
+        UNION ALL
+        SELECT s.prio, s.m, s.pos, c.run_cents + s.cents
+        FROM chain c JOIN seq s ON s.prio = c.prio AND s.pos = c.pos + 1)
+      SELECT prio, m, pos, CAST(run_cents AS DOUBLE) / 100 AS running
+      FROM chain ORDER BY prio, pos""")
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — per-customer
+    * top-2 orders by price, the "top-k per group via LATERAL" idiom
+    * (one string, two engines). Catalyst must DECORRELATE the
+    * correlated limit into a window-rank over one orders scan (no
+    * per-customer subquery execution survives the rewrite — the same
+    * one-shuffle shape [[Relational.qTopk]] builds by hand with
+    * row_number), which is exactly why the idiom scales: at 100 TB
+    * the plan is one key-partitioned rank, not |customers| probes.
+    */
+  val qLateralTopk: QuerySpec = viaSql(
+    "q_lateral_topk",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+        LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+                 FROM orders WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+
   def specs: Seq[QuerySpec] =
     Seq(q5Sql, qWindowRankSql, qUnionAllSql, qJoinWaitingSql, qQtyBelowAvgSql,
       qTopSupplierSql, qIdleRichSql, qBasketRulesSql, qEventTransitionsSql,
@@ -268,5 +328,5 @@ object SqlEntry {
       qDisjunctiveJoinSql, qSupplierVarietySql, qValuablePartsSql,
       qPromoShareSql, qUpsertSql, q4PriorityLateSql, q8MarketShareSql,
       q12LatePrioritySql, q6RevenueDeltaSql, q7NationVolumeSql,
-      q9NationProfitSql, q10ReturnedItemsSql)
+      q9NationProfitSql, q10ReturnedItemsSql, qRecursiveCte, qLateralTopk)
 }

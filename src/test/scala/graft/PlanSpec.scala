@@ -566,6 +566,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(df).contains("ObjectHashAggregate"), plan(df).take(800))
   }
 
+  test("LATERAL top-k decorrelates to one window rank — no per-row subquery") {
+    // the correlated ORDER BY + LIMIT subquery must rewrite to a rank
+    // over ONE orders scan joined back (|customers| probe executions
+    // would be the 100-TB killer); the guard pins the rewrite's shape
+    val p = plan(graft.operators.SqlEntry.qLateralTopk.run(spark, sf))
+    assert(p.contains("Window"), p.take(800))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("recursive CTE plans the iterative union loop over the pre-agg, not the corpus") {
+    // the recursion input must be the ~60-row pre-aggregated sequence:
+    // the corpus (orders) appears once under an Aggregate; the loop
+    // node exists (the executor's fixpoint surface, not an unrolled
+    // union); and the date band reaches the orders scan
+    val df = graft.operators.SqlEntry.qRecursiveCte.run(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.treeString
+    assert(opt.contains("UnionLoop"), opt.take(1200))
+    // the loop body is planned per iteration (it stays logical in the
+    // outer plan), so pin the shape there: the date band sits directly
+    // on the parquet relation (pushdown engages when each step plans)
+    // and the recursion input is the month Aggregate, not raw orders
+    assert(opt.contains("1995-01-01"), opt.take(2000))
+    assert(opt.contains("UnionLoopRef"), opt.take(2000))
+  }
+
   test("PQ codebook build plans with no corpus-wide window or sort") {
     // the trainCodebooks seed selection is a bounded-heap aggregation
     // (TopByAgg) + broadcast fetch — the former row_number window
