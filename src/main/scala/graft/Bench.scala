@@ -66,7 +66,9 @@ object Bench {
       "cdc_table_build" ->
         (() => { graft.operators.Changes.sharedCdcTable(spark, sfDir); () }),
       "objectstore_cdc_build" ->
-        (() => { graft.operators.Changes.sharedObjectStoreCdcTable(spark, sfDir); () })
+        (() => { graft.operators.Changes.sharedObjectStoreCdcTable(spark, sfDir); () }),
+      "source_table_build" ->
+        (() => { graft.operators.Changes.sharedSourceTable(spark, sfDir); () })
     )
     val setup = (if (only.isEmpty) setupAll else Nil)
       .map { case (name, f) => name -> time(f()) }

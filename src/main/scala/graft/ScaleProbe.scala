@@ -114,7 +114,15 @@ object ScaleProbe {
         "q_upsert_merge", "q_upsert_meta_count", "q_upsert_colmap",
         // streaming merge rides its micro-batches (conditional-apply
         // CDC fold; per-batch pre-reduce + keyed merge)
-        "q_stream_merge")
+        "q_stream_merge",
+        // r15 second half: the registered DataSource — the format read
+        // must ride the PRUNED file list (the manifest discards the
+        // same fraction at any scale), the catalog-SQL route adds only
+        // constant parser/catalog work, the feed read rides feed bytes,
+        // and the format streaming sink rides its micro-batches exactly
+        // like the foreachBatch twin
+        "q_source_read", "q_source_sql", "q_source_cdf",
+        "q_stream_sink_format")
 
     // optional 4th arg: comma-separated row filter for incremental
     // probing (a new op's ratio without re-running the whole band)

@@ -2697,7 +2697,10 @@ object Changes {
 
   private val sourceTableMemo = graft.Memo[(SparkSession, String), String]()
 
-  private def sharedSourceTable(spark: SparkSession, dir: String): String =
+  /** Public for Bench's named setup entry (`source_table_build`) —
+    * derive-once/consume-many, the cdc_table_build discipline.
+    */
+  def sharedSourceTable(spark: SparkSession, dir: String): String =
     sourceTableMemo.getOrElseUpdate((spark, dir),
       buildCdcUpsertTable(spark, dir, graft.Scratch.dir("source-shared"),
         n = 4, changeFeed = true, sortCols = Seq("o_orderdate")))

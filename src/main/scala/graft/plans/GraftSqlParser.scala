@@ -51,6 +51,13 @@ import graft.sources.{Ingest, TableStore}
   *   GRAFT QUARANTINE REQUEUE '<table dir>' AS BATCH <n>
   * }}}
   *
+  * Every `'<table dir>'` slot also accepts a BARE CATALOG IDENTIFIER
+  * (`[db.]name`) naming a `CREATE TABLE … USING graft` registration —
+  * `GRAFT OPTIMIZE my_table` resolves the identifier to the table's
+  * pinned path through the session catalog (graft-provider tables
+  * only, refused loudly otherwise), so the SQL-first user never
+  * handles raw directories once the table is registered.
+  *
   * Anything not starting with the `GRAFT` keyword goes verbatim to the
   * delegate parser — the extension can never change the meaning of
   * standard SQL. Each command compiles to a `LeafRunnableCommand`
@@ -85,9 +92,48 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 private[plans] object GraftSqlCommands {
 
-  // 'single-quoted' path with '' as the escaped quote (SQL convention)
-  private val P = "'((?:[^']|'')*)'"
-  private def unq(s: String): String = s.replace("''", "'")
+  // table reference: a 'single-quoted' path ('' = escaped quote, SQL
+  // convention) OR a bare catalog identifier ([db.]name) naming a
+  // table created with CREATE TABLE … USING graft — one capture group
+  // either way, so every production's group numbering is unchanged
+  private val P = "('(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_.]*)"
+
+  /** Resolve a captured table reference to the table DIRECTORY: a
+    * quoted token is the path itself (unescaped); a bare identifier
+    * resolves through the session catalog — the table must be a
+    * `USING graft` registration, and its pinned path option is the
+    * directory. Resolution happens at PARSE time inside `spark.sql`
+    * (the active session is the parsing session), so the commands
+    * downstream stay pure path-takers.
+    */
+  private def unq(s: String): String =
+    if (s.startsWith("'")) s.substring(1, s.length - 1).replace("''", "'")
+    else {
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalArgumentException(
+          s"GRAFT: cannot resolve table '$s' — no active Spark session"))
+      val ti = s.split("\\.").toSeq match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => throw new IllegalArgumentException(
+          s"GRAFT: table reference '$s' has too many qualifier parts")
+      }
+      val meta = spark.sessionState.catalog.getTableMetadata(ti)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+        s"GRAFT: table '$s' is not a graft table " +
+          s"(provider: ${meta.provider.getOrElse("none")})")
+      val raw = meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(_.toString))
+        .getOrElse(throw new IllegalArgumentException(
+          s"GRAFT: table '$s' has no path"))
+      // the catalog qualifies the option to a URI; the default POSIX
+      // store speaks plain paths (same normalization as the source)
+      if (raw.startsWith("file:"))
+        Option(new java.net.URI(raw).getPath).filter(_.nonEmpty)
+          .getOrElse(raw.stripPrefix("file:"))
+      else raw
+    }
 
   private val History =
     s"""(?is)\\s*GRAFT\\s+DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*""".r

@@ -236,6 +236,37 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("format sink survives a stop/restart from its checkpoint — each id once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp() + "/r"
+    val ck = tmp() + "/rck"
+    val stream = MemoryStream[(Long, Int)]
+    def start() = stream.toDF().toDF("k", "v")
+      .writeStream.format("graft")
+      .option("keys", "k").option("buckets", "2")
+      .option("checkpointLocation", ck)
+      .start(dir)
+
+    val q1 = start()
+    try {
+      stream.addData(Seq((1L, 10), (2L, 20)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // data added while the query is DOWN lands after restart, under
+    // the NEXT batch id — the checkpoint, not the sink, carries the
+    // source offset; the ledger pins each id exactly once
+    stream.addData(Seq((2L, 21), (3L, 30)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 10), (2L, 21), (3L, 30)))
+    assert(Ingest.committedBatchIds(dir) === Set(0L, 1L))
+  }
+
   test("sizeInBytes prices the snapshot so small dims broadcast") {
     val dir = tmp() + "/t"
     buildTable(dir)

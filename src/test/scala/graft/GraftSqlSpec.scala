@@ -392,6 +392,44 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(retained.toSeq === Seq(1L))
   }
 
+  test("GRAFT commands accept catalog table names from CREATE TABLE USING graft") {
+    val t = freshTable()
+    spark.sql("DROP TABLE IF EXISTS graft_sql_named")
+    spark.sql(s"CREATE TABLE graft_sql_named USING graft OPTIONS (path ${q(t)})")
+    try {
+      // reads, maintenance and DML all resolve the identifier to the
+      // registered path — same rows as the quoted-path spelling
+      val byName = spark.sql("GRAFT DESCRIBE HISTORY graft_sql_named")
+        .collect().toSeq
+      val byPath = spark.sql(s"GRAFT DESCRIBE HISTORY ${q(t)}")
+        .collect().toSeq
+      assert(byName === byPath)
+
+      spark.sql("GRAFT TAG graft_sql_named CREATE release AT BATCH 1")
+      assert(spark.sql("GRAFT TAGS graft_sql_named").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("release", 1L)))
+
+      spark.sql("GRAFT UPDATE graft_sql_named SET v = v + 100 WHERE k = 3")
+      assert(Ingest.readUpsertTable(spark, t)
+        .filter(col("k") === 3L).head().getDouble(1) === 103.0)
+
+      // a non-graft catalog table is refused by provider, loudly
+      spark.sql("DROP TABLE IF EXISTS graft_sql_parquet")
+      spark.sql("CREATE TABLE graft_sql_parquet (x INT) USING parquet")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          spark.sql("GRAFT DESCRIBE HISTORY graft_sql_parquet")
+        }
+        assert(e.getMessage.contains("not a graft table"), e.getMessage)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_sql_parquet")
+
+      // an unknown identifier surfaces the catalog's own error
+      intercept[Exception] {
+        spark.sql("GRAFT TAGS graft_sql_no_such_table").collect()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_named")
+  }
+
   test("standard SQL is untouched and GRAFT typos fail as plain parse errors") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
     // not our grammar → delegate → its normal parse error
