@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HL7 v2 message framing — the reference platform's actual ingest
+  * format: CDC's Surveillance Data Platform shared services validate
+  * and route HL7 v2 messages between providers and surveillance
+  * programs (`/root/reference/README.md:2-4` names the project; the
+  * deployment's data tier at `mysql-persistent-template.json:68`
+  * stores what those services parse). The framing implemented here is
+  * the PUBLIC HL7 v2 standard: one segment per line (`\r`), fields
+  * split by `|`, components by `^`, repetitions by `~`,
+  * subcomponents by `&`, and the five escape sequences `\F\ \S\ \R\
+  * \T\ \E\` for embedding the delimiters themselves.
+  *
+  * Both directions are pure column expressions over built-in
+  * functions — `concat_ws`/`split`/`filter`/`transform` — so render
+  * and parse are NARROW per-row transforms (no shuffle, no UDF, no
+  * driver involvement): at 100 TB the message corpus maps through in
+  * one pass, and malformed messages degrade to NULL-field rows the
+  * quarantine sink can divert rather than task failures.
+  *
+  * The correctness gate is self-inverting: `q_hl7_roundtrip` renders
+  * a message per document whose OBX-5 value deliberately CONTAINS
+  * every reserved character, parses it back, and hash-checks the
+  * parsed columns against DuckDB's direct recomputation of the
+  * pre-render values — any drift in EITHER the renderer's escaping or
+  * the parser's unescaping breaks the hash.
+  */
+object Hl7 {
+
+  /** Escape a raw string for use inside one HL7 field component.
+    * Backslash FIRST (it spells the escapes themselves), then each
+    * delimiter; all five sequences are the standard's.
+    */
+  def hl7Escape(c: Column): Column = {
+    val e = regexp_replace(c, "\\\\", "\\\\E\\\\")
+    val f = regexp_replace(e, "\\|", "\\\\F\\\\")
+    val s = regexp_replace(f, "\\^", "\\\\S\\\\")
+    val r = regexp_replace(s, "~", "\\\\R\\\\")
+    regexp_replace(r, "&", "\\\\T\\\\")
+  }
+
+  /** Decode HL7 escapes in ONE pass: split on backslash — odd tokens
+    * are escape codes, even tokens literal text (a chained
+    * string-replace decoder mis-reads adjacent escapes like `\E\F\`).
+    * Unknown codes keep their spelling (standard behavior for
+    * unhandled `\Z...\` custom escapes: pass through visibly, never
+    * drop data silently).
+    */
+  def hl7Unescape(c: Column): Column =
+    array_join(
+      zip_with(
+        split(c, "\\\\", -1),
+        sequence(lit(0), greatest(size(split(c, "\\\\", -1)) - 1, lit(0))),
+        (t, i) => when(i % 2 === 0, t).otherwise(
+          when(t === "F", lit("|"))
+            .when(t === "S", lit("^"))
+            .when(t === "R", lit("~"))
+            .when(t === "T", lit("&"))
+            .when(t === "E", lit("\\"))
+            .otherwise(concat(lit("\\"), t, lit("\\"))))),
+      "")
+
+  /** Render one ORU^R01-shaped message per document: MSH carries the
+    * doc id as the message control id (MSH-10), PID carries it as the
+    * patient identifier (PID-3.1), OBX-5 carries the payload value —
+    * built to contain every reserved character so the escape path is
+    * exercised on every row, not just adversarial fixtures. Documents
+    * whose id divides by `truncateEvery` render WITHOUT their OBX
+    * segment — the deterministic malformed population the parser must
+    * degrade on (header intact, payload absent).
+    */
+  def renderMessages(docs: DataFrame, truncateEvery: Int = 17): DataFrame = {
+    val value = concat(
+      substring(col("text"), 1, 40), lit("|"),
+      col("lang"), lit("^"),
+      col("source"), lit("~\\&"))
+    val msh = concat_ws("|",
+      lit("MSH"), lit("^~\\&"), lit("GRAFT"), lit("LAB"), lit("RECV"),
+      lit("FAC"), lit(""), lit(""), lit("ORU^R01"),
+      col("doc_id").cast("string"), lit("P"), lit("2.5.1"))
+    val pid = concat_ws("|",
+      lit("PID"), lit("1"), lit(""),
+      concat(col("doc_id").cast("string"), lit("^^^GRAFT")))
+    val obx = concat_ws("|",
+      lit("OBX"), lit("1"), lit("TX"), lit("TXT^text^L"), lit(""),
+      hl7Escape(value), lit(""), lit(""), lit(""), lit(""), lit(""),
+      lit("F"))
+    docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(truncateEvery.toLong)) === 0,
+        concat_ws("\r", msh, pid))
+        .otherwise(concat_ws("\r", msh, pid, obx)).as("hl7"))
+  }
+
+  /** Parse framed messages back to typed columns: message control id
+    * (MSH-10), patient id (PID-3.1), unescaped OBX-5 value and OBX-11
+    * status. A message without the segment yields NULLs for that
+    * segment's columns and `has_obx = false` — the malformed-row
+    * contract (degrade, never throw). Pure narrow expressions;
+    * `filter(segments, …)` finds each segment without exploding the
+    * row.
+    */
+  def parseMessages(msgs: DataFrame, msgCol: String = "hl7"): DataFrame = {
+    val segs = split(col(msgCol), "\r")
+    // try_element_at throughout: an absent segment or short field list
+    // must yield NULL (the degrade contract), and ANSI element_at
+    // would throw on the malformed population instead
+    def seg(name: String): Column =
+      try_element_at(filter(segs, s => substring(s, 1, 4) === s"$name|"),
+        lit(1))
+    def fld(segment: Column, i: Int): Column =
+      try_element_at(split(segment, "\\|", -1), lit(i + 1)) // 1-based
+    val msh = seg("MSH")
+    val pid = seg("PID")
+    val obx = seg("OBX")
+    msgs.select(
+      fld(msh, 9).cast("long").as("msg_id"),
+      try_element_at(split(fld(pid, 3), "\\^", -1), lit(1)).as("patient_id"),
+      hl7Unescape(fld(obx, 5)).as("obx_value"),
+      fld(obx, 11).as("obx_status"),
+      obx.isNotNull.as("has_obx"))
+  }
+
+  /** Render → parse → compare: the parsed columns must equal the
+    * pre-render originals byte for byte (DuckDB recomputes the
+    * originals directly — it never sees a message, so the hash pins
+    * BOTH directions of the codec). The malformed population (every
+    * 17th doc, OBX dropped) must come back header-parsed with NULL
+    * payload and `has_obx = false`.
+    */
+  val qHl7Roundtrip: QuerySpec = QuerySpec(
+    "q_hl7_roundtrip",
+    Some("""SELECT doc_id,
+        CAST(doc_id AS VARCHAR) AS patient_id,
+        CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE concat(substr(text, 1, 40), '|', lang, '^', source,
+                         '~\&') END AS obx_value,
+        CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 'F' END AS obx_status,
+        doc_id % 17 <> 0 AS has_obx
+      FROM documents ORDER BY doc_id"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      parseMessages(renderMessages(docs))
+        .select(col("msg_id").as("doc_id"), col("patient_id"),
+          col("obx_value"), col("obx_status"), col("has_obx"))
+        .orderBy("doc_id")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qHl7Roundtrip)
+}

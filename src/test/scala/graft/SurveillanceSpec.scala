@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Epi, Hl7}
+
+/** The surveillance-domain operators: HL7 v2 escape codec on
+  * adversarial literals (the cases the fixture round trip cannot
+  * force), segment parsing degrade rules, and MMWR week pins on
+  * published calendar facts.
+  */
+class SurveillanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def roundtrip(vals: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    vals.toDF("v")
+      .select(Hl7.hl7Unescape(Hl7.hl7Escape(col("v"))).as("r"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("HL7 escape/unescape round-trips every adversarial literal") {
+    val cases = Seq(
+      "plain text",
+      "|", "^", "~", "&", "\\",
+      "\\|", "|\\", "\\\\", "a|b^c~d&e\\f",
+      "\\F\\", // literal text that LOOKS like an escape sequence
+      "\\E\\F\\", "||||", "^~\\&", "")
+    assert(roundtrip(cases) === cases)
+  }
+
+  test("unescape passes unknown custom escapes through visibly") {
+    import spark.implicits._
+    val out = Seq("a\\Zxx\\b").toDF("v")
+      .select(Hl7.hl7Unescape(col("v"))).head().getString(0)
+    assert(out === "a\\Zxx\\b")
+  }
+
+  test("parse degrades on malformed messages: absent segments yield NULLs") {
+    import spark.implicits._
+    val msgs = Seq(
+      ("MSH|^~\\&|A|B|C|D|||ORU^R01|42|P|2.5.1\rPID|1||42^^^X", "no OBX"),
+      ("garbage with no segments at all", "nothing"),
+      ("OBX|1|TX|T||v\\F\\w||||||F", "OBX only")).toDF("hl7", "label")
+    val p = Hl7.parseMessages(msgs).collect()
+    // no OBX: header parsed, payload NULL
+    assert(p(0).getLong(0) === 42L && p(0).getString(1) === "42")
+    assert(p(0).isNullAt(2) && !p(0).getBoolean(4))
+    // nothing: all NULL, no throw
+    assert(p(1).isNullAt(0) && p(1).isNullAt(1) && p(1).isNullAt(2))
+    // OBX only: payload parsed (escape decoded), header NULL
+    assert(p(2).isNullAt(0) && p(2).getString(2) === "v|w" &&
+      p(2).getBoolean(4))
+  }
+
+  test("MMWR weeks match published calendar facts at year boundaries") {
+    import spark.implicits._
+    // public MMWR calendar pins: MMWR 2014 had 53 weeks — the week
+    // Dec 28 2014–Jan 3 2015 holds only THREE January days, so it is
+    // 2014's week 53, and 2015's week 1 starts Jan 4 2015; MMWR 2015
+    // therefore ends with week 52 (Dec 27 2015–Jan 2 2016) and week 1
+    // of 2016 starts Sunday Jan 3 2016; Jan 1 2022 (a Saturday) closes
+    // 2021's week 52.
+    val pins = Seq(
+      ("2016-01-02", 2015, 52),
+      ("2016-01-03", 2016, 1),
+      ("2014-12-28", 2014, 53),
+      ("2015-01-04", 2015, 1),
+      ("2022-01-01", 2021, 52),
+      ("2026-08-16", 2026, 33))
+    val got = pins.map(_._1).toDF("d")
+      .select(col("d"), Epi.mmwrYear(col("d")).as("y"),
+        Epi.mmwrWeek(col("d")).as("w"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got === pins.map(p => (p._1, p._2, p._3)))
+  }
+
+  test("every date lands in exactly one MMWR week of 1..53 and weeks are 7 days") {
+    import spark.implicits._
+    val days = spark.sql(
+      "SELECT explode(sequence(DATE '2013-12-20', DATE '2017-01-15')) AS d")
+    val weeks = days.select(Epi.mmwrYear(col("d")).as("y"),
+      Epi.mmwrWeek(col("d")).as("w"))
+    assert(weeks.filter(col("w") < 1 || col("w") > 53).count() === 0)
+    // each (year, week) bucket holds exactly 7 consecutive days
+    // (boundary weeks of the probed range excluded)
+    val sizes = weeks.groupBy("y", "w").count()
+      .filter(col("y") >= 2014 && col("y") <= 2016)
+    assert(sizes.filter(col("count") =!= 7).count() === 0)
+  }
+}
