@@ -85,5 +85,81 @@ object Epi {
         .orderBy("mmwr_year", "mmwr_week")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qEpiweekCurve)
+  /** EARS C2 aberration detection (CDC's Early Aberration Reporting
+    * System, public algorithm): for each series and day, the test
+    * statistic is `(count − μ) / σ` where μ/σ come from the 7-day
+    * baseline ending 3 days before the test day (the 2-day guard band
+    * that keeps an emerging signal out of its own baseline); a day
+    * alerts when the statistic ≥ 3 with σ > 0. Order priorities stand
+    * in for syndromes (5 independent series over the orders line
+    * list).
+    *
+    * Correctness needs a DENSE day spine — a zero-case day must enter
+    * the baseline as 0, not vanish (lag-window detectors silently
+    * corrupt on sparse series): the spine is `sequence(min, max)` ×
+    * series, left-joined to counts, zero-filled. Membership is
+    * decided on the 6-dp-rounded statistic in BOTH engines (the
+    * qZscoreOutliers discipline — a raw quotient within an ulp of 3
+    * would flip the alert set between engines).
+    *
+    * Scale: the spine is DAYS × SERIES — metadata-sized versus the
+    * corpus. The corpus appears once in the daily hash aggregation;
+    * the window partitions by series over the small dense frame.
+    */
+  val qEarsAlerts: QuerySpec = QuerySpec(
+    "q_ears_alerts",
+    Some("""WITH daily AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+          count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+          max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      spine AS (
+        SELECT p.prio, s.day
+        FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p,
+          (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+             AS day FROM bounds) s),
+      dense AS (
+        SELECT spine.prio, spine.day, coalesce(daily.n, 0) AS n
+        FROM spine LEFT JOIN daily
+          ON daily.prio = spine.prio AND daily.day = spine.day),
+      stat AS (
+        SELECT prio, day, n,
+          avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sigma
+        FROM dense
+        WINDOW w AS (PARTITION BY prio ORDER BY day
+          ROWS BETWEEN 9 PRECEDING AND 3 PRECEDING))
+      SELECT prio, day, n, round(round((n - mu) / sigma, 6), 4) AS c2
+      FROM stat
+      WHERE sigma > 0 AND round((n - mu) / sigma, 6) >= 3
+      ORDER BY prio, day"""),
+    (spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = orders.agg(
+        min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+      val spine = orders.select(col("o_orderpriority").as("prio")).distinct()
+        .crossJoin(bounds.select(
+          explode(sequence(col("d0"), col("d1"))).as("day")))
+      val dense = spine.join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy("prio").orderBy("day")
+        .rowsBetween(-9, -3)
+      dense
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sigma", stddev_samp(col("n")).over(w))
+        .withColumn("c2r", round((col("n") - col("mu")) / col("sigma"), 6))
+        .filter(col("sigma") > 0 && col("c2r") >= 3)
+        .select(col("prio"), col("day"), col("n"),
+          round(col("c2r"), 4).as("c2"))
+        .orderBy("prio", "day")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qEpiweekCurve, qEarsAlerts)
 }

@@ -75,6 +75,32 @@ class SurveillanceSpec extends AnyFunSuite {
     assert(got === pins.map(p => (p._1, p._2, p._3)))
   }
 
+  test("EARS C2 alerts exactly on a spike over a noisy baseline, never inside the guard band") {
+    import spark.implicits._
+    // alternating 1/2 baseline (sd > 0 everywhere) with one 40-case
+    // spike: the spike day must alert; the two days AFTER it must NOT
+    // have it in their baselines yet (2-day guard), and by day+3 the
+    // spike inflates sd enough that normal counts never alert
+    val days = (0 until 60).map { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong))
+      val n = if (i == 30) 40 else 1 + (i % 2)
+      (d, n)
+    }
+    val df = days.flatMap { case (d, n) => Seq.fill(n)(("A", d)) }
+      .toDF("o_orderpriority", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    // drive the same fold the row runs, via a temp fixture dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-ears").toString
+    df.select(lit(1L).as("o_orderkey"), lit(1L).as("o_custkey"),
+      lit("O").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val alerts = Epi.qEarsAlerts.run(spark, dir)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2))).toSeq
+    assert(alerts.map(_._1).contains("2020-01-31"), alerts.toString) // the spike
+    assert(alerts.forall(_._1 == "2020-01-31"), alerts.toString) // and only it
+  }
+
   test("every date lands in exactly one MMWR week of 1..53 and weeks are 7 days") {
     import spark.implicits._
     val days = spark.sql(
