@@ -21,7 +21,8 @@ object SparkEntry {
       SqlEntry.specs ++ Contamination.specs ++ Search.specs ++ Scrub.specs ++
       Graph.specs ++ Changes.specs ++ Funnels.specs ++ Sketches.specs ++
       Clustering.specs ++ Series.specs ++ Audit.specs ++ Baskets.specs ++
-      Layout.specs ++ Matviews.specs ++ Hl7.specs ++ Epi.specs
+      Layout.specs ++ Matviews.specs ++ Hl7.specs ++ Epi.specs ++
+      Privacy.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
