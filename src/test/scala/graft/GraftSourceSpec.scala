@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.{Column, Row, SaveMode}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThanOrEqual, Or, StringStartsWith}
@@ -233,6 +233,35 @@ class GraftSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Ingest.upsertInto(spark, dir2, Seq((2L, 2)).toDF("k", "v"),
         asBatch = Some(3L))
+    }
+  }
+
+  test("pushdown equivalence property: every predicate shape reads the same rows") {
+    // the pruning path must be a pure superset optimization for ANY
+    // predicate the planner pushes — sweep a grid of shapes (closed /
+    // one-sided / point / empty-range / non-stat-column / IN / string
+    // / disjunction / null-test) and require format read ≡ API read
+    val dir = tmp() + "/t"
+    buildTable(dir)
+    val api = Ingest.readUpsertTable(spark, dir)
+    val fmt = spark.read.format("graft").load(dir)
+    val preds: Seq[Column] = Seq(
+      col("v") >= 21 && col("v") <= 61,
+      col("v") > 20,
+      col("v") < 40,
+      col("v") === 70,
+      col("v") === -5, // empty result
+      col("v") >= 100, // empty via pruning
+      col("s") === "B",
+      col("s").startsWith("B") || col("v") > 60,
+      col("v").isin(10, 21, 70),
+      col("v").isNotNull,
+      col("k") % 2 === 0, // arithmetic — not pushable, still exact
+      col("v").between(0, 1000))
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val got = fmt.filter(p).collect().toSet
+      val want = api.filter(p).collect().toSet
+      assert(got === want, s"predicate #$i: $p")
     }
   }
 
