@@ -151,5 +151,87 @@ object Hl7 {
         .orderBy("doc_id")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qHl7Roundtrip)
+  /** The reference's core use case END TO END through the engine:
+    * HL7 messages arrive as a STREAM (4 file micro-batches), each
+    * batch parses ([[parseMessages]]) and lands through the
+    * constraint-screened dead-letter sink — structurally-valid
+    * results commit to the keyed table, payload-less messages (the
+    * deterministic malformed population) divert to `_quarantine`
+    * stamped with the broken constraint's name. This is the
+    * ingest→validate→route pipeline the reference's shared services
+    * implement around their MySQL tier, run on the engine's own
+    * format with exactly-once micro-batches. The oracle recomputes
+    * BOTH sides of the split from the raw documents (it never sees a
+    * message): a hash match pins render, parse, the screen's routing,
+    * and the dead-letter capture in one row. Scale: parse is narrow
+    * per-row work inside each micro-batch; the sink merge rides
+    * O(touched buckets); letters ride the violation count.
+    */
+  val qHl7Pipeline: QuerySpec = QuerySpec(
+    "q_hl7_pipeline",
+    Some("""SELECT 'state' AS src, doc_id,
+        CAST(doc_id AS VARCHAR) AS patient_id,
+        concat(substr(text, 1, 40), '|', lang, '^', source, '~\&')
+          AS obx_value,
+        'F' AS obx_status, true AS has_obx, doc_id % 4 AS b
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT 'quarantine' AS src, doc_id,
+        CAST(doc_id AS VARCHAR) AS patient_id,
+        NULL AS obx_value, NULL AS obx_status, false AS has_obx,
+        doc_id % 4 AS b
+      FROM documents WHERE doc_id % 17 = 0
+      ORDER BY src, doc_id"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = graft.Scratch.dir("hl7-pipeline")
+      graft.sources.LocalTableStore.deleteTree(base)
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val table = s"$base/table"
+      val msgs = renderMessages(Tables.load(spark, dir, "documents"))
+      val msgSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("hl7", StringType)))
+      def writer(b: DataFrame, id: Long): Unit =
+        Ingest.upsertParquet(table, Seq("doc_id"), nBuckets = 8,
+          keepVersions = 2,
+          constraints = Seq("has_payload" -> "has_obx"),
+          quarantine = true)(
+          parseMessages(b)
+            .select(col("msg_id").as("doc_id"), col("patient_id"),
+              col("obx_value"), col("obx_status"), col("has_obx"))
+            .withColumn("b", lit(id)),
+          id)
+      val src = Ingest.readStreamFiles(
+        spark, s"$in/*.parquet", msgSchema, basePath = Some(in))
+      EventOps.withStreamSizing(spark) {
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until 4).foreach { i =>
+          val tmp = s"$base/stage_$i"
+          msgs.filter(pmod(col("doc_id"), lit(4)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head.toPath
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$in/c$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          q.processAllAvailable() // chunk i drains as batch i
+        } finally q.stop()
+      }
+      val dead = Ingest.readQuarantine(spark, table)
+      require(dead.filter(col(Ingest.QuarantineReasonCol) =!=
+        array(lit("has_payload"))).count() == 0,
+        "every dead letter must blame exactly the payload screen")
+      val cols = Seq("doc_id", "patient_id", "obx_value", "obx_status",
+        "has_obx", "b")
+      Ingest.readUpsertTable(spark, table)
+        .select(lit("state").as("src") +: cols.map(col): _*)
+        .unionByName(dead
+          .select(lit("quarantine").as("src") +: cols.map(col): _*))
+        .orderBy("src", "doc_id")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qHl7Roundtrip, qHl7Pipeline)
 }
