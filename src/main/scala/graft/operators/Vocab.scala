@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.QuerySpec
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vocabulary / terminology service — the code-mapping shared service
+  * of the reference's platform (surveillance pipelines translate
+  * local codes to standard vocabularies through EFFECTIVE-DATED
+  * crosswalks: the mapping that applies to an event is the latest
+  * version effective on or before the event's date, and events no
+  * version covers must surface as UNMAPPED, never silently pass).
+  *
+  * Scale shape — the part worth pinning: a crosswalk is a TINY,
+  * many-versioned dimension against a huge event stream, and the
+  * naive spelling (join on code + date range, then per-EVENT argmax
+  * over versions) re-shuffles the events by event id. Instead the
+  * versions COLLAPSE FIRST: one aggregation of the crosswalk builds a
+  * per-code SORTED VERSION ARRAY (dimension-sized), which broadcasts;
+  * each event then resolves its version with a pure array expression
+  * (`filter` ≤ event date, take last) — the event stream is touched
+  * by exactly one broadcast hash join and a narrow map, no
+  * event-keyed shuffle, no window over events.
+  */
+object Vocab {
+
+  /** Per-code sorted (effective_date, code) version arrays from a
+    * long-form crosswalk — the broadcastable resolution structure.
+    */
+  def versionArrays(crosswalk: DataFrame, codeCol: String, effCol: String,
+                    stdCol: String): DataFrame =
+    crosswalk.groupBy(col(codeCol))
+      .agg(sort_array(collect_list(struct(col(effCol).as("eff"),
+        col(stdCol).as("std")))).as("vers"))
+
+  /** Resolve the latest version effective ≤ `eventDate` from a
+    * [[versionArrays]] `vers` column; NULL when no version covers the
+    * date (the caller decides how UNMAPPED surfaces).
+    */
+  def resolveAsOf(vers: Column, eventDate: Column): Column =
+    try_element_at(
+      filter(vers, v => v("eff") <= eventDate), lit(-1))("std")
+
+  /** Orders (enriched to their customer's nation) mapped through a
+    * deterministic fixture-derived crosswalk: each nation carries up
+    * to three versions effective 1993/1995/1997 (every third
+    * (code, version) pair absent, so as-of resolution genuinely
+    * varies by code), and 1992 orders predate every version —
+    * the UNMAPPED population. Output: counts per (nation, standard
+    * code). The DuckDB oracle resolves versions INDEPENDENTLY via a
+    * correlated latest-≤-date subquery, so the hash cross-checks the
+    * array-resolution semantics against a second spelling.
+    */
+  val qCodeCrosswalk: QuerySpec = QuerySpec(
+    "q_code_crosswalk",
+    Some("""WITH xw AS (
+        SELECT n_nationkey AS code,
+          CAST(concat(1991 + 2 * v, '-01-01') AS DATE) AS eff,
+          concat(n_name, '-v', v) AS std
+        FROM nation, (SELECT unnest([1, 2, 3]) AS v)
+        WHERE (n_nationkey + v) % 3 <> 0),
+      evs AS (
+        SELECT c.c_nationkey, CAST(o.o_orderdate AS DATE) AS d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      m AS (
+        SELECT e.c_nationkey,
+          (SELECT std FROM xw
+           WHERE xw.code = e.c_nationkey AND xw.eff <= e.d
+           ORDER BY eff DESC LIMIT 1) AS std
+        FROM evs e)
+      SELECT c_nationkey AS nation_code,
+        coalesce(std, 'UNMAPPED') AS std_code, count(*) AS n
+      FROM m GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (spark, dir) => {
+      val nation = Tables.load(spark, dir, "nation")
+      val crosswalk = nation
+        .select(col("n_nationkey").as("code"), col("n_name"),
+          explode(array(lit(1), lit(2), lit(3))).as("v"))
+        .filter(pmod(col("code") + col("v"), lit(3)) =!= 0)
+        .select(col("code"),
+          to_date(concat((lit(1991) + col("v") * 2).cast("string"),
+            lit("-01-01"))).as("eff"),
+          concat(col("n_name"), lit("-v"),
+            col("v").cast("string")).as("std"))
+      val vers = versionArrays(crosswalk, "code", "eff", "std")
+      val evs = Tables.load(spark, dir, "orders")
+        .join(Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), to_date(col("o_orderdate")).as("d"))
+      evs.join(broadcast(vers), col("c_nationkey") === col("code"), "left")
+        .select(col("c_nationkey"),
+          coalesce(resolveAsOf(col("vers"), col("d")),
+            lit("UNMAPPED")).as("std_code"))
+        .groupBy(col("c_nationkey").as("nation_code"), col("std_code"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("nation_code", "std_code")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qCodeCrosswalk)
+}

@@ -593,6 +593,16 @@ class PlanSpec extends AnyFunSuite {
     assert(opt.contains("UnionLoopRef"), opt.take(2000))
   }
 
+  test("crosswalk resolution: version arrays broadcast; no per-event window or argmax shuffle") {
+    // the as-of resolution must ride ONE broadcast hash join plus a
+    // narrow array expression — a Window (or event-keyed re-shuffle)
+    // here would mean the naive per-event version argmax came back
+    val p = plan(graft.operators.Vocab.qCodeCrosswalk.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("Window"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("PQ codebook build plans with no corpus-wide window or sort") {
     // the trainCodebooks seed selection is a bounded-heap aggregation
     // (TopByAgg) + broadcast fetch — the former row_number window
