@@ -178,5 +178,75 @@ object Privacy {
         .orderBy("prio")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qKAnonymize, qNoisyCounts)
+  /** Small-cell suppression for published contingency tables — the
+    * third disclosure-control primitive (statistical agencies mask
+    * counts below a threshold, and then COMPLEMENTARY-suppress: a row
+    * with exactly one masked cell would let a reader recover it from
+    * the row total, so the smallest surviving cell in that row masks
+    * too; deterministic tie-break by column key). One pass over the
+    * cell frame plus one per-row window — no iteration (full
+    * cross-dimension complementary suppression is NP-hard; the
+    * row-rule is the published-practice baseline and is stated as
+    * such).
+    */
+  def suppressSmallCells(cells: DataFrame, rowCol: String, colCol: String,
+                         nCol: String, k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(rowCol)
+    val primary = cells.withColumn("_prim", col(nCol) < k)
+    // rank surviving cells per row by (count, column key): rank 1 is
+    // the complementary victim when exactly one primary hides
+    val rankW = Window.partitionBy(rowCol)
+      .orderBy(when(col("_prim"), lit(null)).otherwise(col(nCol)).asc_nulls_last,
+        col(colCol).asc)
+    primary
+      .withColumn("_nprim", sum(when(col("_prim"), 1).otherwise(0)).over(w))
+      .withColumn("_rank", row_number().over(rankW))
+      .withColumn("suppressed",
+        col("_prim") || (col("_nprim") === 1 && col("_rank") === 1))
+      .select(col(rowCol), col(colCol),
+        when(col("suppressed"), lit(null)).otherwise(col(nCol)).as(nCol),
+        col("suppressed"))
+  }
+
+  /** Nation × priority counts with k=5 suppression: primaries masked,
+    * and every row with a lone primary loses its smallest surviving
+    * cell too — the oracle recomputes the identical rule with its own
+    * windows, so the hash pins the complementary-victim selection
+    * (count-then-column tie-break), not just the threshold.
+    */
+  val qCellSuppression: QuerySpec = QuerySpec(
+    "q_cell_suppression",
+    Some("""WITH cells AS (
+        SELECT c.c_nationkey AS nation, o.o_orderpriority AS prio,
+          count(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      marked AS (
+        SELECT nation, prio, n, n < 5 AS prim FROM cells),
+      ranked AS (
+        SELECT *,
+          sum(CASE WHEN prim THEN 1 ELSE 0 END)
+            OVER (PARTITION BY nation) AS nprim,
+          row_number() OVER (PARTITION BY nation
+            ORDER BY CASE WHEN prim THEN NULL ELSE n END ASC NULLS LAST,
+              prio ASC) AS rnk
+        FROM marked)
+      SELECT nation, prio,
+        CASE WHEN prim OR (nprim = 1 AND rnk = 1) THEN NULL ELSE n END AS n,
+        prim OR (nprim = 1 AND rnk = 1) AS suppressed
+      FROM ranked ORDER BY nation, prio"""),
+    (spark, dir) => {
+      val cells = Tables.load(spark, dir, "orders")
+        .join(Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))
+      suppressSmallCells(cells, "nation", "prio", "n", k = 5L)
+        .orderBy("nation", "prio")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qKAnonymize, qNoisyCounts, qCellSuppression)
 }
