@@ -78,6 +78,7 @@ object ScaleProbe {
     else {
       blowUp("orders", Seq("o_orderkey", "o_custkey"))
       blowUp("events", Seq("event_id", "user_id"))
+      blowUp("documents", Seq("doc_id"))
     }
 
     val band =
@@ -122,7 +123,11 @@ object ScaleProbe {
         // and the format streaming sink rides its micro-batches exactly
         // like the foreachBatch twin
         "q_source_read", "q_source_sql", "q_source_cdf",
-        "q_stream_sink_format")
+        "q_stream_sink_format",
+        // r15 second half: the HL7 ingest pipeline rides its
+        // micro-batches (parse is narrow per-row; the sink merge rides
+        // touched buckets; letters ride the violation count)
+        "q_hl7_pipeline")
 
     // optional 4th arg: comma-separated row filter for incremental
     // probing (a new op's ratio without re-running the whole band)
