@@ -34,14 +34,21 @@ object Hl7 {
 
   /** Escape a raw string for use inside one HL7 field component.
     * Backslash FIRST (it spells the escapes themselves), then each
-    * delimiter; all five sequences are the standard's.
+    * delimiter; the five delimiter sequences are the standard's named
+    * escapes, and CR/LF go through the standard's hex-data escape
+    * (`\X0D\` / `\X0A\`) — a raw CR in a payload IS the segment
+    * separator, so an unescaped one silently re-frames the message
+    * (wrong fields, no error), violating the codec's degrade-visibly
+    * contract.
     */
   def hl7Escape(c: Column): Column = {
     val e = regexp_replace(c, "\\\\", "\\\\E\\\\")
     val f = regexp_replace(e, "\\|", "\\\\F\\\\")
     val s = regexp_replace(f, "\\^", "\\\\S\\\\")
     val r = regexp_replace(s, "~", "\\\\R\\\\")
-    regexp_replace(r, "&", "\\\\T\\\\")
+    val t = regexp_replace(r, "&", "\\\\T\\\\")
+    val cr = regexp_replace(t, "\r", "\\\\X0D\\\\")
+    regexp_replace(cr, "\n", "\\\\X0A\\\\")
   }
 
   /** Decode HL7 escapes in ONE pass: split on backslash — odd tokens
@@ -62,6 +69,8 @@ object Hl7 {
             .when(t === "R", lit("~"))
             .when(t === "T", lit("&"))
             .when(t === "E", lit("\\"))
+            .when(t === "X0D", lit("\r"))
+            .when(t === "X0A", lit("\n"))
             .otherwise(concat(lit("\\"), t, lit("\\"))))),
       "")
 

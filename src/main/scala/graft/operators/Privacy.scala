@@ -35,12 +35,17 @@ object Privacy {
   /** One generalization level: the named quasi-identifier columns. */
   final case class QiLevel(cols: Seq[(String, Column)])
 
-  /** Smallest equivalence-class size under a level's grouping. */
+  /** Smallest equivalence-class size under a level's grouping. An
+    * EMPTY input has zero equivalence classes (min over zero groups is
+    * SQL NULL) — trivially k-anonymous, not an error: report MaxValue
+    * so the ladder picks level 0 and releases the empty frame.
+    */
   private def minClassSize(df: DataFrame, level: QiLevel): Long = {
     val counts = df.groupBy(level.cols.map { case (n, c) => c.as(n) }: _*)
       .agg(count(lit(1)).as("n"))
     // one scalar to the driver per ladder level (ladder is O(3))
-    counts.agg(min("n")).head().getLong(0)
+    val row = counts.agg(min("n")).head()
+    if (row.isNullAt(0)) Long.MaxValue else row.getLong(0)
   }
 
   /** Generalize up `ladder` to the first level satisfying k; at the
@@ -52,15 +57,19 @@ object Privacy {
   def kAnonymize(df: DataFrame, ladder: Seq[QiLevel], k: Long,
                  keep: Seq[Column]): (Int, DataFrame) = {
     require(ladder.nonEmpty, "kAnonymize: empty generalization ladder")
-    val lvl = ladder.indexWhere(minClassSize(df, _) >= k) match {
-      case -1 => ladder.length - 1 // top level + suppression
-      case i => i
-    }
+    // the ladder scan's per-level sizes are the ONLY aggregations this
+    // release runs — the chosen level's size is reused below, never
+    // recomputed (one full-corpus agg per level, period)
+    val sizes = scala.collection.mutable.Map.empty[Int, Long]
+    def sizeAt(i: Int): Long =
+      sizes.getOrElseUpdate(i, minClassSize(df, ladder(i)))
+    val lvl = ladder.indices.find(sizeAt(_) >= k)
+      .getOrElse(ladder.length - 1) // top level + suppression
     val level = ladder(lvl)
     val qi = level.cols.map { case (n, c) => c.as(n) }
     val gen = df.select(qi ++ keep: _*)
     val released =
-      if (minClassSize(df, level) >= k) gen
+      if (sizeAt(lvl) >= k) gen
       else {
         // top-level residual: suppress classes below k (the rows have
         // no k-anonymous representation in this ladder)

@@ -191,11 +191,20 @@ private[graft] object GraftSourceOptions {
   /** Best-effort V1 `Filter` → `Column` so translatable predicates
     * reach the INNER parquet scan (footer/page-level pushdown there).
     * `And` translates partially (either conjunct alone is sound);
-    * `Or`/`Not` only when every child translates. Untranslatable
-    * filters are simply not applied here — Spark re-applies the full
-    * set row-level above the relation (`unhandledFilters` default).
+    * `Or` only when both children translate. Under `Not` the partial
+    * `And` rule flips from sound to WRONG — `NOT(a AND b)` with only
+    * `a` translated yields `!a`, which drops rows `(a=true, b=false)`
+    * that Spark's row-level re-application can never restore — so
+    * inside a negation every child must translate EXACTLY or the
+    * whole filter is skipped. Untranslatable filters are simply not
+    * applied here — Spark re-applies the full set row-level above the
+    * relation (`unhandledFilters` default).
     */
-  def filterToColumn(f: Filter): Option[Column] = f match {
+  def filterToColumn(f: Filter): Option[Column] =
+    filterToColumn(f, exact = false)
+
+  private def filterToColumn(f: Filter, exact: Boolean)
+      : Option[Column] = f match {
     case EqualTo(c, v) => Some(col(c) === lit(v))
     case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
     case GreaterThan(c, v) => Some(col(c) > lit(v))
@@ -209,15 +218,16 @@ private[graft] object GraftSourceOptions {
     case StringEndsWith(c, v) => Some(col(c).endsWith(v))
     case StringContains(c, v) => Some(col(c).contains(v))
     case And(l, r) =>
-      (filterToColumn(l), filterToColumn(r)) match {
+      (filterToColumn(l, exact), filterToColumn(r, exact)) match {
         case (Some(a), Some(b)) => Some(a && b)
-        case (Some(a), None) => Some(a)
-        case (None, Some(b)) => Some(b)
+        case (Some(a), None) if !exact => Some(a)
+        case (None, Some(b)) if !exact => Some(b)
         case _ => None
       }
     case Or(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
-    case Not(child) => filterToColumn(child).map(!_)
+      for (a <- filterToColumn(l, exact); b <- filterToColumn(r, exact))
+        yield a || b
+    case Not(child) => filterToColumn(child, exact = true).map(!_)
     case _ => None
   }
 }

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{Column, Row, SaveMode}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThanOrEqual, Or, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThanOrEqual, Not, Or, StringStartsWith}
 import graft.sources.{GraftSource, GraftSourceOptions, Ingest, TableStore}
 import java.nio.file.Files
 
@@ -116,6 +116,14 @@ class GraftSourceSpec extends AnyFunSuite {
     // an Or with an untranslatable side must NOT drop that side
     assert(filterToColumn(Or(EqualTo("v", 1),
       org.apache.spark.sql.sources.AlwaysTrue())).isEmpty)
+    // under Not the partial-And rule flips unsound: NOT(a AND ?) as
+    // !a would over-filter — a negation translates exactly or not at all
+    assert(filterToColumn(Not(org.apache.spark.sql.sources.And(
+      EqualTo("v", 1),
+      org.apache.spark.sql.sources.AlwaysTrue()))).isEmpty)
+    assert(filterToColumn(Not(EqualTo("v", 1))).isDefined)
+    assert(filterToColumn(Not(org.apache.spark.sql.sources.And(
+      EqualTo("v", 1), EqualTo("s", "a")))).isDefined)
   }
 
   test("read=changes and read=quarantine wrap the API reads") {

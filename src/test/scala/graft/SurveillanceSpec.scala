@@ -25,8 +25,29 @@ class SurveillanceSpec extends AnyFunSuite {
       "|", "^", "~", "&", "\\",
       "\\|", "|\\", "\\\\", "a|b^c~d&e\\f",
       "\\F\\", // literal text that LOOKS like an escape sequence
-      "\\E\\F\\", "||||", "^~\\&", "")
+      "\\E\\F\\", "||||", "^~\\&", "",
+      // control characters: a raw CR in a payload IS the segment
+      // separator — the codec must hex-escape it, not pass it through
+      "\r", "\n", "a\rb\nc", "\r\n", "\\X0D\\", "\\r")
     assert(roundtrip(cases) === cases)
+  }
+
+  test("a CR-bearing payload cannot re-frame the message") {
+    import spark.implicits._
+    // before the \X0D\ escape, the rendered message would contain a
+    // raw CR inside OBX-5 and split into a phantom segment; the parse
+    // must instead recover the payload byte-for-byte
+    val docs = Seq((7L, "evil\rPID|99|payload", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val parsed = Hl7.parseMessages(Hl7.renderMessages(docs, 17)).head()
+    assert(parsed.getLong(0) === 7L)
+    assert(parsed.getString(1) === "7")
+    assert(parsed.getString(2) === "evil\rPID|99|payload|en^web~\\&")
+    // framing intact: exactly three segments, none of them phantom
+    val segs = Hl7.renderMessages(docs, 17).select(col("hl7")).head()
+      .getString(0).split("\r")
+    assert(segs.length === 3 &&
+      segs.map(_.takeWhile(_ != '|')).toSeq === Seq("MSH", "PID", "OBX"))
   }
 
   test("unescape passes unknown custom escapes through visibly") {
