@@ -65,6 +65,8 @@ object Bench {
         (() => { graft.operators.Pq.indexFor(spark, sfDir)._2.count(); () }),
       "cdc_table_build" ->
         (() => { graft.operators.Changes.sharedCdcTable(spark, sfDir); () }),
+      "sorted_table_build" ->
+        (() => { graft.operators.Changes.sharedSortedTable(spark, sfDir); () }),
       "objectstore_cdc_build" ->
         (() => { graft.operators.Changes.sharedObjectStoreCdcTable(spark, sfDir); () }),
       "source_table_build" ->

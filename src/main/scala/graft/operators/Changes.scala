@@ -358,6 +358,21 @@ object Changes {
       buildCdcUpsertTable(spark, dir, graft.Scratch.dir("cdc-shared"),
         n = 4, changeFeed = true))
 
+  /** One SORT-CLUSTERED churned table per fixture dir (sortCols =
+    * o_orderdate, no feed), shared by the READ-ONLY manifest consumers
+    * [[qUpsertStatsPrune]] and [[qUpsertMetaCount]] — per-rep rebuilds
+    * measured the 4-batch churn fold (~10 s of an 11 s median), not
+    * the metadata reads those rows exist to time (VERDICT r15 item 3).
+    * Mutating rows (OPTIMIZE, ZORDER, COMPACT) keep building their own
+    * copies. Bench charges the build to `sorted_table_build`.
+    */
+  private val sortedTableMemo = graft.Memo[(SparkSession, String), String]()
+
+  def sharedSortedTable(spark: SparkSession, dir: String): String =
+    sortedTableMemo.getOrElseUpdate((spark, dir),
+      buildCdcUpsertTable(spark, dir, graft.Scratch.dir("cdc-sorted"),
+        n = 4, changeFeed = false, sortCols = Seq("o_orderdate")))
+
   /** The table format's CHANGE-DATA-FEED read back out — CDC in, CDC
     * out. The same 4 date-range changelog batches as
     * [[qStreamCdcTable]] fold into an upsert table written with
@@ -1345,9 +1360,7 @@ object Changes {
       GROUP BY o_orderpriority ORDER BY prio"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val table = buildCdcUpsertTable(spark, dir,
-        graft.Scratch.dir("upsert-stats"), n = 4, changeFeed = false,
-        sortCols = Seq("o_orderdate"))
+      val table = sharedSortedTable(spark, dir)
       // 1999 is the selective band that is still populated at every
       // fixture SF (winners are per-customer LATEST orders, so they
       // cluster at the tail of the date range)
@@ -2501,9 +2514,7 @@ object Changes {
       import graft.sources.Ingest
       implicit val tstore: graft.sources.TableStore =
         graft.sources.TableStore.local
-      val table = buildCdcUpsertTable(spark, dir,
-        graft.Scratch.dir("upsert-metacount"), n = 4, changeFeed = false,
-        sortCols = Seq("o_orderdate"))
+      val table = sharedSortedTable(spark, dir)
       val all = Ingest.countWhere(spark, table)
       require(all.scannedFiles == 0L,
         s"unbounded count opened ${all.scannedFiles} data files")
@@ -2822,6 +2833,135 @@ object Changes {
         .orderBy("_batch_id", "o_custkey", "_change_type")
     })
 
+  /** The change feed as a REAL `readStream.format("graft")` source —
+    * the V2 `MicroBatchStream` ([[graft.sources.GraftTable]]), not the
+    * file-stream workaround: offsets are COMMITTED BATCH IDS, each
+    * trigger admits at most `maxBatchesPerTrigger` ledger batches, and
+    * a replayed range replans the identical immutable slice files.
+    * Same signed-contribution MV fold and oracle as [[qStreamFeedMv]]
+    * (stock-verb-streaming ≡ library-streaming ≡ batch-incremental ≡
+    * recompute — one hash chain), with the stronger BATCH-atomic
+    * micro-batches the ledger-offset source provides (the file tail
+    * only had file-atomic slices). Exactly-once: Spark's checkpoint
+    * pins the offset ranges; the MV upsert ledger no-ops replays.
+    * Scale: per trigger the consumer reads O(admitted slices) and the
+    * base table is never touched; offset discovery is one ledger read.
+    */
+  val qStreamSourceFormat: QuerySpec = QuerySpec(
+    "q_stream_source_format",
+    qCdfMv.oracle,
+    (spark, dir) => {
+      import graft.sources.Ingest
+      val table = sharedSourceTable(spark, dir) // feed on, 4 batches
+      val base = graft.Scratch.dir("stream-source-format")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+      new java.io.File(base).mkdirs()
+      val mv = s"$base/mv"
+      val sign = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      def fold(batch: DataFrame, id: Long): Unit = {
+        val delta = batch
+          .select(col("o_orderpriority").as("prio"), sign.as("s"),
+            (sign * round(col("o_totalprice") * 100, 0).cast("long")).as("sc"))
+          .groupBy("prio").agg(sum("s").as("n"), sum("sc").as("cents"))
+        val merged =
+          if (!new java.io.File(mv, "CURRENT").exists()) delta
+          else Ingest.readUpsertTable(spark, mv)
+            .unionByName(delta)
+            .groupBy("prio").agg(sum("n").as("n"), sum("cents").as("cents"))
+        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 4)(merged, id)
+      }
+      EventOps.withStreamSizing(spark) {
+        // one ledger batch per trigger: exercises the admission-control
+        // path and proves the fold is batch-incremental end to end
+        val src = spark.readStream.format("graft")
+          .option("read", "changes")
+          .option("maxBatchesPerTrigger", "1").load(table)
+        require(src.isStreaming, "format stream is not a streaming frame")
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(fold)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      Ingest.readUpsertTable(spark, mv)
+        .filter(col("n") =!= 0)
+        .select(col("prio"), col("n"),
+          (col("cents").cast("double") / 100).as("spend"))
+        .orderBy("prio")
+    })
+
+  /** Metadata aggregates from PLAIN SQL: `SELECT count(*) [WHERE
+    * sortCol BETWEEN …]` / `MIN/MAX(sortCol)` over a `CREATE TABLE …
+    * USING graft` catalog table answer from the stats manifest — the
+    * V2 scan's [[org.apache.spark.sql.connector.read.SupportsPushDownAggregates]]
+    * replaces the data scan with a manifest fold (plus boundary-file
+    * reads for band edges), closing the r15 gap where only the library
+    * spelling (`countWhere` / `minMaxMeta`) reached the metadata path.
+    * In-query contracts: each statement's optimized plan carries the
+    * aggregate IN ITS SCAN (readSchema is the aggregate row — no data
+    * columns survive), and the library twin confirms the unbounded
+    * count is answerable with ZERO scanned data files. The unsound
+    * cases (deletion vector, non-stat filter) are spec-pinned to
+    * DECLINE in GraftSourceSpec. DuckDB recomputes all four values
+    * from the raw changelog fold.
+    */
+  val qSourceAggSql: QuerySpec = QuerySpec(
+    "q_source_agg_sql",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log),
+      cur AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+      SELECT count(*) AS n_total,
+        count(*) FILTER (WHERE o_orderdate
+          BETWEEN TIMESTAMP '1999-01-01 00:00:00'
+          AND TIMESTAMP '1999-12-31 23:59:59') AS n_band,
+        min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        true AS pushed
+      FROM cur"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      implicit val tstore: graft.sources.TableStore =
+        graft.sources.TableStore.local
+      val table = sharedSortedTable(spark, dir)
+      spark.sql("DROP TABLE IF EXISTS graft_meta_sql")
+      spark.sql(
+        s"CREATE TABLE graft_meta_sql USING graft OPTIONS (path '$table')")
+      def pushedInScan(df: DataFrame, marker: String): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.scan
+        }.exists(_.readSchema().fieldNames.contains(marker))
+      val cnt = spark.sql("SELECT count(*) AS n_total FROM graft_meta_sql")
+      require(pushedInScan(cnt, "count(*)"),
+        "plain-SQL COUNT(*) did not push into the graft scan")
+      val band = spark.sql(
+        """SELECT count(*) AS n_band FROM graft_meta_sql
+           WHERE o_orderdate BETWEEN TIMESTAMP '1999-01-01 00:00:00'
+             AND TIMESTAMP '1999-12-31 23:59:59'""")
+      require(pushedInScan(band, "count(*)"),
+        "banded SQL COUNT did not push into the graft scan")
+      val mm = spark.sql(
+        """SELECT min(o_orderdate) AS min_date,
+             max(o_orderdate) AS max_date FROM graft_meta_sql""")
+      require(pushedInScan(mm, "min(o_orderdate)"),
+        "SQL MIN/MAX did not push into the graft scan")
+      // the library twin pins the ZERO-data-I/O property of the
+      // manifest path this SQL now rides
+      require(Ingest.countWhere(spark, table).scannedFiles == 0L,
+        "metadata count path opened data files — manifest unhealthy")
+      cnt.crossJoin(band).crossJoin(mm)
+        .withColumn("pushed", lit(true))
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
@@ -2833,5 +2973,6 @@ object Changes {
       qUpsertTag, qUpsertQuarantine, qStreamQuarantine, qUpsertRequeue,
       qUpsertZorder, qUpsertMerge, qUpsertMergeSql, qUpsertMetaCount,
       qUpsertColmap, qStreamMerge,
-      qSourceRead, qSourceSql, qSourceCdf)
+      qSourceRead, qSourceSql, qSourceCdf, qStreamSourceFormat,
+      qSourceAggSql)
 }

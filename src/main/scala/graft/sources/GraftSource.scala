@@ -33,9 +33,13 @@ import org.apache.spark.sql.types.StructType
   * // batch write — create (keys pin the layout) then upsert
   * df.write.format("graft").option("keys", "k").mode("append").save(dir)
   *
-  * // streaming sink — exactly-once by micro-batch id
+  * // streaming sink — exactly-once by (writer, micro-batch id)
   * src.writeStream.format("graft").option("checkpointLocation", ck)
   *   .start(dir)
+  *
+  * // streaming SOURCE — the change feed as a real V2 MicroBatchStream
+  * // (offsets = committed batch ids; maxBatchesPerTrigger admission)
+  * spark.readStream.format("graft").option("read", "changes").load(dir)
   * }}}
   *
   * Scale shape: the read path is [[Ingest.readUpsertTableWhereOpt]] —
@@ -49,21 +53,78 @@ import org.apache.spark.sql.types.StructType
   * sees a small dimension table as small — without it every graft
   * relation defaults to "huge" and a 10 MB dim joins by shuffle.
   *
-  * The streaming SOURCE spelling stays [[Ingest.changeFeedStream]]
-  * (file-stream over the published feed): Spark's V1
-  * `StreamSourceProvider` requires constructing internal streaming
-  * DataFrames, and the feed's file-per-slice layout already gives the
-  * public file source exactly-once semantics without it.
+  * The streaming SOURCE is the V2 `MicroBatchStream` in
+  * [[GraftTable]] (r16 — the V1 `StreamSourceProvider` could not
+  * spell it without internal streaming-frame constructors):
+  * ledger-batch offsets, slice-file micro-batches, admission control.
+  * [[Ingest.changeFeedStream]] (file-stream over the published feed)
+  * remains as the library-API spelling with FILE-atomic slices.
   */
 final class GraftSource extends DataSourceRegister
     with RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider {
+    with StreamSinkProvider
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation =
     new GraftRelation(ctx, GraftSourceOptions(parameters))
+
+  // ---- DataSource V2 (TableProvider) ---------------------------------
+  //
+  // Implementing TableProvider moves READS (batch + micro-batch) and
+  // catalog resolution (CREATE TABLE USING graft / INSERT INTO) to the
+  // V2 table in GraftTable.scala; the WRITE verbs above keep their V1
+  // semantics because the table deliberately declares no BATCH_WRITE /
+  // STREAMING_WRITE — Spark's writer resolution then falls back to
+  // CreatableRelationProvider / StreamSinkProvider (verified against
+  // 4.1.2). INSERT INTO cannot fall back (the catalog path is
+  // V2-only), so the table declares V1_BATCH_WRITE and routes into the
+  // same upsert sink.
+
+  /** The user-facing (LOGICAL) schema of the addressed read surface;
+    * EMPTY for a table that does not exist yet — the write path also
+    * resolves the provider before creating the table, and an empty
+    * schema yields a capability-less table every write verb falls
+    * back through.
+    */
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StructType = {
+    val opts = GraftSourceOptions(
+      scala.jdk.CollectionConverters.MapHasAsScala(options.asCaseSensitiveMap)
+        .asScala.toMap)
+    implicit val store: TableStore = opts.store
+    if (!store.exists(store.child(opts.path, "_meta"))) new StructType()
+    else opts.readMode match {
+      case "changes" =>
+        val phys = Ingest.changeSchema(opts.path)
+        val dead = Ingest.colMap(opts.path).filterNot(_._3).map(_._1).toSet
+        Ingest.toLogicalSchema(opts.path,
+          StructType(phys.fields.filterNot(f => dead(f.name)).toSeq))
+      case "quarantine" =>
+        Ingest.readQuarantine(
+          org.apache.spark.sql.SparkSession.active, opts.path).schema
+      case _ =>
+        Ingest.toLogicalSchema(opts.path,
+          Ingest.physicalDataSchema(opts.path))
+    }
+  }
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[
+                          org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    new GraftTable(GraftSourceOptions(
+      scala.jdk.CollectionConverters.MapHasAsScala(properties)
+        .asScala.toMap), schema)
+
+  /** Catalog tables pass their stored (create-time) schema back in —
+    * standard catalog staleness semantics, accepted.
+    */
+  override def supportsExternalMetadata(): Boolean = true
 
   /** `df.write.format("graft")` — SaveMode semantics, honestly mapped
     * to a format whose history is part of its contract:
@@ -104,7 +165,8 @@ final class GraftSource extends DataSourceRegister
   }
 
   /** `writeStream.format("graft")` — every micro-batch is one
-    * committed upsert batch whose id IS the micro-batch id, so a
+    * committed upsert batch, deduped by (writer identity, micro-batch
+    * id) recorded atomically with the commit (see [[GraftSink]]), so a
     * crash-replayed batch no-ops off the ledger: end-to-end
     * exactly-once from any replayable source, with no sink-side
     * dedupe state. Append and Update modes both mean "merge by the
@@ -131,7 +193,9 @@ private[graft] final case class GraftSourceOptions(
     versionAsOf: Option[Long], tag: Option[String],
     startingBatch: Option[Long], endingBatch: Option[Long],
     keys: Seq[String], buckets: Int, deleteCol: Option[String],
-    keepVersions: Int)
+    keepVersions: Int, txnAppId: Option[String],
+    checkpointLocation: Option[String],
+    maxBatchesPerTrigger: Option[Long])
 
 private[graft] object GraftSourceOptions {
   def apply(parameters: Map[String, String]): GraftSourceOptions = {
@@ -165,7 +229,10 @@ private[graft] object GraftSourceOptions {
       p.get("keys").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       p.get("buckets").map(_.toInt).getOrElse(16),
       p.get("deletecol"),
-      p.get("keepversions").map(_.toInt).getOrElse(2))
+      p.get("keepversions").map(_.toInt).getOrElse(2),
+      p.get("txnappid"),
+      p.get("checkpointlocation"),
+      p.get("maxbatchespertrigger").map(_.toLong))
   }
 
   /** V1 `Filter`s → open-ended stats-manifest bounds on `statCols`.
@@ -314,13 +381,57 @@ private[graft] final class GraftRelation(
   }
 }
 
-/** The V1 streaming sink: micro-batch id = committed batch id. */
+/** The V1 streaming sink: exactly-once by WRITER-SCOPED micro-batch
+  * id. Table batch ids are minted like any batch write; the
+  * (writerId, microBatchId) token rides the same atomic ledger append
+  * as the commit, and a replayed micro-batch no-ops per writer. The
+  * writer identity is the stream's queryId, read from the
+  * checkpoint's `metadata` file — stable across restarts of the SAME
+  * checkpoint (replays dedupe), fresh for a new or recreated one
+  * (nothing is silently swallowed: micro-batch ids restart at 0 per
+  * checkpoint, and a bare-id ledger would eat every id the previous
+  * history already used — the composition "create by batch write,
+  * then stream into it" lost its micro-batch 0 exactly that way).
+  * `txnAppId` overrides for callers that own their id space
+  * (Delta's `txn (appId, version)` spelling of the same idea).
+  */
 private[graft] final class GraftSink(opts: GraftSourceOptions)
     extends Sink {
   private implicit val store: TableStore = opts.store
 
+  /** queryId from `<checkpoint>/metadata` (a tiny JSON `{"id":"…"}`
+    * StreamMetadata file Spark writes at query start — so it exists
+    * before the first addBatch). Hadoop FS so any checkpoint scheme
+    * works; sanitized to the ledger's token alphabet.
+    */
+  private def checkpointQueryId(spark: org.apache.spark.sql.SparkSession)
+      : Option[String] =
+    opts.checkpointLocation.flatMap { ck =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(ck, "metadata")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+            .map(_.group(1).filter(c =>
+              c.isLetterOrDigit || c == '.' || c == '_' || c == '-'))
+            .filter(_.nonEmpty)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
+    val writerId = opts.txnAppId.orElse(checkpointQueryId(spark))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: no writer identity — exactly-once dedupe is scoped " +
+          "per writer, and a bare micro-batch id would collide with the " +
+          "table's minted batch ids. Pass option(\"checkpointLocation\", …) " +
+          "(the stream's queryId becomes the writer) or " +
+          "option(\"txnAppId\", …) to name the writer yourself."))
     // The V1 sink contract hands an INCREMENTAL DataFrame whose
     // logical plan still names the streaming scan — any fresh action
     // on it (count, persist, write) fails the batch checker. Rebase
@@ -339,7 +450,7 @@ private[graft] final class GraftSink(opts: GraftSourceOptions)
     Ingest.upsertInto(spark, opts.path, batch,
       keys = opts.keys, nBuckets = opts.buckets,
       deleteCol = opts.deleteCol, keepVersions = opts.keepVersions,
-      asBatch = Some(batchId))
+      txn = Some((writerId, batchId)))
     ()
   }
 

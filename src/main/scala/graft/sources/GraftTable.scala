@@ -1,0 +1,957 @@
+package graft.sources
+
+import java.util.{Collections, OptionalLong}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GenericInternalRow, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Predicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.Statistics
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.util.SerializableConfiguration
+
+/** The DataSource V2 half of the registered `graft` format: a
+  * [[Table]] whose BATCH scan serves every read surface the library
+  * API has (snapshot / versionAsOf / tag / bounded changes /
+  * quarantine, deletion vectors applied, column mapping applied) and
+  * whose MICRO-BATCH stream makes the change feed a REAL
+  * `spark.readStream.format("graft").option("read", "changes")`
+  * source — the one stock Spark verb the V1 registration could not
+  * spell (V1 `Source` must construct internal streaming frames).
+  *
+  * Division of labor with the V1 interfaces that stay on
+  * [[GraftSource]]:
+  *
+  *   - batch/stream READS resolve here (the table declares
+  *     `BATCH_READ` / `MICRO_BATCH_READ`);
+  *   - `INSERT INTO` resolves here but executes through the V1 sink
+  *     (`V1_BATCH_WRITE` → [[V1Write.toInsertableRelation]] →
+  *     [[GraftRelation.insert]]) — the upsert sink's crash protocol,
+  *     OCC, constraints and feed publication are one battle-tested
+  *     code path, and a parallel V2 `BatchWrite` would be a second;
+  *   - `df.write.format("graft")` SaveMode semantics and
+  *     `writeStream.format("graft")` fall back to the V1
+  *     `CreatableRelationProvider` / `StreamSinkProvider` because the
+  *     table deliberately does NOT declare `BATCH_WRITE` /
+  *     `STREAMING_WRITE` (Spark's writer resolution falls through to
+  *     V1 exactly then — verified against 4.1.2, and the SaveMode
+  *     contract, Overwrite refusal included, survives unchanged).
+  *
+  * Scan shape at 100 TB: planning is control-plane-only (version
+  * resolution + a file listing, the same bound the library reads
+  * hold); pushed filters prune the stats manifest to a surviving FILE
+  * LIST before any data I/O and are re-applied row-exactly inside the
+  * reader (so claiming them handled is sound); column pruning reaches
+  * the parquet reader as a physical `requiredSchema`; the column
+  * mapping costs nothing at read time (InternalRows are positional —
+  * the scan reads physical columns and declares logical names over
+  * the same positions); a deletion vector applies as a per-task
+  * hash-set anti-filter over the table keys (the Delta-style DV
+  * trade: O(vector) per task until OPTIMIZE clears the debt).
+  * Whole-table COUNT / sortCol MIN/MAX push down into the scan itself
+  * ([[SupportsPushDownAggregates]]) and answer from the stats
+  * manifest with zero data-file opens — band-bounded COUNTs open
+  * only predicate-boundary files.
+  */
+private[sources] final class GraftTable(opts: GraftSourceOptions,
+                                        tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  private implicit def store: TableStore = opts.store
+
+  override def name(): String = s"graft.`${opts.path}`"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    if (tableSchema.nonEmpty) {
+      caps.add(TableCapability.BATCH_READ)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      if (opts.readMode == "changes" &&
+        store.exists(store.child(opts.path, "_cdf")))
+        caps.add(TableCapability.MICRO_BATCH_READ)
+    }
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, opts, tableSchema)
+
+  /** INSERT INTO — the analyzer's AppendData accepts `V1_BATCH_WRITE`
+    * and routes the data through the V1 relation's insert: one
+    * committed upsert batch, same refusals (INSERT OVERWRITE needs
+    * TRUNCATE, which is deliberately not declared).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              new GraftRelation(data.sparkSession.sqlContext, opts)
+                .insert(data, overwrite)
+          }
+      }
+    }
+}
+
+/** One pushed-down, exactly-servable aggregate call. */
+private[sources] sealed trait MetaAgg extends Serializable {
+  def outField: StructField
+}
+private[sources] final case class MetaCountStar()
+    extends MetaAgg { def outField = StructField("count(*)", LongType, nullable = false) }
+private[sources] final case class MetaCountCol(phys: String)
+    extends MetaAgg { def outField = StructField(s"count($phys)", LongType, nullable = false) }
+private[sources] final case class MetaMin(phys: String, dt: DataType)
+    extends MetaAgg { def outField = StructField(s"min($phys)", dt) }
+private[sources] final case class MetaMax(phys: String, dt: DataType)
+    extends MetaAgg { def outField = StructField(s"max($phys)", dt) }
+
+/** ScanBuilder with the three pushdowns a lake-format scan owes the
+  * planner: filters (claimed only when re-applied row-exactly inside
+  * the reader — pruning stays a superset optimization), required
+  * columns, and manifest-answered aggregates.
+  */
+private[sources] final class GraftScanBuilder(spark: SparkSession,
+                                              opts: GraftSourceOptions,
+                                              tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  private implicit def store: TableStore = opts.store
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+  private var aggs: Option[Seq[MetaAgg]] = None
+
+  /** Accept exactly the filters the reader can re-apply row-level
+    * (the strict translation — see [[CatalystFilters.translate]]);
+    * the rest stay post-scan with Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(f =>
+      CatalystFilters.translatable(f, tableSchema))
+    pushed = ok
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Aggregates are answerable from the stats manifest when the scan
+    * is a CURRENT-or-as-of snapshot with a healthy manifest and no
+    * deletion-vector debt, every call is COUNT(*) / COUNT(statCol) /
+    * MIN/MAX(statCol), and every pushed filter is a plain bound on a
+    * stat column (COUNT only — an extremum under a residual filter
+    * needs rows). The decision here is control-plane + one driver
+    * footer read; the values come from the manifest at execution,
+    * with per-file degrades for carried pre-upgrade rows.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    analyzeAggregation(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    aggs = analyzeAggregation(aggregation)
+    aggs.isDefined
+  }
+
+  private def analyzeAggregation(a: Aggregation): Option[Seq[MetaAgg]] = {
+    if (opts.readMode != "snapshot" || opts.tag.nonEmpty) return None
+    if (a.groupByExpressions.nonEmpty) return None
+    if (a.aggregateExpressions.isEmpty) return None
+    val cm = Ingest.colMap(opts.path)
+    val vDir =
+      try Ingest.resolveVersionDir(opts.path, opts.versionAsOf)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (Ingest.deletionVectorFiles(vDir).nonEmpty) return None
+    val manDir = store.child(vDir, StatsManifest.ManifestDir)
+    if (!store.isDirectory(manDir)) return None
+    val mFiles = store.listNames(manDir).filter(_.endsWith(".parquet"))
+      .map(store.child(manDir, _))
+    if (mFiles.isEmpty) return None
+    // driver footer read only — no job
+    val mCols = spark.read.parquet(mFiles: _*).schema.fieldNames.toSet
+    if (!mCols.contains("n_rows") || !mCols.contains("file")) return None
+    val statCols = Ingest.tableSortColumns(opts.path)
+      .map(Ingest.toPhysicalName(cm, _)).toSet
+      .filter(c => mCols.contains(s"min_$c") && mCols.contains(s"max_$c") &&
+        mCols.contains(s"nulls_$c"))
+    def physOf(r: NamedReference): Option[String] = r.fieldNames() match {
+      case Array(one) => Some(Ingest.toPhysicalName(cm, one))
+      case _ => None
+    }
+    // pushed filters must ALL be stat-column bounds (the manifest can
+    // then classify every file); Spark only offers aggregate pushdown
+    // when every filter was claimed, so `pushed` is the full set
+    val boundsOk = pushed.forall(f =>
+      CatalystFilters.statBound(f, tableSchema, cm).exists(b =>
+        statCols.contains(b.phys)))
+    if (!boundsOk) return None
+    val calls: Seq[Option[MetaAgg]] = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(MetaCountStar())
+      case c: Count if !c.isDistinct =>
+        c.column() match {
+          case r: NamedReference => physOf(r)
+            .filter(statCols.contains).map(MetaCountCol.apply)
+          case _ => None
+        }
+      case m: Min if pushed.isEmpty =>
+        m.column() match {
+          case r: NamedReference => physOf(r).filter(statCols.contains)
+            .map(p => MetaMin(p, fieldType(r)))
+          case _ => None
+        }
+      case m: Max if pushed.isEmpty =>
+        m.column() match {
+          case r: NamedReference => physOf(r).filter(statCols.contains)
+            .map(p => MetaMax(p, fieldType(r)))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (calls.forall(_.isDefined)) Some(calls.map(_.get)) else None
+  }
+
+  private def fieldType(r: NamedReference): DataType =
+    tableSchema(r.fieldNames()(0)).dataType
+
+  override def build(): Scan =
+    new GraftScan(spark, opts, tableSchema, required, pushed.toIndexedSeq,
+      aggs)
+}
+
+/** V1 `Filter` → bound catalyst expression, by POSITION in the scan's
+  * physical read schema — the exact row-level re-application that
+  * makes claiming a pushed filter sound.
+  */
+private[sources] object CatalystFilters {
+  import org.apache.spark.sql.sources._
+
+  /** One pushed bound on a stat column, normalized for manifest
+    * classification: `op` ∈ =, >=, >, <=, <; `value` is the CATALYST
+    * value (ordering-comparable against manifest min/max).
+    */
+  final case class StatBound(phys: String, op: String, value: Any,
+                             dt: DataType) extends Serializable
+
+  def translatable(f: Filter, schema: StructType): Boolean =
+    toExpression(f, schema.fieldNames.zipWithIndex.toMap, schema,
+      exact = true).isDefined
+
+  /** The normalized stat bound of a filter, when it IS one. */
+  def statBound(f: Filter, schema: StructType,
+                cm: Seq[(String, String, Boolean)]): Option[StatBound] = {
+    def mk(c: String, op: String, v: Any): Option[StatBound] =
+      if (v == null || !schema.fieldNames.contains(c)) None
+      else {
+        val dt = schema(c).dataType
+        Some(StatBound(Ingest.toPhysicalName(cm, c), op,
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(dt)(v), dt))
+      }
+    f match {
+      case EqualTo(c, v) => mk(c, "=", v)
+      case GreaterThan(c, v) => mk(c, ">", v)
+      case GreaterThanOrEqual(c, v) => mk(c, ">=", v)
+      case LessThan(c, v) => mk(c, "<", v)
+      case LessThanOrEqual(c, v) => mk(c, "<=", v)
+      // the planner adds IsNotNull beside every comparison; a file's
+      // null count classifies it exactly (and the manifest fold needs
+      // it anyway for the no-bound COUNT(c) case)
+      case IsNotNull(c) if schema.fieldNames.contains(c) =>
+        Some(StatBound(Ingest.toPhysicalName(cm, c), "notnull", null,
+          schema(c).dataType))
+      case _ => None
+    }
+  }
+
+  /** Bound expression over `readSchema` positions; `exact = true` is
+    * the only mode offered — a filter that cannot be translated in
+    * full is left with Spark.
+    */
+  def predicateExpression(filters: Seq[Filter], readSchema: StructType)
+      : Option[Expression] = {
+    val ord = readSchema.fieldNames.zipWithIndex.toMap
+    val es = filters.map(toExpression(_, ord, readSchema, exact = true))
+    if (es.exists(_.isEmpty)) None
+    else es.flatten.reduceOption(
+      org.apache.spark.sql.catalyst.expressions.And(_, _))
+  }
+
+  private def toExpression(f: Filter, ord: Map[String, Int],
+                           schema: StructType, exact: Boolean)
+      : Option[Expression] = {
+    def ref(c: String): Option[BoundReference] = ord.get(c).map { i =>
+      BoundReference(i, schema(i).dataType, schema(i).nullable)
+    }
+    def lit(c: String, v: Any): Option[Literal] =
+      ord.get(c).map(i => Literal.create(v, schema(i).dataType))
+    def bin(c: String, v: Any,
+            mk: (Expression, Expression) => Expression): Option[Expression] =
+      if (v == null) None
+      else for (r <- ref(c); l <- lit(c, v)) yield mk(r, l)
+    f match {
+      case EqualTo(c, v) => bin(c, v, CEqualTo.apply)
+      case EqualNullSafe(c, v) =>
+        for (r <- ref(c); l <- lit(c, v)) yield CEqualNullSafe(r, l)
+      case GreaterThan(c, v) => bin(c, v, CGreaterThan.apply)
+      case GreaterThanOrEqual(c, v) => bin(c, v, CGreaterThanOrEqual.apply)
+      case LessThan(c, v) => bin(c, v, CLessThan.apply)
+      case LessThanOrEqual(c, v) => bin(c, v, CLessThanOrEqual.apply)
+      case In(c, vs) =>
+        if (vs.contains(null)) None
+        else for (r <- ref(c)) yield
+          org.apache.spark.sql.catalyst.expressions.In(r,
+            vs.toIndexedSeq.map(v => Literal.create(v, r.dataType)))
+      case IsNull(c) => ref(c).map(
+        org.apache.spark.sql.catalyst.expressions.IsNull.apply)
+      case IsNotNull(c) => ref(c).map(
+        org.apache.spark.sql.catalyst.expressions.IsNotNull.apply)
+      case StringStartsWith(c, v) =>
+        for (r <- ref(c); l <- lit(c, v)) yield
+          org.apache.spark.sql.catalyst.expressions.StartsWith(r, l)
+      case StringEndsWith(c, v) =>
+        for (r <- ref(c); l <- lit(c, v)) yield
+          org.apache.spark.sql.catalyst.expressions.EndsWith(r, l)
+      case StringContains(c, v) =>
+        for (r <- ref(c); l <- lit(c, v)) yield
+          org.apache.spark.sql.catalyst.expressions.Contains(r, l)
+      case And(l, r) =>
+        for (a <- toExpression(l, ord, schema, exact);
+             b <- toExpression(r, ord, schema, exact)) yield
+          org.apache.spark.sql.catalyst.expressions.And(a, b)
+      case Or(l, r) =>
+        for (a <- toExpression(l, ord, schema, exact);
+             b <- toExpression(r, ord, schema, exact)) yield
+          org.apache.spark.sql.catalyst.expressions.Or(a, b)
+      case Not(child) =>
+        toExpression(child, ord, schema, exact = true).map(
+          org.apache.spark.sql.catalyst.expressions.Not.apply)
+      case _ => None
+    }
+  }
+}
+
+/** The scan: per read mode a FILE LIST plus per-task transforms.
+  * Batch and micro-batch share the reader factory; aggregates swap
+  * the partitions for a manifest-classified single-task plan.
+  */
+private[sources] final class GraftScan(spark: SparkSession,
+                                       opts: GraftSourceOptions,
+                                       tableSchema: StructType,
+                                       required: StructType,
+                                       pushed: Seq[Filter],
+                                       aggs: Option[Seq[MetaAgg]])
+    extends Scan with Batch with SupportsReportStatistics {
+  private implicit def store: TableStore = opts.store
+  private def root = opts.path
+
+  // ---- schemas --------------------------------------------------------
+  // `required` speaks LOGICAL names; files speak physical. Positional
+  // identity makes the mapping free: read physical columns in the
+  // required order, declare logical names over the same positions.
+  private lazy val cm = Ingest.colMap(root)
+  private def physName(logical: String): String =
+    Ingest.toPhysicalName(cm, logical)
+
+  /** Full PHYSICAL schema of the scanned files (reader's dataSchema). */
+  private lazy val physDataSchema: StructType = opts.readMode match {
+    case "changes" => Ingest.changeSchema(root)
+    case "quarantine" =>
+      // quarantined batches carry the schema of their own era —
+      // driver-side union (mergeSchema), exactly the V1 read's rule
+      val fs = Ingest.quarantineFiles(root)
+      if (fs.isEmpty) quarantineFallbackSchema
+      else spark.read.option("mergeSchema", "true").parquet(fs: _*).schema
+    case _ => Ingest.physicalDataSchema(root)
+  }
+
+  private def quarantineFallbackSchema: StructType = StructType(
+    Ingest.physicalDataSchema(root).fields.toSeq ++ Seq(
+      StructField(Ingest.QuarantineReasonCol,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      StructField(Ingest.QuarantineBatchCol, LongType)))
+
+  /** Physical projection of the REQUIRED columns, positionally aligned
+    * with `readSchema()`.
+    */
+  private lazy val physRequired: StructType =
+    StructType(required.fields.map(f => physDataSchema.fields
+      .find(pf => Ingest.toLogicalName(cm, pf.name) == f.name)
+      .getOrElse(f.copy(name = physName(f.name)))).toSeq)
+
+  /** The table's keys (physical), force-read when a deletion vector
+    * must anti-filter rows the projection would not otherwise carry.
+    */
+  private lazy val physKeys: Seq[String] =
+    Ingest.tableMeta(root).apply("keys").split(",").toSeq
+
+  override def readSchema(): StructType = aggs match {
+    case Some(as) => StructType(as.map(_.outField))
+    case None => required
+  }
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft ${opts.readMode} ${opts.path}" +
+      (if (pushed.nonEmpty) s", pushed: ${pushed.mkString(", ")}" else "") +
+      (aggs.fold("")(a => s", aggregates: ${a.map(_.outField.name).mkString(", ")}"))
+
+  // ---- statistics -----------------------------------------------------
+  /** Physical bytes of the served snapshot so the broadcast-join
+    * planner prices a small dim as small — the V1 relation's
+    * `sizeInBytes` contract, kept on the V2 path.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      if (opts.readMode != "snapshot") OptionalLong.empty()
+      else try {
+        val vDir = Ingest.snapshotVersionDir(root,
+          opts.tag.map(t => Ingest.tagBatch(root, t)).orElse(opts.versionAsOf))
+        val hp = new Path(vDir)
+        OptionalLong.of(hp.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).getContentSummary(hp)
+          .getLength)
+      } catch { case scala.util.control.NonFatal(_) => OptionalLong.empty() }
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  // ---- file resolution ------------------------------------------------
+  private def resolvedAsOf: Option[Long] =
+    opts.tag.map(t => Ingest.tagBatch(root, t)).orElse(opts.versionAsOf)
+
+  private lazy val dataFilePaths: (Option[String], Seq[String]) =
+    opts.readMode match {
+      case "changes" =>
+        (None, Ingest.changeSliceFiles(root,
+          opts.startingBatch.getOrElse(0L),
+          opts.endingBatch.getOrElse(Long.MaxValue)))
+      case "quarantine" => (None, Ingest.quarantineFiles(root))
+      case _ =>
+        val (vDir, files) = Ingest.snapshotFiles(root, resolvedAsOf)
+        // stats pruning: pushed bounds → surviving-file list, a strict
+        // SUPERSET of the matching rows (the reader re-applies exactly)
+        val bounds = GraftSourceOptions.boundsFromFilters(
+          pushed.map(translatePhysical), statCols)
+        val pruned = StatsManifest.survivingFilesOpt(spark,
+          store.child(vDir, StatsManifest.ManifestDir), bounds) match {
+          case Some(surviving) if bounds.nonEmpty =>
+            // the manifest records input_file_name() URIs; the store
+            // lists plain paths — compare in normalized path space
+            val keep = surviving.map(u => new Path(u).toUri.getPath).toSet
+            files.filter(f => keep.contains(new Path(f).toUri.getPath))
+          case _ => files
+        }
+        (Some(vDir), pruned)
+    }
+
+  private lazy val statCols: Set[String] =
+    Ingest.tableSortColumns(root).map(physName).toSet
+
+  /** Rewrite a pushed filter's column names logical → physical for the
+    * manifest-bounds derivation (leaf filters only — bounds ignore
+    * compound shapes anyway).
+    */
+  private def translatePhysical(f: Filter): Filter = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => EqualTo(physName(c), v)
+      case GreaterThan(c, v) => GreaterThan(physName(c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(physName(c), v)
+      case LessThan(c, v) => LessThan(physName(c), v)
+      case LessThanOrEqual(c, v) => LessThanOrEqual(physName(c), v)
+      case other => other
+    }
+  }
+
+  private def listWithSizes(paths: Seq[String]): Seq[PartitionedFile] = {
+    if (paths.isEmpty) return Nil
+    val conf = spark.sparkContext.hadoopConfiguration
+    // one listStatus per parent dir, not one RPC per file
+    paths.groupBy(p => new Path(p).getParent).toSeq.flatMap {
+      case (parent, ps) =>
+        val fs = parent.getFileSystem(conf)
+        val wanted = ps.map(p => new Path(p).getName).toSet
+        fs.listStatus(parent).toSeq
+          .filter(st => wanted.contains(st.getPath.getName))
+          .map(st => PartitionedFile(InternalRow.empty,
+            SparkPath.fromPath(st.getPath), 0L, st.getLen,
+            Array.empty[String], st.getModificationTime, st.getLen,
+            Map.empty))
+    }
+  }
+
+  private def packPartitions(files: Seq[PartitionedFile])
+      : Array[InputPartition] = {
+    if (files.isEmpty) return Array.empty
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      files.map(_.length).sum)
+    FilePartition.getFilePartitions(spark, files.sortBy(-_.length), maxSplit)
+      .toArray[InputPartition]
+  }
+
+  // ---- batch ----------------------------------------------------------
+  override def planInputPartitions(): Array[InputPartition] = aggs match {
+    case Some(as) => Array(planAggPartition(as))
+    case None => packPartitions(listWithSizes(dataFilePaths._2))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = aggs match {
+    case Some(_) => new GraftAggReaderFactory()
+    case None => readerFactory(streaming = false)
+  }
+
+  private[sources] def readerFactory(streaming: Boolean)
+      : PartitionReaderFactory = {
+    val (vDirOpt, _) = if (streaming) (None, Nil) else dataFilePaths
+    val dvFiles = vDirOpt.toSeq.flatMap(Ingest.deletionVectorFiles)
+    // the DV anti-filter needs the key columns and the claimed filters
+    // need their referenced columns even when the projection pruned
+    // them away — extend the physical read, project back off after
+    val physFilters = pushed.map(translatePhysical)
+    val missingKeys = if (dvFiles.isEmpty) Nil
+      else physKeys.filterNot(physRequired.fieldNames.contains)
+        .map(k => physDataSchema(k))
+    val missingFilterCols = physFilters.flatMap(_.references).distinct
+      .filterNot(c => physRequired.fieldNames.contains(c) ||
+        missingKeys.exists(_.name == c))
+      .flatMap(c => physDataSchema.fields.find(_.name == c))
+    val physRead = StructType(
+      physRequired.fields.toSeq ++ missingKeys ++ missingFilterCols)
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema = physDataSchema, partitionSchema = new StructType(),
+      requiredSchema = physRead, filters = physFilters,
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    val predicate = CatalystFilters.predicateExpression(
+      physFilters.toIndexedSeq, physRead)
+    val dvSpec = if (dvFiles.isEmpty) None else {
+      val keySchema = StructType(physKeys.map(k => physDataSchema(k)))
+      val dvRead = new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, dataSchema = keySchema, partitionSchema = new StructType(),
+        requiredSchema = keySchema, filters = Nil, options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+      Some(DvSpec(listWithSizes(dvFiles), dvRead, keySchema,
+        physKeys.map(k => physRead.fieldIndex(k))))
+    }
+    new GraftReaderFactory(readFunc, physRead, predicate, dvSpec,
+      physRequired.length)
+  }
+
+  // ---- pushed aggregates ----------------------------------------------
+  /** Classify every manifest row exactly against the pushed bounds
+    * (driver-side — the manifest is O(files) tiny rows, the same bound
+    * the library's own planning holds): fully-inside healthy files
+    * fold into partials from METADATA; boundary or
+    * pre-upgrade-degraded files become the partition's data reads.
+    */
+  private def planAggPartition(as: Seq[MetaAgg]): InputPartition = {
+    val vDir = Ingest.resolveVersionDir(root, opts.versionAsOf)
+    val manDir = store.child(vDir, StatsManifest.ManifestDir)
+    val mFiles = store.listNames(manDir).filter(_.endsWith(".parquet"))
+      .map(store.child(manDir, _))
+    val bounds = pushed.flatMap(f =>
+      CatalystFilters.statBound(f, tableSchema, cm))
+    require(bounds.length == pushed.length,
+      "graft aggregate pushdown accepted a non-bound filter — planner bug")
+    val statNames = (bounds.map(_.phys) ++ as.collect {
+      case MetaCountCol(p) => p
+      case MetaMin(p, _) => p
+      case MetaMax(p, _) => p
+    }).distinct
+    val manifest = spark.read.parquet(mFiles: _*)
+    val cols = Seq("file", "n_rows") ++
+      statNames.flatMap(c => Seq(s"min_$c", s"max_$c", s"nulls_$c"))
+    val rows = manifest
+      .select(cols.map(org.apache.spark.sql.functions.col): _*).collect()
+    val idx = cols.zipWithIndex.toMap
+    def ordering(dt: DataType) = TypeUtils.getInterpretedOrdering(dt)
+    val convOf: Map[String, Any => Any] = statNames.map { c =>
+      val lg = Ingest.toLogicalName(cm, c)
+      val dt = tableSchema(lg).dataType
+      c -> org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt)
+    }.toMap
+
+    var countStar = 0L
+    val countCol = mutable.Map.empty[String, Long]
+    val minVal = mutable.Map.empty[String, Any]
+    val maxVal = mutable.Map.empty[String, Any]
+    val degrade = mutable.ArrayBuffer.empty[String]
+
+    rows.foreach { r =>
+      def vOf(name: String): Any = {
+        val i = idx(name); if (r.isNullAt(i)) null else r.get(i)
+      }
+      val nRows = vOf("n_rows")
+      def statTriple(c: String): (Any, Any, Any) =
+        (convOf(c)(vOf(s"min_$c")), convOf(c)(vOf(s"max_$c")),
+          vOf(s"nulls_$c"))
+      // classification per bound — STRICT ops stay strict, so a file
+      // holding the bound value on an open side is a boundary read,
+      // never a metadata overcount
+      val cls = bounds.map { b =>
+        val (mn, mx, nl) = statTriple(b.phys)
+        if (b.op == "notnull") {
+          // null count alone classifies exactly: no nulls → every row
+          // passes; all nulls → none; a mix → boundary data read
+          if (nl == null) "unknown"
+          else if (nl.asInstanceOf[Long] == 0L) "inside"
+          else if (nRows != null && nl == nRows) "excluded"
+          else "boundary"
+        }
+        else if (mn == null || mx == null || nl == null) ("unknown")
+        else {
+          val ord = ordering(b.dt)
+          val noNulls = nl.asInstanceOf[Long] == 0L
+          val (inside, overlaps) = b.op match {
+            case "=" => (ord.equiv(mn, b.value) && ord.equiv(mx, b.value) &&
+              noNulls, ord.lteq(mn, b.value) && ord.gteq(mx, b.value))
+            case ">=" => (ord.gteq(mn, b.value) && noNulls,
+              ord.gteq(mx, b.value))
+            case ">" => (ord.gt(mn, b.value) && noNulls,
+              ord.gt(mx, b.value))
+            case "<=" => (ord.lteq(mx, b.value) && noNulls,
+              ord.lteq(mn, b.value))
+            case "<" => (ord.lt(mx, b.value) && noNulls,
+              ord.lt(mn, b.value))
+          }
+          if (!overlaps) "excluded" else if (inside) "inside" else "boundary"
+        }
+      }
+      if (cls.contains("excluded")) ()
+      else if (cls.contains("unknown") || cls.contains("boundary") ||
+        nRows == null) degrade += r.getString(idx("file"))
+      else {
+        // fully inside every bound: answer this file from metadata,
+        // degrading it to a data read if any needed stat is unhealthy
+        val n = nRows.asInstanceOf[Long]
+        val healthy = as.forall {
+          case MetaCountStar() => true
+          case MetaCountCol(p) => statTriple(p)._3 != null
+          case MetaMin(p, _) =>
+            val (mn, _, nl) = statTriple(p)
+            mn != null || (nl != null && nl.asInstanceOf[Long] == n)
+          case MetaMax(p, _) =>
+            val (_, mx, nl) = statTriple(p)
+            mx != null || (nl != null && nl.asInstanceOf[Long] == n)
+        }
+        if (!healthy) degrade += r.getString(idx("file"))
+        else as.foreach {
+          case MetaCountStar() => countStar += n
+          case MetaCountCol(p) =>
+            countCol(p) = countCol.getOrElse(p, 0L) +
+              (n - statTriple(p)._3.asInstanceOf[Long])
+          case MetaMin(p, dt) =>
+            val mn = statTriple(p)._1
+            if (mn != null) {
+              val ord = ordering(dt)
+              minVal(p) = minVal.get(p)
+                .map(cur => if (ord.lt(mn, cur)) mn else cur).getOrElse(mn)
+            }
+          case MetaMax(p, dt) =>
+            val mx = statTriple(p)._2
+            if (mx != null) {
+              val ord = ordering(dt)
+              maxVal(p) = maxVal.get(p)
+                .map(cur => if (ord.gt(mx, cur)) mx else cur).getOrElse(mx)
+            }
+        }
+      }
+    }
+    // degrade reads need the agg + filter columns
+    val degradeSchema = StructType(
+      (bounds.map(_.phys) ++ as.collect {
+        case MetaCountCol(p) => p
+        case MetaMin(p, _) => p
+        case MetaMax(p, _) => p
+      }).distinct.map(p => physDataSchema(p)))
+    val degradeRead =
+      if (degrade.isEmpty) None
+      else Some(new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, dataSchema = physDataSchema,
+        partitionSchema = new StructType(), requiredSchema = degradeSchema,
+        filters = pushed.map(translatePhysical), options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)))
+    val predicate = CatalystFilters.predicateExpression(
+      pushed.map(translatePhysical), degradeSchema)
+    GraftAggPartition(as, countStar, countCol.toMap, minVal.toMap,
+      maxVal.toMap, listWithSizes(degrade.toSeq), degradeRead, predicate,
+      degradeSchema, bounds)
+  }
+
+  // ---- micro-batch stream ---------------------------------------------
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = {
+    require(opts.readMode == "changes",
+      "graft streaming read serves the CHANGE FEED — spell it " +
+        "spark.readStream.format(\"graft\").option(\"read\", \"changes\")" +
+        ".load(dir)")
+    require(store.exists(store.child(root, "_cdf")),
+      s"$root is not a change-feed table — write it with changeFeed=true")
+    new GraftMicroBatchStream(this, opts, root)
+  }
+
+  private[sources] def streamSlicePartitions(fromExcl: Long, toIncl: Long)
+      : Array[InputPartition] = {
+    val emptyIds = Ingest.emptyBatchIds(root)
+    val committed = Ingest.readLedger(root)
+      .filter(b => b > fromExcl && b <= toIncl).toSeq.sorted
+    val files = committed.flatMap { b =>
+      Ingest.sliceFilesOfBatch(root, b, emptyIds).getOrElse(
+        throw new IllegalArgumentException(
+          s"change feed for batch $b of $root is beyond the retention " +
+            "window and unpublished — raise keepVersions or start the " +
+            "stream from a later startingBatch"))
+    }
+    packPartitions(listWithSizes(files))
+  }
+}
+
+/** The change feed as a REAL V2 streaming source: offsets are
+  * COMMITTED BATCH IDS (the ledger is the source of truth — a slice
+  * is complete the moment its batch id is committed, by the sink's
+  * write-then-swap-then-append protocol), each micro-batch reads the
+  * slice files of the batches in `(start, end]`, and replay is
+  * deterministic because committed versions are immutable. Offsets
+  * restart from the consumer's checkpoint; `startingBatch` seeds the
+  * first run, `maxBatchesPerTrigger` bounds admission per trigger.
+  */
+private[sources] final class GraftMicroBatchStream(scan: GraftScan,
+                                                   opts: GraftSourceOptions,
+                                                   root: String)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private implicit def store: TableStore = opts.store
+
+  private def ledgerMax: Long =
+    Ingest.readLedger(root).reduceOption(_ max _).getOrElse(-1L)
+
+  // Trigger.AvailableNow: pin the drain target at query start so the
+  // run processes exactly the history committed by then (batches a
+  // concurrent writer lands mid-run wait for the next run) and keeps
+  // triggering until the target is reached even under admission caps.
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(ledgerMax)
+
+  override def initialOffset(): Offset =
+    GraftStreamOffset(opts.startingBatch.getOrElse(0L) - 1L)
+
+  override def latestOffset(): Offset = GraftStreamOffset(ledgerMax)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(ledgerMax)
+    val from = start.asInstanceOf[GraftStreamOffset].batch
+    val cap = opts.maxBatchesPerTrigger
+      .map(n => math.min(target, from + n)).getOrElse(target)
+    GraftStreamOffset(math.max(from, cap))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] =
+    scan.streamSlicePartitions(
+      start.asInstanceOf[GraftStreamOffset].batch,
+      end.asInstanceOf[GraftStreamOffset].batch)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.readerFactory(streaming = true)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(
+      """"batch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"not a graft stream offset: $json")))
+
+  override def commit(end: Offset): Unit = () // feed pruning is the consumer's
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftFeed[$root]"
+}
+
+private[sources] final case class GraftStreamOffset(batch: Long)
+    extends Offset {
+  override def json(): String = s"""{"batch":$batch}"""
+}
+
+/** Deletion-vector spec shipped to tasks: the vector's own parquet
+  * files plus a reader for them; each task loads the deleted-key set
+  * once and anti-filters by the keys' ordinals in the read schema.
+  */
+private[sources] final case class DvSpec(
+    files: Seq[PartitionedFile],
+    read: PartitionedFile => Iterator[InternalRow],
+    keySchema: StructType,
+    keyOrdinals: Seq[Int]) extends Serializable
+
+/** Executor-side reader: Spark's own parquet reader (vectorized
+  * batches unrolled to rows), then — in order — the exact re-applied
+  * filter, the DV anti-filter, and the projection back to the pruned
+  * schema when the DV forced extra key columns into the read.
+  */
+private[sources] final class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    physRead: StructType,
+    predicate: Option[Expression],
+    dvSpec: Option[DvSpec],
+    outColumns: Int) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[FilePartition].files.toSeq
+    val pred = predicate.map(Predicate.create)
+    val deleted: Option[mutable.HashSet[Seq[Any]]] = dvSpec.map { dv =>
+      val set = mutable.HashSet.empty[Seq[Any]]
+      val n = dv.keySchema.length
+      dv.files.foreach { f =>
+        dv.read(f).asInstanceOf[Iterator[Any]].foreach {
+          case cb: ColumnarBatch => cb.rowIterator().asScala.foreach { r =>
+            val c = r.copy(); set += (0 until n).map(i =>
+              c.get(i, dv.keySchema(i).dataType))
+          }
+          case r: InternalRow =>
+            val c = r.copy(); set += (0 until n).map(i =>
+              c.get(i, dv.keySchema(i).dataType))
+        }
+      }
+      set
+    }
+    val project: Option[UnsafeProjection] =
+      if (physRead.length == outColumns) None
+      else Some(UnsafeProjection.create(
+        (0 until outColumns).map(i =>
+          BoundReference(i, physRead(i).dataType, physRead(i).nullable))))
+    val base: Iterator[InternalRow] = files.iterator.flatMap { f =>
+      readFunc(f).asInstanceOf[Iterator[Any]].flatMap {
+        case cb: ColumnarBatch => cb.rowIterator().asScala
+        case r: InternalRow => Iterator.single(r)
+      }
+    }
+    val filtered = pred.fold(base)(p => base.filter(p.eval))
+    val undeleted = deleted.fold(filtered) { set =>
+      val dv = dvSpec.get
+      filtered.filterNot(r => set.contains(dv.keyOrdinals.zipWithIndex
+        .map { case (ord, i) => r.get(ord, dv.keySchema(i).dataType) }))
+    }
+    val projected = project.fold(undeleted)(p => undeleted.map(p.apply))
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (projected.hasNext) { cur = projected.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** A pushed-aggregate partition: manifest-folded partials plus the
+  * boundary/degraded files ONE task finishes off with exact reads.
+  */
+private[sources] final case class GraftAggPartition(
+    aggs: Seq[MetaAgg],
+    countStar: Long,
+    countCol: Map[String, Long],
+    minVal: Map[String, Any],
+    maxVal: Map[String, Any],
+    degradeFiles: Seq[PartitionedFile],
+    degradeRead: Option[PartitionedFile => Iterator[InternalRow]],
+    predicate: Option[Expression],
+    degradeSchema: StructType,
+    bounds: Seq[CatalystFilters.StatBound]) extends InputPartition
+
+private[sources] final class GraftAggReaderFactory()
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftAggPartition]
+    var countStar = p.countStar
+    val countCol = mutable.Map(p.countCol.toSeq: _*)
+    val minVal = mutable.Map(p.minVal.toSeq: _*)
+    val maxVal = mutable.Map(p.maxVal.toSeq: _*)
+    if (p.degradeFiles.nonEmpty) {
+      val read = p.degradeRead.get
+      val pred = p.predicate.map(Predicate.create)
+      val ordBy = p.degradeSchema.fieldNames.zipWithIndex.toMap
+      val rows = p.degradeFiles.iterator.flatMap(f =>
+        read(f).asInstanceOf[Iterator[Any]].flatMap {
+        case cb: ColumnarBatch => cb.rowIterator().asScala
+        case r: InternalRow => Iterator.single(r)
+      })
+      rows.filter(r => pred.forall(_.eval(r))).foreach { r =>
+        countStar += 1L
+        p.aggs.foreach {
+          case MetaCountStar() => ()
+          case MetaCountCol(c) =>
+            if (!r.isNullAt(ordBy(c)))
+              countCol(c) = countCol.getOrElse(c, 0L) + 1L
+          case MetaMin(c, dt) =>
+            val i = ordBy(c)
+            if (!r.isNullAt(i)) {
+              val v = copyOf(r.get(i, dt))
+              val ord = TypeUtils.getInterpretedOrdering(dt)
+              minVal(c) = minVal.get(c)
+                .map(cur => if (ord.lt(v, cur)) v else cur).getOrElse(v)
+            }
+          case MetaMax(c, dt) =>
+            val i = ordBy(c)
+            if (!r.isNullAt(i)) {
+              val v = copyOf(r.get(i, dt))
+              val ord = TypeUtils.getInterpretedOrdering(dt)
+              maxVal(c) = maxVal.get(c)
+                .map(cur => if (ord.gt(v, cur)) v else cur).getOrElse(v)
+            }
+        }
+      }
+    }
+    val values: Array[Any] = p.aggs.map {
+      case MetaCountStar() => countStar
+      case MetaCountCol(c) => countCol.getOrElse(c, 0L)
+      case MetaMin(c, _) => minVal.get(c).orNull
+      case MetaMax(c, _) => maxVal.get(c).orNull
+    }.toArray
+    val out = Iterator.single(
+      new GenericInternalRow(values): InternalRow)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (out.hasNext) { cur = out.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  private def copyOf(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+    case other => other
+  }
+}

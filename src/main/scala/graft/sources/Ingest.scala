@@ -129,9 +129,44 @@ object Ingest {
     * a `v_*` directory NOT in this set is a crashed partial build and
     * must never be served as a snapshot.
     */
-  private def readLedger(root: String)(implicit store: TableStore): Set[Long] =
+  private[sources] def readLedger(root: String)(implicit store: TableStore): Set[Long] =
     store.readLog(store.child(root, "_commits"))
-      .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+      .flatMap(l => scala.util.Try(l.trim.split("\\s+")(0).toLong).toOption)
+      .toSet
+
+  /** One streaming-writer transaction annotation in the commit ledger:
+    * `<batchId> txn=<writerId>:<microBatchId>` — the batch id and the
+    * writer token ride the SAME atomic append, so a commit can never
+    * exist without its dedupe record. On the object/Hadoop stores an
+    * append is one atomic object; on local POSIX a torn line degrades
+    * the same way the plain ledger always has (leading token kept,
+    * annotation lost) — which downgrades that ONE micro-batch from
+    * exactly-once to at-least-once, and an upsert re-merge of the same
+    * rows is state-idempotent.
+    */
+  private val TxnLine = """(\d+)\s+txn=([A-Za-z0-9._\-]+):(\d+)""".r
+
+  /** Streaming writer transactions: writerId → (highest recorded
+    * micro-batch id, the TABLE batch id it committed as). The table
+    * batch id is what the replay no-op path heals feed publication
+    * with; per-writer max because micro-batch ids are contiguous per
+    * checkpoint.
+    */
+  private def readTxns(root: String)(implicit store: TableStore)
+      : Map[String, (Long, Long)] =
+    store.readLog(store.child(root, "_commits"))
+      .flatMap { l =>
+        l.trim match {
+          case TxnLine(b, w, mb) =>
+            scala.util.Try((w, mb.toLong, b.toLong)).toOption
+          case _ => None
+        }
+      }
+      .groupBy(_._1)
+      .map { case (w, es) =>
+        val top = es.maxBy(_._2)
+        w -> (top._2, top._3)
+      }
 
   /** Public read of the committed-batch ledger — the freshness token
     * external derivations (e.g. [[graft.plans.MvCatalog.UpsertPin]])
@@ -212,7 +247,7 @@ object Ingest {
     * COMPLETE generation (a maintenance rewrite holds the same state
     * laid out better, so newest generation always wins).
     */
-  private def servableDir(root: String, b: Long)
+  private[sources] def servableDir(root: String, b: Long)
                          (implicit store: TableStore): Option[String] = {
     val cur = readCurrentName(root)
     versionDirs(root)
@@ -508,7 +543,8 @@ object Ingest {
                     filesPerBucket: Int = 4,
                     constraints: Seq[(String, String)] = Nil,
                     occRetries: Int = 0,
-                    quarantine: Boolean = false)
+                    quarantine: Boolean = false,
+                    txn: Option[(String, Long)] = None)
                    (batch: DataFrame, batchId: Long)
                    (implicit store: TableStore): Unit = {
     // column mapping: callers speak LOGICAL names (keys, sortCols and
@@ -524,7 +560,7 @@ object Ingest {
       graceMs, changeFeed, lazyDeletes,
       sortCols.map(toPhysicalName(cm, _)), filesPerBucket,
       constraints, occRetries, occMode = occRetries > 0,
-      quarantine = quarantine)(
+      quarantine = quarantine, txn = txn)(
       physicalizeBatch(tableDir, batch, deleteCol.toSet), batchId)
   }
 
@@ -535,7 +571,8 @@ object Ingest {
                     sortCols: Seq[String], filesPerBucket: Int,
                     constraints: Seq[(String, String)],
                     retriesLeft: Int, occMode: Boolean,
-                    quarantine: Boolean = false)
+                    quarantine: Boolean = false,
+                    txn: Option[(String, Long)] = None)
                    (batch: DataFrame, batchId: Long)
                    (implicit store: TableStore): Unit = {
     // consulted only by the OCC conflict guard below — single-writer
@@ -544,10 +581,11 @@ object Ingest {
     def retry(): Unit =
       upsertWithRetry(tableDir, keys, nBuckets, keepVersions, deleteCol,
         graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-        constraints, retriesLeft - 1, occMode, quarantine)(batch, batchId)
+        constraints, retriesLeft - 1, occMode, quarantine, txn)(batch, batchId)
     try upsertOnce(tableDir, keys, nBuckets, keepVersions, deleteCol,
       graceMs, changeFeed, lazyDeletes, sortCols, filesPerBucket,
-      constraints, occMode = occMode, quarantine = quarantine)(batch, batchId)
+      constraints, occMode = occMode, quarantine = quarantine,
+      txn = txn)(batch, batchId)
     catch {
       // a competing commit moved CURRENT mid-merge: nothing durable was
       // written, the merge is replay-idempotent, so re-merging against
@@ -583,7 +621,8 @@ object Ingest {
                     filesPerBucket: Int,
                     constraints: Seq[(String, String)],
                     occMode: Boolean,
-                    quarantine: Boolean)
+                    quarantine: Boolean,
+                    txn: Option[(String, Long)] = None)
                    (batch: DataFrame, batchId: Long)
                    (implicit store: TableStore): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_set,
@@ -663,7 +702,13 @@ object Ingest {
 
     def readCurrent(): Option[String] = readCurrentName(root)
     def commit(): Unit = {
-      store.appendLog(commitsPath, s"$batchId")
+      // a streaming writer's (writerId, microBatchId) token rides the
+      // SAME append as the batch id — commit and dedupe record are one
+      // atomic ledger entry (see TxnLine)
+      store.appendLog(commitsPath, txn match {
+        case Some((w, mb)) => s"$batchId txn=$w:$mb"
+        case None => s"$batchId"
+      })
       // in two-writer OCC mode the other writer's uncommitted build may
       // be legitimately in flight — shield young ones from this sweep
       cleanupStale(root, keepVersions, graceMs,
@@ -1435,7 +1480,7 @@ object Ingest {
     * batches that minted no version dir yet whose snapshot state is
     * known: identical to the preceding snapshot.
     */
-  private def emptyBatchIds(root: String)
+  private[sources] def emptyBatchIds(root: String)
                            (implicit store: TableStore): Set[Long] =
     store.readLog(store.child(root, "_empty"))
       .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
@@ -1784,7 +1829,7 @@ object Ingest {
     * size stats, but a table carrying unbounded un-compacted delete
     * debt degrades to a shuffle join instead of a driver OOM.
     */
-  private def applyDeletes(spark: SparkSession, root: String,
+  private[sources] def applyDeletes(spark: SparkSession, root: String,
                            vDir: String, df: DataFrame)
                           (implicit store: TableStore): DataFrame = {
     val dvDir = store.child(vDir, "_deletes")
@@ -1799,7 +1844,7 @@ object Ingest {
   }
 
   /** Parse the pinned `_meta` table properties (keys, buckets). */
-  private def tableMeta(root: String)
+  private[sources] def tableMeta(root: String)
                        (implicit store: TableStore): Map[String, String] =
     store.read(store.child(root, "_meta"))
       .getOrElse(throw new IllegalArgumentException(
@@ -1827,7 +1872,7 @@ object Ingest {
       throw new IllegalArgumentException(
         s"tag '$name' does not exist on $tableDir"))
 
-  private def resolveVersionDir(root: String, asOfBatch: Option[Long])
+  private[sources] def resolveVersionDir(root: String, asOfBatch: Option[Long])
                                (implicit store: TableStore): String = {
     val cur = readCurrentName(root)
     require(cur.nonEmpty, s"upsert table has no CURRENT pointer: $root")
@@ -1907,7 +1952,7 @@ object Ingest {
     * all-deleted / empty-first-batch snapshot (zero data files) still
     * reads as a typed empty table.
     */
-  private def pinnedReader(spark: SparkSession, root: String)
+  private[sources] def pinnedReader(spark: SparkSession, root: String)
                           (implicit store: TableStore) =
     store.read(store.child(root, "_schema")) match {
       case None => spark.read
@@ -1933,7 +1978,7 @@ object Ingest {
     * [[renameColumn]] refuses targets that collide with any pinned
     * physical name, so logical→physical lookup is never ambiguous).
     */
-  private def colMap(root: String)
+  private[sources] def colMap(root: String)
                     (implicit store: TableStore): Seq[(String, String, Boolean)] =
     store.read(store.child(root, "_colmap")).toSeq
       .flatMap(_.split('\n')).map(_.trim).filter(_.nonEmpty).map { l =>
@@ -1950,12 +1995,12 @@ object Ingest {
         .mkString("\n"))
 
   /** logical → physical for a LIVE name; identity when unmapped. */
-  private def toPhysicalName(cm: Seq[(String, String, Boolean)],
+  private[sources] def toPhysicalName(cm: Seq[(String, String, Boolean)],
                              logical: String): String =
     cm.find(e => e._3 && e._2 == logical).map(_._1).getOrElse(logical)
 
   /** physical → logical for a LIVE physical; identity when unmapped. */
-  private def toLogicalName(cm: Seq[(String, String, Boolean)],
+  private[sources] def toLogicalName(cm: Seq[(String, String, Boolean)],
                             physical: String): String =
     cm.find(e => e._3 && e._1 == physical).map(_._2).getOrElse(physical)
 
@@ -1963,7 +2008,7 @@ object Ingest {
     * dropped, live renames applied. Every snapshot/feed read ends
     * here; an empty map is the common case and a no-op.
     */
-  private def logicalView(root: String)(df: DataFrame)
+  private[sources] def logicalView(root: String)(df: DataFrame)
                          (implicit store: TableStore): DataFrame = {
     val cm = colMap(root)
     if (cm.isEmpty) df
@@ -2881,26 +2926,55 @@ object Ingest {
     * pinned layout wins (`keys`, if given, must agree); on a fresh dir
     * the call creates the table and `keys` is required (`nBuckets`
     * defaults sized for the first batch's role as the layout pin).
-    * Returns (minted batch id, batch row count). `asBatch` pins the
-    * id for STREAMING callers (the `graft` format sink passes the
-    * micro-batch id): an already-committed pinned id no-ops with
-    * (id, 0) before the source is even evaluated — the exactly-once
-    * replay rule — and a fresh pinned id must exceed every committed
-    * one (a lower id is a stale checkpoint / foreign id space).
+    * Returns (minted batch id, batch row count).
+    *
+    * Exactly-once replay takes one of two spellings:
+    *
+    *   - `txn = Some((writerId, microBatchId))` — for STREAMING
+    *     writers (the `graft` format sink). The table batch id is
+    *     MINTED as usual; the (writer, micro-batch) token is recorded
+    *     in the same atomic ledger append as the commit, and a
+    *     micro-batch id at or below the writer's recorded high-water
+    *     mark no-ops BEFORE the source is evaluated. Dedupe is scoped
+    *     PER WRITER — micro-batch ids (which restart at 0 per
+    *     checkpoint) can never collide with minted batch ids or with
+    *     another stream's ids, so "create by batch write, then stream
+    *     into it" and "recreate the checkpoint" both process every
+    *     micro-batch instead of silently swallowing the overlap.
+    *   - `asBatch` pins the TABLE batch id itself — for callers that
+    *     OWN the table's id space (quarantine REQUEUE, restore
+    *     tooling): an already-committed pinned id no-ops with (id, 0),
+    *     and a fresh pinned id must exceed every committed one (a
+    *     lower id is a foreign id space). Do NOT pass raw micro-batch
+    *     ids here — they collide with minted ids; that is what `txn`
+    *     is for.
     */
   def upsertInto(spark: SparkSession, tableDir: String, rows: DataFrame,
                  keys: Seq[String] = Nil, nBuckets: Int = 16,
                  deleteCol: Option[String] = None, keepVersions: Int = 2,
-                 graceMs: Long = 0L, asBatch: Option[Long] = None)
+                 graceMs: Long = 0L, asBatch: Option[Long] = None,
+                 txn: Option[(String, Long)] = None)
                 (implicit store: TableStore): (Long, Long) = {
-    // exactly-once for STREAMING callers (the graft format sink pins
-    // micro-batch ids here): a pinned id already in the ledger is a
-    // crash-replayed micro-batch — no-op BEFORE evaluating the source
-    // (0 rows merged THIS call; the batch itself landed the first time).
-    // A fresh pinned id must exceed every committed id: a lower one is
-    // a foreign id space (e.g. a restarted stream with a stale
-    // checkpoint against a table other writers advanced) and merging
-    // it would corrupt the dedupe ledger's meaning.
+    require(asBatch.isEmpty || txn.isEmpty,
+      "upsertInto: asBatch pins the table id space, txn scopes dedupe " +
+        "per writer — pass one or the other, never both")
+    txn.foreach { case (wid, mb) =>
+      require(wid.nonEmpty &&
+        wid.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"upsertInto: writer id '$wid' must be [A-Za-z0-9._-]+ (it is " +
+          "parsed back out of the commit ledger)")
+      readTxns(tableDir).get(wid).foreach { case (lastMb, tableBatch) =>
+        if (mb <= lastMb) {
+          // crash-replayed micro-batch: the data landed as `tableBatch`
+          // the first time — no-op before evaluating the source, but
+          // heal the commit→publish crash window exactly like the
+          // in-sink replay path (idempotent per feed file)
+          if (mb == lastMb && store.exists(store.child(tableDir, "_cdf")))
+            publishFeedSlice(tableDir, tableBatch)
+          return (tableBatch, 0L)
+        }
+      }
+    }
     asBatch.foreach { a =>
       val done = readLedger(tableDir)
       if (done.contains(a)) return (a, 0L)
@@ -2937,7 +3011,7 @@ object Ingest {
       val n = cached.count()
       upsertParquet(tableDir, k, nBuckets = b, keepVersions = keepVersions,
         deleteCol = deleteCol, graceMs = graceMs, changeFeed = feed,
-        sortCols = sortCols, filesPerBucket = fpb)(cached, batchId)
+        sortCols = sortCols, filesPerBucket = fpb, txn = txn)(cached, batchId)
       (batchId, n)
     } finally { cached.unpersist(); () }
   }
@@ -3484,7 +3558,7 @@ object Ingest {
     * zero-change range reads as a typed empty frame and file column
     * order can never matter.
     */
-  private def changeSchema(root: String)
+  private[sources] def changeSchema(root: String)
                           (implicit store: TableStore): StructType = {
     val json = store.read(store.child(root, "_schema"))
       .getOrElse(throw new IllegalArgumentException(
@@ -3497,6 +3571,154 @@ object Ingest {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("_batch_id",
           org.apache.spark.sql.types.LongType)))
+  }
+
+  // ---- DataSource V2 planning surface --------------------------------
+  //
+  // The registered `graft` format's V2 table ([[GraftTable]]) plans
+  // scans as FILE LISTS + per-task transforms; these accessors are the
+  // seam through which it borrows the format's layout knowledge
+  // without re-deriving any of it. All file lists are COMPLETE for
+  // committed state by the format's own protocol ordering (data fully
+  // written before the pointer swap, the swap before the ledger
+  // append).
+
+  /** The pinned PHYSICAL data schema of a snapshot read: `_schema`
+    * minus the bucket partition column minus dead (dropped) physicals,
+    * in pinned order. Rows in data files carry exactly these columns
+    * (plus schema-evolution NULLs for physicals added later).
+    */
+  private[sources] def physicalDataSchema(root: String)
+                                         (implicit store: TableStore)
+      : StructType = {
+    val json = store.read(store.child(root, "_schema"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$root has no _schema file"))
+    val dead = colMap(root).filterNot(_._3).map(_._1).toSet
+    StructType(org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[StructType].fields
+      .filterNot(f => f.name == UpsertBucketCol || dead(f.name)).toSeq)
+  }
+
+  /** physical→logical rename of a schema's field NAMES (positional
+    * identity otherwise — InternalRows carry no names, so the V2 scan
+    * applies the column mapping for free by declaring logical names
+    * over the physically-read positions).
+    */
+  private[sources] def toLogicalSchema(root: String, phys: StructType)
+                                      (implicit store: TableStore)
+      : StructType = {
+    val cm = colMap(root)
+    if (cm.isEmpty) phys
+    else StructType(phys.fields.map(f =>
+      f.copy(name = toLogicalName(cm, f.name))).toSeq)
+  }
+
+  /** Data files of the snapshot a batch read serves (CURRENT /
+    * versionAsOf / tag), with the version dir they live under:
+    * `(vDir, files)`. Complete by the commit protocol; bucket-dir
+    * partitioning is invisible to direct file reads (the bucket id is
+    * a dir name, not a file column).
+    */
+  private[sources] def snapshotFiles(root: String, asOf: Option[Long])
+                                    (implicit store: TableStore)
+      : (String, Seq[String]) = {
+    val vDir = resolveVersionDir(root, asOf)
+    val files = store.listNames(vDir)
+      .filter(n => n.startsWith(s"$UpsertBucketCol="))
+      .map(store.child(vDir, _))
+      .flatMap(d => store.listNames(d)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .map(store.child(d, _)))
+    (vDir, files)
+  }
+
+  /** The snapshot's merge-on-read deletion-vector parquet files (key
+    * lists the scan must anti-filter), empty when the version carries
+    * no debt.
+    */
+  private[sources] def deletionVectorFiles(vDir: String)
+                                          (implicit store: TableStore)
+      : Seq[String] = {
+    val dvDir = store.child(vDir, "_deletes")
+    if (!store.isDirectory(dvDir)) Nil
+    else store.listNames(dvDir).filter(_.endsWith(".parquet"))
+      .map(store.child(dvDir, _))
+  }
+
+  /** Change-slice parquet files of committed batches in
+    * `[fromBatch, toBatch]` — the bounded-CDC file list
+    * ([[readTableChanges]]'s resolution, exposed as paths): per batch
+    * the retained version's `_changes`, with the same
+    * retention-hole failure.
+    */
+  private[sources] def changeSliceFiles(root: String, fromBatch: Long,
+                                        toBatch: Long)
+                                       (implicit store: TableStore)
+      : Seq[String] = {
+    require(store.exists(store.child(root, "_cdf")),
+      s"$root is not a change-feed table — write it with changeFeed=true")
+    val emptyIds = emptyBatchIds(root)
+    readLedger(root).filter(b => b >= fromBatch && b <= toBatch)
+      .toSeq.sorted.flatMap { b =>
+        sliceFilesOfBatch(root, b, emptyIds).getOrElse(
+          throw new IllegalArgumentException(
+            s"change feed for batch $b of $root is beyond the retention " +
+              "window (its version was swept) — raise keepVersions/" +
+              "graceMs or consume the feed before it ages out"))
+      }
+  }
+
+  /** One committed batch's change-slice files for the STREAMING
+    * source: the retained version's `_changes` when present
+    * (authoritative — fully written before the batch committed), else
+    * the published `feed/` hard links (complete once the writer's
+    * replay healed any publish crash — the same eventual-completeness
+    * contract [[changeFeedStream]]'s file tail rides). `None` when the
+    * batch is beyond retention AND unpublished — the caller decides
+    * whether that is a hole (non-empty batch) or silence (empty).
+    */
+  private[sources] def sliceFilesOfBatch(root: String, b: Long,
+                                         emptyIds: Set[Long])
+                                        (implicit store: TableStore)
+      : Option[Seq[String]] = {
+    servableDir(root, b) match {
+      case Some(vDir) =>
+        val ch = store.child(vDir, "_changes")
+        if (!store.isDirectory(ch)) Some(Nil) // committed zero changes
+        else Some(store.listNames(ch)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .map(store.child(ch, _)))
+      case None =>
+        val feedDir = store.child(root, "feed")
+        val linked =
+          if (!store.isDirectory(feedDir)) Nil
+          else store.listNames(feedDir)
+            .filter(n => n.startsWith(s"b$b-part-") && n.endsWith(".parquet"))
+            .map(store.child(feedDir, _))
+        if (linked.nonEmpty) Some(linked)
+        else if (emptyIds.contains(b)) Some(Nil)
+        else None
+    }
+  }
+
+  /** Committed, non-sweeping dead-letter directories — the quarantine
+    * read's file surface ([[readQuarantine]]'s resolution as paths).
+    */
+  private[sources] def quarantineFiles(root: String)
+                                      (implicit store: TableStore)
+      : Seq[String] = {
+    val qRoot = store.child(root, QuarantineDir)
+    val committed = readLedger(root)
+    store.listNames(qRoot)
+      .filter(_.startsWith("b_"))
+      .filter(n => scala.util.Try(n.stripPrefix("b_").toLong)
+        .toOption.exists(committed.contains))
+      .map(n => store.child(qRoot, n))
+      .filterNot(d => store.exists(store.child(d, "_sweeping")))
+      .flatMap(d => store.listNames(d)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .map(store.child(d, _)))
   }
 
   /** Publish batch `b`'s change slice into the table's PUBLISHED feed

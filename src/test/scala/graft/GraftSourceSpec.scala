@@ -224,14 +224,25 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(got === Seq((1L, 10), (2L, 21), (3L, 30)))
     assert(Ingest.committedBatchIds(dir) === Set(0L, 1L))
 
-    // replaying a committed micro-batch id is a ledger no-op: the
-    // poisoned frame never runs (exactly-once, not at-least-once)
+    // replaying a committed micro-batch id AS THE SAME WRITER is a
+    // ledger no-op: the poisoned frame never runs (exactly-once, not
+    // at-least-once). Same checkpoint => same queryId => same writer.
     val sink = new GraftSource().createSink(spark.sqlContext,
-      Map("path" -> dir, "keys" -> "k"), Nil,
+      Map("path" -> dir, "keys" -> "k", "checkpointLocation" -> ck), Nil,
       org.apache.spark.sql.streaming.OutputMode.Update())
     sink.addBatch(1L, Seq((3L, -999)).toDF("k", "v"))
     assert(spark.read.format("graft").load(dir)
       .filter(col("k") === 3L).head().getInt(1) === 30)
+
+    // a sink with NO writer identity (no checkpoint, no txnAppId)
+    // refuses loudly rather than guessing an id space
+    val anon = new GraftSource().createSink(spark.sqlContext,
+      Map("path" -> dir, "keys" -> "k"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val e = intercept[IllegalArgumentException] {
+      anon.addBatch(9L, Seq((9L, 9)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("txnAppId"))
 
     // a stale pinned id BELOW the ledger head that was never committed
     // is a foreign id space — refused, never merged
@@ -242,6 +253,61 @@ class GraftSourceSpec extends AnyFunSuite {
       Ingest.upsertInto(spark, dir2, Seq((2L, 2)).toDF("k", "v"),
         asBatch = Some(3L))
     }
+  }
+
+  test("batch-created table then stream into it: micro-batch 0 lands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp() + "/bt"
+    // the documented composition: create via the batch write path
+    // (mints table batch 0), THEN stream into the same table — the
+    // stream's micro-batch 0 must merge, not vanish into the ledger
+    Seq((1L, 1)).toDF("k", "v").write.format("graft")
+      .option("keys", "k").option("buckets", "2").save(dir)
+    val stream = MemoryStream[(Long, Int)]
+    val q = stream.toDF().toDF("k", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmp() + "/btck")
+      .start(dir)
+    try {
+      stream.addData(Seq((2L, 20)))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, 30)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 1), (2L, 20), (3L, 30)))
+    assert(Ingest.committedBatchIds(dir) === Set(0L, 1L, 2L))
+  }
+
+  test("a recreated checkpoint is a NEW writer: nothing silently swallowed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp() + "/rw"
+    // first stream: two micro-batches (writer A, mb 0 and 1)
+    val s1 = MemoryStream[(Long, Int)]
+    val q1 = s1.toDF().toDF("k", "v").writeStream.format("graft")
+      .option("keys", "k").option("buckets", "2")
+      .option("checkpointLocation", tmp() + "/ck1").start(dir)
+    try {
+      s1.addData(Seq((1L, 10))); q1.processAllAvailable()
+      s1.addData(Seq((2L, 20))); q1.processAllAvailable()
+    } finally q1.stop()
+    // second stream, FRESH checkpoint: its micro-batch ids restart at
+    // 0 — under the old bare-id ledger both would no-op and the data
+    // would be lost; per-writer dedupe processes them
+    val s2 = MemoryStream[(Long, Int)]
+    val q2 = s2.toDF().toDF("k", "v").writeStream.format("graft")
+      .option("checkpointLocation", tmp() + "/ck2").start(dir)
+    try {
+      s2.addData(Seq((3L, 30))); q2.processAllAvailable()
+      s2.addData(Seq((2L, 21))); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 10), (2L, 21), (3L, 30)))
+    assert(Ingest.committedBatchIds(dir) === Set(0L, 1L, 2L, 3L))
   }
 
   test("pushdown equivalence property: every predicate shape reads the same rows") {
@@ -331,5 +397,168 @@ class GraftSourceSpec extends AnyFunSuite {
     val got = spark.read.format("graft").option("store", "hadoop").load(dir)
     assert(got.count() === 2)
     assert(rows(got) === rows(Ingest.readUpsertTable(spark, dir)(hstore)))
+  }
+
+  test("readStream.format(graft): the change feed is a REAL streaming source") {
+    val dir = tmp() + "/t"
+    buildTable(dir)
+    val ck = tmp() + "/srcck"
+    val src = spark.readStream.format("graft")
+      .option("read", "changes").load(dir)
+    assert(src.isStreaming)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    def drain(): Unit = {
+      val q = src.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          df.collect().foreach(seen.add); ()
+        }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // first run: the whole committed feed (batches 0 and 1)
+    drain()
+    assert(rows(spark.createDataFrame(
+      new java.util.ArrayList(seen), src.schema)) ===
+      rows(Ingest.readTableChanges(spark, dir, 0L, Long.MaxValue)))
+    // a third batch lands while the query is DOWN; the restarted query
+    // resumes from its checkpoint and reads ONLY the new slice
+    import spark.implicits._
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 4, keepVersions = 4,
+      deleteCol = Some("_del"), changeFeed = true,
+      sortCols = Seq("v"), filesPerBucket = 2)(
+      Seq((8L, 80, "h", false)).toDF("k", "v", "s", "_del"), 2L)
+    seen.clear()
+    drain()
+    assert(rows(spark.createDataFrame(
+      new java.util.ArrayList(seen), src.schema)) ===
+      rows(Ingest.readTableChanges(spark, dir, 2L, 2L)))
+    // snapshot-mode streaming is refused with the right spelling
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").load(dir)
+        .writeStream.format("memory").queryName("feed_v2_c")
+        .option("checkpointLocation", tmp() + "/badck").start()
+    }
+    assert(e.getMessage.contains("streamed reading") ||
+      e.getMessage.contains("MICRO_BATCH_READ"))
+  }
+
+  test("maxBatchesPerTrigger bounds stream admission per micro-batch") {
+    val dir = tmp() + "/t"
+    buildTable(dir) // 2 committed batches
+    val q = spark.readStream.format("graft").option("read", "changes")
+      .option("maxBatchesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("feed_v2_throttled")
+      .option("checkpointLocation", tmp() + "/tck").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(spark.table("feed_v2_throttled")) ===
+      rows(Ingest.readTableChanges(spark, dir, 0L, Long.MaxValue)))
+    // two table batches drained one per trigger → ≥ 2 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+  }
+
+  /** The V2 scan of `df`, for plan-shape assertions. */
+  private def v2Scan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.connector.read.Scan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.head
+
+  test("pushed aggregates answer from the stats manifest") {
+    val dir = tmp() + "/t"
+    buildTable(dir)
+    val fmt = spark.read.format("graft").load(dir)
+    val api = Ingest.readUpsertTable(spark, dir)
+
+    // whole-table COUNT: the scan's output IS the aggregate — zero
+    // data columns read, the manifest answers
+    val cntDf = fmt.agg(count(lit(1)))
+    assert(v2Scan(cntDf).readSchema().fieldNames.toSeq === Seq("count(*)"),
+      "COUNT(*) did not push into the scan")
+    assert(cntDf.head().getLong(0) === api.count())
+
+    // banded COUNT on the pinned sort column pushes through too
+    val bandDf = fmt.filter(col("v") >= 21 && col("v") <= 61)
+      .agg(count(lit(1)))
+    assert(v2Scan(bandDf).readSchema().fieldNames.toSeq === Seq("count(*)"),
+      "banded COUNT did not push into the scan")
+    assert(bandDf.head().getLong(0) ===
+      api.filter(col("v") >= 21 && col("v") <= 61).count())
+    // strict bounds stay exact (boundary rows are re-read, not folded)
+    val strictDf = fmt.filter(col("v") > 21 && col("v") < 61)
+      .agg(count(lit(1)))
+    assert(strictDf.head().getLong(0) ===
+      api.filter(col("v") > 21 && col("v") < 61).count())
+
+    // MIN/MAX of the sort column: manifest fold, no data files
+    val mmDf = fmt.agg(min("v"), max("v"))
+    assert(v2Scan(mmDf).readSchema().fieldNames.toSeq ===
+      Seq("min(v)", "max(v)"), "MIN/MAX did not push into the scan")
+    val mm = mmDf.head()
+    val want = api.agg(min("v"), max("v")).head()
+    assert((mm.getInt(0), mm.getInt(1)) === (want.getInt(0), want.getInt(1)))
+
+    // SQL spelling through a catalog table
+    spark.sql(s"CREATE TABLE agg_t USING graft OPTIONS (path '$dir')")
+    try {
+      val sqlDf = spark.sql("SELECT count(*) AS n FROM agg_t")
+      assert(v2Scan(sqlDf).readSchema().fieldNames.toSeq === Seq("count(*)"))
+      assert(sqlDf.head().getLong(0) === api.count())
+    } finally spark.sql("DROP TABLE agg_t")
+
+    // declines: a filter on a NON-stat column keeps the normal scan
+    val nfDf = fmt.filter(col("s") === "B").agg(count(lit(1)))
+    assert(!v2Scan(nfDf).readSchema().fieldNames.contains("count(*)"),
+      "aggregate pushed under a non-stat filter — unsound")
+    assert(nfDf.head().getLong(0) === api.filter(col("s") === "B").count())
+  }
+
+  test("deletion vectors apply through the V2 read; aggregates decline") {
+    import spark.implicits._
+    val dir = tmp() + "/dv"
+    val b0 = Seq((1L, 10, false), (2L, 20, false), (3L, 30, false),
+      (4L, 40, false)).toDF("k", "v", "_del")
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 2, keepVersions = 4,
+      deleteCol = Some("_del"), lazyDeletes = true,
+      sortCols = Seq("v"), filesPerBucket = 2)(b0, 0L)
+    val b1 = Seq((2L, 0, true)).toDF("k", "v", "_del")
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 2, keepVersions = 4,
+      deleteCol = Some("_del"), lazyDeletes = true,
+      sortCols = Seq("v"), filesPerBucket = 2)(b1, 1L)
+    val vDir = Ingest.snapshotVersionDir(dir)
+    assert(new java.io.File(s"$vDir/_deletes").isDirectory,
+      "fixture did not produce a deletion vector")
+    val fmt = spark.read.format("graft").load(dir)
+    val api = Ingest.readUpsertTable(spark, dir)
+    assert(rows(fmt) === rows(api))
+    assert(fmt.filter(col("k") === 2L).count() === 0L)
+    // pruned projection WITHOUT the keys still anti-filters correctly
+    assert(fmt.select("v").collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(10, 30, 40))
+    // metadata aggregates are UNSOUND under a vector — declined
+    val cntDf = fmt.agg(count(lit(1)))
+    assert(!v2Scan(cntDf).readSchema().fieldNames.contains("count(*)"),
+      "aggregate pushed over a deletion vector — unsound")
+    assert(cntDf.head().getLong(0) === 3L)
+  }
+
+  test("column mapping applies through the V2 read") {
+    val dir = tmp() + "/cm"
+    buildTable(dir)
+    Ingest.renameColumn(dir, "v", "val")
+    val fmt = spark.read.format("graft").load(dir)
+    assert(fmt.columns.toSeq === Ingest.readUpsertTable(spark, dir)
+      .columns.toSeq)
+    assert(fmt.columns.contains("val") && !fmt.columns.contains("v"))
+    assert(rows(fmt) === rows(Ingest.readUpsertTable(spark, dir)))
+    // pushdown on the LOGICAL name prunes and filters correctly
+    assert(rows(fmt.filter(col("val") >= 21 && col("val") <= 61)) ===
+      rows(Ingest.readUpsertTable(spark, dir)
+        .filter(col("val") >= 21 && col("val") <= 61)))
+    // aggregates answer on the logical name too
+    val mmDf = fmt.agg(min("val"), max("val"))
+    assert(v2Scan(mmDf).readSchema().fieldNames.length === 2)
+    val mm = mmDf.head()
+    assert((mm.getInt(0), mm.getInt(1)) === (10, 70))
   }
 }
