@@ -149,17 +149,150 @@ object Epi {
       val dense = spine.join(daily, Seq("prio", "day"), "left")
         .select(col("prio"), col("day"),
           coalesce(col("n"), lit(0L)).as("n"))
-      val w = Window.partitionBy("prio").orderBy("day")
-        .rowsBetween(-9, -3)
-      dense
-        .withColumn("mu", avg(col("n")).over(w))
-        .withColumn("sigma", stddev_samp(col("n")).over(w))
-        .withColumn("c2r", round((col("n") - col("mu")) / col("sigma"), 6))
+      earsC2Score(dense)
         .filter(col("sigma") > 0 && col("c2r") >= 3)
         .select(col("prio"), col("day"), col("n"),
           round(col("c2r"), 4).as("c2"))
         .orderBy("prio", "day")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qEpiweekCurve, qEarsAlerts)
+  /** C2 scoring over a dense (prio, day, n) frame: 7-day baseline
+    * ending 3 days back, rounded statistic — the scoring half of
+    * [[qEarsAlerts]], reusable on any densified series.
+    */
+  def earsC2Score(dense: DataFrame): DataFrame = {
+    val w = Window.partitionBy("prio").orderBy("day")
+      .rowsBetween(-9, -3)
+    dense
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sigma", stddev_samp(col("n")).over(w))
+      .withColumn("c2r", round((col("n") - col("mu")) / col("sigma"), 6))
+  }
+
+  /** Farrington-style linear-trend scoring over a dense
+    * (prio, day, t, y) frame: OLS over the 49-day window ending 8
+    * days back (7-day guard), residual sd from the OLS identity,
+    * rounded standardized statistic `zr` — the scoring half of
+    * [[qFarringtonAlerts]]. Rows without a full window carry NULLs.
+    */
+  def farringtonScore(dense: DataFrame): DataFrame = {
+    val w = Window.partitionBy("prio").orderBy("day")
+      .rowsBetween(-56, -8)
+    val fit = dense
+      .withColumn("mx", avg(col("t")).over(w))
+      .withColumn("my", avg(col("y")).over(w))
+      .withColumn("mxy", avg(col("t") * col("y")).over(w))
+      .withColumn("mxx", avg(col("t") * col("t")).over(w))
+      .withColumn("myy", avg(col("y") * col("y")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .filter(col("m") === 49)
+    val vx = col("mxx") - col("mx") * col("mx")
+    val b = (col("mxy") - col("mx") * col("my")) / vx
+    fit
+      .withColumn("b", b)
+      .withColumn("vr",
+        (col("myy") - col("my") * col("my")) - b * b * vx)
+      .withColumn("expected",
+        col("my") + col("b") * (col("t") - col("mx")))
+      .withColumn("sd", sqrt(greatest(col("vr"), lit(0.0))))
+      .withColumn("zr",
+        round((col("y") - col("expected")) / col("sd"), 6))
+  }
+
+  /** Farrington-style baseline-REGRESSION aberration detection (the
+    * trend-aware complement to [[qEarsAlerts]]'s short-baseline C2;
+    * Farrington et al. 1996 fit a trend over historical reference
+    * windows — this is that linear-trend core, deterministic and
+    * closed-form so two engines can recompute it exactly, without the
+    * quasi-Poisson weighting): over the same densified day spine ×
+    * series, each day's EXPECTED count comes from an OLS line fitted
+    * to the 49-day baseline window ending 8 days before the test day
+    * (a 7-day guard band keeps an emerging signal out of its own
+    * fit), the residual variance comes from the OLS identity
+    * `Var(resid) = Var(y) − b²·Var(x)` (no second pass), and a day
+    * alerts when `count > expected + 2·sd(resid)` on the
+    * 6-dp-rounded statistic (the cross-engine membership discipline).
+    *
+    * What the regression buys over C2: a steadily RISING series (a
+    * growing surveillance catchment) alarms forever under a
+    * mean-based detector but sits on the fitted line here — the spec
+    * pins exactly that divergence on a synthetic ramp.
+    *
+    * Scale: identical to C2's — the corpus appears once in the daily
+    * hash aggregation; the window sums (x, y, xy, x²) run over the
+    * metadata-sized dense spine.
+    */
+  val qFarringtonAlerts: QuerySpec = QuerySpec(
+    "q_farrington_alerts",
+    Some("""WITH daily AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+          count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+          max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      spine AS (
+        SELECT p.prio, s.day
+        FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p,
+          (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+             AS day FROM bounds) s),
+      dense AS (
+        SELECT spine.prio, spine.day,
+          CAST(spine.day - (SELECT d0 FROM bounds) AS DOUBLE) AS t,
+          CAST(coalesce(daily.n, 0) AS DOUBLE) AS y
+        FROM spine LEFT JOIN daily
+          ON daily.prio = spine.prio AND daily.day = spine.day),
+      fit AS (
+        SELECT prio, day, t, y,
+          avg(t) OVER w AS mx, avg(y) OVER w AS my,
+          avg(t * y) OVER w AS mxy, avg(t * t) OVER w AS mxx,
+          avg(y * y) OVER w AS myy, count(*) OVER w AS m
+        FROM dense
+        WINDOW w AS (PARTITION BY prio ORDER BY day
+          ROWS BETWEEN 56 PRECEDING AND 8 PRECEDING)),
+      scored AS (
+        SELECT prio, day, t, y, mx, my,
+          (mxy - mx * my) / (mxx - mx * mx) AS b,
+          (myy - my * my)
+            - ((mxy - mx * my) / (mxx - mx * mx))
+              * ((mxy - mx * my) / (mxx - mx * mx))
+              * (mxx - mx * mx) AS vr
+        FROM fit WHERE m = 49),
+      stat AS (
+        SELECT prio, day, y,
+          my + b * (t - mx) AS expected,
+          sqrt(greatest(vr, 0)) AS sd
+        FROM scored)
+      SELECT prio, day, CAST(y AS BIGINT) AS n,
+        round(expected, 4) AS expected,
+        round(round((y - expected) / sd, 6), 4) AS z
+      FROM stat
+      WHERE sd > 0 AND round((y - expected) / sd, 6) >= 2
+      ORDER BY prio, day"""),
+    (spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = orders.agg(
+        min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+      val spine = orders.select(col("o_orderpriority").as("prio")).distinct()
+        .crossJoin(bounds.select(col("d0"),
+          explode(sequence(col("d0"), col("d1"))).as("day")))
+      val dense = spine.join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"), col("day"),
+          datediff(col("day"), col("d0")).cast("double").as("t"),
+          coalesce(col("cnt"), lit(0L)).cast("double").as("y"))
+      farringtonScore(dense)
+        .filter(col("sd") > 0 && col("zr") >= 2)
+        .select(col("prio"), col("day"), col("y").cast("long").as("n"),
+          round(col("expected"), 4).as("expected"),
+          round(col("zr"), 4).as("z"))
+        .orderBy("prio", "day")
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qEpiweekCurve, qEarsAlerts, qFarringtonAlerts)
 }

@@ -242,5 +242,120 @@ object Hl7 {
         .orderBy("src", "doc_id")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qHl7Roundtrip, qHl7Pipeline)
+  /** Render ORU messages WITH FULL HL7 STRUCTURE (r16): PID-13
+    * carries REPETITIONS (two escaped contact values joined by the
+    * raw `~` repetition delimiter), OBR anchors the order, and TWO
+    * OBX segments carry observations whose OBX-3 observation id has
+    * SUBCOMPONENTS (`&`-joined escaped parts inside component 1) —
+    * the three structural layers the flat [[renderMessages]] shape
+    * does not exercise. Every payload again deliberately CONTAINS
+    * reserved characters, so structure delimiters and escaped
+    * delimiters coexist in one field: the split-then-unescape order
+    * is what the row proves (escaping hides payload `~`/`&` from the
+    * structural splits). The malformed population (every
+    * `truncateEvery`-th doc) renders without its OBX block.
+    */
+  def renderStructured(docs: DataFrame, truncateEvery: Int = 17): DataFrame = {
+    val rep1 = col("lang")
+    val rep2 = concat(col("source"), lit("|"), lit("\\"))
+    val sub1 = col("source")
+    val sub2 = concat(col("lang"), lit("&x"))
+    val value1 = concat(substring(col("text"), 1, 30), lit("|"), col("lang"))
+    val value2 = concat(col("source"), lit("~&"), col("lang"))
+    val msh = concat_ws("|",
+      lit("MSH"), lit("^~\\&"), lit("GRAFT"), lit("LAB"), lit("RECV"),
+      lit("FAC"), lit(""), lit(""), lit("ORU^R01"),
+      col("doc_id").cast("string"), lit("P"), lit("2.5.1"))
+    val pid = concat_ws("|",
+      lit("PID"), lit("1"), lit(""),
+      concat(col("doc_id").cast("string"), lit("^^^GRAFT")),
+      lit(""), lit(""), lit(""), lit(""), lit(""), lit(""), lit(""),
+      lit(""), lit(""),
+      // PID-13: repetitions — escape each value, join with RAW ~
+      concat(hl7Escape(rep1), lit("~"), hl7Escape(rep2)))
+    val obr = concat_ws("|", lit("OBR"), lit("1"), lit(""),
+      col("doc_id").cast("string"))
+    // OBX-3 component 1 holds subcomponents: escape each part, join
+    // with RAW & (then raw ^ joins the components)
+    val obsId1 = concat(hl7Escape(sub1), lit("&"), hl7Escape(sub2),
+      lit("^text^L"))
+    val obx1 = concat_ws("|",
+      lit("OBX"), lit("1"), lit("TX"), obsId1, lit(""),
+      hl7Escape(value1), lit(""), lit(""), lit(""), lit(""), lit(""),
+      lit("F"))
+    val obx2 = concat_ws("|",
+      lit("OBX"), lit("2"), lit("NM"), lit("cnt^tokens^L"), lit(""),
+      hl7Escape(value2), lit(""), lit(""), lit(""), lit(""), lit(""),
+      lit("F"))
+    docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(truncateEvery.toLong)) === 0,
+        concat_ws("\r", msh, pid, obr))
+        .otherwise(concat_ws("\r", msh, pid, obr, obx1, obx2)).as("hl7"))
+  }
+
+  /** Parse structured messages: repetitions (PID-13 split on raw `~`
+    * BEFORE unescaping — an escaped `\R\` in a value must not split),
+    * subcomponents (OBX-3.1 split on raw `&` before unescaping), and
+    * the OBX block as a per-index surface (`obx_count`, first/second
+    * observation values). Absent structure degrades to NULL / 0,
+    * never throws — the same contract as [[parseMessages]].
+    */
+  def parseStructured(msgs: DataFrame, msgCol: String = "hl7"): DataFrame = {
+    val segs = split(col(msgCol), "\r")
+    def seg(name: String): Column =
+      try_element_at(filter(segs, s => substring(s, 1, 4) === s"$name|"),
+        lit(1))
+    def fld(segment: Column, i: Int): Column =
+      try_element_at(split(segment, "\\|", -1), lit(i + 1))
+    val msh = seg("MSH")
+    val pid = seg("PID")
+    val obxs = filter(segs, s => substring(s, 1, 4) === "OBX|")
+    def obxAt(i: Int): Column = try_element_at(obxs, lit(i))
+    val reps = split(fld(pid, 13), "~", -1)
+    def obsIdSub(obx: Column, i: Int): Column =
+      hl7Unescape(try_element_at(
+        split(try_element_at(split(fld(obx, 3), "\\^", -1), lit(1)),
+          "&", -1), lit(i)))
+    msgs.select(
+      fld(msh, 9).cast("long").as("doc_id"),
+      hl7Unescape(try_element_at(reps, lit(1))).as("rep1"),
+      hl7Unescape(try_element_at(reps, lit(2))).as("rep2"),
+      coalesce(size(obxs), lit(0)).as("obx_count"),
+      hl7Unescape(fld(obxAt(1), 5)).as("obx1_value"),
+      obsIdSub(obxAt(1), 1).as("obx1_sub1"),
+      obsIdSub(obxAt(1), 2).as("obx1_sub2"),
+      hl7Unescape(fld(obxAt(2), 5)).as("obx2_value"))
+  }
+
+  /** Structured render → parse round trip: repetitions, subcomponents
+    * and the multi-OBX block recovered byte-for-byte while every
+    * payload contains raw delimiters (DuckDB recomputes the parsed
+    * columns from `documents` directly — the hash pins both codec
+    * directions THROUGH the structural splits). The malformed
+    * population parses headers with `obx_count = 0` and NULL
+    * observation columns.
+    */
+  val qHl7Structured: QuerySpec = QuerySpec(
+    "q_hl7_structured",
+    Some("""SELECT doc_id,
+        lang AS rep1,
+        source || '|' || '\' AS rep2,
+        CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 2 END AS obx_count,
+        CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE substr(text, 1, 30) || '|' || lang END AS obx1_value,
+        CASE WHEN doc_id % 17 = 0 THEN NULL ELSE source END AS obx1_sub1,
+        CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE lang || '&x' END AS obx1_sub2,
+        CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE source || '~&' || lang END AS obx2_value
+      FROM documents ORDER BY doc_id"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      parseStructured(renderStructured(docs))
+        .orderBy("doc_id")
+    })
+
+  def specs: Seq[QuerySpec] =
+    Seq(qHl7Roundtrip, qHl7Pipeline, qHl7Structured)
 }

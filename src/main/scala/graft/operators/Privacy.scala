@@ -257,5 +257,157 @@ object Privacy {
         .orderBy("nation", "prio")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qKAnonymize, qNoisyCounts, qCellSuppression)
+  // ---- privacy budget ledger (r16) -----------------------------------
+  //
+  // Epsilon COMPOSITION across releases (sequential composition, Dwork
+  // et al.: total privacy loss of a release series is the sum of the
+  // per-release epsilons): a per-dataset budget with per-release
+  // debits, persisted as a GRAFT TABLE keyed (dataset, release_id) —
+  // the format's exactly-once machinery is precisely what a budget
+  // needs (atomic commits, replayable history, no double-debit).
+  // Charging is CONSERVATIVE: the debit commits BEFORE the release
+  // frame is handed out, so a crash between debit and delivery wastes
+  // budget rather than leaking it — the safe direction for privacy.
+  // Replays are free because the noise is a deterministic function of
+  // (seed, group): re-running a committed (release_id, eps, seed)
+  // regenerates the SAME release without touching the budget.
+
+  private val BudgetRow = "_budget"
+
+  /** Create (or re-pin) a dataset's total epsilon budget. Refuses to
+    * SHRINK an existing budget below what is already spent.
+    */
+  def initBudget(spark: SparkSession, ledgerDir: String, dataset: String,
+                 totalEps: Double)
+                (implicit store: graft.sources.TableStore): Unit = {
+    import spark.implicits._
+    require(totalEps > 0, s"initBudget: total epsilon must be > 0")
+    val spent = spentEps(spark, ledgerDir, dataset)
+    require(spent <= totalEps,
+      f"initBudget: $dataset has already spent $spent%.4f — a total of " +
+        f"$totalEps%.4f would be retroactively exhausted")
+    graft.sources.Ingest.upsertInto(spark, ledgerDir,
+      Seq((dataset, BudgetRow, totalEps, ""))
+        .toDF("dataset", "release_id", "eps", "seed"),
+      keys = Seq("dataset", "release_id"), nBuckets = 4)
+    ()
+  }
+
+  private def ledger(spark: SparkSession, ledgerDir: String)
+                    (implicit store: graft.sources.TableStore): DataFrame =
+    graft.sources.Ingest.readUpsertTable(spark, ledgerDir)
+
+  /** Total epsilon already debited against `dataset`. */
+  def spentEps(spark: SparkSession, ledgerDir: String, dataset: String)
+              (implicit store: graft.sources.TableStore): Double =
+    if (!store.exists(store.child(ledgerDir, "_meta"))) 0.0
+    else ledger(spark, ledgerDir)
+      .filter(col("dataset") === dataset && col("release_id") =!= BudgetRow)
+      .agg(coalesce(sum("eps"), lit(0.0))).head().getDouble(0)
+
+  /** One budgeted noisy-counts release: debit `eps` against the
+    * dataset's budget, then release [[noisyCounts]] with the recorded
+    * seed. An exhausted budget REFUSES (nothing is released, nothing
+    * is charged); a replay of a committed (release_id, eps, seed)
+    * regenerates the identical release WITHOUT a second debit; the
+    * same release_id with different parameters is a refused identity
+    * violation (a release is immutable once charged).
+    */
+  def noisyCountsBudgeted(spark: SparkSession, ledgerDir: String,
+                          dataset: String, releaseId: String,
+                          df: DataFrame, groupCols: Seq[String],
+                          eps: Double, seed: String)
+                         (implicit store: graft.sources.TableStore)
+      : DataFrame = {
+    import spark.implicits._
+    require(releaseId.nonEmpty && releaseId != BudgetRow,
+      s"noisyCountsBudgeted: invalid release id '$releaseId'")
+    require(eps > 0, "noisyCountsBudgeted: epsilon must be > 0")
+    val rows = ledger(spark, ledgerDir).filter(col("dataset") === dataset)
+      .collect() // budget rows: one per release — control-plane sized
+    val total = rows.find(_.getString(1) == BudgetRow)
+      .map(_.getDouble(2))
+      .getOrElse(throw new IllegalArgumentException(
+        s"noisyCountsBudgeted: no budget pinned for '$dataset' — " +
+          "call initBudget first"))
+    rows.find(_.getString(1) == releaseId) match {
+      case Some(r) =>
+        require(r.getDouble(2) == eps && r.getString(3) == seed,
+          s"noisyCountsBudgeted: release '$releaseId' of $dataset was " +
+            s"charged with eps=${r.getDouble(2)}, seed='${r.getString(3)}' " +
+            "— a committed release is immutable (use a new release_id)")
+        // replay: the deterministic noise regenerates the identical
+        // release; the budget was charged the first time
+        noisyCounts(df, groupCols, eps, seed)
+      case None =>
+        val spent = rows.filter(_.getString(1) != BudgetRow)
+          .map(_.getDouble(2)).sum
+        if (spent + eps > total + 1e-12)
+          throw new IllegalStateException(
+            f"noisyCountsBudgeted: budget exhausted for '$dataset' — " +
+              f"spent $spent%.4f of $total%.4f, release needs $eps%.4f")
+        graft.sources.Ingest.upsertInto(spark, ledgerDir,
+          Seq((dataset, releaseId, eps, seed))
+            .toDF("dataset", "release_id", "eps", "seed"),
+          keys = Seq("dataset", "release_id"))
+        noisyCounts(df, groupCols, eps, seed)
+    }
+  }
+
+  /** Two sequential budgeted releases through the ledger (different
+    * epsilons and seeds), a third refused on exhaustion — caught
+    * IN-QUERY so the refusal is part of the hashed contract. DuckDB
+    * recomputes both released count sets with the seeded formula; the
+    * budget arithmetic itself is spec-gated (PrivacySpec battery:
+    * composition, replay no-double-debit, immutable release identity).
+    */
+  val qNoisyCountsBudgeted: QuerySpec = QuerySpec(
+    "q_noisy_counts_budgeted",
+    Some("""WITH base AS (
+        SELECT o_orderpriority AS prio, count(*) AS n
+        FROM orders GROUP BY 1),
+      r1 AS (SELECT 'r1' AS release_id, prio, n,
+        (('0x' || substr(sha256('budget-r1|' || prio), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0 AS uu, 1.0 AS b FROM base),
+      r2 AS (SELECT 'r2' AS release_id, prio, n,
+        (('0x' || substr(sha256('budget-r2|' || prio), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0 AS uu, 0.5 AS b FROM base),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      SELECT release_id, prio, n,
+        round(round(n + (-b) * sign(uu - 0.5)
+          * ln(1.0 - 2.0 * abs(uu - 0.5)), 6), 4) AS noisy_n,
+        true AS third_refused
+      FROM u ORDER BY release_id, prio"""),
+    (spark, dir) => {
+      implicit val store: graft.sources.TableStore =
+        graft.sources.TableStore.local
+      val base = graft.Scratch.dir("privacy-budget")
+      graft.sources.LocalTableStore.deleteTree(base)
+      val ledgerDir = s"$base/ledger"
+      val src = Tables.load(spark, dir, "orders")
+        .select(col("o_orderpriority").as("prio"))
+      initBudget(spark, ledgerDir, "orders", totalEps = 3.5)
+      val r1 = noisyCountsBudgeted(spark, ledgerDir, "orders", "r1",
+        src, Seq("prio"), eps = 1.0, seed = "budget-r1")
+      val r2 = noisyCountsBudgeted(spark, ledgerDir, "orders", "r2",
+        src, Seq("prio"), eps = 2.0, seed = "budget-r2")
+      // 3.0 of 3.5 spent: a 1.0 release must refuse and charge nothing
+      val refused =
+        try {
+          noisyCountsBudgeted(spark, ledgerDir, "orders", "r3",
+            src, Seq("prio"), eps = 1.0, seed = "budget-r3")
+          false
+        } catch { case _: IllegalStateException => true }
+      require(refused, "exhausted budget did not refuse")
+      require(math.abs(spentEps(spark, ledgerDir, "orders") - 3.0) < 1e-9,
+        "refused release must charge nothing")
+      r1.withColumn("release_id", lit("r1"))
+        .unionByName(r2.withColumn("release_id", lit("r2")))
+        .select(col("release_id"), col("prio"), col("n"), col("noisy_n"),
+          lit(true).as("third_refused"))
+        .orderBy("release_id", "prio")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qKAnonymize, qNoisyCounts,
+    qCellSuppression, qNoisyCountsBudgeted)
 }

@@ -98,5 +98,99 @@ object Vocab {
         .orderBy("nation_code", "std_code")
     })
 
-  def specs: Seq[QuerySpec] = Seq(qCodeCrosswalk)
+  /** The crosswalk as a LIVE graft table (r16): the vocabulary is
+    * MAINTAINED through the format — created as an upsert table keyed
+    * (code, eff), amended by a later batch that publishes a NEW
+    * version effective mid-span — and resolution reads the CURRENT
+    * snapshot. Reproducibility rides the format's time travel: the
+    * in-query contract re-resolves against `versionAsOf = 0` and
+    * requires the PRE-update release back, bit for bit — a historical
+    * surveillance report stays reproducible after the vocabulary
+    * moves, which is the operational reason a terminology service
+    * wants a versioned table under it rather than a mutable file.
+    * DuckDB recomputes the post-update resolution from the amended
+    * long form with the independent correlated-subquery spelling.
+    * Scale: the dimension table rides the format's O(touched-bucket)
+    * merges; resolution is unchanged (broadcast arrays, one narrow
+    * pass over events).
+    */
+  val qCrosswalkLive: QuerySpec = QuerySpec(
+    "q_crosswalk_live",
+    Some("""WITH xw AS (
+        SELECT n_nationkey AS code,
+          CAST(concat(1991 + 2 * v, '-01-01') AS DATE) AS eff,
+          concat(n_name, '-v', v) AS std
+        FROM nation, (SELECT unnest([1, 2, 3]) AS v)
+        WHERE (n_nationkey + v) % 3 <> 0
+        UNION ALL
+        SELECT n_nationkey, CAST('1996-06-01' AS DATE),
+          concat(n_name, '-v9')
+        FROM nation WHERE n_nationkey % 2 = 0),
+      evs AS (
+        SELECT c.c_nationkey, CAST(o.o_orderdate AS DATE) AS d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      m AS (
+        SELECT e.c_nationkey,
+          (SELECT std FROM xw
+           WHERE xw.code = e.c_nationkey AND xw.eff <= e.d
+           ORDER BY eff DESC LIMIT 1) AS std
+        FROM evs e)
+      SELECT c_nationkey AS nation_code,
+        coalesce(std, 'UNMAPPED') AS std_code, count(*) AS n,
+        true AS asof_reproduces
+      FROM m GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      implicit val store: graft.sources.TableStore =
+        graft.sources.TableStore.local
+      val base = graft.Scratch.dir("crosswalk-live")
+      graft.sources.LocalTableStore.deleteTree(base)
+      val xwDir = s"$base/crosswalk"
+      val nation = Tables.load(spark, dir, "nation")
+      val original = nation
+        .select(col("n_nationkey").as("code"), col("n_name"),
+          explode(array(lit(1), lit(2), lit(3))).as("v"))
+        .filter(pmod(col("code") + col("v"), lit(3)) =!= 0)
+        .select(col("code"),
+          to_date(concat((lit(1991) + col("v") * 2).cast("string"),
+            lit("-01-01"))).as("eff"),
+          concat(col("n_name"), lit("-v"),
+            col("v").cast("string")).as("std"))
+      Ingest.upsertInto(spark, xwDir, original,
+        keys = Seq("code", "eff"), nBuckets = 4, keepVersions = 4)
+      // the vocabulary moves: a new version lands mid-span
+      val amendment = nation.filter(pmod(col("n_nationkey"), lit(2)) === 0)
+        .select(col("n_nationkey").as("code"),
+          to_date(lit("1996-06-01")).as("eff"),
+          concat(col("n_name"), lit("-v9")).as("std"))
+      Ingest.upsertInto(spark, xwDir, amendment)
+
+      val evs = Tables.load(spark, dir, "orders")
+        .join(Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), to_date(col("o_orderdate")).as("d"))
+      def resolveAgainst(xw: DataFrame): DataFrame = {
+        val vers = versionArrays(xw, "code", "eff", "std")
+        evs.join(broadcast(vers), col("c_nationkey") === col("code"), "left")
+          .select(col("c_nationkey"),
+            coalesce(resolveAsOf(col("vers"), col("d")),
+              lit("UNMAPPED")).as("std_code"))
+          .groupBy(col("c_nationkey").as("nation_code"), col("std_code"))
+          .agg(count(lit(1)).as("n"))
+      }
+      // reproducibility contract: resolving against the PRE-update
+      // snapshot (versionAsOf = 0) regenerates the original release
+      val asOf = resolveAgainst(
+        Ingest.readUpsertTable(spark, xwDir, Some(0L)))
+        .collect().map(_.toString).toSet
+      val pre = resolveAgainst(original).collect().map(_.toString).toSet
+      require(asOf == pre,
+        "as-of resolution must reproduce the pre-update release")
+      resolveAgainst(Ingest.readUpsertTable(spark, xwDir))
+        .withColumn("asof_reproduces", lit(true))
+        .orderBy("nation_code", "std_code")
+    })
+
+  def specs: Seq[QuerySpec] = Seq(qCodeCrosswalk, qCrosswalkLive)
 }

@@ -37,6 +37,70 @@ class PrivacySpec extends AnyFunSuite {
     assert(got === (0L to 5L))
   }
 
+  test("budget ledger: composition, replay, immutability, refusal") {
+    import spark.implicits._
+    implicit val store: graft.sources.TableStore =
+      graft.sources.TableStore.local
+    val dir = java.nio.file.Files
+      .createTempDirectory("privacy-budget").toString + "/ledger"
+    val df = Seq("a", "a", "b", "b", "b").toDF("g")
+
+    // no budget pinned -> refused
+    intercept[IllegalArgumentException] {
+      Privacy.noisyCountsBudgeted(spark, dir, "d", "r1", df, Seq("g"),
+        1.0, "s1")
+    }
+    Privacy.initBudget(spark, dir, "d", 2.5)
+
+    // sequential releases COMPOSE: spent is the sum of epsilons
+    val r1 = Privacy.noisyCountsBudgeted(spark, dir, "d", "r1", df,
+      Seq("g"), 1.0, "s1").collect().map(_.toString).sorted.toSeq
+    assert(Privacy.spentEps(spark, dir, "d") === 1.0)
+    Privacy.noisyCountsBudgeted(spark, dir, "d", "r2", df, Seq("g"),
+      1.0, "s2")
+    assert(Privacy.spentEps(spark, dir, "d") === 2.0)
+
+    // replay of a committed release: identical frame, NO second debit
+    val r1b = Privacy.noisyCountsBudgeted(spark, dir, "d", "r1", df,
+      Seq("g"), 1.0, "s1").collect().map(_.toString).sorted.toSeq
+    assert(r1b === r1)
+    assert(Privacy.spentEps(spark, dir, "d") === 2.0)
+
+    // a committed release's identity is immutable
+    intercept[IllegalArgumentException] {
+      Privacy.noisyCountsBudgeted(spark, dir, "d", "r1", df, Seq("g"),
+        0.5, "s1")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.noisyCountsBudgeted(spark, dir, "d", "r1", df, Seq("g"),
+        1.0, "other-seed")
+    }
+
+    // exhaustion refuses and charges nothing
+    intercept[IllegalStateException] {
+      Privacy.noisyCountsBudgeted(spark, dir, "d", "r3", df, Seq("g"),
+        1.0, "s3")
+    }
+    assert(Privacy.spentEps(spark, dir, "d") === 2.0)
+    // the remaining 0.5 is still releasable
+    Privacy.noisyCountsBudgeted(spark, dir, "d", "r4", df, Seq("g"),
+      0.5, "s4")
+    assert(Privacy.spentEps(spark, dir, "d") === 2.5)
+
+    // a budget cannot shrink below what is spent; raising is fine
+    intercept[IllegalArgumentException] {
+      Privacy.initBudget(spark, dir, "d", 2.0)
+    }
+    Privacy.initBudget(spark, dir, "d", 4.0)
+    Privacy.noisyCountsBudgeted(spark, dir, "d", "r5", df, Seq("g"),
+      1.0, "s5")
+    assert(Privacy.spentEps(spark, dir, "d") === 3.5)
+
+    // datasets have independent budgets in one ledger
+    Privacy.initBudget(spark, dir, "e", 1.0)
+    assert(Privacy.spentEps(spark, dir, "e") === 0.0)
+  }
+
   test("noisyCounts is deterministic per (seed, group)") {
     import spark.implicits._
     val df = Seq("a", "a", "b").toDF("g")

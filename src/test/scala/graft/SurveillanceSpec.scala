@@ -135,4 +135,36 @@ class SurveillanceSpec extends AnyFunSuite {
       .filter(col("y") >= 2014 && col("y") <= 2016)
     assert(sizes.filter(col("count") =!= 7).count() === 0)
   }
+
+  test("Farrington's trend baseline reads growth as normal; C2 cannot") {
+    import spark.implicits._
+    // a steadily growing catchment: counts rise 2/day for 120 days
+    // with a small deterministic sawtooth (so the fit has residual
+    // variance) and one true outbreak spike at day 100
+    val dense = (0 until 120).map { t =>
+      val base = 10.0 + 2.0 * t + (t % 3)
+      ("s", java.sql.Date.valueOf(java.time.LocalDate
+        .of(2020, 1, 1).plusDays(t.toLong)), t.toDouble,
+        if (t == 100) base + 60 else base)
+    }.toDF("prio", "day", "t", "y")
+
+    // a mean-baseline detector reads PREDICTABLE growth as perpetual
+    // elevation: the C2 statistic sits near its alarm line on every
+    // ordinary ramp day (the trend IS the deviation it measures)
+    val c2 = Epi.earsC2Score(dense.withColumn("n", col("y")))
+      .filter(col("sigma") > 0 && col("day") =!= lit("2020-04-10"))
+    assert(c2.filter(col("c2r") >= 2).count() > 50,
+      "C2 should read most ramp days as elevated")
+
+    // the regression fits the ramp: ordinary days score ~0, and the
+    // ONLY alert is the real spike
+    val fa = Epi.farringtonScore(dense).filter(col("sd") > 0)
+    val alerts = fa.filter(col("zr") >= 2)
+      .select("day").collect().map(_.getDate(0).toString).toSeq
+    assert(alerts === Seq("2020-04-10"), // day 100
+      s"Farrington should flag exactly the spike, got $alerts")
+    val quiet = fa.filter(col("day") =!= lit("2020-04-10"))
+      .agg(max(abs(col("zr")))).head().getDouble(0)
+    assert(quiet < 2.0, s"ordinary ramp days should score under 2: $quiet")
+  }
 }
