@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.Statistics
 import org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -362,7 +362,8 @@ private[sources] final class GraftScan(spark: SparkSession,
                                        required: StructType,
                                        pushed: Seq[Filter],
                                        aggs: Option[Seq[MetaAgg]])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   private implicit def store: TableStore = opts.store
   private def root = opts.path
 
@@ -512,10 +513,54 @@ private[sources] final class GraftScan(spark: SparkSession,
       .toArray[InputPartition]
   }
 
+  // ---- runtime (join-driven) file pruning -----------------------------
+  // Spark's dynamic-pruning rule hands the scan the build side's
+  // collected join keys at EXECUTION time (an `In` over the broadcast
+  // values — bounded by the broadcast threshold by construction); the
+  // manifest turns them into a tighter surviving-file list the same way
+  // static pushed bounds do. Pruning whole files is the only action —
+  // rows are never dropped here (the join re-filters), so an
+  // untranslatable runtime filter degrades to "no extra pruning",
+  // never to wrong results.
+  @volatile private var runtimeFilters: Seq[Filter] = Nil
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (opts.readMode != "snapshot" || aggs.nonEmpty) Array.empty
+    else Ingest.tableSortColumns(root)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.toIndexedSeq
+
+  private def runtimePruned(files: Seq[String]): Seq[String] = {
+    if (runtimeFilters.isEmpty || opts.readMode != "snapshot") return files
+    val vDir = dataFilePaths._1.getOrElse(return files)
+    val manDir = store.child(vDir, StatsManifest.ManifestDir)
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    runtimeFilters.foldLeft(files) { (fs, f) =>
+      val surviving = f match {
+        case In(c, vs) if statCols.contains(physName(c)) &&
+          !vs.contains(null) && vs.nonEmpty =>
+          StatsManifest.survivingFilesIn(spark, manDir, physName(c),
+            vs.toIndexedSeq)
+        case EqualTo(c, v) if statCols.contains(physName(c)) && v != null =>
+          StatsManifest.survivingFilesIn(spark, manDir, physName(c), Seq(v))
+        case _ => None
+      }
+      surviving match {
+        case Some(keep0) =>
+          val keep = keep0.map(u => new Path(u).toUri.getPath).toSet
+          fs.filter(p => keep.contains(new Path(p).toUri.getPath))
+        case None => fs
+      }
+    }
+  }
+
   // ---- batch ----------------------------------------------------------
   override def planInputPartitions(): Array[InputPartition] = aggs match {
     case Some(as) => Array(planAggPartition(as))
-    case None => packPartitions(listWithSizes(dataFilePaths._2))
+    case None => packPartitions(listWithSizes(runtimePruned(dataFilePaths._2)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = aggs match {

@@ -144,4 +144,28 @@ object StatsManifest {
       Some(keep.select("file").collect().map(_.getString(0)).toSeq)
     }
   }
+
+  /** Point-set overlap test: the data files whose `[min_c, max_c]` box
+    * can contain ANY of `values` (per-value containment OR'd, tighter
+    * than the single `[min(values), max(values)]` envelope when the
+    * set is sparse across a sorted layout). Runtime join pruning ships
+    * its broadcast-collected key set here — values are bounded by the
+    * broadcast threshold by construction. Same superset guarantee as
+    * [[survivingFilesOpt]]; `None` when no manifest exists.
+    */
+  def survivingFilesIn(spark: SparkSession, manifestDir: String,
+                       column: String, values: Seq[Any])
+                      (implicit store: TableStore): Option[Seq[String]] = {
+    val mparts = store.listNames(manifestDir)
+      .filter(_.endsWith(".parquet")).map(store.child(manifestDir, _))
+    if (mparts.isEmpty) None
+    else {
+      val manifest = spark.read.parquet(mparts: _*)
+      val hit = values.map(v =>
+          col(s"min_$column") <= lit(v) && col(s"max_$column") >= lit(v))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      Some(manifest.filter(hit)
+        .select("file").collect().map(_.getString(0)).toSeq)
+    }
+  }
 }

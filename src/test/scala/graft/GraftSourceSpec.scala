@@ -561,4 +561,52 @@ class GraftSourceSpec extends AnyFunSuite {
     val mm = mmDf.head()
     assert((mm.getInt(0), mm.getInt(1)) === (10, 70))
   }
+
+  /** Every physical node under AQE wrappers (adaptive root, query
+    * stages, reused exchanges), for runtime-filter assertions that
+    * must see the FINAL executed plan.
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(s.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      p +: allNodes(r.child)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  test("runtime join pruning: broadcast keys shrink the scanned file set") {
+    val dir = tmp() + "/rf"
+    import spark.implicits._
+    // 64 keys, sorted by v, 4 files per bucket → each file covers a
+    // narrow disjoint v-range; a one-key dim should touch ~1 file
+    val b0 = (1L to 64L).map(k => (k, (k * 10).toInt, s"s$k", false))
+      .toDF("k", "v", "s", "_del")
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 2, keepVersions = 2,
+      sortCols = Seq("v"), filesPerBucket = 4)(b0, 0L)
+    val fact = spark.read.format("graft").load(dir)
+    // file-backed dim: a LocalRelation folds the selective filter away
+    // and the pruning rule (rightly) sees nothing worth a subquery
+    val dimPath = dir + "_dim"
+    Seq((40, "hit"), (90, "hit"), (99999, "miss")).toDF("v", "tag")
+      .write.parquet(dimPath)
+    val joined = fact.join(
+      broadcast(spark.read.parquet(dimPath).filter(col("tag") === "hit")),
+      Seq("v"))
+    assert(joined.collect().map(_.getAs[Long]("k")).toSet === Set(4L, 9L))
+    val nodes = allNodes(joined.queryExecution.executedPlan)
+    val scan = nodes.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().startsWith("graft ") => b
+    }.getOrElse(fail("no graft BatchScanExec in the final plan"))
+    assert(scan.runtimeFilters.nonEmpty,
+      "dynamic pruning injected no runtime filter on the graft scan")
+    // effect, not just injection: the scan emitted only the surviving
+    // files' rows, a strict subset of the 64-row table
+    val out = scan.metrics("numOutputRows").value
+    assert(out < 64L, s"runtime filter pruned nothing (scan emitted $out)")
+    assert(out >= 2L)
+  }
 }
