@@ -50,6 +50,12 @@ object GraftSession {
     // pure scaffolding cost (see graft.Scratch).
     .config("spark.local.dir", Scratch.dir("spark-local"))
     .config("spark.sql.streaming.checkpointLocation", Scratch.dir("stream-ck"))
+    // Catalog-native graft tables: `graft.ns.tbl` multipart names,
+    // CREATE/ALTER/DROP TABLE, VERSION/TIMESTAMP AS OF — the default
+    // warehouse is session scratch; deployments point it at durable
+    // storage (spark.sql.catalog.graft.warehouse).
+    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse", Scratch.dir("graft-warehouse"))
 
   /** Local session used by tests and ad-hoc mains. `cores` threads, and
     * shuffle partitions sized to cores (not the 200 default, which just

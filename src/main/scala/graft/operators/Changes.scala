@@ -2962,6 +2962,46 @@ object Changes {
         .withColumn("pushed", lit(true))
     })
 
+  /** Catalog-native time travel end to end: CREATE TABLE through the
+    * `graft` [[graft.sources.GraftCatalog]] (multipart name, no path in
+    * the query text), two INSERT INTO batches, then one SQL statement
+    * joining CURRENT state against `VERSION AS OF 1` — the DuckDB
+    * oracle recomputes both states from `customer` directly, so the
+    * hash pins the whole catalog route: identifier→directory
+    * resolution, the create-time empty batch, INSERT-as-committed-
+    * batch, and ledgered version resolution inside a multipart-name
+    * query. The update arithmetic stays elementwise (IEEE-identical in
+    * both engines, no rounding).
+    */
+  val qCatalogTimetravel: QuerySpec = QuerySpec(
+    "q_catalog_timetravel",
+    Some("""SELECT c_custkey,
+        CAST(c_acctbal AS DOUBLE) AS bal_v1,
+        CAST(CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100
+             ELSE c_acctbal END AS DOUBLE) AS bal_cur
+      FROM customer WHERE c_custkey % 3 = 0 ORDER BY c_custkey"""),
+    (spark, dir) => {
+      Tables.load(spark, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .createOrReplaceTempView("tt_src")
+      spark.sql("DROP NAMESPACE IF EXISTS graft.tt CASCADE")
+      spark.sql("CREATE NAMESPACE graft.tt")
+      spark.sql("""CREATE TABLE graft.tt.cust (c_custkey BIGINT,
+        c_acctbal DOUBLE) TBLPROPERTIES ('keys'='c_custkey',
+        'sortcols'='c_custkey', 'keepversions'='4')""")
+      spark.sql("INSERT INTO graft.tt.cust SELECT * FROM tt_src")
+      spark.sql("""INSERT INTO graft.tt.cust
+        SELECT c_custkey, c_acctbal + 100 FROM tt_src
+        WHERE c_custkey % 6 = 0""")
+      spark.sql("""SELECT cur.c_custkey, v1.c_acctbal AS bal_v1,
+          cur.c_acctbal AS bal_cur
+        FROM graft.tt.cust cur
+        JOIN (SELECT * FROM graft.tt.cust VERSION AS OF 1) v1
+          USING (c_custkey)
+        ORDER BY c_custkey""")
+    })
+
   def specs: Seq[QuerySpec] =
     Seq(qCdcApply, qScd2, qStreamCdc, qStreamCdcTable, qTableCdf,
       qTableCdfSql, qUpsertLookup, qUpsertEvolve, qUpsertRebucket,
@@ -2974,5 +3014,5 @@ object Changes {
       qUpsertZorder, qUpsertMerge, qUpsertMergeSql, qUpsertMetaCount,
       qUpsertColmap, qStreamMerge,
       qSourceRead, qSourceSql, qSourceCdf, qStreamSourceFormat,
-      qSourceAggSql)
+      qSourceAggSql, qCatalogTimetravel)
 }

@@ -293,6 +293,104 @@ object Epi {
         .orderBy("prio", "day")
     })
 
+  /** Reporting-delay NOWCAST (reporting-triangle completeness
+    * correction, the standard surveillance estimator for "how many
+    * cases happened recently, given reporting lags"): from MATURE
+    * event days (old enough that every report within `maxLag` has
+    * arrived) estimate the lag distribution's cumulative completeness
+    * `F(L)` = share of reports arriving within `L` days; a recent day
+    * observed at available lag `L` is corrected to `observed / F(L)`.
+    *
+    * `lineList` carries one row per (event, report) with `day` (event
+    * date) and `lag` (report delay in days, pre-filtered to reports
+    * at or before the as-of instant and lags in `[0, maxLag]`).
+    * Returns one row per recent day: observed count, completeness at
+    * its available lag, and the corrected estimate (NULL when F = 0 —
+    * no mature report ever arrived that fast, the estimate is
+    * genuinely undefined).
+    *
+    * Scale: the corpus appears ONCE in two hash aggregations (mature
+    * lag histogram — ≤ maxLag+1 groups; recent daily counts — ≤
+    * maxLag days). The completeness table is maxLag+1 rows, built on
+    * a dense lag spine (a lag with zero mature reports must
+    * contribute 0, not vanish) and broadcast into the recent-day
+    * join. No shuffle moves event rows twice.
+    */
+  def nowcast(lineList: DataFrame, asOf: String, maxLag: Int): DataFrame = {
+    val asOfD = to_date(lit(asOf))
+    val mature = lineList.filter(col("day") <= date_sub(asOfD, maxLag))
+    val dist = mature.sparkSession.range(0, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+      .join(mature.groupBy("lag").agg(count(lit(1)).as("c")),
+        Seq("lag"), "left")
+      .select(col("lag"), coalesce(col("c"), lit(0L)).as("c"))
+    val wCum = Window.orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // maxLag+1 rows — the unpartitioned windows are metadata-sized
+    val f = dist.select(col("lag"), sum("c").over(wCum).as("cum"),
+      sum("c").over(wAll).as("total"))
+    val recent = lineList.filter(col("day") > date_sub(asOfD, maxLag))
+      .groupBy("day").agg(count(lit(1)).as("observed"))
+      .withColumn("lag", datediff(asOfD, col("day")).cast("int"))
+    recent.join(broadcast(f), Seq("lag"))
+      .select(col("day"), col("observed"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("completeness"),
+        when(col("cum") > 0,
+          round(col("observed").cast("double") * col("total").cast("double")
+            / col("cum").cast("double"), 4)).as("nowcast"))
+  }
+
+  /** Nowcast over the orders line list: event day = o_orderdate,
+    * report lag synthesized DETERMINISTICALLY as `o_orderkey % 11`
+    * days (both engines derive the identical triangle — the row pins
+    * the ESTIMATOR, not a lag model), as-of 1998-06-30, maxLag 10.
+    * The DuckDB oracle rebuilds the whole estimator from first
+    * principles: the as-of visibility filter, the mature/recent
+    * split, the dense-lag cumulative completeness, and the corrected
+    * counts, with the division written in the same operand order
+    * (elementwise IEEE arithmetic, rounded once at the end in both
+    * engines).
+    */
+  val qNowcast: QuerySpec = QuerySpec(
+    "q_nowcast",
+    Some("""WITH obs AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(o_orderkey % 11 AS INT) AS lag
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) + CAST(o_orderkey % 11 AS INT)
+          <= DATE '1998-06-30'),
+      mature AS (
+        SELECT * FROM obs WHERE day <= DATE '1998-06-30' - 10),
+      spine AS (SELECT CAST(range AS INT) AS lag FROM range(0, 11)),
+      dist AS (
+        SELECT s.lag, count(m.lag) AS c
+        FROM spine s LEFT JOIN mature m ON m.lag = s.lag GROUP BY 1),
+      f AS (
+        SELECT lag, sum(c) OVER (ORDER BY lag) AS cum,
+          sum(c) OVER () AS total FROM dist),
+      recent AS (
+        SELECT day, count(*) AS observed,
+          datediff('day', day, DATE '1998-06-30') AS lag
+        FROM obs WHERE day > DATE '1998-06-30' - 10 GROUP BY day)
+      SELECT r.day, r.observed,
+        round(CAST(f.cum AS DOUBLE) / CAST(f.total AS DOUBLE), 6)
+          AS completeness,
+        CASE WHEN f.cum > 0 THEN
+          round(CAST(r.observed AS DOUBLE) * CAST(f.total AS DOUBLE)
+            / CAST(f.cum AS DOUBLE), 4) END AS nowcast
+      FROM recent r JOIN f ON f.lag = r.lag
+      ORDER BY r.day"""),
+    (spark, dir) => {
+      val lineList = Tables.load(spark, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("day"),
+          (col("o_orderkey") % 11).cast("int").as("lag"))
+        .filter(date_add(col("day"), col("lag")) <= to_date(lit("1998-06-30")))
+      nowcast(lineList, "1998-06-30", maxLag = 10).orderBy("day")
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qEpiweekCurve, qEarsAlerts, qFarringtonAlerts)
+    Seq(qEpiweekCurve, qEarsAlerts, qFarringtonAlerts, qNowcast)
 }

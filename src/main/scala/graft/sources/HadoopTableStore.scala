@@ -160,7 +160,8 @@ final class HadoopTableStore(conf: Configuration = new Configuration())
   def dropLogEntries(path: String, content: String): Unit =
     listNames(logDir(path)).foreach { n =>
       val p = child(logDir(path), n)
-      if (read(p).exists(_.trim == content.trim)) delete(p)
+      if (read(p).exists(_.trim.split("\\s+")(0) == content.trim))
+        delete(p)
     }
 
   override def linkOrCopy(srcFile: String, dstFile: String): Unit = {

@@ -144,7 +144,51 @@ object Ingest {
     * exactly-once to at-least-once, and an upsert re-merge of the same
     * rows is state-idempotent.
     */
-  private val TxnLine = """(\d+)\s+txn=([A-Za-z0-9._\-]+):(\d+)""".r
+  private val TxnLine = """(\d+)\s+txn=([A-Za-z0-9._\-]+):(\d+)(?:\s.*)?""".r
+
+  /** `ts=<epochMillis>` commit-wall-clock annotation (always the LAST
+    * token — annotations compose left-to-right after the batch id).
+    * Powers TIMESTAMP AS OF; commits from builds predating the
+    * annotation simply have none and resolve as "before every
+    * timestamped commit", which is chronologically true.
+    */
+  private val TsToken = """\bts=(\d+)\b""".r
+
+  /** batch id → commit wall-clock millis, for the commits that carry
+    * the annotation.
+    */
+  private[sources] def readCommitTimes(root: String)
+                                      (implicit store: TableStore)
+      : Map[Long, Long] =
+    store.readLog(store.child(root, "_commits"))
+      .flatMap { l =>
+        for {
+          b <- scala.util.Try(l.trim.split("\\s+")(0).toLong).toOption
+          m <- TsToken.findFirstMatchIn(l)
+        } yield b -> m.group(1).toLong
+      }.toMap
+
+  /** The newest committed batch whose commit wall-clock is at or
+    * before `millis` — TIMESTAMP AS OF resolution. Commits without a
+    * `ts=` annotation (pre-upgrade) count as arbitrarily old. Refuses
+    * a timestamp before the first commit (there is no servable state
+    * then). Wall-clock ordering follows ledger order under the
+    * format's single-writer-per-table protocol; a skewed clock can
+    * reorder annotations but never changes WHICH states existed.
+    */
+  def batchAtTimestamp(tableDir: String, millis: Long)
+                      (implicit store: TableStore): Long = {
+    val times = readCommitTimes(tableDir)
+    val eligible = readLedger(tableDir)
+      .filter(b => times.get(b).forall(_ <= millis))
+    require(eligible.nonEmpty,
+      s"no commit of $tableDir is at or before timestamp $millis — " +
+        "the table did not exist yet (earliest commit is " +
+        s"${readLedger(tableDir).minOption.map(b => times.get(b)
+          .map(_.toString).getOrElse("untimestamped"))
+          .getOrElse("<none>")})")
+    eligible.max
+  }
 
   /** Streaming writer transactions: writerId → (highest recorded
     * micro-batch id, the TABLE batch id it committed as). The table
@@ -704,10 +748,12 @@ object Ingest {
     def commit(): Unit = {
       // a streaming writer's (writerId, microBatchId) token rides the
       // SAME append as the batch id — commit and dedupe record are one
-      // atomic ledger entry (see TxnLine)
+      // atomic ledger entry (see TxnLine); the ts= wall-clock token
+      // (always last) powers TIMESTAMP AS OF
+      val ts = s"ts=${System.currentTimeMillis()}"
       store.appendLog(commitsPath, txn match {
-        case Some((w, mb)) => s"$batchId txn=$w:$mb"
-        case None => s"$batchId"
+        case Some((w, mb)) => s"$batchId txn=$w:$mb $ts"
+        case None => s"$batchId $ts"
       })
       // in two-writer OCC mode the other writer's uncommitted build may
       // be legitimately in flight — shield young ones from this sweep

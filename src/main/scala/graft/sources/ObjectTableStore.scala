@@ -121,13 +121,15 @@ final class ObjectTableStore extends TableStore {
       .sortBy(_._1).map(_._2)
   }
 
-  /** Test hook: drop every entry of log `path` whose content is `line`
-    * — simulates the crash window where a commit record was lost.
+  /** Test hook: drop every entry of log `path` whose LEADING TOKEN is
+    * `line` (entries may carry trailing annotations — txn=/ts=) —
+    * simulates the crash window where a commit record was lost.
     */
   def dropLogEntries(path: String, line: String): Unit = {
     val p = logPrefix(path)
     objects.asScala.foreach { case (k, (v, _)) =>
-      if (k.startsWith(p) && v == line) objects.remove(k)
+      if (k.startsWith(p) && v.trim.split("\\s+")(0) == line)
+        objects.remove(k)
     }
   }
 

@@ -103,7 +103,7 @@ class CrashWindowSpec extends AnyFunSuite {
         up(1, (1L, 11.0, false), (3L, 3.0, false), (2L, 0.0, true))
         assert(state() == s1, s"window $k replay diverged")
         val committed = store.readLog(store.child(table, "_commits"))
-          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+          .flatMap(l => scala.util.Try(l.trim.split("\\s+")(0).toLong).toOption).toSet
         assert(committed == Set(0L, 1L), s"window $k ledger: $committed")
         // 3. batch 1's change feed is complete (pre+post for 1, insert
         // for 3, delete for 2) and both slices were published
@@ -460,7 +460,7 @@ class CrashWindowSpec extends AnyFunSuite {
         // the index's ledger is torn-free: it holds slice 0, and holds
         // slice 1 only if the state already reflects it
         val committed = store.readLog(store.child(idx, "_commits"))
-          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+          .flatMap(l => scala.util.Try(l.trim.split("\\s+")(0).toLong).toOption).toSet
         assert(committed.contains(0L), s"fold window $k lost slice 0")
         // replaying the crashed slice converges on the clean reference
         foldSlice(idx, 1L)
@@ -518,7 +518,7 @@ class CrashWindowSpec extends AnyFunSuite {
           .select("user_id", "value").as[(Long, Double)].collect().toMap
         assert(got == want, s"occ window $k lost an update: $got")
         val committed = shared.readLog(shared.child(table, "_commits"))
-          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+          .flatMap(l => scala.util.Try(l.trim.split("\\s+")(0).toLong).toOption).toSet
         assert(committed == Set(0L, 1L, 7L), s"occ window $k ledger: $committed")
         LocalTableStore.deleteTree(table)
       }

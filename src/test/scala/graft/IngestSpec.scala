@@ -1581,7 +1581,8 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       "writer B never observed A's in-flight write — race not exercised")
     assert(bErr.isEmpty, s"writer B failed: $bErr")
     // both commits durable: ledger holds both ids, state holds both rows
-    val ledger = store.readLog(store.child(table, "_commits")).map(_.trim)
+    val ledger = store.readLog(store.child(table, "_commits"))
+      .map(_.trim.split("\\s+")(0))
     assert(ledger.toSet === Set("0", "1", "7"), ledger)
     val state = Ingest.readUpsertTable(spark, table)
     assert(state.count() === 100002)
@@ -2084,7 +2085,8 @@ class IngestSpec extends IngestSuiteBase {
     val ledger = java.nio.file.Paths.get(table, "_commits")
     val kept = new java.util.ArrayList[String]()
     java.nio.file.Files.readAllLines(ledger)
-      .forEach(l => if (l.trim != batchId.toString) kept.add(l))
+      .forEach(l =>
+        if (l.trim.split("\\s+")(0) != batchId.toString) kept.add(l))
     java.nio.file.Files.write(ledger, kept)
   }
 }

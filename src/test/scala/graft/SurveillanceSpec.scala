@@ -167,4 +167,40 @@ class SurveillanceSpec extends AnyFunSuite {
       .agg(max(abs(col("zr")))).head().getDouble(0)
     assert(quiet < 2.0, s"ordinary ramp days should score under 2: $quiet")
   }
+
+  test("nowcast corrects recent days by the mature lag distribution") {
+    import spark.implicits._
+    // mature history (any day ≤ asOf-3): lag histogram {0→2, 1→1, 2→1}
+    // over 4 reports ⇒ F(0)=0.5, F(1)=0.75, F(2)=1.0
+    val mature = Seq(
+      ("2020-01-01", 0), ("2020-01-01", 0), ("2020-01-02", 1),
+      ("2020-01-03", 2))
+    // recent days at as-of 2020-02-01 (maxLag 3): available lag =
+    // asOf - day; observed counts chosen so corrections are exact
+    val recent = Seq(
+      ("2020-02-01", 0), ("2020-02-01", 0), ("2020-02-01", 0), // lag 0: 3/0.5 = 6
+      ("2020-01-31", 0), ("2020-01-31", 1), ("2020-01-31", 0), // lag 1: 3/0.75 = 4
+      ("2020-01-30", 2), ("2020-01-30", 0))                    // lag 2: 2/1.0 = 2
+    val lineList = (mature ++ recent)
+      .toDF("d", "lag").select(to_date(col("d")).as("day"), col("lag"))
+    val got = Epi.nowcast(lineList, "2020-02-01", maxLag = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getDouble(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("2020-01-30", 2L, 1.0, 2.0),
+      ("2020-01-31", 3L, 0.75, 4.0),
+      ("2020-02-01", 3L, 0.5, 6.0)))
+
+    // a lag NO mature report ever had (F = 0) yields NULL, not ∞:
+    // shift the mature histogram so lag 0 is empty
+    val lineList2 = (Seq(("2020-01-01", 1), ("2020-01-02", 2)) ++
+      Seq(("2020-02-01", 0), ("2020-02-01", 0)))
+      .toDF("d", "lag").select(to_date(col("d")).as("day"), col("lag"))
+    val r2 = Epi.nowcast(lineList2, "2020-02-01", maxLag = 3)
+      .filter(col("day") === lit("2020-02-01")).head()
+    assert(r2.getLong(1) === 2L)
+    assert(r2.getDouble(2) === 0.0)
+    assert(r2.isNullAt(3), "F=0 must yield NULL, not a division blow-up")
+  }
 }
