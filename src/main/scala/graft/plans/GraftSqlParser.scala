@@ -113,7 +113,26 @@ private[plans] object GraftSqlCommands {
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .getOrElse(throw new IllegalArgumentException(
           s"GRAFT: cannot resolve table '$s' — no active Spark session"))
-      val ti = s.split("\\.").toSeq match {
+      // multipart names whose FIRST part is a registered graft
+      // TableCatalog resolve through it (identifier IS the directory
+      // under the catalog's warehouse — no instance or metastore
+      // needed); same precedence as Spark's own multipart resolution
+      val parts = s.split("\\.").toSeq
+      if (parts.length >= 2 && spark.conf
+          .getOption(s"spark.sql.catalog.${parts.head}")
+          .contains("graft.sources.GraftCatalog")) {
+        val warehouse = spark.conf
+          .getOption(s"spark.sql.catalog.${parts.head}.warehouse")
+          .getOrElse(throw new IllegalArgumentException(
+            s"GRAFT: catalog '${parts.head}' has no warehouse configured"))
+        require(parts.tail.forall(p => p.nonEmpty && p != "." &&
+          p != ".." && !p.contains("/") && !p.startsWith("_")),
+          s"GRAFT: illegal identifier segment in '$s'")
+        // existence/table-ness is the downstream command's check (it
+        // refuses "not an upsert table (no _meta)" with the full path)
+        return (warehouse +: parts.tail).mkString("/")
+      }
+      val ti = parts match {
         case Seq(t) => TableIdentifier(t)
         case Seq(db, t) => TableIdentifier(t, Some(db))
         case _ => throw new IllegalArgumentException(

@@ -430,6 +430,32 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_named")
   }
 
+  test("GRAFT commands accept graft-CATALOG multipart names") {
+    spark.sql("DROP NAMESPACE IF EXISTS graft.sqlns CASCADE")
+    spark.sql("CREATE NAMESPACE graft.sqlns")
+    spark.sql("""CREATE TABLE graft.sqlns.t (k BIGINT, v DOUBLE)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql("INSERT INTO graft.sqlns.t VALUES (1, 1.0), (2, 2.0)")
+    val dir = spark.conf.get("spark.sql.catalog.graft.warehouse") +
+      "/sqlns/t"
+    // the multipart name and the quoted path resolve to one table
+    val byName = spark.sql("GRAFT DESCRIBE HISTORY graft.sqlns.t")
+      .collect().toSeq
+    val byPath = spark.sql(s"GRAFT DESCRIBE HISTORY '$dir'")
+      .collect().toSeq
+    assert(byName === byPath && byName.nonEmpty)
+    spark.sql("GRAFT UPDATE graft.sqlns.t SET v = v + 10 WHERE k = 2")
+    assert(spark.sql("SELECT v FROM graft.sqlns.t WHERE k = 2")
+      .head().getDouble(0) === 12.0)
+    // a missing table under the catalog fails with the command's own
+    // full-path refusal (DESCRIBE DETAIL reads _meta), not silence
+    val e = intercept[Exception] {
+      spark.sql("GRAFT DESCRIBE DETAIL graft.sqlns.nope").collect()
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    spark.sql("DROP NAMESPACE graft.sqlns CASCADE")
+  }
+
   test("standard SQL is untouched and GRAFT typos fail as plain parse errors") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
     // not our grammar → delegate → its normal parse error
