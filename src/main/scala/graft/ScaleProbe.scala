@@ -79,6 +79,7 @@ object ScaleProbe {
       blowUp("orders", Seq("o_orderkey", "o_custkey"))
       blowUp("events", Seq("event_id", "user_id"))
       blowUp("documents", Seq("doc_id"))
+      blowUp("customer", Seq("c_custkey"))
     }
 
     val band =
@@ -127,7 +128,17 @@ object ScaleProbe {
         // r15 second half: the HL7 ingest pipeline rides its
         // micro-batches (parse is narrow per-row; the sink merge rides
         // touched buckets; letters ride the violation count)
-        "q_hl7_pipeline")
+        "q_hl7_pipeline",
+        // r16: the V2 streaming source rides feed slices exactly like
+        // the sink twin; the pushed-aggregate SQL must stay
+        // manifest-sized on its READ (the memoized build dominates);
+        // the catalog route is 3 fixed commits over a %3 slice (cost ∝
+        // slice, never table history); structured parse is narrow
+        // per-row; nowcast and Farrington are one corpus aggregation
+        // each plus metadata-sized spines
+        "q_stream_source_format", "q_source_agg_sql",
+        "q_catalog_timetravel", "q_hl7_structured", "q_nowcast",
+        "q_farrington_alerts")
 
     // optional 4th arg: comma-separated row filter for incremental
     // probing (a new op's ratio without re-running the whole band)
