@@ -391,6 +391,450 @@ object Epi {
       nowcast(lineList, "1998-06-30", maxLag = 10).orderBy("day")
     })
 
+  /** Space-time permutation SCAN STATISTIC (Kulldorff et al. 2005 —
+    * the SaTScan method CDC practice uses for outbreak cluster
+    * detection, in its permutation form which needs only the case
+    * counts, no population denominators): candidate clusters are
+    * cylinders (zone × run of consecutive MMWR weeks, 1..4 weeks
+    * long); under the null the expected cylinder count is
+    * `μ = (zone total × interval total) / N` (row×column margins),
+    * and each cylinder with observed `c > μ` scores the Poisson
+    * generalized likelihood ratio
+    * `c·ln(c/μ) + (N−c)·ln((N−c)/(N−μ))`. The top clusters by LLR
+    * are the detected outbreaks. (SaTScan's Monte-Carlo p-values are
+    * a significance layer over this same statistic — the statistic
+    * itself is the deterministic, cross-engine-checkable core.)
+    *
+    * Zones are customer nations (orders ⋈ customer ⋈ nation — the
+    * "where" of each case); weeks are MMWR Sunday-start weeks. The
+    * `c > μ` membership is decided on the EXACT integer cross
+    * product (`c·N > zone_total·interval_total`) in both engines —
+    * no float boundary can flip a cluster in or out.
+    *
+    * Scale: the corpus appears once in the zone-week aggregation
+    * (orders ⋈ customer is a standard co-partitioned keyed join,
+    * nation broadcast). Everything after is CALENDAR-sized — zones ×
+    * weeks (~10⁴ rows whatever the corpus), interval spine joined by
+    * broadcast, so candidate scoring costs the same at 100 TB as at
+    * sf0.01.
+    */
+  val qSpacetimeScan: QuerySpec = QuerySpec(
+    "q_spacetime_scan",
+    Some("""WITH weekly AS (
+        SELECT n_name AS zone,
+          CAST(o_orderdate AS DATE)
+            - CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS wk,
+          count(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      wt AS (SELECT wk, sum(n) AS wn FROM weekly GROUP BY 1),
+      zt AS (SELECT zone, sum(n) AS zn FROM weekly GROUP BY 1),
+      tot AS (SELECT sum(n) AS nn FROM weekly),
+      spine AS (
+        SELECT s.wk AS week_start, l.len,
+          s.wk + 7 * (l.len - 1) AS we
+        FROM (SELECT DISTINCT wk FROM weekly) s
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS len) l
+        WHERE s.wk + 7 * (l.len - 1) <= (SELECT max(wk) FROM weekly)),
+      iw AS (
+        SELECT week_start, len, sum(wn) AS iw
+        FROM spine JOIN wt ON wt.wk BETWEEN week_start AND we
+        GROUP BY 1, 2),
+      cyl AS (
+        SELECT zone, week_start, len, sum(n) AS c
+        FROM spine JOIN weekly ON weekly.wk BETWEEN week_start AND we
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT cyl.zone, cyl.week_start, cyl.len AS weeks, cyl.c,
+          CAST(zt.zn * iw.iw AS DOUBLE) / CAST(tot.nn AS DOUBLE) AS mu,
+          CAST(cyl.c AS DOUBLE) AS cd, CAST(tot.nn AS DOUBLE) AS nd
+        FROM cyl
+        JOIN iw ON iw.week_start = cyl.week_start AND iw.len = cyl.len
+        JOIN zt ON zt.zone = cyl.zone
+        CROSS JOIN tot
+        WHERE cyl.c * tot.nn > zt.zn * iw.iw),
+      llrd AS (
+        SELECT zone, week_start, weeks, c, mu,
+          cd * ln(cd / mu)
+            + CASE WHEN nd = cd THEN 0.0
+                ELSE (nd - cd) * ln((nd - cd) / (nd - mu)) END AS llr
+        FROM scored)
+      SELECT zone, week_start, weeks, CAST(c AS BIGINT) AS c,
+        round(mu, 4) AS mu, round(round(llr, 6), 4) AS llr
+      FROM llrd
+      ORDER BY round(llr, 6) DESC, zone, week_start, weeks
+      LIMIT 20"""),
+    (spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+      val customer = Tables.load(spark, dir, "customer")
+      val nation = Tables.load(spark, dir, "nation")
+      val weekly = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("zone"),
+          date_sub(to_date(col("o_orderdate")),
+            dayofweek(to_date(col("o_orderdate"))) - 1).as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val wt = weekly.groupBy("wk").agg(sum("n").as("wn"))
+      val zt = weekly.groupBy("zone").agg(sum("n").as("zn"))
+      val tot = weekly.agg(sum("n").as("nn"))
+      val spine = wt.select(col("wk").as("week_start"))
+        .crossJoin(broadcast(wt.agg(max("wk").as("maxWk"))))
+        .select(col("week_start"),
+          explode(array(lit(1), lit(2), lit(3), lit(4))).as("len"),
+          col("maxWk"))
+        .withColumn("we", date_add(col("week_start"), (col("len") - 1) * 7))
+        .filter(col("we") <= col("maxWk"))
+      // interval membership as an EQUI-join: each candidate interval
+      // explodes into its member Sundays, so the cylinder sums are hash
+      // joins over calendar-sized frames — no range/nested-loop join
+      val members = spine.select(col("week_start"), col("len"),
+        explode(sequence(col("week_start"), col("we"),
+          expr("interval 7 days"))).as("wk"))
+      val iw = wt.join(broadcast(members), Seq("wk"))
+        .groupBy("week_start", "len").agg(sum("wn").as("iw"))
+      val cyl = weekly.join(broadcast(members), Seq("wk"))
+        .groupBy("zone", "week_start", "len").agg(sum("n").as("c"))
+      val cd = col("c").cast("double")
+      val nd = col("nn").cast("double")
+      val mu = (col("zn") * col("iw")).cast("double") / nd
+      cyl
+        .join(broadcast(iw), Seq("week_start", "len"))
+        .join(broadcast(zt), Seq("zone"))
+        .crossJoin(broadcast(tot))
+        .filter(col("c") * col("nn") > col("zn") * col("iw"))
+        .withColumn("mu", mu)
+        .withColumn("llr", cd * log(cd / col("mu")) +
+          when(nd === cd, lit(0.0))
+            .otherwise((nd - cd) * log((nd - cd) / (nd - col("mu")))))
+        .select(col("zone"), col("week_start"), col("len").as("weeks"),
+          col("c"), round(col("mu"), 4).as("mu"),
+          round(round(col("llr"), 6), 4).as("llr"),
+          round(col("llr"), 6).as("ord"))
+        .orderBy(col("ord").desc, col("zone"), col("week_start"),
+          col("weeks"))
+        .drop("ord")
+        .limit(20)
+    })
+
+  /** Tabular CUSUM aberration detection (Page 1954; the third member
+    * of the published surveillance-detector family next to
+    * [[qEarsAlerts]]'s short-baseline C2 and [[qFarringtonAlerts]]'s
+    * trend regression — CUSUM is the one that ACCUMULATES small
+    * sustained shifts no single-day detector sees): each series'
+    * counts are standardized against the series' whole-period
+    * mean/sd (the retrospective phase-I convention — an all-zero or
+    * constant series drops out via the σ₀ > 0 guard), and the
+    * one-sided upper CUSUM `S_t = max(0, S_{t−1} + z_t − k)` with
+    * reference value `k = 0.5` alerts when it crosses the decision
+    * interval `h = 4` (the textbook ±1σ-shift operating point).
+    *
+    * Cross-engine determinism: μ₀/σ₀ are 6-dp-rounded AGGREGATES
+    * (summation order differs between engines); everything after is
+    * elementwise IEEE arithmetic on identical inputs — the whole
+    * recurrence is bit-identical in Spark's fold and DuckDB's
+    * recursive CTE, so membership (`round(S,6) ≥ 4`) cannot drift.
+    *
+    * Scale: the corpus appears once in the daily aggregation; the
+    * recurrence is inherently sequential PER SERIES, so each series'
+    * dense day vector (calendar-bounded — ~2.4k days here) folds
+    * inside one task via the [[Series.ewmaSmoothed]] discipline,
+    * with the same fail-fast guard on a series outgrowing its task;
+    * series themselves parallelize freely.
+    */
+  val qCusumAlerts: QuerySpec = QuerySpec(
+    "q_cusum_alerts",
+    Some("""WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+          count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+          max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      spine AS (
+        SELECT p.prio, s.day
+        FROM (SELECT DISTINCT o_orderpriority AS prio FROM orders) p,
+          (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+             AS day FROM bounds) s),
+      dense AS (
+        SELECT spine.prio, spine.day, coalesce(daily.n, 0) AS n,
+          spine.day - (SELECT d0 FROM bounds) AS idx
+        FROM spine LEFT JOIN daily
+          ON daily.prio = spine.prio AND daily.day = spine.day),
+      bs AS (
+        SELECT prio,
+          floor(avg(n) * 1000000 + 0.5) / 1000000 AS mu0,
+          floor(stddev_samp(n) * 1000000 + 0.5) / 1000000 AS s0
+        FROM dense GROUP BY prio
+        HAVING floor(stddev_samp(n) * 1000000 + 0.5) / 1000000 > 0),
+      z AS (
+        SELECT d.prio, d.day, d.n, d.idx,
+          (d.n - bs.mu0) / bs.s0 AS z
+        FROM dense d JOIN bs ON d.prio = bs.prio),
+      cusum AS (
+        SELECT prio, idx, day, n, greatest(z - 0.5, 0.0) AS s
+        FROM z WHERE idx = 0
+        UNION ALL
+        SELECT z.prio, z.idx, z.day, z.n,
+          greatest(c.s + z.z - 0.5, 0.0)
+        FROM cusum c JOIN z ON z.prio = c.prio AND z.idx = c.idx + 1)
+      SELECT prio, day, n,
+        floor((floor(s * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000
+          AS s
+      FROM cusum WHERE floor(s * 1000000 + 0.5) / 1000000 >= 4
+      ORDER BY prio, day"""),
+    (spark, dir) => {
+      val orders = Tables.load(spark, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = orders.agg(
+        min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+      val spine = orders.select(col("o_orderpriority").as("prio")).distinct()
+        .crossJoin(bounds.select(col("d0"),
+          explode(sequence(col("d0"), col("d1"))).as("day")))
+      val dense = spine.join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+      def r6f(c: Column): Column =
+        floor(c * 1000000 + lit(0.5)).cast("double") / 1000000
+      val bs = dense.groupBy("prio")
+        .agg(r6f(avg("n")).as("mu0"), r6f(stddev_samp(col("n"))).as("s0"))
+        .filter(col("s0") > 0)
+      val arr = dense
+        .join(broadcast(bs), Seq("prio"))
+        .select(col("prio"), col("day"), col("n"),
+          ((col("n") - col("mu0")) / col("s0")).as("z"))
+        .groupBy("prio")
+        .agg(sort_array(collect_list(struct(col("day"), col("n"),
+          col("z")))).as("pts"))
+        .withColumn("pts",
+          when(size(col("pts")) <= lit(Series.EwmaMaxPointsPerSeries),
+            col("pts"))
+            .otherwise(raise_error(concat(
+              lit("Epi.cusum: series '"), col("prio"),
+              lit("' exceeds the one-task fold bound — re-grain " +
+                "(e.g. weekly) or segment the fold")))))
+      // seed 0.0, fold the recurrence, drop the seed: ss[i] = S of pts[i]
+      val ss = slice(
+        aggregate(col("pts"), array(lit(0.0)),
+          (acc, x) => concat(acc, array(
+            greatest(element_at(acc, -1) + x.getField("z") - lit(0.5),
+              lit(0.0))))),
+        lit(2), size(col("pts")))
+      val s6 = floor(col("s") * 1000000 + lit(0.5)).cast("double") / 1000000
+      arr.select(col("prio"),
+          explode(arrays_zip(col("pts"), ss.as("s"))).as("e"))
+        .select(col("prio"), col("e.pts.day").as("day"),
+          col("e.pts.n").as("n"), col("e.s").as("s"))
+        .filter(s6 >= 4)
+        .select(col("prio"), col("day"), col("n"),
+          (floor(s6 * 10000 + lit(0.5)).cast("double") / 10000).as("s"))
+        .orderBy("prio", "day")
+    })
+
+  /** EARS C2 as an ALWAYS-ON streaming monitor: the orders line list
+    * arrives as 4 file micro-batches, a complete-mode streaming
+    * aggregation maintains the DAILY COUNTS per series (state =
+    * series × days — spine-sized, never the corpus), and the
+    * detector re-scores the densified spine after the drain. The
+    * alerts must equal [[qEarsAlerts]] exactly (SHARED oracle): the
+    * incremental fold changes where the daily aggregate comes from,
+    * not what the detector sees.
+    *
+    * This is the scale shape a production syndromic monitor runs:
+    * the corpus flows through ONCE as it arrives (per-batch partial
+    * aggregation into bounded state), and each re-score touches only
+    * the metadata-sized daily frame — no end-of-day corpus rescan.
+    */
+  val qStreamEars: QuerySpec = QuerySpec(
+    "q_stream_ears",
+    qEarsAlerts.oracle,
+    (spark, dir) => {
+      val base = graft.Scratch.dir("stream-ears")
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val raw = Tables.load(spark, dir, "orders")
+      (0 until 4).foreach { i =>
+        val tmp = s"$base/stage_$i"
+        raw.filter(pmod(col("o_orderkey"), lit(4L)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head.toPath
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$in/c$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val src = spark.readStream.schema(Tables.orders)
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/*.parquet")
+      val daily = EventOps.runStreamToTable(
+        src.groupBy(col("o_orderpriority").as("prio"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        mode = "complete")
+      val bounds = daily.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      val spine = daily.select(col("prio")).distinct()
+        .crossJoin(bounds.select(
+          explode(sequence(col("d0"), col("d1"))).as("day")))
+      val dense = spine.join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+      earsC2Score(dense)
+        .filter(col("sigma") > 0 && col("c2r") >= 3)
+        .select(col("prio"), col("day"), col("n"),
+          round(col("c2r"), 4).as("c2"))
+        .orderBy("prio", "day")
+    })
+
+  /** Two-source CAPTURE-RECAPTURE completeness estimation (the
+    * Chapman-corrected Lincoln-Petersen estimator — the standard
+    * epidemiologic answer to "how many cases did BOTH our reporting
+    * systems miss?", Hook & Regal 1995): two overlapping case lists
+    * per stratum give `N̂ = (n1+1)(n2+1)/(m+1) − 1` with `m` the
+    * matched overlap, plus each system's implied sensitivity. The
+    * two "systems" are deterministic key-derived sublists (keys
+    * ∤ 3 / ∤ 5) so both engines derive the identical capture
+    * histories and the hash pins the estimator itself.
+    *
+    * Scale: ONE conditional-aggregation pass over the corpus — n1,
+    * n2, m are `count(CASE …)` in the same hash aggregate; nothing
+    * joins, nothing shuffles twice.
+    */
+  val qCaptureRecapture: QuerySpec = QuerySpec(
+    "q_capture_recapture",
+    Some("""WITH caps AS (
+        SELECT o_orderpriority AS prio,
+          count(CASE WHEN o_orderkey % 3 <> 0 THEN 1 END) AS n1,
+          count(CASE WHEN o_orderkey % 5 <> 0 THEN 1 END) AS n2,
+          count(CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+            THEN 1 END) AS m,
+          count(*) AS n_true
+        FROM orders GROUP BY 1)
+      SELECT prio, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CAST(m AS BIGINT) AS m,
+        round((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE))
+          / CAST(m + 1 AS DOUBLE) - 1, 4) AS n_hat,
+        round(CAST(m AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS sens1,
+        round(CAST(m AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS sens2,
+        CAST(n_true AS BIGINT) AS n_true
+      FROM caps ORDER BY prio"""),
+    (spark, dir) => {
+      val caps = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(
+          count(when(col("o_orderkey") % 3 =!= 0, 1)).as("n1"),
+          count(when(col("o_orderkey") % 5 =!= 0, 1)).as("n2"),
+          count(when(col("o_orderkey") % 3 =!= 0 &&
+            col("o_orderkey") % 5 =!= 0, 1)).as("m"),
+          count(lit(1)).as("n_true"))
+      caps.select(col("prio"), col("n1"), col("n2"), col("m"),
+          round((col("n1") + 1).cast("double") * (col("n2") + 1)
+            .cast("double") / (col("m") + 1).cast("double") - 1, 4)
+            .as("n_hat"),
+          round(col("m").cast("double") / col("n2").cast("double"), 6)
+            .as("sens1"),
+          round(col("m").cast("double") / col("n1").cast("double"), 6)
+            .as("sens2"),
+          col("n_true"))
+        .orderBy("prio")
+    })
+
+  /** DIRECT STANDARDIZATION of rates (the age-adjusted-rate method
+    * every published CDC mortality/incidence table uses): a zone's
+    * crude rate confounds with its population MIX, so each zone's
+    * stratum-specific rates are re-weighted by a common STANDARD
+    * population (here: the all-zone stratum totals). Zones =
+    * customer nations, strata = market segments (standing in for age
+    * bands), cases = orders, population = customers.
+    *
+    * Scale: cases aggregate once through the orders ⋈ customer keyed
+    * join (the corpus pass); populations aggregate over the
+    * dimension table; everything downstream is zones × strata —
+    * metadata-sized. Per the repo's determinism contract, the
+    * division-then-sum runs on 6-dp-rounded stratum rates in both
+    * engines before the final 6-dp rounding.
+    */
+  val qAgeAdjusted: QuerySpec = QuerySpec(
+    "q_age_adjusted",
+    Some("""WITH cases AS (
+        SELECT n_name AS zone, c_mktsegment AS stratum, count(*) AS c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      pop AS (
+        SELECT n_name AS zone, c_mktsegment AS stratum,
+          count(*) AS p
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      std AS (
+        SELECT stratum, sum(p) AS sp FROM pop GROUP BY 1),
+      stdtot AS (SELECT sum(sp) AS spt FROM std),
+      rates AS (
+        SELECT pop.zone, pop.stratum,
+          round(CAST(coalesce(cases.c, 0) AS DOUBLE)
+            / CAST(pop.p AS DOUBLE), 6) AS r,
+          std.sp, stdtot.spt
+        FROM pop
+        LEFT JOIN cases ON cases.zone = pop.zone
+          AND cases.stratum = pop.stratum
+        JOIN std ON std.stratum = pop.stratum
+        CROSS JOIN stdtot),
+      crude AS (
+        SELECT z.zone,
+          round(CAST(sum(coalesce(c.c, 0)) AS DOUBLE)
+            / CAST(sum(z.p) AS DOUBLE), 6) AS crude_rate
+        FROM pop z LEFT JOIN cases c
+          ON c.zone = z.zone AND c.stratum = z.stratum
+        GROUP BY 1)
+      SELECT r.zone, crude.crude_rate,
+        round(sum(r.r * (CAST(r.sp AS DOUBLE) / CAST(r.spt AS DOUBLE))),
+          6) AS adjusted_rate
+      FROM rates r JOIN crude ON crude.zone = r.zone
+      GROUP BY r.zone, crude.crude_rate
+      ORDER BY r.zone"""),
+    (spark, dir) => {
+      val customer = Tables.load(spark, dir, "customer")
+      val nation = Tables.load(spark, dir, "nation")
+      val cust = customer.join(broadcast(nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("zone"),
+          col("c_mktsegment").as("stratum"))
+      val cases = Tables.load(spark, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("zone", "stratum").agg(count(lit(1)).as("c"))
+      val pop = cust.groupBy("zone", "stratum")
+        .agg(count(lit(1)).as("p"))
+      val std = pop.groupBy("stratum").agg(sum("p").as("sp"))
+      val stdtot = std.agg(sum("sp").as("spt"))
+      val rates = pop
+        .join(cases, Seq("zone", "stratum"), "left")
+        .join(broadcast(std), Seq("stratum"))
+        .crossJoin(broadcast(stdtot))
+        .select(col("zone"), col("stratum"),
+          round(coalesce(col("c"), lit(0L)).cast("double")
+            / col("p").cast("double"), 6).as("r"),
+          col("sp"), col("spt"))
+      val crude = pop.join(cases, Seq("zone", "stratum"), "left")
+        .groupBy("zone")
+        .agg(round(sum(coalesce(col("c"), lit(0L))).cast("double")
+          / sum(col("p")).cast("double"), 6).as("crude_rate"))
+      rates.groupBy("zone")
+        .agg(round(sum(col("r") * (col("sp").cast("double")
+          / col("spt").cast("double"))), 6).as("adjusted_rate"))
+        .join(broadcast(crude), Seq("zone"))
+        .select(col("zone"), col("crude_rate"), col("adjusted_rate"))
+        .orderBy("zone")
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qEpiweekCurve, qEarsAlerts, qFarringtonAlerts, qNowcast)
+    Seq(qEpiweekCurve, qEarsAlerts, qFarringtonAlerts, qNowcast,
+      qSpacetimeScan, qCusumAlerts, qStreamEars, qCaptureRecapture,
+      qAgeAdjusted)
 }

@@ -356,6 +356,94 @@ object Hl7 {
         .orderBy("doc_id")
     })
 
+  /** MLLP frame (HL7's Minimal Lower Layer Protocol — the wire
+    * framing every HL7 v2 interface engine speaks): `<VT> message
+    * <FS><CR>` (0x0B … 0x1C 0x0D). MLLP has NO escape mechanism —
+    * the payload must not contain the frame bytes, so they are
+    * stripped (HL7 v2 content is CR-separated printable text; a
+    * stray VT/FS in source data is corruption, not content).
+    */
+  def mllpFrame(msg: Column): Column =
+    concat(lit("\u000b"), translate(msg, "\u000b\u001c", ""),
+      lit("\u001c\r"))
+
+  /** Batch a frame-per-message wire stream with the HL7 batch
+    * protocol: a BHS (batch header) frame, the message frames in
+    * `doc_id` order, and a BTS (batch trailer) frame whose BTS-1
+    * carries the message COUNT — the receiver's integrity check.
+    * One row per batch: `(batch_id, wire)`.
+    *
+    * Scale: one keyed aggregation; each batch's wire is assembled
+    * from a sorted collect_list inside its group — batch size is the
+    * caller's partition-sizing choice (the fixture's `doc_id % 16`
+    * keeps groups bounded), and batches parallelize freely.
+    */
+  def mllpWire(msgs: DataFrame, batchCol: Column): DataFrame = {
+    val framed = msgs.select(batchCol.as("batch_id"), col("doc_id"),
+      mllpFrame(col("hl7")).as("f"))
+    val bhs = mllpFrame(lit("BHS|^~\\&|GRAFT|LAB|RECV|FAC"))
+    framed.groupBy("batch_id")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("doc_id"), col("f"))))
+          .as("fs"))
+      .select(col("batch_id"),
+        concat(bhs,
+          array_join(transform(col("fs"), x => x.getField("f")), ""),
+          mllpFrame(concat(lit("BTS|"), col("n").cast("string"))))
+          .as("wire"))
+  }
+
+  /** Unframe + verify an MLLP batch wire: split on the FS+CR frame
+    * terminator, demand the VT frame start on every piece
+    * (`frames_ok`), classify BHS/BTS/message frames, check the BTS
+    * count against the messages actually present (`bts_ok`), and
+    * checksum the parsed MSH-10 ids (`id_sum` — content survival,
+    * not just frame counts). Pure narrow array expressions; a
+    * corrupted wire degrades to `frames_ok = false`, never throws.
+    */
+  def mllpVerify(wires: DataFrame): DataFrame = {
+    val parts = filter(split(col("wire"), "\u001c\r"),
+      p => length(p) > 0)
+    val framesOk = forall(parts, p => substring(p, 1, 1) === "\u000b")
+    val msgs = transform(parts, p => substring(p, 2, Int.MaxValue))
+    def isSeg(m: Column, name: String): Column =
+      substring(m, 1, 4) === s"$name|"
+    val body = filter(msgs,
+      m => !isSeg(m, "BHS") && !isSeg(m, "BTS"))
+    val bts = try_element_at(filter(msgs, m => isSeg(m, "BTS")), lit(1))
+    val btsN = try_element_at(split(bts, "\\|", -1), lit(2)).cast("long")
+    val idOf = (m: Column) => try_element_at(
+      split(try_element_at(split(m, "\r"), lit(1)), "\\|", -1),
+      lit(10)).cast("long")
+    wires.select(col("batch_id"),
+      size(body).cast("long").as("n_msgs"),
+      btsN.as("bts_n"),
+      framesOk.as("frames_ok"),
+      (size(body).cast("long") === btsN).as("bts_ok"),
+      aggregate(transform(body, idOf), lit(0L), (a, x) => a + x)
+        .as("id_sum"))
+  }
+
+  /** Render → MLLP-frame into batches (with BHS/BTS envelope) →
+    * unframe → verify: the DuckDB oracle never sees a frame — it
+    * recomputes each batch's expected count and id checksum straight
+    * from `documents`, so the hash pins the whole wire round trip:
+    * framing discipline, batch envelope, trailer count, and every
+    * message's MSH-10 surviving transport.
+    */
+  val qHl7Mllp: QuerySpec = QuerySpec(
+    "q_hl7_mllp",
+    Some("""SELECT CAST(doc_id % 16 AS BIGINT) AS batch_id,
+        count(*) AS n_msgs, count(*) AS bts_n,
+        true AS frames_ok, true AS bts_ok,
+        CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM documents GROUP BY 1 ORDER BY batch_id"""),
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      mllpVerify(mllpWire(renderMessages(docs), pmod(col("doc_id"), lit(16L))))
+        .orderBy("batch_id")
+    })
+
   def specs: Seq[QuerySpec] =
-    Seq(qHl7Roundtrip, qHl7Pipeline, qHl7Structured)
+    Seq(qHl7Roundtrip, qHl7Pipeline, qHl7Structured, qHl7Mllp)
 }

@@ -203,4 +203,112 @@ class SurveillanceSpec extends AnyFunSuite {
     assert(r2.getDouble(2) === 0.0)
     assert(r2.isNullAt(3), "F=0 must yield NULL, not a division blow-up")
   }
+
+  /** A minimal orders/customer/nation fixture: `nZones` zones, one
+    * customer per zone, `weeks` Sunday-aligned weeks with `perWeek`
+    * cases per (zone, week), plus `extra` injected cases at the given
+    * (zone, week-index) cells.
+    */
+  private def scanFixture(nZones: Int, weeks: Int, perWeek: Int,
+      extra: Seq[(Int, Int, Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scan").toString
+    // 2020-01-05 is a Sunday: week w spans day 7w .. 7w+6
+    val d0 = java.time.LocalDate.of(2020, 1, 5)
+    val base = for {
+      z <- 0 until nZones; w <- 0 until weeks; i <- 0 until perWeek
+    } yield (z, w, i % 7)
+    val inj = extra.flatMap { case (z, w, k) =>
+      (0 until k).map(i => (z, w, i % 7)) }
+    (base ++ inj).zipWithIndex.map { case ((z, w, dow), i) =>
+      (i.toLong, z.toLong + 1,
+        java.sql.Timestamp.valueOf(
+          d0.plusDays(7L * w + dow).atStartOfDay),
+        "1-URGENT", "O", 1.0)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (0 until nZones).map(z =>
+        (z.toLong + 1, s"Customer#$z", z, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (0 until nZones).map(z => (z, s"ZONE_$z", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    dir
+  }
+
+  test("space-time scan's top cluster is the injected outbreak cylinder") {
+    // 4 zones x 20 uniform weeks; zone 2 gets +40 cases in weeks 10-11
+    val dir = scanFixture(4, 20, 5,
+      Seq((2, 10, 20), (2, 11, 20)))
+    val top = Epi.qSpacetimeScan.run(spark, dir).head()
+    assert(top.getString(0) === "ZONE_2", top.toString)
+    assert(top.getDate(1).toString === "2020-03-15", top.toString) // week 10
+    assert(top.getInt(2) === 2, top.toString) // the 2-week cylinder wins
+    assert(top.getLong(3) === 50L, top.toString) // 2x(5+20) observed
+  }
+
+  test("space-time scan scores nothing on a uniform surface") {
+    // perfectly uniform counts: every cylinder's observed equals its
+    // expectation EXACTLY, so the integer c*N > zn*iw membership
+    // excludes every candidate — no fake clusters from float slack
+    val dir = scanFixture(3, 12, 4, Nil)
+    assert(Epi.qSpacetimeScan.run(spark, dir).count() === 0)
+  }
+
+  test("CUSUM accumulates a sustained small shift that C2 never flags") {
+    import spark.implicits._
+    // 120 days cycling [2,3,4,5], then 60 days shifted +2: the
+    // biggest single-day excursion stays under 2 sigma of the
+    // whole-period spread (C2's 3-sigma line never trips), but the
+    // sustained shift accumulates straight through CUSUM's h=4
+    val days = (0 until 180).map { t =>
+      val n = (if (t < 120) 2 else 4) + (t % 4)
+      (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2020, 1, 1).plusDays(t.toLong)), n)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    days.flatMap { case (d, n) => Seq.fill(n)((d, "A")) }
+      .toDF("o_orderdate", "o_orderpriority")
+      .select(lit(1L).as("o_orderkey"), lit(1L).as("o_custkey"),
+        lit("O").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val cusum = Epi.qCusumAlerts.run(spark, dir)
+      .collect().map(_.getDate(1).toString).toSeq
+    assert(cusum.nonEmpty, "the sustained shift must alert")
+    // every alert sits INSIDE the shifted regime, none before it
+    assert(cusum.forall(_ >= "2020-04-30"), cusum.take(5).toString)
+    val c2 = Epi.qEarsAlerts.run(spark, dir).count()
+    assert(c2 === 0, "no single day reaches C2's 3-sigma line")
+  }
+
+  test("MLLP wire survives the round trip and degrades visibly on corruption") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha text", "en", "web"), (2L, "beta text", "fr", "api"),
+      (17L, "gamma", "de", "feed"), // renders without OBX — still frames
+      (33L, "delta | with ^ delims", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val wire = Hl7.mllpWire(Hl7.renderMessages(docs), pmod(col("doc_id"),
+      lit(2L)))
+    val ok = Hl7.mllpVerify(wire).orderBy("batch_id").collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getBoolean(3), r.getBoolean(4), r.getLong(5))).toSeq === Seq(
+      (0L, 1L, 1L, true, true, 2L),
+      (1L, 3L, 3L, true, true, 51L)))
+    // corruption 1: a frame missing its VT start byte
+    val noVt = wire.withColumn("wire",
+      regexp_replace(col("wire"), "\u000bBTS", "BTS"))
+    assert(Hl7.mllpVerify(noVt).filter(col("frames_ok")).count() === 0)
+    // corruption 2: a tampered trailer count — frames fine, BTS not
+    val badBts = wire.withColumn("wire",
+      regexp_replace(col("wire"), "BTS\\|", "BTS|9"))
+    val bad = Hl7.mllpVerify(badBts).collect()
+    assert(bad.forall(_.getBoolean(3)), "framing itself is intact")
+    assert(bad.forall(!_.getBoolean(4)), "the count mismatch must surface")
+  }
 }
