@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.Statistics
 import org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -135,12 +135,29 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
                                               opts: GraftSourceOptions,
                                               tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private implicit def store: TableStore = opts.store
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggs: Option[Seq[MetaAgg]] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT as an I/O hint: the scan keeps a PREFIX of the file list
+    * whose manifest row counts already cover the limit (the 100-TB
+    * `LIMIT 10` reads one file, not the table). Accepted only on
+    * plain snapshot scans; `isPartiallyPushed` stays true, so Spark
+    * re-applies its own limit — truncation is a superset
+    * optimization, never a row-dropping promise. Soundness gates
+    * (filters, DVs, manifest coverage) are re-checked at plan time
+    * in [[GraftScan.limitTruncate]].
+    */
+  override def pushLimit(l: Int): Boolean = {
+    if (opts.readMode == "snapshot" && aggs.isEmpty && l > 0) {
+      limit = Some(l); true
+    } else false
+  }
 
   /** Accept exactly the filters the reader can re-apply row-level
     * (the strict translation — see [[CatalystFilters.translate]]);
@@ -237,7 +254,7 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
 
   override def build(): Scan =
     new GraftScan(spark, opts, tableSchema, required, pushed.toIndexedSeq,
-      aggs)
+      aggs, limit)
 }
 
 /** V1 `Filter` → bound catalyst expression, by POSITION in the scan's
@@ -361,7 +378,8 @@ private[sources] final class GraftScan(spark: SparkSession,
                                        tableSchema: StructType,
                                        required: StructType,
                                        pushed: Seq[Filter],
-                                       aggs: Option[Seq[MetaAgg]])
+                                       aggs: Option[Seq[MetaAgg]],
+                                       limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   private implicit def store: TableStore = opts.store
@@ -418,7 +436,8 @@ private[sources] final class GraftScan(spark: SparkSession,
   override def description(): String =
     s"graft ${opts.readMode} ${opts.path}" +
       (if (pushed.nonEmpty) s", pushed: ${pushed.mkString(", ")}" else "") +
-      (aggs.fold("")(a => s", aggregates: ${a.map(_.outField.name).mkString(", ")}"))
+      (aggs.fold("")(a => s", aggregates: ${a.map(_.outField.name).mkString(", ")}")) +
+      (limit.fold("")(l => s", limit: $l"))
 
   // ---- statistics -----------------------------------------------------
   /** Physical bytes of the served snapshot so the broadcast-join
@@ -557,10 +576,49 @@ private[sources] final class GraftScan(spark: SparkSession,
     }
   }
 
+  // ---- limit-driven file-list truncation ------------------------------
+  /** Keep a deterministic PREFIX of the file list whose manifest row
+    * counts already cover the pushed limit — a pure I/O optimization
+    * (Spark re-applies the limit; the prefix is a superset of what it
+    * keeps). Declines to truncate — returning the full list — unless
+    * every soundness gate holds: no pushed or runtime filter may drop
+    * rows (coverage would be unprovable), no deletion vector may owe
+    * deletes (manifest counts are raw, live rows could be fewer), and
+    * EVERY candidate file must be manifest-covered (a pre-upgrade
+    * file with unknown count breaks the running total).
+    */
+  private def limitTruncate(files: Seq[String]): Seq[String] = limit match {
+    case Some(l) if pushed.isEmpty && runtimeFilters.isEmpty &&
+        opts.readMode == "snapshot" =>
+      val vDir = dataFilePaths._1.getOrElse(return files)
+      if (Ingest.deletionVectorFiles(vDir).nonEmpty) return files
+      StatsManifest.fileRowCounts(spark,
+          store.child(vDir, StatsManifest.ManifestDir)) match {
+        case Some(counts) =>
+          val norm = counts.map { case (u, n) =>
+            new Path(u).toUri.getPath -> n }
+          val sorted = files.sorted
+          var acc = 0L
+          val keep = Seq.newBuilder[String]
+          val it = sorted.iterator
+          while (it.hasNext && acc < l) {
+            val f = it.next()
+            norm.get(new Path(f).toUri.getPath) match {
+              case Some(n) => keep += f; acc += n
+              case None => return files
+            }
+          }
+          keep.result()
+        case None => files
+      }
+    case _ => files
+  }
+
   // ---- batch ----------------------------------------------------------
   override def planInputPartitions(): Array[InputPartition] = aggs match {
     case Some(as) => Array(planAggPartition(as))
-    case None => packPartitions(listWithSizes(runtimePruned(dataFilePaths._2)))
+    case None => packPartitions(listWithSizes(
+      limitTruncate(runtimePruned(dataFilePaths._2))))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = aggs match {

@@ -145,6 +145,25 @@ object StatsManifest {
     }
   }
 
+  /** Per-file row counts from the manifest — the limit-pushdown
+    * truncation's coverage ledger. `None` when no manifest exists or
+    * it predates the `n_rows` column (pre-upgrade manifests must
+    * DECLINE truncation, not guess).
+    */
+  def fileRowCounts(spark: SparkSession, manifestDir: String)
+                   (implicit store: TableStore): Option[Map[String, Long]] = {
+    if (!store.isDirectory(manifestDir)) return None
+    val mparts = store.listNames(manifestDir)
+      .filter(_.endsWith(".parquet")).map(store.child(manifestDir, _))
+    if (mparts.isEmpty) None
+    else {
+      val m = spark.read.parquet(mparts: _*)
+      if (!m.schema.fieldNames.contains("n_rows")) None
+      else Some(m.select("file", "n_rows").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+  }
+
   /** Point-set overlap test: the data files whose `[min_c, max_c]` box
     * can contain ANY of `values` (per-value containment OR'd, tighter
     * than the single `[min(values), max(values)]` envelope when the

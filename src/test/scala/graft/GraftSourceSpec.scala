@@ -609,4 +609,51 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(out < 64L, s"runtime filter pruned nothing (scan emitted $out)")
     assert(out >= 2L)
   }
+
+  test("pushed LIMIT truncates the file list to a covering prefix") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val df = (1L to 64L).map(k => (k, k.toInt, s"s$k", false))
+      .toDF("k", "v", "s", "_del")
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 8, keepVersions = 4,
+      deleteCol = Some("_del"), changeFeed = false,
+      sortCols = Seq("v"))(df, 0L)
+    def graftScan(d: org.apache.spark.sql.DataFrame) = {
+      d.collect() // materialize so the executed plan is final
+      allNodes(d.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().startsWith("graft ") => b
+      }.getOrElse(fail("no graft BatchScanExec in the final plan"))
+    }
+    def filesOf(b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec): Int =
+      b.inputPartitions.map {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.length
+        case _ => 1
+      }.sum
+
+    val full = spark.read.format("graft").load(dir)
+    val total = filesOf(graftScan(full))
+    assert(total >= 8, s"fixture should spread over many files: $total")
+
+    val limited = spark.read.format("graft").load(dir).limit(5)
+    assert(limited.collect().length === 5)
+    // still TABLE rows — the truncated scan is a superset of the limit
+    val all = full.collect().toSet
+    assert(limited.collect().forall(all.contains))
+    val b = graftScan(limited)
+    assert(b.scan.description().contains("limit: 5"))
+    assert(filesOf(b) < total,
+      s"limit should truncate the $total-file list, read ${filesOf(b)}")
+
+    // a pushed row-dropping filter makes coverage unprovable: the
+    // limit is still accepted as a hint, but truncation must DECLINE
+    // (all surviving files read; correctness unchanged)
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("v") >= 1).limit(5)
+    assert(filtered.collect().length === 5)
+    assert(filesOf(graftScan(filtered)) === total,
+      "truncation must decline under a pushed filter")
+  }
 }
