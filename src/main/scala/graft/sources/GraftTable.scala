@@ -8,13 +8,14 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum, udf, when}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GenericInternalRow, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Predicate, UnsafeProjection}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.Statistics
 import org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -136,13 +137,14 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
                                               tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private implicit def store: TableStore = opts.store
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggs: Option[Seq[MetaAgg]] = None
   private var limit: Option[Int] = None
+  private var topn: Option[(String, Boolean, Int)] = None
 
   /** LIMIT as an I/O hint: the scan keeps a PREFIX of the file list
     * whose manifest row counts already cover the limit (the 100-TB
@@ -157,6 +159,36 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
     if (opts.readMode == "snapshot" && aggs.isEmpty && l > 0) {
       limit = Some(l); true
     } else false
+  }
+
+  /** Both limit and topN are accepted as HINTS only — Spark always
+    * re-applies its own limit/sort on top (the diamond default from
+    * both pushdown traits, made explicit).
+    */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY sortCol LIMIT k as an I/O hint: sort the manifest by
+    * the leading order column's file bounds, keep a covering prefix
+    * of ≥ k rows, and retain every file whose bound overlaps the
+    * prefix's worst kept bound — a strict superset of the top-k rows
+    * whatever the later tiebreak columns do (a row ranked above the
+    * prefix's k rows would need a leading value past the bound).
+    * `isPartiallyPushed` stays true: Spark re-sorts and re-limits.
+    * Accepted only when the LEADING sort column is a stat column;
+    * soundness gates (filters, DVs, nulls, manifest coverage) are
+    * re-checked at plan time in [[GraftScan.topnTruncate]].
+    */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (opts.readMode != "snapshot" || aggs.nonEmpty || l <= 0 ||
+        orders.isEmpty) return false
+    orders.head.expression() match {
+      case r: NamedReference if r.fieldNames().length == 1 &&
+          tableSchema.fieldNames.contains(r.fieldNames()(0)) =>
+        topn = Some((r.fieldNames()(0),
+          orders.head.direction() == SortDirection.ASCENDING, l))
+        true
+      case _ => false
+    }
   }
 
   /** Accept exactly the filters the reader can re-apply row-level
@@ -254,7 +286,7 @@ private[sources] final class GraftScanBuilder(spark: SparkSession,
 
   override def build(): Scan =
     new GraftScan(spark, opts, tableSchema, required, pushed.toIndexedSeq,
-      aggs, limit)
+      aggs, limit, topn)
 }
 
 /** V1 `Filter` → bound catalyst expression, by POSITION in the scan's
@@ -379,7 +411,9 @@ private[sources] final class GraftScan(spark: SparkSession,
                                        required: StructType,
                                        pushed: Seq[Filter],
                                        aggs: Option[Seq[MetaAgg]],
-                                       limit: Option[Int] = None)
+                                       limit: Option[Int] = None,
+                                       topn: Option[(String, Boolean, Int)] =
+                                         None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   private implicit def store: TableStore = opts.store
@@ -437,7 +471,9 @@ private[sources] final class GraftScan(spark: SparkSession,
     s"graft ${opts.readMode} ${opts.path}" +
       (if (pushed.nonEmpty) s", pushed: ${pushed.mkString(", ")}" else "") +
       (aggs.fold("")(a => s", aggregates: ${a.map(_.outField.name).mkString(", ")}")) +
-      (limit.fold("")(l => s", limit: $l"))
+      (limit.fold("")(l => s", limit: $l")) +
+      (topn.fold("")(t =>
+        s", topn: ${t._1} ${if (t._2) "asc" else "desc"} ${t._3}"))
 
   // ---- statistics -----------------------------------------------------
   /** Physical bytes of the served snapshot so the broadcast-join
@@ -614,11 +650,65 @@ private[sources] final class GraftScan(spark: SparkSession,
     case _ => files
   }
 
+  /** TopN truncation: order the manifest by the leading sort column's
+    * file bounds (min ascending / max descending), take a prefix whose
+    * row counts cover k, then keep every file whose bound can still
+    * beat the prefix's WORST kept bound — sound for any later
+    * tiebreak columns (lexicographic rank is decided by the leading
+    * value first). Declines — full list — under the same gates as
+    * [[limitTruncate]] plus: the column must be manifest-covered with
+    * min/max/nulls, and the column must have ZERO nulls table-wide
+    * (null ordering would put unknown rows at one end).
+    */
+  private def topnTruncate(files: Seq[String]): Seq[String] = topn match {
+    case Some((logical, asc, k)) if pushed.isEmpty &&
+        runtimeFilters.isEmpty && opts.readMode == "snapshot" =>
+      val c = physName(logical)
+      if (!statCols.contains(c)) return files
+      val vDir = dataFilePaths._1.getOrElse(return files)
+      if (Ingest.deletionVectorFiles(vDir).nonEmpty) return files
+      val manDir = store.child(vDir, StatsManifest.ManifestDir)
+      if (!store.isDirectory(manDir)) return files
+      val mparts = store.listNames(manDir)
+        .filter(_.endsWith(".parquet")).map(store.child(manDir, _))
+      if (mparts.isEmpty) return files
+      val m = spark.read.parquet(mparts: _*)
+      val need = Seq("file", "n_rows", s"min_$c", s"max_$c", s"nulls_$c")
+      if (!need.forall(m.schema.fieldNames.contains)) return files
+      // every candidate file must be manifest-covered, none may hold
+      // nulls in the order column (all driver-side, manifest-sized)
+      val norm = udf((u: String) => new Path(u).toUri.getPath)
+      val wanted = files.map(f => new Path(f).toUri.getPath).toSet
+      val cand = m.withColumn("_p", norm(col("file")))
+        .filter(col("_p").isin(wanted.toSeq: _*))
+      val stats = cand.agg(count(lit(1)), sum(s"nulls_$c"),
+        sum(when(col(s"min_$c").isNull || col(s"max_$c").isNull, 1L)
+          .otherwise(0L))).head()
+      if (stats.getLong(0) != wanted.size) return files
+      if (stats.isNullAt(1) || stats.getLong(1) != 0L) return files
+      if (stats.getLong(2) != 0L) return files
+      val lead = if (asc) col(s"min_$c").asc else col(s"max_$c").desc
+      val w = org.apache.spark.sql.expressions.Window.orderBy(lead)
+        .rowsBetween(Long.MinValue, -1)
+      val staged = cand.withColumn("_prev",
+        coalesce(sum("n_rows").over(w), lit(0L)))
+      val prefix = staged.filter(col("_prev") < k)
+      val bRow = (if (asc) prefix.agg(max(col(s"max_$c")))
+        else prefix.agg(min(col(s"min_$c")))).head()
+      if (bRow.isNullAt(0)) return files
+      val b = bRow.get(0)
+      val keepDf = if (asc) cand.filter(col(s"min_$c") <= lit(b))
+        else cand.filter(col(s"max_$c") >= lit(b))
+      val keep = keepDf.select("_p").collect().map(_.getString(0)).toSet
+      files.filter(f => keep.contains(new Path(f).toUri.getPath))
+    case _ => files
+  }
+
   // ---- batch ----------------------------------------------------------
   override def planInputPartitions(): Array[InputPartition] = aggs match {
     case Some(as) => Array(planAggPartition(as))
     case None => packPartitions(listWithSizes(
-      limitTruncate(runtimePruned(dataFilePaths._2))))
+      topnTruncate(limitTruncate(runtimePruned(dataFilePaths._2)))))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = aggs match {

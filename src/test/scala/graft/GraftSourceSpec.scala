@@ -656,4 +656,55 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(filesOf(graftScan(filtered)) === total,
       "truncation must decline under a pushed filter")
   }
+
+  test("pushed TopN reads only the files whose bounds can reach the top k") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    // v is the sort column AND the stat column; 64 distinct values so
+    // the top-k set is deterministic and bucket bounds spread
+    val df = (1L to 64L).map(k => (k, k.toInt, s"s$k", false))
+      .toDF("k", "v", "s", "_del")
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 8, keepVersions = 4,
+      deleteCol = Some("_del"), changeFeed = false,
+      sortCols = Seq("v"))(df, 0L)
+    def graftScan(d: org.apache.spark.sql.DataFrame) = {
+      d.collect()
+      allNodes(d.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().startsWith("graft ") => b
+      }.getOrElse(fail("no graft BatchScanExec in the final plan"))
+    }
+    def filesOf(b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec): Int =
+      b.inputPartitions.map {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.length
+        case _ => 1
+      }.sum
+    val total = filesOf(graftScan(spark.read.format("graft").load(dir)))
+
+    // ascending: the 5 smallest v, exactly — truncation is a superset
+    val asc = spark.read.format("graft").load(dir)
+      .orderBy(col("v"), col("k")).limit(5)
+    assert(asc.collect().map(_.getAs[Int]("v")).toSeq === (1 to 5))
+    val bAsc = graftScan(asc)
+    assert(bAsc.scan.description().contains("topn: v asc 5"),
+      bAsc.scan.description())
+    assert(filesOf(bAsc) < total,
+      s"topN should truncate the $total-file list, read ${filesOf(bAsc)}")
+
+    // descending: the 5 largest
+    val desc = spark.read.format("graft").load(dir)
+      .orderBy(col("v").desc, col("k")).limit(5)
+    assert(desc.collect().map(_.getAs[Int]("v")).toSeq ===
+      (60 to 64).reverse)
+    assert(filesOf(graftScan(desc)) < total)
+
+    // a NON-stat leading column cannot truncate (still correct)
+    val byS = spark.read.format("graft").load(dir)
+      .orderBy(col("s"), col("k")).limit(5)
+    assert(byS.collect().length === 5)
+    assert(filesOf(graftScan(byS)) === total,
+      "topN on a non-stat column must decline")
+  }
 }
