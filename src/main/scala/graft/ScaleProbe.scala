@@ -139,16 +139,20 @@ object ScaleProbe {
         "q_stream_source_format", "q_source_agg_sql",
         "q_catalog_timetravel", "q_hl7_structured", "q_nowcast",
         "q_farrington_alerts",
-        // r16 second half: the scan statistic and both rate estimators
-        // touch their corpus once then work calendar-/dimension-sized
-        // frames; CUSUM folds spine-sized vectors per series; EM
-        // linkage's blocked pair join is the corpus cost (pairs scale
-        // with block sizes), EM itself is 8 counts; MLLP wire rides
-        // batch-sized groups; streaming EARS folds daily counts per
-        // micro-batch and re-scores the spine
-        "q_spacetime_scan", "q_cusum_alerts", "q_linkage_em",
-        "q_hl7_mllp", "q_stream_ears", "q_capture_recapture",
-        "q_age_adjusted")
+        // r16 second half: CUSUM folds spine-sized vectors per series;
+        // EM linkage's blocked pair join is the corpus cost (pairs
+        // grow quadratically inside FIXED blocks — the blocking key
+        // is the deployment's scale lever), EM itself is 8 counts;
+        // MLLP wire rides batch-sized groups; streaming EARS folds
+        // daily counts per micro-batch and re-scores the spine.
+        // q_spacetime_scan / q_age_adjusted are EXCLUDED like the
+        // crosswalk: their orders⋈customer keys shift inconsistently
+        // in the blow-up (each table shifts by its own span), so the
+        // joined "10x corpus" would be fiction — their scale argument
+        // is the one keyed join + calendar/dimension-sized tails,
+        // same class as the unprobed TPC-H joins
+        "q_cusum_alerts", "q_linkage_em",
+        "q_hl7_mllp", "q_stream_ears", "q_capture_recapture")
 
     // optional 4th arg: comma-separated row filter for incremental
     // probing (a new op's ratio without re-running the whole band)
