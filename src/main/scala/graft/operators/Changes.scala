@@ -2847,6 +2847,67 @@ object Changes {
     * Scale: per trigger the consumer reads O(admitted slices) and the
     * base table is never touched; offset discovery is one ledger read.
     */
+  /** ORDER BY sortCol LIMIT k through the registered source — the
+    * "latest few / earliest few" query every table UI and debugging
+    * session runs, answered without scanning the table: the V2 scan's
+    * TopN pushdown keeps only the files whose `o_orderdate` bounds
+    * can still reach the top k (covering-prefix truncation over the
+    * stats manifest — `GraftTable.topnTruncate`). The in-query
+    * contract pins that the planned scan (a) actually received the
+    * pushed TopN and (b) read strictly fewer files than the
+    * snapshot holds; the hash pins that truncation never changed
+    * the answer (the oracle recomputes the table state and top-k
+    * from raw orders). Secondary sort on the unique key makes the
+    * k-set deterministic.
+    */
+  val qSourceTopn: QuerySpec = QuerySpec(
+    "q_source_topn",
+    Some("""WITH log AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          o_orderpriority,
+          CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log)
+      SELECT o_custkey AS custkey, o_orderdate AS odate,
+        o_orderkey AS okey, true AS pruned
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY odate, custkey LIMIT 10"""),
+    (spark, dir) => {
+      import graft.sources.Ingest
+      import graft.sources.TableStore
+      implicit val store: TableStore = TableStore.local
+      val table = sharedSourceTable(spark, dir)
+      val df = spark.read.format("graft").load(table)
+        .orderBy(col("o_orderdate"), col("o_custkey"))
+        .limit(10)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderdate").as("odate"), col("o_orderkey").as("okey"),
+          lit(true).as("pruned"))
+      // in-query contract: force one (cheap) execution so the adaptive
+      // plan finalizes, then require the pushed TopN truncated the scan
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().contains("topn: o_orderdate asc 10") => b
+      }
+      require(scans.nonEmpty, "topN was not pushed into the graft scan")
+      val nFiles = scans.head.inputPartitions.map {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.length
+        case _ => 1
+      }.sum
+      val total = graft.sources.StatsManifest.fileRowCounts(spark,
+        store.child(Ingest.snapshotVersionDir(table),
+          graft.sources.StatsManifest.ManifestDir)).map(_.size)
+        .getOrElse(0)
+      require(total > 0 && nFiles < total,
+        s"topN read $nFiles of $total files — no truncation engaged")
+      df
+    })
+
   val qStreamSourceFormat: QuerySpec = QuerySpec(
     "q_stream_source_format",
     qCdfMv.oracle,
@@ -3014,5 +3075,5 @@ object Changes {
       qUpsertZorder, qUpsertMerge, qUpsertMergeSql, qUpsertMetaCount,
       qUpsertColmap, qStreamMerge,
       qSourceRead, qSourceSql, qSourceCdf, qStreamSourceFormat,
-      qSourceAggSql, qCatalogTimetravel)
+      qSourceAggSql, qSourceTopn, qCatalogTimetravel)
 }

@@ -477,11 +477,16 @@ object Epi {
           date_sub(to_date(col("o_orderdate")),
             dayofweek(to_date(col("o_orderdate"))) - 1).as("wk"))
         .agg(count(lit(1)).as("n"))
+      // weekly/zone margins are calendar-/zone-sized; the scalars (max
+      // week, grand total) attach via unpartitioned windows over those
+      // tiny frames — no 1-row join anywhere in the plan
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       val wt = weekly.groupBy("wk").agg(sum("n").as("wn"))
       val zt = weekly.groupBy("zone").agg(sum("n").as("zn"))
-      val tot = weekly.agg(sum("n").as("nn"))
-      val spine = wt.select(col("wk").as("week_start"))
-        .crossJoin(broadcast(wt.agg(max("wk").as("maxWk"))))
+        .withColumn("nn", sum("zn").over(wAll))
+      val spine = wt
+        .select(col("wk").as("week_start"), max("wk").over(wAll).as("maxWk"))
         .select(col("week_start"),
           explode(array(lit(1), lit(2), lit(3), lit(4))).as("len"),
           col("maxWk"))
@@ -502,8 +507,7 @@ object Epi {
       val mu = (col("zn") * col("iw")).cast("double") / nd
       cyl
         .join(broadcast(iw), Seq("week_start", "len"))
-        .join(broadcast(zt), Seq("zone"))
-        .crossJoin(broadcast(tot))
+        .join(broadcast(zt), Seq("zone")) // zt carries nn (window total)
         .filter(col("c") * col("nn") > col("zn") * col("iw"))
         .withColumn("mu", mu)
         .withColumn("llr", cd * log(cd / col("mu")) +

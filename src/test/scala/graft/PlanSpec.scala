@@ -618,4 +618,34 @@ class PlanSpec extends AnyFunSuite {
     assert(opt.collect { case s: Sort => s }.isEmpty,
       opt.treeString.take(800))
   }
+
+  test("space-time scan: cylinder scoring joins broadcast; no shuffle joins after the corpus agg") {
+    import graft.operators.Epi
+    val p = plan(Epi.qSpacetimeScan.run(spark, sf))
+    // interval membership is an exploded-member EQUI-join, broadcast —
+    // a range/theta join here would nested-loop weeks × intervals
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // BroadcastNestedLoopJoin appears only for the 1-row total —
+    // every OTHER join must be keyed
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"$bnl nested-loop joins: ${p.take(800)}")
+  }
+
+  test("age-adjusted rates: dims broadcast; no cartesian beyond the 1-row standard total") {
+    import graft.operators.Epi
+    val p = plan(Epi.qAgeAdjusted.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"$bnl nested-loop joins: ${p.take(800)}")
+  }
+
+  test("EM linkage: pairs from a block-keyed equi-join; EM weights fold in as literals") {
+    import graft.operators.Linkage
+    val p = plan(Linkage.qLinkageEm.run(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
