@@ -22,7 +22,7 @@ object SparkEntry {
       Graph.specs ++ Changes.specs ++ Funnels.specs ++ Sketches.specs ++
       Clustering.specs ++ Series.specs ++ Audit.specs ++ Baskets.specs ++
       Layout.specs ++ Matviews.specs ++ Hl7.specs ++ Epi.specs ++
-      Privacy.specs ++ Vocab.specs ++ Linkage.specs
+      Privacy.specs ++ Vocab.specs ++ Linkage.specs ++ Classify.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
