@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum,
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GenericInternalRow, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Predicate, UnsafeProjection}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
@@ -23,7 +23,8 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, W
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.util.SerializableConfiguration
@@ -71,14 +72,47 @@ import org.apache.spark.util.SerializableConfiguration
   * manifest with zero data-file opens — band-bounded COUNTs open
   * only predicate-boundary files.
   */
+private[sources] object GraftTable {
+  /** Provenance metadata columns every graft scan can serve (the
+    * Delta/Iceberg `_metadata` shape): hidden from `SELECT *`,
+    * resolvable by name. Values are per-FILE constants stamped by the
+    * reader — zero extra I/O.
+    */
+  val MetaFileCol = "_graft_file"
+  val MetaBucketCol = "_graft_bucket"
+  val MetaNames: Set[String] = Set(MetaFileCol, MetaBucketCol)
+}
+
 private[sources] final class GraftTable(opts: GraftSourceOptions,
                                         tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
   private implicit def store: TableStore = opts.store
 
   override def name(): String = s"graft.`${opts.path}`"
 
   override def schema(): StructType = tableSchema
+
+  /** `_graft_file` (the data file serving the row) and `_graft_bucket`
+    * (the upsert bucket parsed from its path; NULL for files outside
+    * bucket dirs — quarantine captures, feed slices). A table column
+    * with either name shadows the metadata column (Spark's standard
+    * conflict rule — `canRenameConflictingMetadataColumns` stays
+    * false, so the clash is visible rather than silently renamed).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftTable.MetaFileCol
+      override def dataType(): DataType = StringType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "data file URI serving the row"
+    },
+    new MetadataColumn {
+      override def name(): String = GraftTable.MetaBucketCol
+      override def dataType(): DataType = LongType
+      override def comment(): String =
+        "upsert bucket of the serving file (NULL outside bucket dirs)"
+    })
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]()
@@ -446,13 +480,25 @@ private[sources] final class GraftScan(spark: SparkSession,
           org.apache.spark.sql.types.StringType)),
       StructField(Ingest.QuarantineBatchCol, LongType)))
 
-  /** Physical projection of the REQUIRED columns, positionally aligned
-    * with `readSchema()`.
+  /** Positions in `required` served as METADATA (per-file constants),
+    * unless a real table column shadows the name (Spark's conflict
+    * rule: data wins).
+    */
+  private lazy val metaPositions: Seq[(Int, String)] =
+    required.fields.zipWithIndex.collect {
+      case (f, i) if GraftTable.MetaNames(f.name) &&
+        !tableSchema.fieldNames.contains(f.name) => (i, f.name)
+    }.toSeq
+
+  /** Physical projection of the REQUIRED data columns, positionally
+    * aligned with `readSchema()` minus the metadata positions.
     */
   private lazy val physRequired: StructType =
-    StructType(required.fields.map(f => physDataSchema.fields
-      .find(pf => Ingest.toLogicalName(cm, pf.name) == f.name)
-      .getOrElse(f.copy(name = physName(f.name)))).toSeq)
+    StructType(required.fields.zipWithIndex
+      .filterNot { case (_, i) => metaPositions.exists(_._1 == i) }
+      .map { case (f, _) => physDataSchema.fields
+        .find(pf => Ingest.toLogicalName(cm, pf.name) == f.name)
+        .getOrElse(f.copy(name = physName(f.name))) }.toSeq)
 
   /** The table's keys (physical), force-read when a deletion vector
     * must anti-filter rows the projection would not otherwise carry.
@@ -752,7 +798,7 @@ private[sources] final class GraftScan(spark: SparkSession,
         physKeys.map(k => physRead.fieldIndex(k))))
     }
     new GraftReaderFactory(readFunc, physRead, predicate, dvSpec,
-      physRequired.length)
+      physRequired.length, metaPositions, required.length)
   }
 
   // ---- pushed aggregates ----------------------------------------------
@@ -1009,15 +1055,19 @@ private[sources] final case class DvSpec(
 
 /** Executor-side reader: Spark's own parquet reader (vectorized
   * batches unrolled to rows), then — in order — the exact re-applied
-  * filter, the DV anti-filter, and the projection back to the pruned
-  * schema when the DV forced extra key columns into the read.
+  * filter, the DV anti-filter, the projection back to the pruned
+  * schema when the DV forced extra key columns into the read, and the
+  * per-file METADATA stamp (`_graft_file`/`_graft_bucket`) when the
+  * query asked for provenance columns.
   */
 private[sources] final class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     physRead: StructType,
     predicate: Option[Expression],
     dvSpec: Option[DvSpec],
-    outColumns: Int) extends PartitionReaderFactory {
+    outColumns: Int,
+    metaOut: Seq[(Int, String)] = Nil,
+    totalOut: Int = -1) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -1044,23 +1094,55 @@ private[sources] final class GraftReaderFactory(
       else Some(UnsafeProjection.create(
         (0 until outColumns).map(i =>
           BoundReference(i, physRead(i).dataType, physRead(i).nullable))))
-    val base: Iterator[InternalRow] = files.iterator.flatMap { f =>
-      readFunc(f).asInstanceOf[Iterator[Any]].flatMap {
+    // data rows of one file, fully transformed (filter, DV, projection)
+    def fileRows(f: PartitionedFile): Iterator[InternalRow] = {
+      val base = readFunc(f).asInstanceOf[Iterator[Any]].flatMap {
         case cb: ColumnarBatch => cb.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }
+      val filtered = pred.fold(base)(p => base.filter(p.eval))
+      val undeleted = deleted.fold(filtered) { set =>
+        val dv = dvSpec.get
+        filtered.filterNot(r => set.contains(dv.keyOrdinals.zipWithIndex
+          .map { case (ord, i) => r.get(ord, dv.keySchema(i).dataType) }))
+      }
+      project.fold(undeleted)(p => undeleted.map(p.apply))
     }
-    val filtered = pred.fold(base)(p => base.filter(p.eval))
-    val undeleted = deleted.fold(filtered) { set =>
-      val dv = dvSpec.get
-      filtered.filterNot(r => set.contains(dv.keyOrdinals.zipWithIndex
-        .map { case (ord, i) => r.get(ord, dv.keySchema(i).dataType) }))
-    }
-    val projected = project.fold(undeleted)(p => undeleted.map(p.apply))
+    val out: Iterator[InternalRow] =
+      if (metaOut.isEmpty) files.iterator.flatMap(fileRows)
+      else {
+        // per-file constants rearranged into the declared positions;
+        // rows are copied out of the reader's reused buffers first
+        val dataDts = physRead.fields.take(outColumns).map(_.dataType)
+        val dataPos = (0 until totalOut)
+          .filterNot(i => metaOut.exists(_._1 == i))
+        files.iterator.flatMap { f =>
+          val path = f.filePath.toString
+          val pathU = UTF8String.fromString(path)
+          val bucket: Any =
+            "(?:^|/)bkt=(\\d+)/".r.findFirstMatchIn(path) match {
+              case Some(m) => m.group(1).toLong
+              case None => null
+            }
+          fileRows(f).map { r =>
+            val c = r.copy()
+            val row = new GenericInternalRow(totalOut)
+            metaOut.foreach { case (i, n) =>
+              row.update(i,
+                if (n == GraftTable.MetaFileCol) pathU else bucket)
+            }
+            dataPos.zipWithIndex.foreach { case (i, j) =>
+              row.update(i,
+                if (c.isNullAt(j)) null else c.get(j, dataDts(j)))
+            }
+            row
+          }
+        }
+      }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
-        if (projected.hasNext) { cur = projected.next(); true } else false
+        if (out.hasNext) { cur = out.next(); true } else false
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }

@@ -707,4 +707,68 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(filesOf(graftScan(byS)) === total,
       "topN on a non-stat column must decline")
   }
+
+  test("metadata columns: _graft_file/_graft_bucket stamp provenance per row") {
+    val dir = tmp() + "/meta"
+    buildTable(dir)
+
+    // hidden from SELECT *; resolvable by name
+    val plain = spark.read.format("graft").load(dir)
+    assert(plain.columns.toSeq === Seq("k", "v", "s"))
+    val meta = plain.select(col("k"), col("v"),
+      col("_graft_file"), col("_graft_bucket"))
+    val got = meta.collect()
+    assert(got.length === 6)
+    got.foreach { r =>
+      val file = r.getAs[String]("_graft_file")
+      val bkt = r.getAs[Long]("_graft_bucket")
+      assert(file.contains(dir), s"file URI should be in-table: $file")
+      assert(file.contains(s"bkt=$bkt/"),
+        s"bucket column must match the serving file's path: $file vs $bkt")
+    }
+    // provenance is consistent: every key maps to the bucket its file
+    // lives in, and file-level grouping matches the physical layout
+    val perFile = meta.groupBy("_graft_file")
+      .agg(count(lit(1)).as("n"), count_distinct(col("_graft_bucket")).as("b"))
+      .collect()
+    assert(perFile.forall(_.getAs[Long]("b") === 1L))
+
+    // metadata composes with pushed filters (reader re-applies exactly)
+    val filtered = plain.filter(col("v") >= 40)
+      .select(col("k"), col("_graft_bucket"))
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(4L, 5L, 6L, 7L))
+
+    // metadata-only projection still works (no data column requested)
+    assert(plain.select(col("_graft_file")).collect().length === 6)
+  }
+
+  test("metadata columns compose with deletion vectors and time travel") {
+    import spark.implicits._
+    val dir = tmp() + "/metadv"
+    val b0 = Seq((1L, 10, false), (2L, 20, false), (3L, 30, false),
+      (4L, 40, false)).toDF("k", "v", "_del")
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 2, keepVersions = 4,
+      deleteCol = Some("_del"), lazyDeletes = true,
+      sortCols = Seq("v"), filesPerBucket = 2)(b0, 0L)
+    val b1 = Seq((2L, 0, true)).toDF("k", "v", "_del")
+    Ingest.upsertParquet(dir, Seq("k"), nBuckets = 2, keepVersions = 4,
+      deleteCol = Some("_del"), lazyDeletes = true,
+      sortCols = Seq("v"), filesPerBucket = 2)(b1, 1L)
+
+    // DV anti-filter forces key columns into the physical read; the
+    // metadata stamp sits on top of the projection back off them
+    val rows = spark.read.format("graft").load(dir)
+      .select(col("v"), col("_graft_bucket")).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === Seq(10, 30, 40),
+      "deleted row must not resurface under a metadata projection")
+    assert(rows.forall(!_.isNullAt(1)))
+
+    // versionAsOf serves the OLD snapshot's files
+    val v0files = spark.read.format("graft").option("versionAsOf", "0")
+      .load(dir).select("_graft_file").distinct()
+      .collect().map(_.getString(0))
+    assert(v0files.forall(_.contains("/v_0/")),
+      s"as-of read must stamp v_0 files: ${v0files.toSeq}")
+  }
 }
