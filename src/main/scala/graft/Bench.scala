@@ -70,7 +70,9 @@ object Bench {
       "objectstore_cdc_build" ->
         (() => { graft.operators.Changes.sharedObjectStoreCdcTable(spark, sfDir); () }),
       "source_table_build" ->
-        (() => { graft.operators.Changes.sharedSourceTable(spark, sfDir); () })
+        (() => { graft.operators.Changes.sharedSourceTable(spark, sfDir); () }),
+      "secondary_index_build" ->
+        (() => { graft.operators.Changes.sharedSecondaryIndex(spark, sfDir); () })
     )
     val setup = (if (only.isEmpty) setupAll else Nil)
       .map { case (name, f) => name -> time(f()) }

@@ -195,10 +195,13 @@ object AnnIndex {
     VectorOps.qCosineTopK.oracle,
     (spark, dir) => {
       GraftFunctions.register(spark)
-      val base = graft.Scratch.dir("ann-index-opt")
-      LocalTableStore.deleteTree(base)
-      val idx = s"$base/idx"
-      buildDriftedIndex(spark, dir, idx)
+      // derive-once fixture (r16): the 4-slice drifted-index fold is
+      // setup; the OPTIMIZE retrain below is what the row times
+      val idx = graft.sources.TableCopy.fresh(spark, dir,
+        "ann-index-opt") { idx =>
+        buildDriftedIndex(spark, dir, idx)
+        ()
+      }
       val fresh = EventOps.withStreamSizing(spark) {
         optimizeIndex(spark, idx, batchId = 100L)
       }
@@ -474,10 +477,13 @@ object AnnIndex {
     VectorOps.qCosineTopK.oracle,
     (spark, dir) => {
       GraftFunctions.register(spark)
-      val base = graft.Scratch.dir("ann-index-pq-opt")
-      LocalTableStore.deleteTree(base)
-      val codesTable = s"$base/codes"
-      buildDriftedPqCodes(spark, dir, codesTable)
+      // derive-once fixture (r16): the drifted-codes fold is setup;
+      // the OPTIMIZE retrain-and-re-encode below is what the row times
+      val codesTable = graft.sources.TableCopy.fresh(spark, dir,
+        "ann-index-pq-opt") { codesTable =>
+        buildDriftedPqCodes(spark, dir, codesTable)
+        ()
+      }
       val emb = Tables.load(spark, dir, "embeddings")
       val cb = EventOps.withStreamSizing(spark) {
         optimizePqCodes(spark, codesTable, emb, batchId = 100L)

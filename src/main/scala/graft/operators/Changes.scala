@@ -260,7 +260,20 @@ object Changes {
     * chunking — value-based buckets, so cross-batch recency is exactly
     * batch order), tombstones applied, every version retained. Shared
     * by the table-format rows that need a realistically-built table.
+    *
+    * OPTIMIZATION r16 (guide §1.2 — don't measure fixture setup): on
+    * the LOCAL store the fold runs ONCE per (session, fixture, shape)
+    * into a pristine tree and each call receives a fresh
+    * [[graft.sources.TableCopy]] link-copy to mutate — the mutating
+    * bench rows (restore/WAP/DML/compact/rebucket/clone/colmap) were
+    * paying the 2–4-batch churn fold per rep (~6–9 s each) around a
+    * measured operator of 1–3 s. Non-local stores (the object-store
+    * twin) keep the direct fold — their builds memoize at the call
+    * site.
     */
+  private val pristineCdcMemo =
+    graft.Memo[(SparkSession, String, Int, Boolean, Seq[String], Int), String]()
+
   private def buildCdcUpsertTable(spark: SparkSession, dir: String,
                                   base: String, n: Int,
                                   changeFeed: Boolean,
@@ -268,13 +281,38 @@ object Changes {
                                   filesPerBucket: Int = 4)
                                  (implicit tstore: graft.sources.TableStore)
                                  : String = {
-    import graft.sources.Ingest
     // wipe through the SAME seam the build uses: a raw filesystem rm
     // would leave a non-POSIX store's control objects (CURRENT,
     // ledger, _meta) alive behind the deleted data, and the rebuild
     // would replay against a ledger for data that no longer exists
     tstore.deleteTree(base)
     val table = s"$base/table"
+    if (tstore eq graft.sources.TableStore.local) {
+      val pristine = pristineCdcMemo.getOrElseUpdate(
+        (spark, dir, n, changeFeed, sortCols, filesPerBucket), {
+          val p = graft.Scratch.dir("cdc-pristine") + "/table"
+          foldCdcUpsertTable(spark, dir, p, n, changeFeed, sortCols,
+            filesPerBucket)
+          p
+        })
+      graft.sources.TableCopy.copyTree(pristine, table)
+    } else
+      foldCdcUpsertTable(spark, dir, table, n, changeFeed, sortCols,
+        filesPerBucket)
+    table
+  }
+
+  /** The actual fold body of [[buildCdcUpsertTable]], writing the
+    * table at exactly `table`.
+    */
+  private def foldCdcUpsertTable(spark: SparkSession, dir: String,
+                                 table: String, n: Int,
+                                 changeFeed: Boolean,
+                                 sortCols: Seq[String],
+                                 filesPerBucket: Int)
+                                (implicit tstore: graft.sources.TableStore)
+                                : Unit = {
+    import graft.sources.Ingest
     val log = orderChangelog(spark, dir)
     val bounds = log.agg(min(to_date(col("o_orderdate"))),
       max(to_date(col("o_orderdate")))).head() // 2 scalars
@@ -291,7 +329,6 @@ object Changes {
           filesPerBucket = filesPerBucket)(latestChangePerCustomer(chunk), i.toLong)
       }
     }
-    table
   }
 
   /** The SAME CDC fold and read, run end-to-end against the STRICT
@@ -1413,33 +1450,33 @@ object Changes {
       ORDER BY o_custkey"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val base = graft.Scratch.dir("upsert-optimize")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(base))
-      val table = s"$base/table"
-      val log = orderChangelog(spark, dir)
-      val ups = log.filter(col("op") =!= "D")
       val n = 4
-      val b = ups.agg(min(to_date(col("o_orderdate"))),
-        max(to_date(col("o_orderdate")))).head() // 2 scalars
-      val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
-      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
-      def up(batch: DataFrame, id: Long): Unit =
-        Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
-          keepVersions = 10, deleteCol = Some("_deleted"),
-          lazyDeletes = true, sortCols = Seq("o_orderdate"))(batch, id)
-      EventOps.withStreamSizing(spark) {
-        (0 until n).foreach { i =>
-          up(latestChangePerCustomer(ups.filter(expr(
-            s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
-            === i)), i.toLong)
+      // derive-once fixture (r16): the 5-batch lazy-delete fold is
+      // setup; OPTIMIZE below is what the row times, on a fresh copy
+      val table = graft.sources.TableCopy.fresh(spark, dir,
+        "upsert-optimize") { table =>
+        val log = orderChangelog(spark, dir)
+        val ups = log.filter(col("op") =!= "D")
+        val b = ups.agg(min(to_date(col("o_orderdate"))),
+          max(to_date(col("o_orderdate")))).head() // 2 scalars
+        val (d0, d1) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+        val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+        def up(batch: DataFrame, id: Long): Unit =
+          Ingest.upsertParquet(table, Seq("o_custkey"), nBuckets = 8,
+            keepVersions = 10, deleteCol = Some("_deleted"),
+            lazyDeletes = true, sortCols = Seq("o_orderdate"))(batch, id)
+        EventOps.withStreamSizing(spark) {
+          (0 until n).foreach { i =>
+            up(latestChangePerCustomer(ups.filter(expr(
+              s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
+              === i)), i.toLong)
+          }
+          up(latestChangePerCustomer(log).filter(col("_deleted")), n.toLong)
         }
-        up(latestChangePerCustomer(log).filter(col("_deleted")), n.toLong)
         require(new java.io.File(table, s"v_$n/_deletes").isDirectory,
           "setup: the lazy erasure batch recorded no vector debt")
+      }
+      EventOps.withStreamSizing(spark) {
         Ingest.optimizeUpsertTable(spark, table)
       }
       def cur(): java.io.File = new java.io.File(table,
@@ -1486,6 +1523,36 @@ object Changes {
     * the feed (O(batch)), never re-scans the base, and a value probe
     * costs a few slices + k bucket reads instead of a table scan.
     */
+  private val secondaryIndexMemo = graft.Memo[(SparkSession, String), String]()
+
+  /** The feed-maintained secondary index over [[sharedCdcTable]],
+    * built ONCE per (session, fixture) — the derive-once/consume-many
+    * discipline (r16): the index is an index-like artifact exactly
+    * like the IVF cells, and [[qSecondaryIndex]] exists to time the
+    * PROBE path, not the fold (its streaming twin [[qStreamIndex]]
+    * keeps folding per call — maintenance IS that row's subject).
+    */
+  def sharedSecondaryIndex(spark: SparkSession, dir: String): String =
+    secondaryIndexMemo.getOrElseUpdate((spark, dir), {
+      import graft.sources.Ingest
+      val table = sharedCdcTable(spark, dir)
+      val idx = graft.Scratch.dir("secondary-index") + "/idx"
+      EventOps.withStreamSizing(spark) {
+        (0L until 4L).foreach { b =>
+          val entries = Ingest.readTableChanges(spark, table, b, b)
+            .groupBy(col("o_orderpriority"), col("o_custkey"))
+            .agg(max(when(col("_change_type")
+              .isin("insert", "update_postimage"), 1).otherwise(0)).as("keep"))
+            .select(col("o_orderpriority"), col("o_custkey"),
+              (col("keep") === 0).as("_del"))
+          Ingest.upsertParquet(idx, Seq("o_orderpriority", "o_custkey"),
+            nBuckets = 8, keepVersions = 1, deleteCol = Some("_del"),
+            sortCols = Seq("o_orderpriority"))(entries, b)
+        }
+      }
+      idx
+    })
+
   val qSecondaryIndex: QuerySpec = QuerySpec(
     "q_secondary_index",
     Some("""WITH log AS (
@@ -1505,27 +1572,12 @@ object Changes {
       ORDER BY o_custkey"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val n = 4
       val table = sharedCdcTable(spark, dir) // feed-carrying base table
-      val idx = graft.Scratch.dir("secondary-index") + "/idx"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(idx))
-      EventOps.withStreamSizing(spark) {
-        (0L until n.toLong).foreach { b =>
-          val entries = Ingest.readTableChanges(spark, table, b, b)
-            .groupBy(col("o_orderpriority"), col("o_custkey"))
-            .agg(max(when(col("_change_type")
-              .isin("insert", "update_postimage"), 1).otherwise(0)).as("keep"))
-            .select(col("o_orderpriority"), col("o_custkey"),
-              (col("keep") === 0).as("_del"))
-          Ingest.upsertParquet(idx, Seq("o_orderpriority", "o_custkey"),
-            nBuckets = 8, keepVersions = 1, deleteCol = Some("_del"),
-            sortCols = Seq("o_orderpriority"))(entries, b)
-        }
-      }
+      // derive-once artifact (r16): the index IS an index — built once
+      // per (session, fixture) like the IVF/PQ indexes and consumed
+      // read-only here; the probe path below is what the row times.
+      // Bench charges the fold to `secondary_index_build`.
+      val idx = sharedSecondaryIndex(spark, dir)
       // probe: stats-pruned index read → pk set → bucket-pruned base read
       val probe = Ingest.readUpsertTableWhere(spark, idx,
         Seq(("o_orderpriority", "1-URGENT", "1-URGENT")))
@@ -2154,20 +2206,25 @@ object Changes {
       ORDER BY o_orderkey"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val base = graft.Scratch.dir("upsert-zorder")
-      val t = s"$base/table"
-      val log = Tables.load(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // derive-once fixture (r16): the 2-batch linear-sorted build is
+      // setup; the ZORDER rewrite + probes below are what the row times
+      val t = graft.sources.TableCopy.fresh(spark, dir,
+        "upsert-zorder") { t =>
+        val log = Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        EventOps.withStreamSizing(spark) {
+          (0L to 1L).foreach { i =>
+            Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 4,
+              keepVersions = 4, sortCols = Seq("o_custkey", "o_totalprice"),
+              filesPerBucket = 8)(
+              log.filter(col("o_orderkey") % 2 === i), i)
+          }
+        }
+      }
       val bounds = Seq[(String, Any, Any)](
         ("o_totalprice", 50000.0, 60000.0))
       val boxPred = col("o_totalprice").between(50000.0, 60000.0)
       EventOps.withStreamSizing(spark) {
-        (0L to 1L).foreach { i =>
-          Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 4,
-            keepVersions = 4, sortCols = Seq("o_custkey", "o_totalprice"),
-            filesPerBucket = 8)(
-            log.filter(col("o_orderkey") % 2 === i), i)
-        }
         val fullBefore = Ingest.readUpsertTable(spark, t).count()
         val linear = Ingest.readUpsertTableWhere(spark, t, bounds)
         val linearFiles = linear.inputFiles.length
@@ -2211,19 +2268,26 @@ object Changes {
       FROM orders ORDER BY o_orderkey"""),
     (spark, dir) => {
       import graft.sources.Ingest
-      val base = graft.Scratch.dir("upsert-requeue")
-      val t = s"$base/table"
-      val log = Tables.load(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice"))
-      EventOps.withStreamSizing(spark) {
-        (0L to 1L).foreach { i =>
-          Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
-            keepVersions = 4,
-            constraints = Seq("price_cap" -> "o_totalprice < 100000"),
-            quarantine = true)(
-            log.filter(col("o_orderkey") % 2 === i), i)
+      // derive-once fixture (r16): the 2-batch diverting ingest is
+      // setup; the REQUEUE heal below is what the row times, on a
+      // fresh copy (the heal deletes the copy's letters — unlinks,
+      // never writes through the pristine's shared inodes)
+      val t = graft.sources.TableCopy.fresh(spark, dir,
+        "upsert-requeue") { t =>
+        val log = Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+        EventOps.withStreamSizing(spark) {
+          (0L to 1L).foreach { i =>
+            Ingest.upsertParquet(t, Seq("o_orderkey"), nBuckets = 8,
+              keepVersions = 4,
+              constraints = Seq("price_cap" -> "o_totalprice < 100000"),
+              quarantine = true)(
+              log.filter(col("o_orderkey") % 2 === i), i)
+          }
         }
+      }
+      EventOps.withStreamSizing(spark) {
         val expected = Ingest.readQuarantine(spark, t).count()
         val (healed, rediverted) = Ingest.requeueQuarantine(spark, t, 2L,
           fix = _.withColumn("o_totalprice",

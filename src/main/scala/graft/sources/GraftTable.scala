@@ -723,7 +723,9 @@ private[sources] final class GraftScan(spark: SparkSession,
       if (!need.forall(m.schema.fieldNames.contains)) return files
       // every candidate file must be manifest-covered, none may hold
       // nulls in the order column (all driver-side, manifest-sized)
-      val norm = udf((u: String) => new Path(u).toUri.getPath)
+      val md = manDir
+      val norm = udf((u: String) =>
+        new Path(StatsManifest.rebase(md, u)(TableStore.local)).toUri.getPath)
       val wanted = files.map(f => new Path(f).toUri.getPath).toSet
       val cand = m.withColumn("_p", norm(col("file")))
         .filter(col("_p").isin(wanted.toSeq: _*))
@@ -884,7 +886,8 @@ private[sources] final class GraftScan(spark: SparkSession,
       }
       if (cls.contains("excluded")) ()
       else if (cls.contains("unknown") || cls.contains("boundary") ||
-        nRows == null) degrade += r.getString(idx("file"))
+        nRows == null)
+        degrade += StatsManifest.rebase(manDir, r.getString(idx("file")))
       else {
         // fully inside every bound: answer this file from metadata,
         // degrading it to a data read if any needed stat is unhealthy
@@ -899,7 +902,8 @@ private[sources] final class GraftScan(spark: SparkSession,
             val (_, mx, nl) = statTriple(p)
             mx != null || (nl != null && nl.asInstanceOf[Long] == n)
         }
-        if (!healthy) degrade += r.getString(idx("file"))
+        if (!healthy)
+          degrade += StatsManifest.rebase(manDir, r.getString(idx("file")))
         else as.foreach {
           case MetaCountStar() => countStar += n
           case MetaCountCol(p) =>

@@ -1372,7 +1372,7 @@ object Ingest {
     val metaFiles = classified.count(_.getBoolean(3))
     val boundary = classified.iterator
       .filter(r => r.getBoolean(2) && !r.getBoolean(3))
-      .map(_.getString(0)).toSeq
+      .map(r => StatsManifest.rebase(manDir, r.getString(0))).toSeq
     val scanned =
       if (boundary.isEmpty) 0L
       else pinnedReader(spark, tableDir).option("basePath", vDir)

@@ -28,6 +28,33 @@ object StatsManifest {
 
   val ManifestDir = "_stats"
 
+  /** Resolve a recorded data-file path onto the manifest's OWN
+    * location. The manifest's `file` column holds `input_file_name()`
+    * URIs from the original write — but a table tree may legitimately
+    * move under the format's own contracts (the r16 fixture
+    * link-copies; a future table relocation), and a recorded absolute
+    * path would then point a pruned read at the ORIGINAL tree: the
+    * basePath-keyed readers fail loudly, the set-membership consumers
+    * ([[graft.sources.GraftTable]]'s pruning) would silently intersect
+    * to an EMPTY file list — dropped rows, not a superset. The suffix
+    * below the version-dir segment is location-independent, so rebase
+    * every recorded path at the LAST occurrence of the version dir's
+    * name (deepest match — partition dirs are `bkt=N`/`col=val` and
+    * can never collide with it). A path without the marker (e.g. a
+    * clone's renamed version dir) passes through unchanged — exactly
+    * the pre-rebase behavior.
+    */
+  private[sources] def rebase(manifestDir: String, f: String)
+                             (implicit store: TableStore): String = {
+    val vDir =
+      if (manifestDir.endsWith("/" + ManifestDir))
+        manifestDir.dropRight(ManifestDir.length + 1)
+      else manifestDir
+    val marker = "/" + store.baseName(vDir) + "/"
+    val i = f.lastIndexOf(marker)
+    if (i >= 0) store.child(vDir, f.substring(i + marker.length)) else f
+  }
+
   /** The per-file manifest row's aggregate list: `min_<c>` / `max_<c>`
     * per stats column — the skipping index — plus `n_rows` and
     * `nulls_<c>`, which upgrade the manifest from a skipping index to
@@ -141,7 +168,8 @@ object StatsManifest {
         val m1 = lo.map(v => m.filter(col(s"max_$c") >= lit(v))).getOrElse(m)
         hi.map(v => m1.filter(col(s"min_$c") <= lit(v))).getOrElse(m1)
       }
-      Some(keep.select("file").collect().map(_.getString(0)).toSeq)
+      Some(keep.select("file").collect()
+        .map(r => rebase(manifestDir, r.getString(0))).toSeq)
     }
   }
 
@@ -160,7 +188,7 @@ object StatsManifest {
       val m = spark.read.parquet(mparts: _*)
       if (!m.schema.fieldNames.contains("n_rows")) None
       else Some(m.select("file", "n_rows").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .map(r => rebase(manifestDir, r.getString(0)) -> r.getLong(1)).toMap)
     }
   }
 
@@ -184,7 +212,8 @@ object StatsManifest {
           col(s"min_$column") <= lit(v) && col(s"max_$column") >= lit(v))
         .reduceOption(_ || _).getOrElse(lit(false))
       Some(manifest.filter(hit)
-        .select("file").collect().map(_.getString(0)).toSeq)
+        .select("file").collect()
+        .map(r => rebase(manifestDir, r.getString(0))).toSeq)
     }
   }
 }
