@@ -23,8 +23,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: in local mode the ONE JVM is driver + all 32 executor threads +
+// every streaming state store — 8g on a 128 GiB box starved execution
+// memory and made the bench's suite-wide medians 1.5-4x the same
+// queries' isolated times (pure GC/eviction interference, r16
+// measurement; guide §5). 32g is ~25% of the box; still parameterized
+// by SPARK_DRIVER_MEM for smaller hosts. On a real cluster this knob
+// is spark.executor.memory and does not ride sbt.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -229,20 +229,17 @@ object Changes {
       // micro-batch jobs are batch-sized: run the drain at streaming
       // state sizing
       EventOps.withStreamSizing(spark) {
-        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
-        try (0 until n).foreach { i =>
-          val tmp = s"$base/stage_$i"
-          // date-RANGE buckets (value-based, not row-based): equal
-          // dates can never split a chunk, so cross-batch recency is
-          // exactly batch order
+        // date-RANGE buckets (value-based, not row-based): equal
+        // dates can never split a chunk, so cross-batch recency is
+        // exactly batch order; chunks staged once per fixture (r16),
+        // copied into this invocation's fresh source dir
+        val parts = EventOps.stagedChunks(spark, dir, "stream-cdc", n)(i =>
           log.filter(expr(
             s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
-            === i)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).head.toPath
-          java.nio.file.Files.copy(part,
+            === i))
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until n).foreach { i =>
+          java.nio.file.Files.copy(parts(i),
             java.nio.file.Paths.get(s"$in/c$i.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           q.processAllAvailable() // each date-range chunk = one batch
@@ -1172,17 +1169,14 @@ object Changes {
             "o_totalprice DOUBLE, o_orderpriority STRING, op STRING"),
         basePath = Some(in))
       EventOps.withStreamSizing(spark) {
-        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
-        try (0 until n).foreach { i =>
-          val tmp = s"$base/stage_$i"
+        // chunks staged once per fixture (r16), copied per invocation
+        val parts = EventOps.stagedChunks(spark, dir, "stream-cdf-mv", n)(i =>
           log.filter(expr(
             s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
-            === i)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).head.toPath
-          java.nio.file.Files.copy(part,
+            === i))
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until n).foreach { i =>
+          java.nio.file.Files.copy(parts(i),
             java.nio.file.Paths.get(s"$in/c$i.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           q.processAllAvailable() // each date-range chunk = one batch
@@ -2364,15 +2358,12 @@ object Changes {
       val src = Ingest.readStreamFiles(
         spark, s"$in/*.parquet", Tables.eventsRaw, basePath = Some(in))
       EventOps.withStreamSizing(spark) {
+        // chunks staged once per fixture (r16), copied per invocation
+        val parts = EventOps.stagedChunks(spark, dir, "stream-quarantine",
+          4)(i => raw.filter(pmod(col("event_id"), lit(4)) === i))
         val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
         try (0 until 4).foreach { i =>
-          val tmp = s"$base/stage_$i"
-          raw.filter(pmod(col("event_id"), lit(4)) === i)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).head.toPath
-          java.nio.file.Files.copy(part,
+          java.nio.file.Files.copy(parts(i),
             java.nio.file.Paths.get(s"$in/c$i.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           q.processAllAvailable() // chunk i drains as batch i
@@ -2739,17 +2730,14 @@ object Changes {
             "price DOUBLE, o_orderpriority STRING"),
         basePath = Some(in))
       EventOps.withStreamSizing(spark) {
-        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
-        try (0 until n).foreach { i =>
-          val tmp = s"$base/stage_$i"
+        // chunks staged once per fixture (r16), copied per invocation
+        val parts = EventOps.stagedChunks(spark, dir, "stream-merge", n)(i =>
           log.filter(expr(
             s"CAST(datediff(o_orderdate, '$d0') AS BIGINT) * $n DIV $span")
-            === i)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).head.toPath
-          java.nio.file.Files.copy(part,
+            === i))
+        val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
+        try (0 until n).foreach { i =>
+          java.nio.file.Files.copy(parts(i),
             java.nio.file.Paths.get(s"$in/c$i.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           q.processAllAvailable() // each date-range chunk = one batch

@@ -663,14 +663,11 @@ object Epi {
       val in = s"$base/in"
       new java.io.File(in).mkdirs()
       val raw = Tables.load(spark, dir, "orders")
+      // chunks staged once per fixture (r16), copied per invocation
+      val parts = EventOps.stagedChunks(spark, dir, "stream-ears", 4)(i =>
+        raw.filter(pmod(col("o_orderkey"), lit(4L)) === i))
       (0 until 4).foreach { i =>
-        val tmp = s"$base/stage_$i"
-        raw.filter(pmod(col("o_orderkey"), lit(4L)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head.toPath
-        java.nio.file.Files.copy(part,
+        java.nio.file.Files.copy(parts(i),
           java.nio.file.Paths.get(s"$in/c$i.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }

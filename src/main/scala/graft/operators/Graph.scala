@@ -287,9 +287,14 @@ object Graph {
       // fresh aliases per round: frontier carries edge lineage from the
       // previous round, so unrenamed edge columns would be ambiguous
       val e = edges.select(col("s").as(s"_s$i"), col("t").as(s"_t$i"))
+      // materialize each round's frontier (node ids only — tiny): the
+      // loop otherwise nests lineage, so round i re-runs every earlier
+      // round's join once per LATER round and again in the final plan
+      // (r16, guide §1.2 — the BPE lineage-cut discipline)
       val next = frontier.join(e, col("node") === col(s"_s$i"))
         .select(col(s"_t$i").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
       frontier = next
       visited = visited.unionAll(next.select(col("node"), lit(i).as("hop")))
       i += 1

@@ -215,15 +215,12 @@ object Hl7 {
       val src = Ingest.readStreamFiles(
         spark, s"$in/*.parquet", msgSchema, basePath = Some(in))
       EventOps.withStreamSizing(spark) {
+        // chunks staged once per fixture (r16), copied per invocation
+        val parts = EventOps.stagedChunks(spark, dir, "hl7-pipeline", 4)(i =>
+          msgs.filter(pmod(col("doc_id"), lit(4)) === i))
         val q = Ingest.foreachBatchSink(src, s"$base/ck")(writer).start()
         try (0 until 4).foreach { i =>
-          val tmp = s"$base/stage_$i"
-          msgs.filter(pmod(col("doc_id"), lit(4)) === i)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).head.toPath
-          java.nio.file.Files.copy(part,
+          java.nio.file.Files.copy(parts(i),
             java.nio.file.Paths.get(s"$in/c$i.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           q.processAllAvailable() // chunk i drains as batch i

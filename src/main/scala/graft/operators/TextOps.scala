@@ -1472,15 +1472,23 @@ object TextOps {
     * explode, stream-static left join on (lang, shingle), then one
     * stateful [[MaxSharedCount]] aggregation). Complete mode: the sink
     * holds one verdict row per delta doc seen so far; corpus postings
-    * re-read per micro-batch but NEVER self-pair, so per-batch cost
-    * scales with that batch's crawl drop — the incremental-dedup
-    * point, now with arrival semantics.
+    * NEVER self-pair, so per-batch cost scales with that batch's crawl
+    * drop — the incremental-dedup point, now with arrival semantics.
+    *
+    * The corpus-derived sides (fingerprint set, shingle postings) are
+    * STATIC across micro-batches, so they materialize ONCE
+    * (`localCheckpoint`) instead of re-tokenizing the corpus per
+    * trigger (r16, guide §1.2): per-batch work is then genuinely
+    * delta-sized — at 100 TB these are the persisted dedup artifacts
+    * every batch joins against, not per-trigger recomputes.
     */
   def incrementalDedupStream(delta: DataFrame, corpus: DataFrame): DataFrame = {
     val exact = corpus.select(md5(col("text")).as("tfp")).distinct()
       .withColumn("ex", lit(true))
+      .localCheckpoint()
     val cPost = corpus.select(col("lang"), col("doc_id").as("cid"),
       explode(array_distinct(shingles(tokens(col("text"))))).as("g"))
+      .localCheckpoint()
     val dPost = delta
       .select(col("doc_id"), col("lang"), md5(col("text")).as("tfp"),
         array_distinct(shingles(tokens(col("text")))).as("sh"))
@@ -1511,25 +1519,17 @@ object TextOps {
     val docs = Tables.load(spark, dir, "documents")
     val cut = docs.agg((max("doc_id") * 0.8).as("cut")).head.getDouble(0)
     val base = graft.Scratch.dir("stream-incr") // tmpfs-backed staging
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(base))
     val in = s"$base/in"
     new java.io.File(in).mkdirs()
-    Seq("a" -> (col("doc_id") % 2 === 0), "b" -> (col("doc_id") % 2 =!= 0))
-      .foreach { case (label, half) =>
-        val tmp = s"$base/stage_$label"
-        docs.filter(col("doc_id") >= cut && half)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head.toPath
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$in/$label.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    // the two crawl drops staged once per fixture (r16), copied into
+    // this invocation's fresh source dir
+    val drops = EventOps.stagedChunks(spark, dir, "stream-incr", 2)(i =>
+      docs.filter(col("doc_id") >= cut && col("doc_id") % 2 === i))
+    Seq("a", "b").zipWithIndex.foreach { case (label, i) =>
+      java.nio.file.Files.copy(drops(i),
+        java.nio.file.Paths.get(s"$in/$label.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     (in, cut)
   }
 
