@@ -644,8 +644,8 @@ object EventOps {
   private[operators] def stagedChunks(spark: SparkSession, dir: String,
                                       tag: String, n: Int)
                                      (chunk: Int => DataFrame)
-                                     : IndexedSeq[java.nio.file.Path] =
-    stagedChunksMemo.getOrElseUpdate((spark, dir, tag), {
+                                     : IndexedSeq[java.nio.file.Path] = {
+    val staged = stagedChunksMemo.getOrElseUpdate((spark, dir, tag), {
       val stage = graft.Scratch.dir(s"$tag-chunks")
       (0 until n).map { i =>
         val tmp = s"$stage/stage_$i"
@@ -655,6 +655,13 @@ object EventOps {
             f.getName.endsWith(".parquet")).head.toPath
       }
     })
+    // the memo key omits n and the chunk fn: a tag MUST uniquely
+    // determine the chunking (ADVICE r16) — fail loudly if reused
+    require(staged.length == n,
+      s"stagedChunks: tag '$tag' was first staged with n=${staged.length}, " +
+        s"now requested with n=$n — tags must uniquely determine the chunking")
+    staged
+  }
 
   private[operators] def runStreamToTable(agg: DataFrame,
                                mode: String = "complete",

@@ -109,6 +109,25 @@ object Ingest {
     */
   val UpsertBucketCol = "bkt"
 
+  /** Daemon pool for overlapping INDEPENDENT data-plane (parquet job)
+    * writes inside one merge commit — guide §2.6: the scheduler
+    * happily runs several jobs at once, but the sink paid each job's
+    * full latency sequentially (change capture, deletion vector,
+    * quarantine diversion are all independent of the main bucket
+    * rewrite). Control-plane ([[TableStore]]) op ORDER is unchanged —
+    * the overlapped bodies perform no store mutations — so the
+    * crash-window protocol (CrashWindowSpec) is untouched, and every
+    * overlapped write lands strictly before the pointer swap.
+    */
+  private lazy val dataPlaneEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-merge-dataplane")
+          t.setDaemon(true)
+          t
+        }))
+
   /** How long a post-commit cleanup in two-writer OCC mode shields an
     * UNCOMMITTED build dir (a competing writer's possibly-in-flight
     * merge) before treating it as crashed — see [[cleanupStale]].
@@ -857,6 +876,16 @@ object Ingest {
             "snapshot (the sink is single-writer; fix the deployment)")
       }
     }
+    // independent data-plane writes launched during the merge and all
+    // awaited BEFORE the pointer swap (and in the finally, so a crashed
+    // attempt never leaves a job racing a caller's cleanup)
+    val pendingDataPlane =
+      scala.collection.mutable.ArrayBuffer.empty[scala.concurrent.Future[Unit]]
+    def overlap(body: => Unit): Unit =
+      pendingDataPlane += scala.concurrent.Future(body)(dataPlaneEc)
+    def awaitDataPlane(): Unit = pendingDataPlane.foreach(f =>
+      scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
     try {
       val delFlag = deleteCol.map(col).getOrElse(lit(false))
       val bk: DataFrame = if (pinnedCons.isEmpty) bkAll else {
@@ -917,15 +946,19 @@ object Ingest {
           // intact: no committed row ever violates a pinned constraint.
           val qDir = store.child(store.child(root, QuarantineDir),
             s"b_$batchId")
-          dataOf(upsertRows.filter(anyViol))
-            .drop(UpsertBucketCol)
-            .withColumn(QuarantineReasonCol,
-              org.apache.spark.sql.functions.filter(
-                org.apache.spark.sql.functions.array(viol.map { case (n, p) =>
-                  when(p, lit(n)).otherwise(lit(null: String)) }: _*),
-                x => x.isNotNull))
-            .withColumn(QuarantineBatchCol, lit(batchId))
-            .write.mode("overwrite").parquet(qDir)
+          // the diversion write is independent of the merge — overlap
+          // it (§2.6); awaited before the swap like every data-plane job
+          overlap {
+            dataOf(upsertRows.filter(anyViol))
+              .drop(UpsertBucketCol)
+              .withColumn(QuarantineReasonCol,
+                org.apache.spark.sql.functions.filter(
+                  org.apache.spark.sql.functions.array(viol.map { case (n, p) =>
+                    when(p, lit(n)).otherwise(lit(null: String)) }: _*),
+                  x => x.isNotNull))
+              .withColumn(QuarantineBatchCol, lit(batchId))
+              .write.mode("overwrite").parquet(qDir)
+          }
           // null-safe keep: divert ONLY rows that are definitively
           // non-tombstones (flag <=> false, matching upsertRows) AND
           // definitively violating. A NULL delete flag must NOT short
@@ -949,6 +982,11 @@ object Ingest {
           sum(when(col("isDel").isNull, 1L).otherwise(0L)).as("null_flags"))
         .head()
       if (summary.isNullAt(0)) { // empty batch
+        // a fully-diverted batch (every row quarantined) reaches this
+        // path with its diversion write still in flight: the dead
+        // letters must be durable before the ledger records the batch,
+        // or a crash-replay would no-op and lose them
+        awaitDataPlane()
         if (readCurrent().nonEmpty) {
           // a non-first empty batch commits no version; record it so
           // readTableChanges can prove "zero changes" — and DESCRIBE
@@ -1023,60 +1061,13 @@ object Ingest {
       // the rewritten buckets; only non-tombstone rows are re-inserted.
       // A delete is therefore just an eviction with no replacement.
       val upserts = dataOf(deleteCol.fold(bk)(c => bk.filter(!col(c))))
-      val merged = {
-        val base =
-          if (rewriteDirs.isEmpty) upserts
-          // read old rows through the (possibly just-widened) table
-          // schema: files from before a widening surface the new columns
-          // as null, so survivors and upserts always union cleanly
-          else {
-            val survivors = spark.read.schema(tableSchema)
-              .option("basePath", curDir.get)
-              .parquet(rewriteDirs: _*)
-              .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
-            // pending vector entries for rewritten buckets are APPLIED
-            // here (and leave the vector below) — the debt self-compacts
-            prevDvKeys.fold(survivors)(dv =>
-              survivors.join(broadcast(dv), keys, "left_anti"))
-              .unionByName(upserts)
-          }
-        base
-      }
-      // layout of the rewritten buckets: hash-partitioned one-file-per-
-      // bucket by default; with pinned sortCols, RANGE-partitioned on
-      // (bucket, sortCols) into ~filesPerBucket slices per bucket and
-      // sorted within — each file then covers a tight sortCols range,
-      // which is what makes the per-file manifest below actually prune
-      // (hash buckets alone have full-range bounds on every column)
-      val laidOut =
-        if (sortCols.isEmpty)
-          merged.repartition(math.max(1, rewriteB.size), col(UpsertBucketCol))
-        else merged.repartitionByRange(
-          math.max(1, rewriteB.size * filesPerBucket),
-          (col(UpsertBucketCol) +: sortCols.map(col)): _*)
-          .sortWithinPartitions(
-            (col(UpsertBucketCol) +: sortCols.map(col)): _*)
-      laidOut
-        .write.partitionBy(UpsertBucketCol).mode("overwrite").parquet(newV)
-      curDir.foreach { d =>
-        store.listNames(d)
-          .filter(n => n.startsWith(s"$UpsertBucketCol=") &&
-            store.isDirectory(store.child(d, n)) &&
-            !rewriteB.contains(n.stripPrefix(s"$UpsertBucketCol=").toLong))
-          .foreach { bname =>
-            val bdir = store.child(d, bname)
-            val dst = store.child(newV, bname)
-            store.mkdirs(dst)
-            store.listNames(bdir)
-              .filterNot(n => store.isDirectory(store.child(bdir, n)))
-              .foreach(n => linkInto(store.child(bdir, n), dst))
-          }
-      }
       // the new version's deletion vector: entries carried for buckets
       // NOT rewritten + this batch's lazily-deleted keys (tombstones in
       // delete-only buckets). Written INSIDE the version dir, so it is
-      // atomic with the snapshot (pre-swap) and swept with it.
-      locally {
+      // atomic with the snapshot (pre-swap) and swept with it. The
+      // write only needs the CACHED batch + the prior vector — nothing
+      // from the bucket rewrite — so it overlaps the merge (§2.6).
+      overlap {
         val dvCols = keys.map(col) :+ col(UpsertBucketCol)
         val deleteOnlyB = touched -- upsertBuckets
         val dvAdds =
@@ -1096,52 +1087,12 @@ object Ingest {
           .foreach(_.coalesce(1).write
             .parquet(store.child(newV, "_deletes")))
       }
-      // per-file min/max manifest for the pinned sortCols — the
-      // file-LIST skipping layer (StatsManifest) composed into the
-      // format. Fresh rows come from a narrow scan of the REWRITTEN
-      // buckets only; rows for hard-linked buckets are CARRIED from
-      // the previous version's manifest with their paths remapped
-      // (same inodes, so the stats hold verbatim) — manifest cost
-      // rides the merge's O(touched), never a table scan. Written
-      // inside the version dir pre-swap: atomic with the snapshot,
-      // swept with it, invisible to snapshot reads (underscore).
-      if (sortCols.nonEmpty) {
-        import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
-        val aggs = StatsManifest.statsAggs(sortCols)
-        val freshDirs = rewriteB.toSeq.sorted
-          .map(b => store.child(newV, s"$UpsertBucketCol=$b"))
-          .filter(store.isDirectory)
-        val fresh =
-          if (freshDirs.isEmpty) None
-          else Some(spark.read.schema(tableSchema)
-            .option("basePath", newV)
-            .parquet(freshDirs: _*)
-            .select(sortCols.map(col): _*)
-            .groupBy(input_file_name().as("file"))
-            .agg(aggs.head, aggs.tail: _*))
-        val carried = curDir
-          .map(d => store.child(d, StatsManifest.ManifestDir))
-          .filter(store.isDirectory)
-          .flatMap { md =>
-            val parts = store.listNames(md)
-              .filter(_.endsWith(".parquet")).map(store.child(md, _))
-            if (parts.isEmpty) None
-            else Some(spark.read.parquet(parts: _*)
-              .filter(!regexp_extract(col("file"),
-                s"/$UpsertBucketCol=(\\d+)/", 1).cast("long")
-                .isin(rewriteB.toSeq: _*))
-              .withColumn("file",
-                org.apache.spark.sql.functions.regexp_replace(col("file"),
-                  java.util.regex.Pattern.quote(
-                    s"/${store.baseName(curDir.get)}/"),
-                  s"/$vName/")))
-          }
-        (fresh.toSeq ++ carried.toSeq).reduceOption(_.unionByName(_))
-          .filter(_.head(1).nonEmpty)
-          .foreach(_.coalesce(1).write.parquet(
-            store.child(newV, StatsManifest.ManifestDir)))
-      }
-      if (changeFeed) {
+      // change capture: pre-images come from the CURRENT snapshot's
+      // touched buckets and post-images from the cached batch — also
+      // independent of the bucket rewrite, so it overlaps the merge
+      // (§2.6). It reads the OLD version's files while the merge
+      // writes the NEW dir: disjoint trees, no store mutations here.
+      if (changeFeed) overlap {
         val dataCols = dataOf(bk).columns
           .filterNot(_ == UpsertBucketCol).map(col)
         val flag = delFlag
@@ -1181,9 +1132,117 @@ object Ingest {
         changes.coalesce(math.max(1, touched.size))
           .write.parquet(store.child(newV, "_changes"))
       }
+      val merged = {
+        val base =
+          if (rewriteDirs.isEmpty) upserts
+          // read old rows through the (possibly just-widened) table
+          // schema: files from before a widening surface the new columns
+          // as null, so survivors and upserts always union cleanly
+          else {
+            val survivors = spark.read.schema(tableSchema)
+              .option("basePath", curDir.get)
+              .parquet(rewriteDirs: _*)
+              .join(broadcast(bk.select(keys.map(col): _*)), keys, "left_anti")
+            // pending vector entries for rewritten buckets are APPLIED
+            // here (and leave the vector below) — the debt self-compacts
+            prevDvKeys.fold(survivors)(dv =>
+              survivors.join(broadcast(dv), keys, "left_anti"))
+              .unionByName(upserts)
+          }
+        base
+      }
+      // layout of the rewritten buckets: hash-partitioned one-file-per-
+      // bucket by default; with pinned sortCols, RANGE-partitioned on
+      // (bucket, sortCols) into ~filesPerBucket slices per bucket and
+      // sorted within — each file then covers a tight sortCols range,
+      // which is what makes the per-file manifest below actually prune
+      // (hash buckets alone have full-range bounds on every column)
+      val laidOut =
+        if (sortCols.isEmpty)
+          merged.repartition(math.max(1, rewriteB.size), col(UpsertBucketCol))
+        else merged.repartitionByRange(
+          math.max(1, rewriteB.size * filesPerBucket),
+          (col(UpsertBucketCol) +: sortCols.map(col)): _*)
+          .sortWithinPartitions(
+            (col(UpsertBucketCol) +: sortCols.map(col)): _*)
+      // append, NOT overwrite: newV was freshly deleteTree'd+mkdirs'd
+      // above, so overwrite's implicit whole-dir delete is redundant —
+      // and it would race the OVERLAPPED _changes/_deletes writers'
+      // staging dirs inside newV (they may start before this job)
+      laidOut
+        .write.partitionBy(UpsertBucketCol).mode("append").parquet(newV)
+      curDir.foreach { d =>
+        store.listNames(d)
+          .filter(n => n.startsWith(s"$UpsertBucketCol=") &&
+            store.isDirectory(store.child(d, n)) &&
+            !rewriteB.contains(n.stripPrefix(s"$UpsertBucketCol=").toLong))
+          .foreach { bname =>
+            val bdir = store.child(d, bname)
+            val dst = store.child(newV, bname)
+            store.mkdirs(dst)
+            store.listNames(bdir)
+              .filterNot(n => store.isDirectory(store.child(bdir, n)))
+              .foreach(n => linkInto(store.child(bdir, n), dst))
+          }
+      }
+      // per-file min/max manifest for the pinned sortCols — the
+      // file-LIST skipping layer (StatsManifest) composed into the
+      // format. Fresh rows come from a narrow scan of the REWRITTEN
+      // buckets only; rows for hard-linked buckets are CARRIED from
+      // the previous version's manifest with their paths remapped
+      // (same inodes, so the stats hold verbatim) — manifest cost
+      // rides the merge's O(touched), never a table scan. Written
+      // inside the version dir pre-swap: atomic with the snapshot,
+      // swept with it, invisible to snapshot reads (underscore).
+      if (sortCols.nonEmpty) {
+        import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+        val aggs = StatsManifest.statsAggs(sortCols)
+        val freshDirs = rewriteB.toSeq.sorted
+          .map(b => store.child(newV, s"$UpsertBucketCol=$b"))
+          .filter(store.isDirectory)
+        val fresh =
+          if (freshDirs.isEmpty) None
+          else Some(spark.read.schema(tableSchema)
+            .option("basePath", newV)
+            .parquet(freshDirs: _*)
+            .select(sortCols.map(col): _*)
+            .groupBy(StatsManifest.relFile(vName).as("file"))
+            .agg(aggs.head, aggs.tail: _*))
+        val carried = curDir
+          .map(d => store.child(d, StatsManifest.ManifestDir))
+          .filter(store.isDirectory)
+          .flatMap { md =>
+            val parts = store.listNames(md)
+              .filter(_.endsWith(".parquet")).map(store.child(md, _))
+            if (parts.isEmpty) None
+            else Some(spark.read.parquet(parts: _*)
+              .filter(!regexp_extract(col("file"),
+                s"(^|/)$UpsertBucketCol=(\\d+)/", 2).cast("long")
+                .isin(rewriteB.toSeq: _*))
+              .withColumn("file",
+                org.apache.spark.sql.functions.regexp_replace(col("file"),
+                  java.util.regex.Pattern.quote(
+                    s"/${store.baseName(curDir.get)}/"),
+                  s"/$vName/")))
+          }
+        (fresh.toSeq ++ carried.toSeq).reduceOption(_.unionByName(_))
+          .filter(_.head(1).nonEmpty)
+          .foreach(_.coalesce(1).write.parquet(
+            store.child(newV, StatsManifest.ManifestDir)))
+      }
+      // overlapped data-plane writes (capture / dv / quarantine) must
+      // all be durable before the snapshot becomes visible
+      awaitDataPlane()
       swapCurrent()
       commit()
-    } finally { bkAll.unpersist(); () }
+    } finally {
+      // a failed merge must not leave an overlapped job racing the
+      // caller's cleanup of the table dir
+      pendingDataPlane.foreach(f => scala.util.Try(
+        scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)))
+      bkAll.unpersist(); ()
+    }
   }
 
   /** Read an [[upsertParquet]] table — its CURRENT snapshot, or (time
@@ -2600,19 +2659,27 @@ object Ingest {
         .parquet(newV)
         .filter(col(UpsertBucketCol).isin(rewrite.toSeq.map(_.toLong): _*))
       val fresh = freshSrc.select(sortCols.map(col): _*)
-        .groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+        .groupBy(StatsManifest.relFile(newName).as("file"))
+        .agg(aggs.head, aggs.tail: _*)
       val oldMan = store.child(curDir, StatsManifest.ManifestDir)
       val carriedOpt =
         if (!store.isDirectory(oldMan)) None
         else {
           val dropPat = rewrite.toSeq.sorted
-            .map(bk => java.util.regex.Pattern
-              .quote(s"/$UpsertBucketCol=$bk/")).mkString("|")
+            .map(bk => "(^|/)" + java.util.regex.Pattern
+              .quote(s"$UpsertBucketCol=$bk/")).mkString("|")
+          // carry by VERSION-DIR SEGMENT, not full-path prefix: on a
+          // link-copied tree the recorded paths are the pristine
+          // tree's, so a full-prefix replace is a silent no-op and the
+          // carried rows would keep the OLD version segment under a
+          // foreign prefix — outside StatsManifest.rebase's reach
+          // (it keys on the NEW version-dir name). Matches the merge
+          // path's carry (ADVICE r16).
           Some(spark.read.parquet(oldMan)
             .filter(!col("file").rlike(dropPat))
             .withColumn("file", regexp_replace(col("file"),
-              java.util.regex.Pattern.quote(curDir),
-              java.util.regex.Matcher.quoteReplacement(newV))))
+              java.util.regex.Pattern.quote(s"/${curName.get}/"),
+              java.util.regex.Matcher.quoteReplacement(s"/$newName/"))))
         }
       val manifest = carriedOpt.fold(fresh)(c => fresh.unionByName(c))
       if (manifest.head(1).nonEmpty)
@@ -3497,7 +3564,7 @@ object Ingest {
       val m = pinnedReader(spark, root).option("basePath", newV)
         .parquet(newV)
         .select(sortCols.map(col): _*)
-        .groupBy(input_file_name().as("file"))
+        .groupBy(StatsManifest.relFile(newName).as("file"))
         .agg(aggs.head, aggs.tail: _*)
       if (m.head(1).nonEmpty)
         m.coalesce(1).write.parquet(

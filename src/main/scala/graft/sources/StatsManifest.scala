@@ -50,10 +50,26 @@ object StatsManifest {
       if (manifestDir.endsWith("/" + ManifestDir))
         manifestDir.dropRight(ManifestDir.length + 1)
       else manifestDir
+    // r17: new manifests record VERSION-RELATIVE paths ([[relFile]]) —
+    // no marker search needed, resolution is direct child-of-vDir
+    if (!f.startsWith("/") && !f.contains(":/")) return store.child(vDir, f)
     val marker = "/" + store.baseName(vDir) + "/"
     val i = f.lastIndexOf(marker)
     if (i >= 0) store.child(vDir, f.substring(i + marker.length)) else f
   }
+
+  /** Version-RELATIVE `file` expression for manifest WRITERS: the
+    * suffix of `input_file_name()` below the named version dir
+    * (`bkt=N/part-….parquet`). Written relative, a relocated or
+    * link-copied tree's manifest resolves with zero path surgery —
+    * the whole `input_file_name()`-URI failure class the r16
+    * rebase-at-read fix papered over is gone at the source; [[rebase]]
+    * keeps serving absolute paths from manifests written before this
+    * (and a clone's renamed version dir, which passes through).
+    */
+  def relFile(versionDirName: String): Column =
+    regexp_replace(input_file_name(),
+      ".*/" + java.util.regex.Pattern.quote(versionDirName) + "/", "")
 
   /** The per-file manifest row's aggregate list: `min_<c>` / `max_<c>`
     * per stats column — the skipping index — plus `n_rows` and
@@ -95,8 +111,9 @@ object StatsManifest {
     val written = spark.read.parquet(path)
       .select(statsCols.map(col): _*)
     val aggs = statsAggs(statsCols)
+    val dirName = path.replaceAll("/+$", "").split('/').last
     written
-      .groupBy(input_file_name().as("file"))
+      .groupBy(relFile(dirName).as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1) // one manifest row per data file — manifest is tiny
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")

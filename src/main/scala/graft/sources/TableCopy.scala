@@ -36,9 +36,13 @@ import org.apache.spark.sql.SparkSession
 object TableCopy {
 
   /** The append-mutated ledgers ([[TableStore.appendLog]] targets) —
-    * the one file class that must be deep-copied, not linked.
+    * the one file class that must be deep-copied, not linked. Must
+    * stay closed under the format's FULL ledger set: `_txns` is the
+    * MultiCommit coordinator ledger (ADVICE r16 — a coordinator dir
+    * inside a copied tree would otherwise share an inode with the
+    * pristine and an append on the copy would corrupt it).
     */
-  private val appendLogs = Set("_commits", "_empty", "_tags")
+  private val appendLogs = Set("_commits", "_empty", "_tags", "_txns")
 
   /** Recursively copy the table tree at `src` to `dst`: directories
     * recreated, append-logs byte-copied, every other file hard-linked

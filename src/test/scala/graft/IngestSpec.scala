@@ -1380,13 +1380,17 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       Seq(("value", 10L, 40L))).filter(col("value").between(10, 40))
     assert(afterDel.select("user_id").as[Long].collect().toSet ===
       (10L to 40L).toSet - 20L)
-    // carried manifest rows must point at files that exist
+    // carried manifest rows must point at files that exist — recorded
+    // VERSION-RELATIVE (r17), resolved against the manifest's own
+    // version dir exactly as every consumer does via rebase
     val carriedFiles = spark.read.parquet(
       Option(v1m.listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet")).map(_.getPath): _*)
       .select("file").as[String].collect()
     assert(carriedFiles.nonEmpty && carriedFiles.forall(f =>
-      new java.io.File(new java.net.URI(f)).exists()), "stale manifest path")
+      !f.startsWith("/") && !f.contains(":/") &&
+        new java.io.File(new java.io.File(table, "v_1"), f).exists()),
+      "stale or non-relative manifest path")
     // an upsert batch refreshes stats for its rewritten buckets only
     up(2, Seq((10L, 1000L, false)))
     val wide = Ingest.readUpsertTableWhere(spark, table,
@@ -1992,7 +1996,10 @@ abstract class IngestSuiteBase extends AnyFunSuite {
       .select("file").as[String].collect().toSet
     val diskFiles = filesPerBucket("v_1.1").values.flatten
       .map(_.getAbsolutePath).toSet
-    assert(manFiles.map(f => new java.net.URI(f).getPath) === diskFiles,
+    // fresh rows recorded version-relative at write; carried rows
+    // remapped onto the new version segment (both resolve under v_1.1)
+    assert(manFiles.map(f =>
+        new java.io.File(s"$t/v_1.1", f).getAbsolutePath) === diskFiles,
       "manifest out of sync with the compacted generation")
     // nothing left to do: a second pass is a true no-op (no new gen)
     assert(Ingest.compactUpsertTable(spark, t, filesOver = 2) === Nil)

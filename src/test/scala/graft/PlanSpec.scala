@@ -648,4 +648,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("q_bfs_hops: per-round frontiers materialize — final plan unions scans, no join towers") {
+    // the r16 lineage cut (guide §5): each round's frontier is
+    // localCheckpoint'ed, so the RESULT plan is a union of
+    // materialized frontier scans. A regression that re-nests lineage
+    // (dropping a checkpoint) puts the frontier⋈edges joins back into
+    // the final plan — and re-runs every earlier round's join once per
+    // later round. Must fail here, not wait for a bench.
+    val p = plan(graft.operators.Graph.qBfsHops.run(spark, sf))
+    assert(p.contains("ExistingRDD"), p.take(800))
+    assert(!p.contains("Join"), p.take(1200))
+  }
 }
