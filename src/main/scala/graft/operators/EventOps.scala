@@ -674,7 +674,10 @@ object EventOps {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         // the engine permits checkpoint RECOVERY into a memory sink only
         // in complete mode (state lives in the state store, the sink is
-        // rebuilt each trigger) — exactly the resume-proof shape
+        // rebuilt each trigger) — exactly the resume-proof shape.
+        // (Checkpoint placement was A/B'd in r17 — the session default
+        // already lands on tmpfs scratch; an explicit per-query Scratch
+        // dir measured identical over 5 reps, so the default stands.)
         checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
       }
     q.awaitTermination()

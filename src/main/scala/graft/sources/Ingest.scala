@@ -1202,12 +1202,17 @@ object Ingest {
           .filter(store.isDirectory)
         val fresh =
           if (freshDirs.isEmpty) None
-          else Some(spark.read.schema(tableSchema)
-            .option("basePath", newV)
-            .parquet(freshDirs: _*)
-            .select(sortCols.map(col): _*)
-            .groupBy(StatsManifest.relFile(vName).as("file"))
-            .agg(aggs.head, aggs.tail: _*))
+          // footer-derived stats first (r17, guide §6 — no second read
+          // of the data just written); scan-based derivation is the
+          // fallback whenever any column's footer stats aren't exact
+          else footerFreshManifest(spark, newV, Some(rewriteB), sortCols,
+              Some(tableSchema))
+            .orElse(Some(spark.read.schema(tableSchema)
+              .option("basePath", newV)
+              .parquet(freshDirs: _*)
+              .select(sortCols.map(col): _*)
+              .groupBy(StatsManifest.relFile(vName).as("file"))
+              .agg(aggs.head, aggs.tail: _*)))
         val carried = curDir
           .map(d => store.child(d, StatsManifest.ManifestDir))
           .filter(store.isDirectory)
@@ -2066,6 +2071,42 @@ object Ingest {
           .asInstanceOf[StructType])
     }
 
+  /** The pinned `_schema` as a StructType, when present. */
+  private def pinnedSchema(root: String)
+                          (implicit store: TableStore): Option[StructType] =
+    store.read(store.child(root, "_schema")).map(json =>
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType])
+
+  /** Fresh stats-manifest rows for the (optionally bucket-restricted)
+    * parquet files of a just-built version dir, derived from parquet
+    * FOOTERS — no second read of the data the rewrite just wrote (r17,
+    * guide §6). `None` whenever any file/column lacks exact footer
+    * stats ([[StatsManifest.footerManifestRows]]); callers fall back
+    * to the scan-based derivation.
+    */
+  private def footerFreshManifest(spark: SparkSession, newV: String,
+                                  buckets: Option[Set[Long]],
+                                  sortCols: Seq[String],
+                                  schema: Option[StructType])
+                                 (implicit store: TableStore)
+      : Option[DataFrame] = {
+    val sch = schema.getOrElse(return None)
+    val dirs = store.listNames(newV)
+      .filter(_.startsWith(s"$UpsertBucketCol="))
+      .filter(n => store.isDirectory(store.child(newV, n)))
+      .filter(n => buckets.forall(bs => scala.util.Try(
+        n.stripPrefix(s"$UpsertBucketCol=").toLong).toOption.exists(bs)))
+      .map(store.child(newV, _))
+    val files = dirs.flatMap { d =>
+      store.listNames(d).filter(_.endsWith(".parquet"))
+        .filterNot(n => store.isDirectory(store.child(d, n)))
+        .map(n => (store.child(d, n), s"${store.baseName(d)}/$n"))
+    }
+    if (files.isEmpty) None
+    else StatsManifest.footerManifestRows(spark, files, sortCols, sch)
+  }
+
   // --- column mapping (metadata-only RENAME / DROP COLUMN) ---
 
   /** Column-mapping state of a table (`_colmap`, one atomic control
@@ -2655,12 +2696,14 @@ object Ingest {
       // paths, fresh rows scanned only for the rewritten buckets
       import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
       val aggs = StatsManifest.statsAggs(sortCols)
-      val freshSrc = pinnedReader(spark, root).option("basePath", newV)
-        .parquet(newV)
-        .filter(col(UpsertBucketCol).isin(rewrite.toSeq.map(_.toLong): _*))
-      val fresh = freshSrc.select(sortCols.map(col): _*)
-        .groupBy(StatsManifest.relFile(newName).as("file"))
-        .agg(aggs.head, aggs.tail: _*)
+      val fresh = footerFreshManifest(spark, newV,
+          Some(rewrite.map(_.toLong)), sortCols, pinnedSchema(root))
+        .getOrElse(pinnedReader(spark, root).option("basePath", newV)
+          .parquet(newV)
+          .filter(col(UpsertBucketCol).isin(rewrite.toSeq.map(_.toLong): _*))
+          .select(sortCols.map(col): _*)
+          .groupBy(StatsManifest.relFile(newName).as("file"))
+          .agg(aggs.head, aggs.tail: _*))
       val oldMan = store.child(curDir, StatsManifest.ManifestDir)
       val carriedOpt =
         if (!store.isDirectory(oldMan)) None
@@ -3561,11 +3604,13 @@ object Ingest {
       // fresh manifest for the fully-rewritten generation
       import org.apache.spark.sql.functions.input_file_name
       val aggs = StatsManifest.statsAggs(sortCols)
-      val m = pinnedReader(spark, root).option("basePath", newV)
-        .parquet(newV)
-        .select(sortCols.map(col): _*)
-        .groupBy(StatsManifest.relFile(newName).as("file"))
-        .agg(aggs.head, aggs.tail: _*)
+      val m = footerFreshManifest(spark, newV, None, sortCols,
+          pinnedSchema(root))
+        .getOrElse(pinnedReader(spark, root).option("basePath", newV)
+          .parquet(newV)
+          .select(sortCols.map(col): _*)
+          .groupBy(StatsManifest.relFile(newName).as("file"))
+          .agg(aggs.head, aggs.tail: _*))
       if (m.head(1).nonEmpty)
         m.coalesce(1).write.parquet(
           store.child(newV, StatsManifest.ManifestDir))

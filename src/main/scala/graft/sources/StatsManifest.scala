@@ -89,6 +89,128 @@ object StatsManifest {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
       count(lit(1)).as("n_rows")
 
+  /** Footer-derived manifest rows for freshly written parquet files —
+    * the zero-rescan path behind every manifest writer (r17, guide §6):
+    * the min/max/null-count/row-count a manifest row needs is already
+    * in each file's parquet footer, so deriving it there replaces a
+    * full re-read of the just-written data (a second pass over every
+    * rewritten byte — at 100 TB, a second scan of the commit's output)
+    * with one footer read per file, the same metadata pass Delta and
+    * Iceberg do at write time.
+    *
+    * Returns `None` — callers MUST fall back to the scan-based
+    * derivation — unless every stats column in every file yields EXACT
+    * statistics. Exactness matters beyond pruning: [[Ingest.minMaxMeta]]
+    * answers MIN/MAX *aggregates* from these rows, so an approximate
+    * bound (parquet truncates/omits long BINARY stats) would be a wrong
+    * answer, not a missed skip. Hence only fixed-width physical types
+    * are accepted (int32/int64/float/double/boolean, date, timestamp
+    * micros/millis) — their footer stats are attained values by format
+    * contract; strings, decimals and INT96 timestamps decline to the
+    * scan. Footers are read through the same Hadoop FS the data plane
+    * writes through, so any [[TableStore]] whose parquet Spark can read
+    * serves footers too.
+    *
+    * @param files (absolutePath, manifestRelativePath) per data file
+    * @param schema the table's data schema (stats columns resolved here)
+    */
+  def footerManifestRows(spark: SparkSession,
+                         files: Seq[(String, String)],
+                         statsCols: Seq[String],
+                         schema: org.apache.spark.sql.types.StructType)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val fields = statsCols.map(c => schema.fields.find(_.name == c)
+      .getOrElse(return None))
+    val supported = fields.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType | DateType | TimestampType => true
+      case _ => false
+    })
+    if (!supported || files.isEmpty) return None
+    // decode one footer Statistics value into the Spark-external value
+    // the scan-based agg would have produced; None = unusable stats
+    def decode(v: Any, dt: DataType,
+               pt: org.apache.parquet.schema.PrimitiveType): Option[Any] =
+      (dt, pt.getPrimitiveTypeName) match {
+        case (ByteType, INT32) => Some(v.asInstanceOf[Int].toByte)
+        case (ShortType, INT32) => Some(v.asInstanceOf[Int].toShort)
+        case (IntegerType, INT32) => Some(v.asInstanceOf[Int])
+        case (LongType, INT64) => Some(v.asInstanceOf[Long])
+        case (FloatType, FLOAT) => Some(v.asInstanceOf[Float])
+        case (DoubleType, DOUBLE) => Some(v.asInstanceOf[Double])
+        case (BooleanType, BOOLEAN) => Some(v.asInstanceOf[Boolean])
+        case (DateType, INT32) =>
+          Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+        case (TimestampType, INT64) =>
+          pt.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              val raw = v.asInstanceOf[Long]
+              val micros = t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                case _ => return None // nanos: not TimestampType-exact
+              }
+              Some(java.time.Instant.ofEpochSecond(
+                Math.floorDiv(micros, 1000000L),
+                Math.floorMod(micros, 1000000L) * 1000L))
+            case _ => None
+          }
+        case _ => None // INT96 timestamps and any other mismatch
+      }
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = files.map { case (abs, rel) =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(abs), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        val perCol: Seq[Seq[Any]] = fields.map { fld =>
+          var mn: Any = null
+          var mx: Any = null
+          var nulls = 0L
+          blocks.foreach { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == fld.name).getOrElse(return None)
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              val lo = decode(st.genericGetMin, fld.dataType,
+                cc.getPrimitiveType).getOrElse(return None)
+              val hi = decode(st.genericGetMax, fld.dataType,
+                cc.getPrimitiveType).getOrElse(return None)
+              def lt(a: Any, b: Any): Boolean =
+                a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+              if (mn == null || lt(lo, mn)) mn = lo
+              if (mx == null || lt(mx, hi)) mx = hi
+            } else if (st.getNumNulls != b.getRowCount) {
+              // no min/max but not provably all-NULL either (INT96
+              // writes exactly this shape: numNulls=0, no values) —
+              // treating it as all-null would give the file NULL
+              // bounds and pruned reads would SKIP live rows. Bail.
+              return None
+            }
+          }
+          Seq(mn, mx, nulls)
+        }
+        org.apache.spark.sql.Row.fromSeq(rel +: perCol.flatten :+ nRows)
+      } finally reader.close()
+    }
+    val outSchema = StructType(
+      StructField("file", StringType, nullable = false) +:
+      fields.flatMap(f => Seq(
+        StructField(s"min_${f.name}", f.dataType),
+        StructField(s"max_${f.name}", f.dataType),
+        StructField(s"nulls_${f.name}", LongType))) :+
+      StructField("n_rows", LongType, nullable = false))
+    Some(spark.createDataFrame(rows.asJava, outSchema))
+  }
+
   /** Write `df` as parquet at `path` — the caller controls layout
     * (partitioning/sorting decide how tight the per-file ranges are;
     * a Z-clustered input gives multi-column-tight boxes) — then build
