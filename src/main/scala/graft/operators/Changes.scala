@@ -1161,7 +1161,10 @@ object Changes {
           else Ingest.readUpsertTable(spark, mv)
             .unionByName(delta)
             .groupBy("prio").agg(sum("n").as("n"), sum("cents").as("cents"))
-        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 4)(merged, id)
+        // one bucket: the MV is keyed on the 5 priority groups — a
+        // cardinality that does NOT grow with data — so extra hash
+        // buckets only multiply per-commit write partitions (r17)
+        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 1)(merged, id)
       }
       val src = Ingest.readStreamFiles(spark, s"$in/*.parquet",
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -1237,7 +1240,10 @@ object Changes {
           else Ingest.readUpsertTable(spark, mv)
             .unionByName(delta)
             .groupBy("prio").agg(sum("n").as("n"), sum("cents").as("cents"))
-        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 4)(merged, id)
+        // one bucket: the MV is keyed on the 5 priority groups — a
+        // cardinality that does NOT grow with data — so extra hash
+        // buckets only multiply per-commit write partitions (r17)
+        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 1)(merged, id)
       }
       EventOps.withStreamSizing(spark) {
         // 5 files per trigger: not a divisor of the per-batch feed file
@@ -2986,7 +2992,10 @@ object Changes {
           else Ingest.readUpsertTable(spark, mv)
             .unionByName(delta)
             .groupBy("prio").agg(sum("n").as("n"), sum("cents").as("cents"))
-        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 4)(merged, id)
+        // one bucket: the MV is keyed on the 5 priority groups — a
+        // cardinality that does NOT grow with data — so extra hash
+        // buckets only multiply per-commit write partitions (r17)
+        Ingest.upsertParquet(mv, Seq("prio"), nBuckets = 1)(merged, id)
       }
       EventOps.withStreamSizing(spark) {
         // one ledger batch per trigger: exercises the admission-control
