@@ -1632,9 +1632,21 @@ object Changes {
         val delta = batch
           .select(col("o_orderpriority"), col("o_custkey"), sign.as("s"))
           .groupBy("o_orderpriority", "o_custkey").agg(sum("s").as("cnt"))
+        // merge against the CURRENT rows of ONLY this trigger's keys
+        // (bucket-pruned lookup — O(trigger), never an index scan),
+        // the same delta discipline the streamed ANN fold already has
+        // (r17, guide §2.4/§5): the previous shape re-read and
+        // re-aggregated the WHOLE index every trigger and re-committed
+        // every key, so each micro-batch paid O(index). Keys absent
+        // from the trigger keep their rows untouched; a key whose
+        // count nets 0 still tombstones out through deleteCol; a dead
+        // key that returns starts from its delta alone (its old row
+        // was physically removed) — the final live set is identical.
         val merged =
           if (!new java.io.File(idx, "CURRENT").exists()) delta
-          else Ingest.readUpsertTable(spark, idx)
+          else Ingest.lookupUpsertTable(spark, idx,
+              delta.select("o_orderpriority", "o_custkey"))
+            .select(col("o_orderpriority"), col("o_custkey"), col("cnt"))
             .unionByName(delta)
             .groupBy("o_orderpriority", "o_custkey").agg(sum("cnt").as("cnt"))
         // 4 buckets, 2 slices each: the index is value-skewed tiny rows,

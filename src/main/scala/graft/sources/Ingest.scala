@@ -886,6 +886,14 @@ object Ingest {
     def awaitDataPlane(): Unit = pendingDataPlane.foreach(f =>
       scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration.Inf))
+    // label every sink job (guide §1.5) so profilers and the UI can
+    // attribute a commit's job cascade phase by phase; thread-local, so
+    // the overlapped data-plane bodies label their own threads
+    def phase[T](name: String)(body: => T): T = {
+      val sc = spark.sparkContext
+      sc.setJobDescription(s"sink:$name b=$batchId")
+      try body finally sc.setJobDescription(null)
+    }
     try {
       val delFlag = deleteCol.map(col).getOrElse(lit(false))
       val bk: DataFrame = if (pinnedCons.isEmpty) bkAll else {
@@ -973,14 +981,14 @@ object Ingest {
       // tombstones — the lazy-delete split). ≤ 2·nBuckets small ints,
       // the only driver-side collect in the sink; the cached batch then
       // feeds the merge without recomputing its upstream per action
-      val summary = bk
+      val summary = phase("summary")(bk
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("cnt"), first(col(UpsertBucketCol)).as("b"),
           first(delFlag).as("isDel"))
         .agg(max(col("cnt")).as("max_cnt"), collect_set(col("b")).as("bs"),
           collect_set(when(!col("isDel"), col("b"))).as("ubs"),
           sum(when(col("isDel").isNull, 1L).otherwise(0L)).as("null_flags"))
-        .head()
+        .head())
       if (summary.isNullAt(0)) { // empty batch
         // a fully-diverted batch (every row quarantined) reaches this
         // path with its diversion write still in flight: the dead
@@ -1067,7 +1075,7 @@ object Ingest {
       // atomic with the snapshot (pre-swap) and swept with it. The
       // write only needs the CACHED batch + the prior vector — nothing
       // from the bucket rewrite — so it overlaps the merge (§2.6).
-      overlap {
+      overlap { phase("deletion-vector") {
         val dvCols = keys.map(col) :+ col(UpsertBucketCol)
         val deleteOnlyB = touched -- upsertBuckets
         val dvAdds =
@@ -1086,13 +1094,13 @@ object Ingest {
           .filter(_.head(1).nonEmpty) // never write an empty _deletes dir
           .foreach(_.coalesce(1).write
             .parquet(store.child(newV, "_deletes")))
-      }
+      } }
       // change capture: pre-images come from the CURRENT snapshot's
       // touched buckets and post-images from the cached batch — also
       // independent of the bucket rewrite, so it overlaps the merge
       // (§2.6). It reads the OLD version's files while the merge
       // writes the NEW dir: disjoint trees, no store mutations here.
-      if (changeFeed) overlap {
+      if (changeFeed) overlap { phase("change-capture") {
         val dataCols = dataOf(bk).columns
           .filterNot(_ == UpsertBucketCol).map(col)
         val flag = delFlag
@@ -1131,7 +1139,7 @@ object Ingest {
           .withColumn("_batch_id", lit(batchId))
         changes.coalesce(math.max(1, touched.size))
           .write.parquet(store.child(newV, "_changes"))
-      }
+      } }
       val merged = {
         val base =
           if (rewriteDirs.isEmpty) upserts
@@ -1169,8 +1177,8 @@ object Ingest {
       // above, so overwrite's implicit whole-dir delete is redundant —
       // and it would race the OVERLAPPED _changes/_deletes writers'
       // staging dirs inside newV (they may start before this job)
-      laidOut
-        .write.partitionBy(UpsertBucketCol).mode("append").parquet(newV)
+      phase("merge-write")(laidOut
+        .write.partitionBy(UpsertBucketCol).mode("append").parquet(newV))
       curDir.foreach { d =>
         store.listNames(d)
           .filter(n => n.startsWith(s"$UpsertBucketCol=") &&
@@ -1200,13 +1208,16 @@ object Ingest {
         val freshDirs = rewriteB.toSeq.sorted
           .map(b => store.child(newV, s"$UpsertBucketCol=$b"))
           .filter(store.isDirectory)
+        // footer-derived stats first (r17, guide §6 — no second read
+        // of the data just written); scan-based derivation is the
+        // fallback whenever any column's footer stats aren't exact
+        val footerFresh =
+          if (freshDirs.isEmpty) None
+          else footerFreshManifest(spark, newV, Some(rewriteB), sortCols,
+            Some(tableSchema))
         val fresh =
           if (freshDirs.isEmpty) None
-          // footer-derived stats first (r17, guide §6 — no second read
-          // of the data just written); scan-based derivation is the
-          // fallback whenever any column's footer stats aren't exact
-          else footerFreshManifest(spark, newV, Some(rewriteB), sortCols,
-              Some(tableSchema))
+          else footerFresh
             .orElse(Some(spark.read.schema(tableSchema)
               .option("basePath", newV)
               .parquet(freshDirs: _*)
@@ -1230,10 +1241,13 @@ object Ingest {
                     s"/${store.baseName(curDir.get)}/"),
                   s"/$vName/")))
           }
-        (fresh.toSeq ++ carried.toSeq).reduceOption(_.unionByName(_))
-          .filter(_.head(1).nonEmpty)
+        // the emptiness probe is a Spark job; skip it when the footer
+        // path produced the fresh rows (≥1 row per file by construction)
+        phase("manifest")((fresh.toSeq ++ carried.toSeq)
+          .reduceOption(_.unionByName(_))
+          .filter(m => footerFresh.isDefined || m.head(1).nonEmpty)
           .foreach(_.coalesce(1).write.parquet(
-            store.child(newV, StatsManifest.ManifestDir)))
+            store.child(newV, StatsManifest.ManifestDir))))
       }
       // overlapped data-plane writes (capture / dv / quarantine) must
       // all be durable before the snapshot becomes visible
@@ -2696,8 +2710,9 @@ object Ingest {
       // paths, fresh rows scanned only for the rewritten buckets
       import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
       val aggs = StatsManifest.statsAggs(sortCols)
-      val fresh = footerFreshManifest(spark, newV,
-          Some(rewrite.map(_.toLong)), sortCols, pinnedSchema(root))
+      val footerFresh = footerFreshManifest(spark, newV,
+        Some(rewrite.map(_.toLong)), sortCols, pinnedSchema(root))
+      val fresh = footerFresh
         .getOrElse(pinnedReader(spark, root).option("basePath", newV)
           .parquet(newV)
           .filter(col(UpsertBucketCol).isin(rewrite.toSeq.map(_.toLong): _*))
@@ -2725,7 +2740,7 @@ object Ingest {
               java.util.regex.Matcher.quoteReplacement(s"/$newName/"))))
         }
       val manifest = carriedOpt.fold(fresh)(c => fresh.unionByName(c))
-      if (manifest.head(1).nonEmpty)
+      if (footerFresh.isDefined || manifest.head(1).nonEmpty)
         manifest.coalesce(1).write.parquet(
           store.child(newV, StatsManifest.ManifestDir))
     }
@@ -3604,14 +3619,15 @@ object Ingest {
       // fresh manifest for the fully-rewritten generation
       import org.apache.spark.sql.functions.input_file_name
       val aggs = StatsManifest.statsAggs(sortCols)
-      val m = footerFreshManifest(spark, newV, None, sortCols,
-          pinnedSchema(root))
+      val footerFresh = footerFreshManifest(spark, newV, None, sortCols,
+        pinnedSchema(root))
+      val m = footerFresh
         .getOrElse(pinnedReader(spark, root).option("basePath", newV)
           .parquet(newV)
           .select(sortCols.map(col): _*)
           .groupBy(StatsManifest.relFile(newName).as("file"))
           .agg(aggs.head, aggs.tail: _*))
-      if (m.head(1).nonEmpty)
+      if (footerFresh.isDefined || m.head(1).nonEmpty)
         m.coalesce(1).write.parquet(
           store.child(newV, StatsManifest.ManifestDir))
     }
