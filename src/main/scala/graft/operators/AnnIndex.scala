@@ -301,13 +301,18 @@ object AnnIndex {
         // after the preimage filter a key has ONE record per base
         // batch, so max_by over _batch_id is the per-key winner of
         // whatever file slices this trigger happened to carry
+        // persisted for the trigger's lifetime (guide §5): the frame is
+        // consumed by the emptiness guard, the assignment, the lookup's
+        // key projection AND the merge — unpersisted, each action
+        // re-scanned the trigger's feed slices and re-ran the winner agg
         val winners = batch.filter(col("_change_type") =!= "update_preimage")
           .groupBy("vec_id")
           .agg(max_by(struct(col("embedding"), col("_change_type")),
             col("_batch_id")).as("w"), max(col("_batch_id")).as("_bid"))
           .select(col("vec_id"), col("w.embedding").as("embedding"),
             (col("w._change_type") =!= "delete").as("live"), col("_bid"))
-        if (!winners.isEmpty) {
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try if (!winners.isEmpty) {
           val delta = Ivf.assign(winners, centroids)
             .select("vec_id", "embedding", "cid", "live", "_bid")
           val merged =
@@ -323,7 +328,7 @@ object AnnIndex {
           Ingest.upsertParquet(idx, Seq("vec_id"), nBuckets = 4,
             keepVersions = 1, sortCols = Seq("cid"), filesPerBucket = 2)(
             merged, id)
-        }
+        } finally { winners.unpersist(); () }
       }
       EventOps.withStreamSizing(spark) {
         val src = Ingest.changeFeedStream(spark, table,
@@ -575,13 +580,18 @@ object AnnIndex {
       LocalTableStore.deleteTree(base)
       val codesTable = s"$base/codes"
       def fold(batch: DataFrame, id: Long): Unit = {
+        // persisted for the trigger's lifetime (guide §5): consumed by
+        // the emptiness guard, the live/dead splits, the _bid join and
+        // the merge — unpersisted, each action re-scanned the trigger's
+        // feed slices and re-ran the winner agg
         val winners = batch.filter(col("_change_type") =!= "update_preimage")
           .groupBy("vec_id")
           .agg(max_by(struct(col("embedding"), col("_change_type")),
             col("_batch_id")).as("w"), max(col("_batch_id")).as("_bid"))
           .select(col("vec_id"), col("w.embedding").as("embedding"),
             (col("w._change_type") =!= "delete").as("live"), col("_bid"))
-        if (!winners.isEmpty) {
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try if (!winners.isEmpty) {
           val alive = Pq.encode(
               winners.filter(col("live")).select("vec_id", "embedding"), cb)
             .withColumn("live", lit(true))
@@ -606,7 +616,7 @@ object AnnIndex {
                 col("_bid"))
           Ingest.upsertParquet(codesTable, Seq("vec_id"), nBuckets = 4,
             keepVersions = 1)(merged, id)
-        }
+        } finally { winners.unpersist(); () }
       }
       EventOps.withStreamSizing(spark) {
         val src = Ingest.changeFeedStream(spark, table,
