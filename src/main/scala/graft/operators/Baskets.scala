@@ -21,12 +21,32 @@ object Baskets {
     */
   def rules(ob: org.apache.spark.sql.DataFrame, minSupport: Int)
       : org.apache.spark.sql.DataFrame = {
-    val n = ob.agg(count_distinct(col("basket")).as("n_baskets"))
-    val bc = ob.groupBy("item").agg(count(lit(1)).as("n_b"))
-    ob.as("a")
-      .join(ob.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // Pair generation as group-then-expand, not a self-join (r17 —
+    // the q_triangles/copurchaseEdges move, guide §2.3/§2.4): the
+    // ob ⋈ ob form moved the membership relation across the network
+    // twice, and n / bc re-derived ob's upstream build (fact ⋈ dim +
+    // distinct) twice more — 20 parquet scans in the pre-r17 plan.
+    // One aggregation keyed on the basket materializes per-basket
+    // SORTED item arrays; the basket count, the per-item counts AND
+    // the pair expansion all derive from it, so the upstream build
+    // runs once and nothing else shuffles basket-sized data.
+    // Pair equivalence: ob is one row per DISTINCT (basket, item) by
+    // contract, so over each sorted array the position pairs (i < j,
+    // guarded y > x) realize every item_a < item_b pair exactly once —
+    // the join's output verbatim. Per-basket blowup is C(k,2), bounded
+    // by basket size exactly as the join's was.
+    val g = ob.groupBy("basket")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .localCheckpoint()
+    val n = g.agg(count(lit(1)).as("n_baskets"))
+    val bc = g.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_b"))
+    g.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(filter(slice(items, i + 2, size(items)), y -> y > x),
+          |            y -> struct(x AS item_a, y AS item_b))))""".stripMargin))
+        .as("e"))
+      .select(col("e.item_a").as("item_a"), col("e.item_b").as("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
       .join(broadcast(bc.withColumnRenamed("item", "item_a")
@@ -90,10 +110,11 @@ object Baskets {
     * Scale shape: the brand dictionary is a 2-column projection of the
     * part dim (broadcastable; at warehouse scale the lineitem⋈part hop
     * is the usual dim join). Baskets deduplicate through one hash agg
-    * keyed (order, brand); the pair self-join is co-partitioned on
-    * l_orderkey (one shuffle each side, AQE-coalesced) and fans out at
-    * most basket² pairs per order; rule stats are a |brands|²-row hash
-    * agg with the per-brand counts broadcast back.
+    * keyed (order, brand); the fact table then crosses the network
+    * ONCE into per-basket sorted arrays (r17 — see [[rules]]) whose
+    * codegen expansion fans out at most basket² pairs per order; rule
+    * stats are a |brands|²-row hash agg with the per-brand counts
+    * broadcast back.
     */
   val qBasketRules: QuerySpec = QuerySpec(
     "q_basket_rules",

@@ -76,12 +76,19 @@ object Classify {
                  idCol: String = "id"): DataFrame = {
     val tok = train.select(col(labelCol).as("lang"),
       explode(col(toksCol)).as("t"))
+    // the ONLY aggregation over the exploded train corpus (guide §2.3):
+    // vocabulary (vt/voc) and the per-class totals (tc) all derive from
+    // these (class, token) counts — exactly equivalent (ct holds every
+    // distinct train token), where deriving them from `tok` re-ran the
+    // explode per consumer. Every consumer shares ct's exchange
+    // (identical subtree → ReuseExchange), so the corpus explodes once.
     val ct = tok.groupBy("lang", "t").agg(count(lit(1)).as("n_ct"))
     val cls = train.groupBy(col(labelCol).as("lang"))
       .agg(count(lit(1)).as("d_c"))
     val dAll = cls.agg(sum("d_c").as("d_all"))
     val tc = ct.groupBy("lang").agg(sum("n_ct").as("t_c"))
-    val voc = tok.agg(count_distinct(col("t")).as("v"))
+    val vt = ct.select("t").distinct()
+    val voc = vt.agg(count(lit(1)).as("v"))
     // per-class scalars: log prior + the unseen-in-class (count 0 + 1
     // smoothing) default, both in micro-nats — #classes rows, broadcast
     val pri = cls.join(tc, "lang")
@@ -95,7 +102,6 @@ object Classify {
       .select(col("lang"),
         col("t"),
         microLn((col("n_ct") + 1.0) / (col("t_c") + col("v"))).as("ll_u"))
-    val vt = tok.select("t").distinct()
     val tet = test.select(col(idCol).as("doc_id"), explode(col(toksCol)).as("t"))
       .join(vt, Seq("t"), "left_semi") // OOV dropped
     val terms = tet
@@ -197,10 +203,12 @@ object Classify {
     * function of the data and the seed.
     *
     * `target`/`raw` are predicates over the corpus frame; raw docs are
-    * the selection pool. One conditional aggregation builds BOTH
+    * the selection pool. The corpus is tokenized and hashed ONCE into a
+    * per-(doc, bucket) count frame (materialized — ≤ |docs| × nBuckets
+    * rows); one conditional aggregation over it builds BOTH
     * distributions (bucket-sized output, broadcast back), one keyed
-    * aggregation weighs the pool — the corpus is scanned twice, never
-    * shuffled on a data-sized key other than doc_id.
+    * aggregation weighs the pool — never shuffled on a data-sized key
+    * other than doc_id.
     */
   def dsirSelect(docs: DataFrame, target: Column, k: Int,
                  nBuckets: Int = 512, seed: String = "graft-dsir-v1",
@@ -215,9 +223,20 @@ object Classify {
         explode(concat(toks, bigrams)).as("f"))
       .select(col(idCol), col("is_t"),
         md5Mod(seed, col("f"), nBuckets).as("bkt"))
-    val cnt = fb.groupBy("bkt").agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    // per-(doc, bkt) occurrence counts, materialized ONCE (guide §2.3/
+    // §2.4): both consumers below — the bucket distributions and the
+    // pool weighing — previously re-ran the tokenize + md5 explode over
+    // the whole corpus. The counts frame is ≤ |docs| × nBuckets rows
+    // (each doc touches at most nBuckets distinct buckets), far
+    // narrower than the exploded occurrences, and every downstream
+    // value is an exact integer fold of it: ct/cr sum the counts,
+    // logw_u = Σ_occurrence l_u(bkt) = Σ_bkt c · l_u(bkt).
+    val g = fb.groupBy(col(idCol), col("is_t"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cnt = g.groupBy("bkt").agg(
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(col("c"))).as("cr"))
     val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     // one round of the DIFFERENCE (mirrors the oracle's expression tree
     // exactly — rounding each log separately could differ by 1 µnat)
@@ -226,9 +245,9 @@ object Classify {
         round((log((col("ct") + 1.0) / (col("tt") + nBuckets)) -
           log((col("cr") + 1.0) / (col("tr") + nBuckets))) * 1000000.0)
           .cast("long").as("l_u"))
-    val dw = fb.filter(!col("is_t"))
+    val dw = g.filter(!col("is_t"))
       .join(broadcast(l), "bkt")
-      .groupBy(idCol).agg(sum("l_u").as("logw_u"))
+      .groupBy(idCol).agg(sum(col("c") * col("l_u")).as("logw_u"))
     dw.withColumn("z_u",
         col("logw_u") + round(-log(-log(
           seededUniform(seed, col(idCol).cast("string")))) * 1000000.0)

@@ -647,6 +647,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Linkage.qLinkageEm.run(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // r17: the blocked JW comparison materializes ONCE (it feeds both
+    // the EM pattern-count collect and the final scoring) — the result
+    // plan must scan the materialized pairs, not re-run the join. A
+    // regression that drops the checkpoint puts the join back here and
+    // doubles the dominant comparison work.
+    assert(p.contains("ExistingRDD"), p.take(800))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("DSIR: one tokenize+hash pass — both distributions and the pool weighing scan the materialized counts") {
+    import graft.operators.Classify
+    // r17 (guide §2.3): the per-(doc, bucket) count frame materializes
+    // once; the result plan must hold NO explode (Generate) and no
+    // documents scan — a regression re-runs the corpus tokenize + md5
+    // per consumer (it appeared 6x in the pre-r17 plan).
+    val p = plan(Classify.qDsirSelect.run(spark, sf))
+    assert(p.contains("ExistingRDD"), p.take(800))
+    assert(!p.contains("Generate"), p.take(1200))
   }
 
   test("q_bfs_hops: per-round frontiers materialize — final plan unions scans, no join towers") {
