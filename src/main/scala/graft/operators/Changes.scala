@@ -880,11 +880,14 @@ object Changes {
         .filter(col("o_orderkey") % 2 <= half)
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n"))
+      // one bucket each (r17): prio has ≤5 groups and status ≤3 at ANY
+      // scale — group count does not grow with data, so extra buckets
+      // only multiply each txn's commit write partitions
       def upPrio(b: Long, df: DataFrame): Unit =
-        Ingest.upsertParquet(pa, Seq("prio"), nBuckets = 2,
+        Ingest.upsertParquet(pa, Seq("prio"), nBuckets = 1,
           keepVersions = 8)(df, b)
       def upStatus(b: Long, df: DataFrame): Unit =
-        Ingest.upsertParquet(pb, Seq("status"), nBuckets = 2,
+        Ingest.upsertParquet(pb, Seq("status"), nBuckets = 1,
           keepVersions = 8)(df, b)
       // txn 0: half the orders; txn 1: the full fold (overwrite upserts)
       MultiCommit.commit(coord, Seq(
@@ -1925,7 +1928,10 @@ object Changes {
             .unionByName(delta)
             .groupBy("c_mktsegment").agg(sum("n").as("n"),
               sum("cents").as("cents"))
-        Ingest.upsertParquet(mv, Seq("c_mktsegment"), nBuckets = 2,
+        // one bucket (r17, the 5-group-MV sizing): c_mktsegment has 5
+        // segments at any scale, so a second bucket only doubles each
+        // fold commit's write partitions
+        Ingest.upsertParquet(mv, Seq("c_mktsegment"), nBuckets = 1,
           keepVersions = 2)(merged.filter(col("n") =!= 0), b.toLong)
       }
       // the maintained state IS the serve copy: write it once, register
