@@ -165,11 +165,17 @@ object Vocab {
           concat(col("n_name"), lit("-v9")).as("std"))
       Ingest.upsertInto(spark, xwDir, amendment)
 
+      // materialized ONCE (r17, guide §5): the event frame (the only
+      // data-sized input) is resolved THREE times below — against the
+      // as-of snapshot, the original release, and the amended CURRENT —
+      // and each resolution re-ran the orders ⋈ customer join when left
+      // unmaterialized. Two narrow columns × |orders| rows.
       val evs = Tables.load(spark, dir, "orders")
         .join(Tables.load(spark, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey"), to_date(col("o_orderdate")).as("d"))
+        .localCheckpoint()
       def resolveAgainst(xw: DataFrame): DataFrame = {
         val vers = versionArrays(xw, "code", "eff", "std")
         evs.join(broadcast(vers), col("c_nationkey") === col("code"), "left")
