@@ -379,17 +379,21 @@ class PlanSpec extends AnyFunSuite {
       s"step join right side is not an Aggregate:\n${j.right.treeString}"))
   }
 
-  test("basket rules: pair self-join keyed on the basket; stats broadcast") {
+  test("basket rules: group-then-expand over materialized baskets; stats broadcast") {
     import graft.operators.Baskets
     val p = plan(Baskets.qBasketRules.run(spark, sf))
-    // the pair generator must be an equi-join on the basket key (the
-    // brand inequality rides as a join condition, not a cartesian
-    // filter), and the per-item counts come back via broadcast hash
-    // joins. The ONLY nested-loop allowed is the 1-row basket-total
-    // crossJoin (the scalar-broadcast contract-assembly pattern).
+    // r17: pair generation is a codegen expansion over materialized
+    // per-basket sorted arrays — NO self-join moves the membership
+    // relation, and the basket count / per-item counts derive from the
+    // same materialized frame (no parquet re-scan). Per-item counts
+    // come back via broadcast hash joins; the ONLY nested-loop allowed
+    // is the 1-row basket-total crossJoin (the scalar-broadcast
+    // contract-assembly pattern). A regression that re-introduces the
+    // ob ⋈ ob join (or re-derives ob per statistic) must fail here.
     assert(!p.contains("CartesianProduct"), p.take(800))
-    assert("(SortMergeJoin|ShuffledHashJoin) \\[basket".r
-      .findFirstIn(p).isDefined, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("ExistingRDD"), p.take(800))
+    assert(!p.contains("Scan parquet"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(800))
   }
